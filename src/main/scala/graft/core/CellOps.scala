@@ -1,0 +1,273 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** Pure DataFrame pipelines implementing the wide-column query semantics over
+  * a canonical cell table with columns
+  * `(row_key string, family string, qualifier string, ts long, ...)`.
+  *
+  * These are shared by the storage engine ([[Smoltable]]) and by the
+  * driver-facing demonstration queries ([[graft.SparkEntry]]), so the exact
+  * same operator code is what gets verified against the DuckDB oracle.
+  *
+  * Scale notes (100 TB design intent):
+  *  - Per-column / per-row limits are `Window.partitionBy(row_key, ...)` —
+  *    shuffle-bounded by key, no global state.
+  *  - Global cell limit and row limit compile to TakeOrdered / Limit, which
+  *    Spark executes with per-partition pre-limits before a single-partition
+  *    final step (no full sort materialization).
+  *  - Row offset + deterministic sampling need a global row rank; they rank
+  *    the *distinct row keys* (orders of magnitude smaller than cells) and
+  *    semi-join back — the only intentionally-global step, matching the
+  *    inherently sequential reference semantics
+  *    (`smoltable/src/table/mod.rs:736-756`).
+  */
+object CellOps {
+
+  /** Key order of the LSM: `(row_key, family, qualifier, !ts)` — ts
+    * descending so newest versions come first.
+    * Reference: `smoltable/src/cell.rs:168-182` (`format_key`).
+    */
+  def keyOrder: Seq[Column] =
+    Seq(col("row_key").asc, col("family").asc, col("qualifier").asc,
+      col("ts").desc)
+
+  /** Column-filter predicate. Qualifier `None` ≡ `""`.
+    * Reference: `smoltable/src/cell.rs:214-266` (`satisfies_column_filter`).
+    */
+  def filterPredicate(f: ColumnFilter): Column = f match {
+    case ColumnFilter.Key(k) =>
+      k.qualifier match {
+        case Some(q) => col("family") === k.family && col("qualifier") === q
+        case None    => col("family") === k.family
+      }
+    case ColumnFilter.Multi(keys) =>
+      keys.map(k => filterPredicate(ColumnFilter.Key(k)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+    case ColumnFilter.Prefix(k) =>
+      k.qualifier match {
+        case Some(q) =>
+          col("family") === k.family && col("qualifier").startsWith(q)
+        case None => col("family") === k.family
+      }
+  }
+
+  /** Scan-mode predicate. The reference's seek-and-terminate loop
+    * (`smoltable/src/table/mod.rs:685-716`) is result-equivalent to a plain
+    * predicate because cells arrive in global key order; Catalyst pushes this
+    * to the Parquet scan (min/max row-group skipping on sorted row_key).
+    */
+  def modePredicate(mode: ScanMode): Column = mode match {
+    case ScanMode.Prefix("") => lit(true)
+    case ScanMode.Prefix(p)  => col("row_key").startsWith(p)
+    case ScanMode.Range(start, end, incl) =>
+      val lower = col("row_key") >= start
+      if (incl) lower && col("row_key") <= end
+      else lower && col("row_key") < end
+  }
+
+  /** Deterministic error-diffusion row sampling.
+    *
+    * The reference keeps a counter starting at 1.0, adds `rate` per new row,
+    * emits when >= 1.0 then subtracts 1 (`smoltable/src/table/mod.rs:736-746`).
+    * Closed form over the 1-based row rank i: emit iff
+    * `i == 1 || floor(i*rate) > floor((i-1)*rate)`.
+    * (Rows are ranked over all rows that pass the column filter, matching the
+    * reference's rows_scanned accounting.)
+    */
+  def sampleEmit(rankCol: Column, rate: Float): Column = {
+    val r = lit(rate.toDouble)
+    rankCol === 1L ||
+      floor(rankCol.cast("double") * r) > floor((rankCol - 1).cast("double") * r)
+  }
+
+  /** Full scan pipeline: returns the surviving cell rows (all original
+    * columns preserved), in no particular order — callers sort/group.
+    *
+    * Semantics per `smoltable/src/table/mod.rs:630-801` with the limit
+    * interplay of SURVEY.md §2.3 #1:
+    *   1. scan-mode bounds, 2. column filter, 3. sampling + row offset on the
+    *   global row rank, 4. per-column version limit, 5. per-row cell limit
+    *   (counting only cells that survived 4), 6. global cell limit in key
+    *   order (counting only cells that survived 4+5), 7. row limit on
+    *   materialized rows.
+    */
+  def scanCells(cells: DataFrame, in: ScanInput): DataFrame = {
+    var df = cells.filter(modePredicate(in.mode))
+    in.filter.foreach(f => df = df.filter(filterPredicate(f)))
+
+    // 3. sampling + offset: global rank over distinct row keys, joined back.
+    val needRowRank = in.sample.exists(_ < 1.0f) || in.rowOffset.exists(_ > 0)
+    if (needRowRank) {
+      val rowRank = df.select("row_key").distinct()
+        .withColumn("_rk_rank",
+          row_number().over(Window.orderBy(col("row_key"))).cast("long"))
+      var keep = rowRank
+      in.sample.filter(_ < 1.0f).foreach { rate =>
+        keep = keep.filter(sampleEmit(col("_rk_rank"), rate))
+      }
+      // Reference offset check is `rows_scanned_count < row_offset` with the
+      // counter already incremented, so rank >= offset survives
+      // (`smoltable/src/table/mod.rs:753-756`).
+      in.rowOffset.filter(_ > 0).foreach { off =>
+        keep = keep.filter(col("_rk_rank") >= off)
+      }
+      df = df.join(broadcast(keep.select("row_key")), Seq("row_key"), "left_semi")
+    }
+
+    // 4. per-column version limit (newest first).
+    val colW = Window.partitionBy("row_key", "family", "qualifier")
+      .orderBy(col("ts").desc)
+    val needColRank = in.columnCellLimit.isDefined || in.rowCellLimit.isDefined
+    if (needColRank) {
+      df = df.withColumn("_col_rank", row_number().over(colW))
+      in.columnCellLimit.foreach { k =>
+        df = df.filter(col("_col_rank") <= k)
+      }
+      // 5. per-row cell limit: first N surviving cells in key order.
+      in.rowCellLimit.foreach { k =>
+        val rowW = Window.partitionBy("row_key")
+          .orderBy(col("family").asc, col("qualifier").asc, col("ts").desc)
+        df = df.withColumn("_row_rank", row_number().over(rowW))
+          .filter(col("_row_rank") <= k)
+          .drop("_row_rank")
+      }
+      df = df.drop("_col_rank")
+    }
+
+    // 6. global cell limit: first N surviving cells in global key order
+    //    (TakeOrdered — per-partition pre-limit, no full sort).
+    in.globalCellLimit.foreach { n =>
+      df = df.orderBy(keyOrder: _*).limit(n)
+    }
+
+    // 7. row limit: first N materialized rows in row-key order.
+    in.rowLimit.foreach { n =>
+      val limited = df.select("row_key").distinct()
+        .orderBy("row_key").limit(n)
+      df = df.join(broadcast(limited), Seq("row_key"), "left_semi")
+    }
+    df
+  }
+
+  /** Point-get pipeline: equality on row_key (bucket/file-pruned on a
+    * row_key-sorted layout), then filter + limits.
+    *
+    * Reference: `smoltable/src/table/mod.rs:824-882` + `row_reader.rs`.
+    * Note get_row's global cell limit counts *visited* cells including ones
+    * dropped by the column limit (unlike scan) — `mod.rs:843-868`.
+    */
+  def getRowCells(cells: DataFrame, in: GetRowInput): DataFrame = {
+    var df = cells.filter(col("row_key") === in.key)
+    in.filter.foreach(f => df = df.filter(filterPredicate(f)))
+
+    val colW = Window.partitionBy("row_key", "family", "qualifier")
+      .orderBy(col("ts").desc)
+    df = df.withColumn("_col_rank", row_number().over(colW))
+    // Visit order within the single row: key order.
+    in.rowCellLimit.foreach { n =>
+      val visitW = Window.partitionBy("row_key")
+        .orderBy(col("family").asc, col("qualifier").asc, col("ts").desc)
+      df = df.withColumn("_visit_rank", row_number().over(visitW))
+        .filter(col("_visit_rank") <= n)
+        .drop("_visit_rank")
+    }
+    in.columnCellLimit.foreach { k => df = df.filter(col("_col_rank") <= k) }
+    df.drop("_col_rank")
+  }
+
+  /** Count rows/cells matching mode + filter without materializing rows.
+    * Reference: `smoltable/src/table/mod.rs:361-451` (`scan_count`).
+    */
+  def countCells(cells: DataFrame, in: CountInput): DataFrame = {
+    var df = cells.filter(modePredicate(in.mode))
+    in.filter.foreach(f => df = df.filter(filterPredicate(f)))
+    df.agg(
+      count_distinct(col("row_key")).as("row_count"),
+      count(lit(1)).as("cell_count"))
+  }
+
+  /** Cells surviving a filtered row delete (copy-on-write semantics).
+    * Unlike the reference — which only removes from the default partition,
+    * leaving locality-group cells behind (`smoltable/src/table/mod.rs:589-592`)
+    * — this deletes across all locality groups (SURVEY.md §2.1 #20).
+    */
+  def deleteRowRemaining(
+      cells: DataFrame, rowKey: String, filter: Option[ColumnFilter]
+  ): DataFrame = {
+    val hit = filter.foldLeft(col("row_key") === rowKey) { (p, f) =>
+      p && filterPredicate(f)
+    }
+    cells.filter(!hit)
+  }
+
+  /** Cells surviving version/TTL GC given per-family settings.
+    * Version limit: keep newest `limit` versions per (row, family, qualifier).
+    * TTL: drop cells with ts > 0 older than `ttl` seconds vs `nowNanos`.
+    * Reference: `smoltable/src/table/mod.rs:455-562` (`run_version_gc`).
+    */
+  def gcSurvivors(
+      cells: DataFrame,
+      settings: Map[String, GcSettings],
+      nowNanos: Long
+  ): DataFrame = {
+    val colW = Window.partitionBy("row_key", "family", "qualifier")
+      .orderBy(col("ts").desc)
+    val withRank = cells.withColumn("_col_rank", row_number().over(colW))
+    val nowSecs = nowNanos / 1000000000L
+
+    val deadByVersion = settings.collect {
+      case (fam, gc) if gc.versionLimit.exists(_ > 0) =>
+        col("family") === fam && col("_col_rank") > gc.versionLimit.get
+    }
+    val deadByTtl = settings.collect {
+      case (fam, gc) if gc.ttlSecs.exists(_ > 0) =>
+        col("family") === fam && col("ts") > 0 &&
+          (lit(nowSecs) - col("ts") / 1000000000L) > gc.ttlSecs.get
+    }
+    val dead = (deadByVersion ++ deadByTtl)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    withRank.filter(!dead).drop("_col_rank")
+  }
+
+  /** Last-write-wins on the exact cell coordinate `(row_key, family,
+    * qualifier, ts)`: keep the highest write sequence. The reference gets
+    * this from LSM upsert (same key overwrites); on an append-only table it
+    * becomes a windowed dedup.
+    */
+  def lastWriteWins(cells: DataFrame): DataFrame = {
+    val w = Window.partitionBy("row_key", "family", "qualifier", "ts")
+      .orderBy(col("seq").desc)
+    cells.withColumn("_lww", row_number().over(w))
+      .filter(col("_lww") === 1)
+      .drop("_lww")
+  }
+
+  /** Assemble surviving cells into user-facing rows: ordered cell arrays per
+    * column (newest first), nested maps qualifier→cells and family→columns.
+    * `valueJson` must render one cell's payload; kept generic so both the
+    * engine's typed struct and test fixtures can use it.
+    */
+  def assembleRows(
+      cells: DataFrame, valueCol: Column
+  ): DataFrame = {
+    // struct ordering: sort_array on (ts desc) via descending sort on struct
+    // whose first field is ts.
+    val cellStruct = struct(col("ts").as("ts"), valueCol.as("v"))
+    cells
+      .groupBy("row_key", "family", "qualifier")
+      .agg(sort_array(collect_list(cellStruct), asc = false).as("cells"))
+      .groupBy("row_key", "family")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("qualifier"), col("cells")))))
+        .as("columns"))
+      .groupBy("row_key")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("family"), col("columns")))))
+        .as("families"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import graft.model.{ColumnFamilyDefinition, GcSettings}
+
+/** Locality group: a set of column families stored in a dedicated partition
+  * for scan locality. Reference: `smoltable/src/table/mod.rs:34-51`.
+  */
+final case class LocalityGroup(id: String, families: Seq[String])
+
+/** Per-table manifest: column families (with GC options) and locality
+  * groups, mirroring the `cf#{name}` / `lg#{id}` manifest keys of
+  * `smoltable/src/table/mod.rs:183-243`. Persisted as a small line-based
+  * file with atomic replace; `nextSeq` is the write-batch sequence for
+  * last-write-wins ordering.
+  */
+final case class TableManifest(
+    families: Seq[ColumnFamilyDefinition],
+    localityGroups: Seq[LocalityGroup],
+    nextSeq: Long
+) {
+  /** Families not owned by any explicit locality group live in the default
+    * group. Reference: `column_families_in_default_locality_group`,
+    * `smoltable/src/table/mod.rs:803-822`. */
+  def defaultGroupFamilies: Seq[String] = {
+    val grouped = localityGroups.flatMap(_.families).toSet
+    families.map(_.name).filterNot(grouped)
+  }
+
+  /** Partition id ("lg" dir value) for a family. */
+  def groupOf(family: String): String =
+    localityGroups.find(_.families.contains(family))
+      .map(_.id).getOrElse(TableManifest.DefaultGroup)
+
+  def gcSettings: Map[String, GcSettings] =
+    families.map(f => f.name -> f.gc).toMap
+
+  def serialize: String = {
+    val fb = families.map { f =>
+      s"family\t${f.name}\t${f.gc.versionLimit.getOrElse(-1)}\t${f.gc.ttlSecs.getOrElse(-1L)}"
+    }
+    val lb = localityGroups.map { g =>
+      s"lg\t${g.id}\t${g.families.mkString(",")}"
+    }
+    (fb ++ lb ++ Seq(s"seq\t$nextSeq")).mkString("\n")
+  }
+}
+
+object TableManifest {
+  val DefaultGroup = "_default"
+
+  val empty: TableManifest = TableManifest(Nil, Nil, 0L)
+
+  def deserialize(text: String): TableManifest = {
+    var fams = Vector.empty[ColumnFamilyDefinition]
+    var lgs = Vector.empty[LocalityGroup]
+    var seq = 0L
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      line.split("\t", -1).toList match {
+        case "family" :: name :: vl :: ttl :: Nil =>
+          fams :+= ColumnFamilyDefinition(name, GcSettings(
+            versionLimit = Some(vl.toInt).filter(_ >= 0),
+            ttlSecs = Some(ttl.toLong).filter(_ >= 0)))
+        case "lg" :: id :: fs :: Nil =>
+          lgs :+= LocalityGroup(id, fs.split(",").filter(_.nonEmpty).toSeq)
+        case "seq" :: n :: Nil => seq = n.toLong
+        case other => throw new IllegalStateException(s"bad manifest line: $line")
+      }
+    }
+    TableManifest(fams, lgs, seq)
+  }
+
+  def load(path: Path): TableManifest =
+    if (Files.exists(path))
+      deserialize(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+    else empty
+
+  /** Atomic write via temp file + move. */
+  def store(path: Path, m: TableManifest): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, m.serialize.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Server-level catalog of tables (the `app_state.rs:21-48` registry):
+  * one directory per table under `baseDir/tables/`.
+  */
+final class Catalog(val baseDir: String) {
+  private def tablesDir: Path = Paths.get(baseDir, "tables")
+
+  def tablePath(name: String): Path = tablesDir.resolve(name)
+
+  def listTables(): Seq[String] =
+    if (!Files.exists(tablesDir)) Nil
+    else Files.list(tablesDir).iterator.asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+
+  def dropTable(name: String): Unit = {
+    val p = tablePath(name)
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  /** Disk usage in bytes, mirroring `disk_space_usage`
+    * (`smoltable/src/table/mod.rs:906-922`). */
+  def diskSpaceUsage(name: String): Long = {
+    val p = tablePath(name)
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).iterator.asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+  }
+}

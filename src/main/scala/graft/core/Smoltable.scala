@@ -1,0 +1,395 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** One cell to write. Reference: `smoltable/src/table/writer.rs:12-19`
+  * (`ColumnWriteItem`). `ts = None` defaults to now-nanoseconds.
+  */
+final case class ColumnWriteItem(
+    column: ColumnKey, ts: Option[Long], value: CellValue)
+
+/** Reference: `smoltable/src/table/writer.rs:22-26` (`RowWriteItem`). */
+final case class RowWriteItem(rowKey: String, cells: Seq[ColumnWriteItem])
+
+private final case class StoredCell(
+    row_key: String, family: String, qualifier: String, ts: Long,
+    value: CellPayload, seq: Long, lg: String)
+
+/** Spark-native wide-column table.
+  *
+  * Physical layout (SURVEY.md §7.1): one canonical Parquet cell table per
+  * smoltable under `tables/<name>/data/`, hive-partitioned by locality group
+  * (`lg=<id>`), so Catalyst's static partition pruning plays the role of the
+  * reference's `get_affected_locality_groups`
+  * (`smoltable/src/table/row_reader.rs:6-69`). Within files, cells are sorted
+  * by `(row_key, family, qualifier, ts desc)` at write time so Parquet
+  * min/max row-group stats give prefix/range seeks for free.
+  *
+  * Contrast with the reference (`smoltable/src/table/mod.rs`): same data
+  * model and query semantics, but execution is declarative — each verb
+  * builds a DataFrame plan (see [[CellOps]]) and lets Catalyst pick pruning,
+  * pushdown, and join/window strategies, instead of a hand-rolled LSM merge
+  * loop.
+  */
+final class Smoltable private (
+    val spark: SparkSession,
+    val catalog: Catalog,
+    val name: String
+) {
+  import spark.implicits._
+
+  private def tableDir: Path = catalog.tablePath(name)
+  private def manifestPath: Path = tableDir.resolve("manifest")
+  private def dataDir: Path = tableDir.resolve("data")
+
+  def manifest: TableManifest = TableManifest.load(manifestPath)
+
+  // ------------------------------------------------------------------ DDL
+
+  /** Reference: `smoltable/src/table/mod.rs:260-297`
+    * (`create_column_families`): persists family defs; `localityGroup=true`
+    * places them in a fresh dedicated partition.
+    */
+  def createColumnFamilies(
+      defs: Seq[ColumnFamilyDefinition],
+      localityGroup: Boolean = false
+  ): Unit = {
+    defs.foreach { d =>
+      require(ColumnKey.isValidIdentifier(d.name), s"invalid family ${d.name}")
+    }
+    val m = manifest
+    val withFams = m.copy(families = m.families ++ defs)
+    val updated =
+      if (localityGroup) {
+        val id = f"lg${withFams.localityGroups.size + 1}%03d"
+        withFams.copy(localityGroups =
+          withFams.localityGroups :+ LocalityGroup(id, defs.map(_.name)))
+      } else withFams
+    TableManifest.store(manifestPath, updated)
+  }
+
+  def listColumnFamilies: Seq[ColumnFamilyDefinition] = manifest.families
+
+  // ---------------------------------------------------------------- write
+
+  private def nowNanos: Long = {
+    val i = java.time.Instant.now()
+    i.getEpochSecond * 1000000000L + i.getNano
+  }
+
+  /** Atomic batch write (one Parquet append per call ≈ one `fjall::Batch`,
+    * `smoltable/src/table/writer.rs:46-79`). Cells route to their family's
+    * locality-group partition; missing timestamps default to now-ns.
+    */
+  def write(items: Seq[RowWriteItem]): Unit = {
+    val m = manifest
+    val known = m.families.map(_.name).toSet
+    val seqBase = m.nextSeq
+    var i = 0
+    val rows = items.flatMap { item =>
+      item.cells.map { c =>
+        require(known.contains(c.column.family),
+          s"unknown column family ${c.column.family}")
+        i += 1
+        StoredCell(
+          row_key = item.rowKey,
+          family = c.column.family,
+          qualifier = c.column.qualifier.getOrElse(""),
+          ts = c.ts.getOrElse(nowNanos),
+          value = CellPayload(c.value),
+          seq = seqBase + i,
+          lg = m.groupOf(c.column.family))
+      }
+    }
+    spark.createDataset(rows)
+      .sort("lg", "row_key", "family", "qualifier")
+      .write.mode("append").partitionBy("lg")
+      .parquet(dataDir.toString)
+    TableManifest.store(manifestPath, m.copy(nextSeq = seqBase + i + 1))
+  }
+
+  // ----------------------------------------------------------------- read
+
+  private def hasData: Boolean =
+    Files.exists(dataDir) &&
+      Files.list(dataDir).iterator().hasNext
+
+  /** All cells (LWW-resolved), with the `lg` partition column retained. */
+  def allCells: DataFrame =
+    if (!hasData) spark.emptyDataset[StoredCell].toDF()
+    else CellOps.lastWriteWins(spark.read.parquet(dataDir.toString))
+
+  /** Locality groups a column filter touches; order mirrors the reference
+    * (default group first). `smoltable/src/table/row_reader.rs:6-69`.
+    */
+  def affectedGroups(filter: Option[ColumnFilter]): Seq[String] = {
+    val m = manifest
+    filter match {
+      case None =>
+        TableManifest.DefaultGroup +: m.localityGroups.map(_.id)
+      case Some(f) =>
+        val fams = f.families
+        val defaultFams = m.defaultGroupFamilies.toSet
+        val hitsDefault = fams.exists(defaultFams.contains)
+        val hitGroups = m.localityGroups.filter { g =>
+          f match {
+            // Multi requires ALL families in the group per the reference's
+            // contains_column_families conjunction; Key/Prefix: membership.
+            case ColumnFilter.Multi(_) => fams.forall(g.families.contains)
+            case _                     => fams.exists(g.families.contains)
+          }
+        }.map(_.id)
+        (if (hitsDefault) Seq(TableManifest.DefaultGroup) else Nil) ++ hitGroups
+    }
+  }
+
+  /** Cells restricted to the affected locality groups — compiles to static
+    * partition pruning on the `lg` dir column. */
+  def cellsFor(filter: Option[ColumnFilter]): DataFrame = {
+    val groups = affectedGroups(filter)
+    allCells.filter(col("lg").isin(groups: _*))
+  }
+
+  // -------------------------------------------------------------- queries
+
+  def scan(in: ScanInput): ScanOutput = {
+    val surviving = CellOps.scanCells(cellsFor(in.filter), in)
+    val rows = assemble(collectCells(surviving))
+    ScanOutput(rows, scanMetrics(in))
+  }
+
+  def getRow(in: GetRowInput): GetRowOutput = {
+    val df = CellOps.getRowCells(
+      cellsFor(in.filter),
+      in)
+    val rows = assemble(collectCells(df))
+    GetRowOutput(rows.headOption, getRowMetrics(in))
+  }
+
+  /** Reference: `smoltable/src/table/mod.rs:600-626` (`multi_get`). */
+  def multiGet(ins: Seq[GetRowInput]): ScanOutput = {
+    val outs = ins.map(getRow)
+    val rows = outs.flatMap(_.row)
+    val m = ScanMetrics(
+      affectedLocalityGroups = outs.map(_.metrics.affectedLocalityGroups).sum,
+      cellsScanned = outs.map(_.metrics.cellsScanned).sum,
+      rowsScanned = ins.size.toLong,
+      bytesScanned = outs.map(_.metrics.bytesScanned).sum)
+    ScanOutput(rows, m)
+  }
+
+  def scanCount(in: CountInput): CountOutput = {
+    val r = CellOps.countCells(cellsFor(in.filter), in).head()
+    CountOutput(
+      rowCount = r.getLong(0), cellCount = r.getLong(1),
+      affectedLocalityGroups = affectedGroups(in.filter).size,
+      bytesScanned = scanMetrics(
+        ScanInput(in.mode, in.filter)).bytesScanned)
+  }
+
+  /** Exact full count. Reference: `smoltable/src/table/mod.rs:322-359`. */
+  def count(): (Long, Long) = {
+    val r = allCells
+      .agg(count_distinct(col("row_key")), org.apache.spark.sql.functions.count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Approximate count: exact cell count from Parquet metadata (the analog
+    * of `approximate_len`), rows estimated as cells / family count.
+    * Reference: `smoltable/src/table/mod.rs:299-320`.
+    */
+  def approximateCount(): (Long, Long) = {
+    val cellCount =
+      if (!hasData) 0L
+      else spark.read.parquet(dataDir.toString).count()
+    val cfCount = manifest.families.size
+    if (cfCount == 0) (0L, 0L) else (cellCount / cfCount, cellCount)
+  }
+
+  // --------------------------------------------------------- maintenance
+
+  /** Filtered row delete (copy-on-write rewrite across ALL locality groups —
+    * deliberately fixing the reference's default-partition-only delete,
+    * `smoltable/src/table/mod.rs:589-592`). Returns deleted cell count.
+    */
+  def deleteRow(rowKey: String, filter: Option[ColumnFilter] = None): Long = {
+    if (!hasData) return 0L
+    val before = allCells.count()
+    rewriteData(CellOps.deleteRowRemaining(allCells, rowKey, filter))
+    before - allCells.count()
+  }
+
+  /** Version-limit + TTL garbage collection as a table rewrite ("lazy &
+    * async" maintenance job per `docs/.../data-retention.md`).
+    * Reference: `smoltable/src/table/mod.rs:455-562`.
+    */
+  def runVersionGc(): Long = {
+    val settings = manifest.gcSettings
+    if (!settings.values.exists(_.needsGc) || !hasData) return 0L
+    val before = allCells.count()
+    rewriteData(CellOps.gcSurvivors(allCells, settings, nowNanos))
+    before - allCells.count()
+  }
+
+  private def rewriteData(survivors: DataFrame): Unit = {
+    val tmp = tableDir.resolve("data.tmp")
+    survivors
+      .sort("lg", "row_key", "family", "qualifier")
+      .write.mode("overwrite").partitionBy("lg").parquet(tmp.toString)
+    deleteRecursively(dataDir)
+    Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  // ------------------------------------------------------------- metrics
+
+  /** Cell key-tuple column for seek-position comparisons (LSM raw-key order
+    * `(row_key, family, qualifier, !ts)`). */
+  private def keyTuple =
+    struct(col("row_key"), col("family"), col("qualifier"), -col("ts"))
+
+  /** Encoded byte size of one cell (raw key + tag-encoded value) per the
+    * reference codec: key = "row:fam:qual:" + 16-byte ts
+    * (`cell.rs:168-182`), value per `cell.rs:43-76`.
+    */
+  private def cellBytes = {
+    val keyLen = length(col("row_key")) + length(col("family")) +
+      length(col("qualifier")) + lit(3) + lit(16)
+    val valLen = when(col("value.vtype") === "string",
+        octet_length(col("value.s")) + 1)
+      .when(col("value.vtype") === "boolean", 2)
+      .when(col("value.vtype") === "byte", 2)
+      .when(col("value.vtype") === "i32", 5)
+      .when(col("value.vtype") === "f32", 5)
+      .otherwise(9)
+    (keyLen + valLen).cast("long")
+  }
+
+  /** Reproduces the chunked reader's scanned accounting
+    * (`smoltable/src/table/reader.rs:80-148`): each affected locality group
+    * seeks to the first key matching the scan position and counts every cell
+    * from there to the end of the partition (the reader's range is
+    * end-unbounded; termination only stops consumption, not prefetch).
+    */
+  private def scanMetrics(in: ScanInput): ScanMetrics = {
+    val groups = affectedGroups(in.filter)
+    if (!hasData)
+      return ScanMetrics(groups.size, 0L, 0L, 0L)
+    val cells = allCells.filter(col("lg").isin(groups: _*))
+
+    val seekPred = in.mode match {
+      case ScanMode.Prefix("")      => lit(true)
+      case ScanMode.Prefix(p)       => col("row_key").startsWith(p)
+      case ScanMode.Range(s, _, _)  => col("row_key") >= s
+    }
+    // per group: first matching key, then count/bytes of all cells >= it
+    val seek = cells.filter(seekPred)
+      .groupBy("lg").agg(min(keyTuple).as("_seek"))
+    val scanned = cells.join(seek, "lg")
+      .filter(keyTuple >= col("_seek"))
+      .agg(coalesce(org.apache.spark.sql.functions.count(lit(1)), lit(0L)),
+        coalesce(sum(cellBytes), lit(0L)))
+      .head()
+
+    var qualifying = cells.filter(CellOps.modePredicate(in.mode))
+    in.filter.foreach(f => qualifying = qualifying.filter(CellOps.filterPredicate(f)))
+    val qualRows = qualifying.select("row_key").distinct().count()
+    // With a row limit the loop visits one row beyond the limit before
+    // breaking (`smoltable/src/table/mod.rs:724-734`).
+    val rowsScanned = in.rowLimit match {
+      case Some(l) => math.min(qualRows, l.toLong + 1)
+      case None    => qualRows
+    }
+    ScanMetrics(groups.size, scanned.getLong(0), rowsScanned,
+      scanned.getLong(1))
+  }
+
+  /** get_row seek narrowing: an exact Key filter seeks straight to
+    * `row:fam:qual:` / `row:fam:`; Multi/Prefix post-filter from `row:`.
+    * Reference: `smoltable/src/table/row_reader.rs:117-131`.
+    */
+  private def getRowMetrics(in: GetRowInput): ScanMetrics = {
+    val groups = affectedGroups(in.filter)
+    if (!hasData)
+      return ScanMetrics(groups.size, 0L, 0L, 0L)
+    val cells = allCells.filter(col("lg").isin(groups: _*))
+
+    val rawKeyStr = concat(col("row_key"), lit(":"), col("family"),
+      lit(":"), col("qualifier"), lit(":"))
+    val seekPrefix = in.filter match {
+      case Some(ColumnFilter.Key(k)) => k.qualifier match {
+        case Some(q) => s"${in.key}:${k.family}:$q:"
+        case None    => s"${in.key}:${k.family}:"
+      }
+      case _ => s"${in.key}:"
+    }
+    val seek = cells.filter(rawKeyStr.startsWith(seekPrefix))
+      .groupBy("lg").agg(min(keyTuple).as("_seek"))
+    val scanned = cells.join(seek, "lg")
+      .filter(keyTuple >= col("_seek"))
+      .agg(coalesce(org.apache.spark.sql.functions.count(lit(1)), lit(0L)),
+        coalesce(sum(cellBytes), lit(0L)))
+      .head()
+    ScanMetrics(groups.size, scanned.getLong(0), 1L, scanned.getLong(1))
+  }
+
+  // ------------------------------------------------------------ assembly
+
+  private def collectCells(df: DataFrame): Seq[Row] =
+    df.select(col("row_key"), col("family"), col("qualifier"), col("ts"),
+        col("value"))
+      .orderBy(CellOps.keyOrder: _*)
+      .collect().toSeq
+
+  /** Driver-side nested-row assembly at the API edge (bounded by query
+    * limits). Version lists stay newest-first; map iteration order is
+    * insertion order = key order. Reference shape: `smoltable/src/row.rs`.
+    */
+  private def assemble(cells: Seq[Row]): Seq[GRow] = {
+    import scala.collection.mutable
+    val rows = mutable.LinkedHashMap.empty[String,
+      mutable.LinkedHashMap[String, mutable.LinkedHashMap[String, mutable.ArrayBuffer[GCell]]]]
+    cells.foreach { r =>
+      val v = r.getStruct(4)
+      val payload = CellPayload(
+        vtype = v.getString(0),
+        s = Option(v.get(1)).map(_.asInstanceOf[String]),
+        b = Option(v.get(2)).map(_.asInstanceOf[Boolean]),
+        u8 = Option(v.get(3)).map(_.asInstanceOf[Short]),
+        i32 = Option(v.get(4)).map(_.asInstanceOf[Int]),
+        i64 = Option(v.get(5)).map(_.asInstanceOf[Long]),
+        f32 = Option(v.get(6)).map(_.asInstanceOf[Float]),
+        f64 = Option(v.get(7)).map(_.asInstanceOf[Double]))
+      rows
+        .getOrElseUpdate(r.getString(0), mutable.LinkedHashMap.empty)
+        .getOrElseUpdate(r.getString(1), mutable.LinkedHashMap.empty)
+        .getOrElseUpdate(r.getString(2), mutable.ArrayBuffer.empty)
+        .append(GCell(r.getLong(3), payload.toValue))
+    }
+    rows.map { case (rk, fams) =>
+      GRow(rk, fams.map { case (f, quals) =>
+        f -> quals.map { case (q, cs) => q -> cs.toSeq }.toMap
+      }.toMap)
+    }.toSeq
+  }
+}
+
+object Smoltable {
+  /** Open-or-create, mirroring `Smoltable::open`
+    * (`smoltable/src/table/mod.rs:107-154`). */
+  def open(spark: SparkSession, catalog: Catalog, name: String): Smoltable = {
+    require(ColumnKey.isValidIdentifier(name), s"invalid table name: $name")
+    Files.createDirectories(catalog.tablePath(name))
+    new Smoltable(spark, catalog, name)
+  }
+}
