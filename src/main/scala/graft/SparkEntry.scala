@@ -1,13 +1,664 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.CellOps
+import graft.model._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (keys `opNN_*` map to the §2.1 inventory row NN) plus the
+  * large-scale pipeline extensions (`ext_*`: dedup, similarity search, text
+  * analysis, multimodal). Each query runs the SAME operator code the engine
+  * uses ([[graft.core.CellOps]]) over a cell view of the driver's testdata,
+  * and has an ANSI-SQL oracle in [[oracleSql]] for the DuckDB compare.
+  *
+  * The wide-column ops run over deterministic "cell views":
+  *  - `orderCells`: 5 cells per `orders` row (families `o` and `m`), ts=0 —
+  *    single-version semantics;
+  *  - `eventCells`: 1 cell per `events` row keyed by user, qualified by
+  *    event type, ts = epoch micros — multi-version semantics.
+  * These views exist so results are verifiable against DuckDB running plain
+  * SQL on the same parquet; the real engine stores cells natively
+  * ([[graft.core.Smoltable]]) where the view cost disappears.
+  *
+  * DDL/catalog verbs (§2.1 #23-26) and the metrics self-tables (#27) have no
+  * SQL-query form; they are covered by the ScalaTest suites
+  * (`graft.core.*Spec`) against [[graft.core.Smoltable]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------------ cell views
+
+  private def orders(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/orders.parquet")
+
+  private def rk10(c: Column) = lpad(c.cast("string"), 10, "0")
+
+  /** 5 cells per order; mirrors ORDER_CELLS_SQL exactly. */
+  private def orderCells(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    def cell(fam: String, qual: String, vs: Column, vd: Column) =
+      o.select(
+        rk10(col("o_orderkey")).as("row_key"),
+        lit(fam).as("family"), lit(qual).as("qualifier"),
+        lit(0L).as("ts"),
+        vs.cast("string").as("vs"), vd.cast("double").as("vd"))
+    cell("o", "status", col("o_orderstatus"), lit(null))
+      .unionAll(cell("o", "priority", col("o_orderpriority"), lit(null)))
+      .unionAll(cell("o", "custkey", col("o_custkey").cast("string"), lit(null)))
+      .unionAll(cell("m", "total", lit(null), col("o_totalprice")))
+      .unionAll(cell("m", "date",
+        date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(null)))
+  }
+
+  private val OrderCellsSql =
+    """WITH cells AS (
+      |  SELECT lpad(CAST(o_orderkey AS VARCHAR),10,'0') AS row_key, 'o' AS family, 'status' AS qualifier, CAST(0 AS BIGINT) AS ts, o_orderstatus AS vs, CAST(NULL AS DOUBLE) AS vd FROM orders
+      |  UNION ALL SELECT lpad(CAST(o_orderkey AS VARCHAR),10,'0'), 'o', 'priority', CAST(0 AS BIGINT), o_orderpriority, CAST(NULL AS DOUBLE) FROM orders
+      |  UNION ALL SELECT lpad(CAST(o_orderkey AS VARCHAR),10,'0'), 'o', 'custkey', CAST(0 AS BIGINT), CAST(o_custkey AS VARCHAR), CAST(NULL AS DOUBLE) FROM orders
+      |  UNION ALL SELECT lpad(CAST(o_orderkey AS VARCHAR),10,'0'), 'm', 'total', CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), o_totalprice FROM orders
+      |  UNION ALL SELECT lpad(CAST(o_orderkey AS VARCHAR),10,'0'), 'm', 'date', CAST(0 AS BIGINT), strftime(o_orderdate, '%Y-%m-%d'), CAST(NULL AS DOUBLE) FROM orders
+      |)""".stripMargin
+
+  /** 1 cell per event: multi-versioned columns (user x event_type).
+    * ts in epoch NANOSECONDS (engine convention; source data is µs-granular
+    * so µs*1000 is lossless).
+    */
+  private def eventCells(s: SparkSession, dir: String): DataFrame = {
+    // events.ts is Parquet TIMESTAMP(NANOS), which Spark 4 only reads via
+    // the nanosAsLong legacy conf — conveniently yielding raw epoch-ns
+    // Longs, the engine's native timestamp representation.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet").select(
+      lpad(col("user_id").cast("string"), 6, "0").as("row_key"),
+      lit("ev").as("family"),
+      col("event_type").as("qualifier"),
+      // truncate to µs-aligned ns: DuckDB's TIMESTAMP is µs-precision, so
+      // the oracle cannot observe the parquet's sub-µs nanos
+      expr("(cast(ts as bigint) div 1000) * 1000").as("ts"),
+      lit(null).cast("string").as("vs"),
+      col("value").cast("double").as("vd"))
+  }
+
+  private val EventCellsSql =
+    """WITH cells AS (
+      |  SELECT lpad(CAST(user_id AS VARCHAR),6,'0') AS row_key, 'ev' AS family, event_type AS qualifier, epoch_us(ts) * 1000 AS ts, CAST(NULL AS VARCHAR) AS vs, value AS vd FROM events
+      |)""".stripMargin
+
+  private val CellCols =
+    Seq("row_key", "family", "qualifier", "ts", "vs", "vd").map(col)
+
+  private def sel(df: DataFrame): DataFrame = df.select(CellCols: _*)
+
+  // -------------------------------------------------------------- flagship
+
+  /** Flagship: locality-style family scan + per-column version limit + agg
+    * over the versioned event cells (sf0.001 smoke; driver checks rows>0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val cells = eventCells(spark, "/root/testdata/sf0.001")
+    val latest = CellOps.scanCells(cells,
+      ScanInput(ScanMode.Prefix(""), columnCellLimit = Some(3)))
+    latest.groupBy("row_key")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("kept_cells"),
+        sum(col("vd").cast("decimal(18,6)")).as("value_sum"))
+  }
+
+  // --------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 #1 point get -------------------------------------------
+    "op01_get_row" -> ((s, dir) => sel(CellOps.getRowCells(
+      orderCells(s, dir), GetRowInput("0000000001")))),
+
+    // ---- #2 multi-get ------------------------------------------------
+    "op02_multi_get" -> ((s, dir) => sel(orderCells(s, dir).filter(
+      col("row_key").isin("0000000001", "0000000042", "0000000777")))),
+
+    // ---- #3 prefix scan ----------------------------------------------
+    "op03_scan_prefix" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir), ScanInput(ScanMode.Prefix("00000001"))))),
+
+    // ---- #4 range scan (inclusive / exclusive) -----------------------
+    "op04_scan_range" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir),
+      ScanInput(ScanMode.Range("0000000100", "0000000150", inclusive = true))))),
+    "op04x_scan_range_exclusive" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir),
+      ScanInput(ScanMode.Range("0000000100", "0000000150", inclusive = false))))),
+
+    // ---- #5 column filter: Key (exact and whole-family) --------------
+    "op05_filter_key" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir), ScanInput(ScanMode.Prefix("00000002"),
+        filter = Some(ColumnFilter.Key(ColumnKey.of("o:status"))))))),
+    "op05b_filter_family" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir), ScanInput(ScanMode.Prefix("00000002"),
+        filter = Some(ColumnFilter.Key(ColumnKey.of("m:"))))))),
+
+    // ---- #6 column filter: Multi -------------------------------------
+    "op06_filter_multi" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir), ScanInput(ScanMode.Prefix("00000002"),
+        filter = Some(ColumnFilter.Multi(Seq(
+          ColumnKey.of("o:status"), ColumnKey.of("m:total")))))))),
+
+    // ---- #7 column filter: Prefix ------------------------------------
+    "op07_filter_prefix" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir), ScanInput(ScanMode.Prefix("00000002"),
+        filter = Some(ColumnFilter.Prefix(ColumnKey.of("o:p"))))))),
+
+    // ---- #8 locality-group pruning (family-restricted scan; physical
+    //      pruning itself is exercised in SmoltableSpec over lg= dirs) ----
+    "op08_locality_scan" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir), ScanInput(ScanMode.Prefix(""),
+        filter = Some(ColumnFilter.Key(ColumnKey.of("m:"))))))),
+
+    // ---- #9 merged multi-group scan in key order ---------------------
+    "op09_merge_ordered" -> ((s, dir) =>
+      sel(orderCells(s, dir).filter(col("row_key") < "0000000200"))
+        .orderBy(CellOps.keyOrder: _*)),
+
+    // ---- #10 chunked/columnar read: projection-only scan -------------
+    "op10_projection_scan" -> ((s, dir) =>
+      orderCells(s, dir)
+        .filter(col("family") === "o" && col("qualifier") === "status")
+        .select(col("row_key"), col("vs"))),
+
+    // ---- #11 row limit ------------------------------------------------
+    "op11_row_limit" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir), ScanInput(ScanMode.Prefix("0000001"),
+        rowLimit = Some(100))))),
+
+    // ---- #12 row offset -----------------------------------------------
+    "op12_row_offset" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir), ScanInput(ScanMode.Prefix("00000012"),
+        rowOffset = Some(50L))))),
+
+    // ---- #13 global cell limit ---------------------------------------
+    "op13_cell_limit_global" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir), ScanInput(ScanMode.Prefix("0000001"),
+        globalCellLimit = Some(500))))),
+
+    // ---- #14 per-row cell limit --------------------------------------
+    "op14_cell_limit_row" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir), ScanInput(ScanMode.Prefix("0000001"),
+        rowCellLimit = Some(3))))),
+
+    // ---- #15 per-column version limit (+ #27 metrics-style last-N) ----
+    "op15_version_limit" -> ((s, dir) => sel(CellOps.scanCells(
+      eventCells(s, dir), ScanInput(ScanMode.Prefix(""),
+        columnCellLimit = Some(3))))),
+
+    // ---- #16 deterministic row sampling ------------------------------
+    "op16_sampling" -> ((s, dir) => sel(CellOps.scanCells(
+      orderCells(s, dir), ScanInput(ScanMode.Prefix("000000012"),
+        sample = Some(0.25f))))),
+
+    // ---- #17 scan_count ----------------------------------------------
+    "op17_scan_count" -> ((s, dir) => CellOps.countCells(
+      orderCells(s, dir), CountInput(ScanMode.Prefix("0000001"),
+        filter = Some(ColumnFilter.Key(ColumnKey.of("o:")))))),
+
+    // ---- #18 full count ----------------------------------------------
+    "op18_full_count" -> ((s, dir) => CellOps.countCells(
+      orderCells(s, dir), CountInput(ScanMode.Prefix("")))),
+
+    // ---- #19 approximate count (cells exact / rows = cells/familyCount)
+    "op19_approx_count" -> ((s, dir) => {
+      orderCells(s, dir)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+        .select(
+          floor(col("c") / 5).cast("long").as("row_count_estimate"),
+          col("c").as("cell_count"))
+    }),
+
+    // ---- #20 filtered row delete (surviving cells) -------------------
+    "op20_delete_row" -> ((s, dir) => sel(CellOps.deleteRowRemaining(
+      orderCells(s, dir).filter(col("row_key") < "0000000100"),
+      "0000000042", Some(ColumnFilter.Key(ColumnKey.of("o:status")))))),
+
+    // ---- #21 GC: version limit + TTL ---------------------------------
+    "op21_gc_version" -> ((s, dir) => sel(CellOps.gcSurvivors(
+      eventCells(s, dir), Map("ev" -> GcSettings(versionLimit = Some(5))),
+      nowNanos = 1719792000000000000L))),
+    "op21b_gc_ttl" -> ((s, dir) => sel(CellOps.gcSurvivors(
+      eventCells(s, dir), Map("ev" -> GcSettings(ttlSecs = Some(2592000L))),
+      nowNanos = 1707868800000000000L))),
+
+    // ---- #22 batch write upsert (last-write-wins) --------------------
+    "op22_write_upsert" -> ((s, dir) => {
+      val base = eventCells(s, dir).withColumn("seq", lit(1L))
+      val upd = eventCells(s, dir).filter(col("qualifier") === "click")
+        .withColumn("vd", col("vd") * 2).withColumn("seq", lit(2L))
+      sel(CellOps.lastWriteWins(base.unionAll(upd)))
+    }),
+
+    // ================= large-scale pipeline extensions =================
+
+    // ---- exact dedup (hash-groupBy over documents + planted dups) ----
+    "ext_dedup_exact" -> ((s, dir) => {
+      val docs2 = plantedDocs(s, dir)
+      docs2.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          org.apache.spark.sql.functions.count(lit(1)).as("dup_count"))
+    }),
+
+    // ---- MinHash + LSH band-join candidate pairs ---------------------
+    // 8-char shingles -> 4 md5-derived min-hashes -> 2 bands of 2 -> pairs
+    // sharing a band. Planted exact dups guarantee true positives.
+    "ext_dedup_minhash" -> ((s, dir) => {
+      val pos = plantedDocs(s, dir).select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))))
+          .as("i"))
+      val shing = pos
+        .select(col("doc_id"), expr("substring(text, i, 8)").as("sh"))
+        .distinct()
+      def h(i: Int) =
+        conv(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 15), 16, 10)
+          .cast("long")
+      val sig = shing.groupBy("doc_id").agg(
+        min(h(1)).as("m1"), min(h(2)).as("m2"),
+        min(h(3)).as("m3"), min(h(4)).as("m4"))
+      val bands = sig.select(col("doc_id"),
+          concat_ws("_", col("m1"), col("m2")).as("band"))
+        .unionAll(sig.select(col("doc_id"),
+          concat_ws("_", col("m3"), col("m4")).as("band")))
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+    }),
+
+    // ---- SimHash (16-bit) fingerprints -------------------------------
+    "ext_dedup_simhash" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("th"))
+      val bits = toks
+        .select(col("doc_id"), col("th"),
+          explode(sequence(lit(0), lit(15))).as("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(when(expr("shiftright(th, bit) & 1") === 1, 1).otherwise(-1))
+          .as("sgn"))
+      bits.groupBy("doc_id")
+        .agg(sum(when(col("sgn") > 0,
+            expr("cast(shiftleft(cast(1 as bigint), bit) as bigint)"))
+          .otherwise(0L)).cast("long").as("simhash"))
+    }),
+
+    // ---- n-gram (token) Jaccard between consecutive docs -------------
+    "ext_dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val dt = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val pair = docs.select(col("doc_id").as("id1"))
+        .join(docs.select(col("doc_id").as("id2")),
+          col("id2") === col("id1") + 1)
+      val x = dt.select(col("doc_id").as("id1"), col("tok"))
+      val y = dt.select(col("doc_id").as("id2"), col("tok"))
+      val inter = pair.join(x, "id1").join(y, Seq("id2", "tok"))
+        .groupBy("id1", "id2")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("intersection"))
+      val sizes = dt.groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      pair
+        .join(sizes.withColumnRenamed("doc_id", "id1")
+          .withColumnRenamed("n", "n1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2")
+          .withColumnRenamed("n", "n2"), "id2")
+        .join(inter, Seq("id1", "id2"), "left")
+        .select(col("id1"), col("id2"),
+          coalesce(col("intersection"), lit(0L)).as("intersection"),
+          (col("n1") + col("n2") - coalesce(col("intersection"), lit(0L)))
+            .as("union_size"))
+    }),
+
+    // ---- embedding cosine near-dup pairs (threshold) -----------------
+    "ext_dedup_embedding" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          (cosine(col("e1"), col("e2")) > 0.5).as("near_dup"))
+    }),
+
+    // ---- brute-force cosine top-k ANN --------------------------------
+    "ext_ann_bruteforce" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      val scored = q.join(c, col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qe"), col("ce")).as("sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    }),
+
+    // ---- LSH/IVF-bucketed ANN (sign-bit buckets, search own bucket) ---
+    "ext_ann_bucketed" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      def bucket(emb: Column) =
+        (when(element_at(emb, 1) > 0, 4).otherwise(0) +
+          when(element_at(emb, 2) > 0, 2).otherwise(0) +
+          when(element_at(emb, 3) > 0, 1).otherwise(0)).cast("long")
+      val withB = e.select(col("vec_id"), col("embedding"),
+        bucket(col("embedding")).as("bucket"))
+      val q = withB.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("bucket"))
+      val c = withB.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("bucket"))
+      val scored = q.join(c, Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qe"), col("ce")).as("sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    }),
+
+    // ---- language ID (stopword-lexicon heuristic) --------------------
+    "ext_lang_id" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val en = Seq("the", "a", "of", "and", "to")
+      val de = Seq("der", "die", "das", "und", "zu")
+      val scored = toks.groupBy("doc_id").agg(
+        sum(when(col("tok").isin(en: _*), 1).otherwise(0)).as("en_hits"),
+        sum(when(col("tok").isin(de: _*), 1).otherwise(0)).as("de_hits"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_tokens"))
+      scored.select(col("doc_id"), col("en_hits"), col("de_hits"),
+        col("n_tokens"),
+        when(col("en_hits") > col("de_hits"), "en")
+          .when(col("de_hits") > col("en_hits"), "de")
+          .otherwise("und").as("predicted_lang"))
+    }),
+
+    // ---- quality scoring (length/punct/stopword ratios) --------------
+    "ext_quality_score" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val nPunct = (length(col("text")) -
+        length(regexp_replace(col("text"), "[.!?,;:]", ""))).cast("long")
+      docs.select(col("doc_id"), col("n_chars"),
+        nTok.as("n_tokens"), nPunct.as("n_punct"),
+        (col("n_chars").cast("double") / nTok.cast("double"))
+          .as("mean_token_len"))
+    }),
+
+    // ---- token counting (whitespace + BPE-ish regex) -----------------
+    "ext_token_count" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("bpe_ish_tokens"))
+    }),
+
+    // ---- document fingerprinting (normalized content hash) -----------
+    "ext_fingerprint" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val normText = regexp_replace(lower(col("text")), "\\s+", " ")
+      docs.select(col("doc_id"),
+        conv(substring(md5(normText), 1, 15), 16, 10).cast("long")
+          .as("fingerprint"))
+    }),
+
+    // ---- TPC-H-style analytics (Spark-first capabilities) ------------
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").as("sum_base_price"),
+          org.apache.spark.sql.functions.count(lit(1)).as("count_order"))
+    }),
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,6)") *
+          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+            .cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("revenue"))
+    })
+  )
+
+  /** Documents with planted exact duplicates (every 50th doc re-inserted
+    * under doc_id+1000000) so dedup operators have true positives.
+    */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** Cosine similarity over float-array embeddings: ordered fold so the
+    * accumulation order matches DuckDB's `list_cosine_similarity`.
+    */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = {
+    val oc = OrderCellsSql
+    val ec = EventCellsSql
+    val plantedSql =
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+        |)""".stripMargin
+    Map(
+      "op01_get_row" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key = '0000000001'",
+      "op02_multi_get" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key IN ('0000000001','0000000042','0000000777')",
+      "op03_scan_prefix" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key LIKE '00000001%'",
+      "op04_scan_range" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key >= '0000000100' AND row_key <= '0000000150'",
+      "op04x_scan_range_exclusive" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key >= '0000000100' AND row_key < '0000000150'",
+      "op05_filter_key" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key LIKE '00000002%' AND family = 'o' AND qualifier = 'status'",
+      "op05b_filter_family" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key LIKE '00000002%' AND family = 'm'",
+      "op06_filter_multi" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key LIKE '00000002%' AND ((family='o' AND qualifier='status') OR (family='m' AND qualifier='total'))",
+      "op07_filter_prefix" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key LIKE '00000002%' AND family = 'o' AND qualifier LIKE 'p%'",
+      "op08_locality_scan" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE family = 'm'",
+      "op09_merge_ordered" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key < '0000000200' ORDER BY row_key, family, qualifier, ts DESC",
+      "op10_projection_scan" ->
+        s"$oc SELECT row_key, vs FROM cells WHERE family = 'o' AND qualifier = 'status'",
+      "op11_row_limit" ->
+        s"""$oc, lim AS (
+           |  SELECT DISTINCT row_key FROM cells WHERE row_key LIKE '0000001%' ORDER BY row_key LIMIT 100
+           |) SELECT c.row_key, family, qualifier, ts, vs, vd FROM cells c JOIN lim USING (row_key)""".stripMargin,
+      "op12_row_offset" ->
+        s"""$oc, rk AS (
+           |  SELECT row_key, row_number() OVER (ORDER BY row_key) AS rn
+           |  FROM (SELECT DISTINCT row_key FROM cells WHERE row_key LIKE '00000012%')
+           |) SELECT c.row_key, family, qualifier, ts, vs, vd FROM cells c JOIN rk USING (row_key) WHERE rk.rn >= 50""".stripMargin,
+      "op13_cell_limit_global" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key LIKE '0000001%' ORDER BY row_key, family, qualifier, ts DESC LIMIT 500",
+      "op14_cell_limit_row" ->
+        s"""$oc SELECT row_key, family, qualifier, ts, vs, vd FROM (
+           |  SELECT c.*, row_number() OVER (PARTITION BY row_key ORDER BY family, qualifier, ts DESC) AS rn
+           |  FROM cells c WHERE row_key LIKE '0000001%'
+           |) WHERE rn <= 3""".stripMargin,
+      "op15_version_limit" ->
+        s"""$ec SELECT row_key, family, qualifier, ts, vs, vd FROM (
+           |  SELECT c.*, row_number() OVER (PARTITION BY row_key, family, qualifier ORDER BY ts DESC) AS rn
+           |  FROM cells c
+           |) WHERE rn <= 3""".stripMargin,
+      "op16_sampling" ->
+        s"""$oc, rk AS (
+           |  SELECT row_key, row_number() OVER (ORDER BY row_key) AS rn
+           |  FROM (SELECT DISTINCT row_key FROM cells WHERE row_key LIKE '000000012%')
+           |) SELECT c.row_key, family, qualifier, ts, vs, vd FROM cells c JOIN rk USING (row_key)
+           |WHERE rk.rn = 1 OR floor(rk.rn * 0.25) > floor((rk.rn - 1) * 0.25)""".stripMargin,
+      "op17_scan_count" ->
+        s"$oc SELECT CAST(count(DISTINCT row_key) AS BIGINT) AS row_count, CAST(count(*) AS BIGINT) AS cell_count FROM cells WHERE row_key LIKE '0000001%' AND family = 'o'",
+      "op18_full_count" ->
+        s"$oc SELECT CAST(count(DISTINCT row_key) AS BIGINT) AS row_count, CAST(count(*) AS BIGINT) AS cell_count FROM cells",
+      "op19_approx_count" ->
+        s"$oc SELECT CAST(count(*) // 5 AS BIGINT) AS row_count_estimate, CAST(count(*) AS BIGINT) AS cell_count FROM cells",
+      "op20_delete_row" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key < '0000000100' AND NOT (row_key = '0000000042' AND family = 'o' AND qualifier = 'status')",
+      "op21_gc_version" ->
+        s"""$ec SELECT row_key, family, qualifier, ts, vs, vd FROM (
+           |  SELECT c.*, row_number() OVER (PARTITION BY row_key, family, qualifier ORDER BY ts DESC) AS rn
+           |  FROM cells c
+           |) WHERE rn <= 5""".stripMargin,
+      "op21b_gc_ttl" ->
+        s"$ec SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE NOT (ts > 0 AND (1707868800 - ts // 1000000000) > 2592000)",
+      "op22_write_upsert" ->
+        s"""$ec, base AS (
+           |  SELECT row_key, family, qualifier, ts, vs, vd, CAST(1 AS BIGINT) AS seq FROM cells
+           |), upd AS (
+           |  SELECT row_key, family, qualifier, ts, vs, vd * 2 AS vd, CAST(2 AS BIGINT) AS seq FROM cells WHERE qualifier = 'click'
+           |), unioned AS (
+           |  SELECT * FROM base UNION ALL SELECT * FROM upd
+           |) SELECT row_key, family, qualifier, ts, vs, vd FROM (
+           |  SELECT u.*, row_number() OVER (PARTITION BY row_key, family, qualifier, ts ORDER BY seq DESC) AS rn FROM unioned u
+           |) WHERE rn = 1""".stripMargin,
+      "ext_dedup_exact" ->
+        s"$plantedSql SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count FROM docs2 GROUP BY md5(text)",
+      "ext_dedup_minhash" ->
+        s"""$plantedSql, pos AS (
+           |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM docs2
+           |), shing AS (
+           |  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh FROM pos
+           |), sig AS (
+           |  SELECT doc_id,
+           |    min(CAST(concat('0x', substr(md5(concat('1:', sh)), 1, 15)) AS BIGINT)) AS m1,
+           |    min(CAST(concat('0x', substr(md5(concat('2:', sh)), 1, 15)) AS BIGINT)) AS m2,
+           |    min(CAST(concat('0x', substr(md5(concat('3:', sh)), 1, 15)) AS BIGINT)) AS m3,
+           |    min(CAST(concat('0x', substr(md5(concat('4:', sh)), 1, 15)) AS BIGINT)) AS m4
+           |  FROM shing GROUP BY doc_id
+           |), bands AS (
+           |  SELECT doc_id, concat(CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM sig
+           |  UNION ALL SELECT doc_id, concat(CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM sig
+           |) SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id1, CAST(b.doc_id AS BIGINT) AS id2
+           |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
+      "ext_dedup_simhash" ->
+        s"""WITH toks AS (
+           |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           |), tokh AS (
+           |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th FROM toks
+           |), bits AS (
+           |  SELECT doc_id, b.bit, sum(CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+           |  FROM tokh, (SELECT unnest(range(16)) AS bit) b GROUP BY doc_id, b.bit
+           |) SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+           |FROM bits GROUP BY doc_id""".stripMargin,
+      "ext_dedup_ngram_jaccard" ->
+        s"""WITH dt AS (
+           |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           |), pair AS (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           |), inter AS (
+           |  SELECT p.id1, p.id2, count(*) AS i FROM pair p
+           |  JOIN dt x ON x.doc_id = p.id1 JOIN dt y ON y.doc_id = p.id2 AND y.tok = x.tok
+           |  GROUP BY p.id1, p.id2
+           |), sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id)
+           |SELECT p.id1, p.id2, CAST(coalesce(i.i, 0) AS BIGINT) AS intersection,
+           |  CAST(s1.n + s2.n - coalesce(i.i, 0) AS BIGINT) AS union_size
+           |FROM pair p JOIN sizes s1 ON s1.doc_id = p.id1 JOIN sizes s2 ON s2.doc_id = p.id2
+           |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2""".stripMargin,
+      "ext_dedup_embedding" ->
+        """SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.5 AS near_dup
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin,
+      "ext_ann_bruteforce" ->
+        """SELECT query_id, neighbor_id, rnk FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+          |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          |  WHERE q.vec_id < 10
+          |) WHERE rnk <= 5""".stripMargin,
+      "ext_ann_bucketed" ->
+        """WITH wb AS (
+          |  SELECT vec_id, embedding,
+          |    (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
+          |     CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+          |     CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+          |  FROM embeddings
+          |) SELECT query_id, neighbor_id, rnk FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+          |  FROM wb q JOIN wb c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+          |  WHERE q.vec_id < 10
+          |) WHERE rnk <= 3""".stripMargin,
+      "ext_lang_id" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+          |), scored AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+          |    CAST(sum(CASE WHEN tok IN ('der','die','das','und','zu') THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+          |    CAST(count(*) AS BIGINT) AS n_tokens
+          |  FROM toks GROUP BY doc_id
+          |) SELECT doc_id, en_hits, de_hits, n_tokens,
+          |  CASE WHEN en_hits > de_hits THEN 'en' WHEN de_hits > en_hits THEN 'de' ELSE 'und' END AS predicted_lang
+          |FROM scored""".stripMargin,
+      "ext_quality_score" ->
+        """SELECT doc_id, n_chars,
+          |  CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+          |  CAST(n_chars AS DOUBLE) / CAST(length(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+          |FROM documents""".stripMargin,
+      "ext_token_count" ->
+        """SELECT doc_id,
+          |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+          |  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+          |FROM documents""".stripMargin,
+      "ext_fingerprint" ->
+        """SELECT doc_id,
+          |  CAST(concat('0x', substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint
+          |FROM documents""".stripMargin,
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+          |  CAST(count(*) AS BIGINT) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      "q3_shipping_priority" ->
+        """SELECT l_orderkey,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY l_orderkey""".stripMargin
+    )
+  }
 }

@@ -224,10 +224,12 @@ object CellOps {
       case (fam, gc) if gc.versionLimit.exists(_ > 0) =>
         col("family") === fam && col("_col_rank") > gc.versionLimit.get
     }
+    // integer division (`div`), not `/`: ts ~1.7e18 ns loses precision as a
+    // double, which could flip second-boundary TTL decisions
     val deadByTtl = settings.collect {
       case (fam, gc) if gc.ttlSecs.exists(_ > 0) =>
         col("family") === fam && col("ts") > 0 &&
-          (lit(nowSecs) - col("ts") / 1000000000L) > gc.ttlSecs.get
+          (lit(nowSecs) - expr("ts div 1000000000")) > gc.ttlSecs.get
     }
     val dead = (deadByVersion ++ deadByTtl)
       .reduceOption(_ || _).getOrElse(lit(false))
