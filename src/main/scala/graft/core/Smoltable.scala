@@ -119,10 +119,16 @@ final class Smoltable private (
     Files.exists(dataDir) &&
       Files.list(dataDir).iterator().hasNext
 
-  /** All cells (LWW-resolved), with the `lg` partition column retained. */
+  private val cellSchema =
+    org.apache.spark.sql.Encoders.product[StoredCell].schema
+
+  /** All cells (LWW-resolved), with the `lg` partition column retained.
+    * Explicit schema: skips inference and tolerates an all-deleted table
+    * (data dir with no parquet files left). */
   def allCells: DataFrame =
     if (!hasData) spark.emptyDataset[StoredCell].toDF()
-    else CellOps.lastWriteWins(spark.read.parquet(dataDir.toString))
+    else CellOps.lastWriteWins(
+      spark.read.schema(cellSchema).parquet(dataDir.toString))
 
   /** Locality groups a column filter touches; order mirrors the reference
     * (default group first). `smoltable/src/table/row_reader.rs:6-69`.
