@@ -417,6 +417,29 @@ object SparkEntry {
           .as("fingerprint"))
     }),
 
+    // ---- multimodal: binary payload -> batched decode stub -> features
+    "ext_multimodal_features" -> ((s, dir) =>
+      graft.operators.Multimodal.documentFeatures(s, dir)),
+
+    // ---- structured streaming: real readStream -> watermark -> window
+    "ext_stream_window" -> ((s, dir) => {
+      val t = graft.streaming.StreamOps.hourlyWindowAgg(s, dir)
+      t.select(
+        (unix_micros(col("window_start")) / 1000000L).cast("long")
+          .as("window_start_epoch"),
+        col("event_type"), col("n_events"), col("value_sum"))
+    }),
+
+    // ---- gap-based sessionization (stateful-stream equivalent) -------
+    "ext_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id").cast("long").as("user_id"),
+        expr("(cast(ts as bigint) div 1000) * 1000").as("ts"),
+        col("event_id").cast("long").as("event_id"))
+      graft.streaming.StreamOps.sessionize(ev)
+    }),
+
     // ---- TPC-H-style analytics (Spark-first capabilities) ------------
     "q1_pricing_summary" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -645,6 +668,32 @@ object SparkEntry {
         """SELECT doc_id,
           |  CAST(concat('0x', substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint
           |FROM documents""".stripMargin,
+      "ext_multimodal_features" ->
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1024 AS width,
+          |  CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1024 AS height,
+          |  CAST(3 AS BIGINT) AS channels
+          |FROM documents""".stripMargin,
+      "ext_stream_window" ->
+        """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start_epoch,
+          |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      "ext_sessionize" ->
+        """WITH ev AS (
+          |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) * 1000 AS ts, CAST(event_id AS BIGINT) AS event_id FROM events
+          |), f AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 1800000000000 THEN 1 ELSE 0 END AS ns
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), s AS (
+          |  SELECT user_id, ts,
+          |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM f
+          |) SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          |  CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+          |FROM s GROUP BY user_id, session_id""".stripMargin,
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,

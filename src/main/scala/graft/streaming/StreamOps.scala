@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference has no stream processing (its background workers are plain
+  * timers — `server/src/worker/mod.rs:11-44`); these are the extension
+  * operators a continuous ingest pipeline needs, built on `readStream` →
+  * watermark → windowed aggregation, with batch-equivalent semantics so the
+  * DuckDB oracle can verify results.
+  */
+object StreamOps {
+
+  /** Schema of events.parquet with ts as raw epoch-ns (nanosAsLong). */
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Tumbling 1-hour window aggregation driven through a REAL streaming
+    * query: file-source readStream → watermark → groupBy(window) → memory
+    * sink, drained synchronously with processAllAvailable. Returns the
+    * complete result as a DataFrame.
+    */
+  def hourlyWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tableName = s"stream_window_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(tableName)
+  }
+
+  /** Gap-based sessionization (30-min inactivity) as a batch pipeline with
+    * window functions — the batch-equivalent of
+    * `flatMapGroupsWithState`-based session tracking, verifiable in SQL.
+    * Session boundaries: event starts a new session when the previous event
+    * of the same user is more than `gap` ns earlier.
+    */
+  def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame = {
+    // event_id tiebreak: equal timestamps must rank identically everywhere
+    // or the cumulative session counter diverges between engines
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+}
