@@ -155,10 +155,15 @@ final class Smoltable private (
   }
 
   /** Cells restricted to the affected locality groups — compiles to static
-    * partition pruning on the `lg` dir column. */
+    * partition pruning on the `lg` dir column. The group filter goes UNDER
+    * the LWW window (lg is not a window partition key, so Catalyst could not
+    * push it through after the fact). */
   def cellsFor(filter: Option[ColumnFilter]): DataFrame = {
     val groups = affectedGroups(filter)
-    allCells.filter(col("lg").isin(groups: _*))
+    if (!hasData) allCells
+    else CellOps.lastWriteWins(
+      spark.read.schema(cellSchema).parquet(dataDir.toString)
+        .filter(col("lg").isin(groups: _*)))
   }
 
   // -------------------------------------------------------------- queries

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.model._
+
+/** Dumps formatted physical plans for the load-bearing query shapes so scan
+  * pushdown / partition pruning / broadcast / codegen can be eyeballed.
+  * Run: `sbt "runMain graft.tools.Explain"`.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-explain")
+    val t = Smoltable.open(spark, new Catalog(base.toString), "t")
+    t.createColumnFamilies(Seq(ColumnFamilyDefinition("language")))
+    t.createColumnFamilies(Seq(ColumnFamilyDefinition("title")),
+      localityGroup = true)
+    t.write((1 to 100).map(i => RowWriteItem(f"row$i%04d", Seq(
+      ColumnWriteItem(ColumnKey.of("title:"), Some(0L), CellValue.S(s"t$i")),
+      ColumnWriteItem(ColumnKey.of("language:"), Some(0L), CellValue.S("en"))))))
+
+    println("\n########## engine: prefix scan + family filter (expect PartitionFilters on lg AND PushedFilters StartsWith on row_key)")
+    CellOps.scanCells(
+      t.cellsFor(Some(ColumnFilter.Key(ColumnKey.of("title:")))),
+      ScanInput(ScanMode.Prefix("row00"),
+        filter = Some(ColumnFilter.Key(ColumnKey.of("title:")))))
+      .explain("formatted")
+
+    println("\n########## engine: point get (expect PushedFilters EqualTo on row_key)")
+    CellOps.getRowCells(t.cellsFor(None), GetRowInput("row0042"))
+      .explain("formatted")
+
+    println("\n########## q3 join (expect BroadcastHashJoin on customer)")
+    val dir = "/root/testdata/sf0.01"
+    graft.SparkEntry.queries("q3_shipping_priority")(spark, dir)
+      .explain("formatted")
+
+    println("\n########## op15 version limit (expect single shuffle on row_key/family/qualifier + WindowExec)")
+    graft.SparkEntry.queries("op15_version_limit")(spark, dir)
+      .explain("formatted")
+
+    spark.stop()
+  }
+}
