@@ -254,12 +254,14 @@ object SparkEntry {
       val shing = pos
         .select(col("doc_id"), expr("substring(text, i, 8)").as("sh"))
         .distinct()
-      def h(i: Int) =
-        conv(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 15), 16, 10)
-          .cast("long")
+        // one md5 per shingle; the k hash functions are XOR-seeded variants
+        // (standard minhash trick — k permutations from one base hash)
+        .withColumn("h0",
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
+      def h(seed: Long) = expr(s"h0 ^ ${seed}L")
       val sig = shing.groupBy("doc_id").agg(
-        min(h(1)).as("m1"), min(h(2)).as("m2"),
-        min(h(3)).as("m3"), min(h(4)).as("m4"))
+        min(h(0L)).as("m1"), min(h(0x5deece66dL)).as("m2"),
+        min(h(0x9e3779b97f4aL)).as("m3"), min(h(0x2545f4914f6cdd1dL)).as("m4"))
       val bands = sig.select(col("doc_id"),
           concat_ws("_", col("m1"), col("m2")).as("band"))
         .unionAll(sig.select(col("doc_id"),
@@ -581,13 +583,15 @@ object SparkEntry {
            |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM docs2
            |), shing AS (
            |  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh FROM pos
+           |), hashed AS (
+           |  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h0 FROM shing
            |), sig AS (
            |  SELECT doc_id,
-           |    min(CAST(concat('0x', substr(md5(concat('1:', sh)), 1, 15)) AS BIGINT)) AS m1,
-           |    min(CAST(concat('0x', substr(md5(concat('2:', sh)), 1, 15)) AS BIGINT)) AS m2,
-           |    min(CAST(concat('0x', substr(md5(concat('3:', sh)), 1, 15)) AS BIGINT)) AS m3,
-           |    min(CAST(concat('0x', substr(md5(concat('4:', sh)), 1, 15)) AS BIGINT)) AS m4
-           |  FROM shing GROUP BY doc_id
+           |    min(xor(h0, 0)) AS m1,
+           |    min(xor(h0, 25214903917)) AS m2,
+           |    min(xor(h0, 173961102589770)) AS m3,
+           |    min(xor(h0, 2685821657736338717)) AS m4
+           |  FROM hashed GROUP BY doc_id
            |), bands AS (
            |  SELECT doc_id, concat(CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM sig
            |  UNION ALL SELECT doc_id, concat(CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM sig

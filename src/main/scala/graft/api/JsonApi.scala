@@ -1,0 +1,233 @@
+package graft.api
+
+import graft.core.{Catalog, ColumnWriteItem, RowWriteItem, Smoltable}
+import graft.json.JsonValue
+import graft.json.JsonValue._
+import graft.model._
+
+/** JSON API parity layer: accepts and produces the reference server's exact
+  * wire shapes, so a client of the reference's REST API can drive this
+  * engine unchanged (minus the HTTP transport).
+  *
+  * Wire contracts ported from:
+  *  - write: `server/src/api/write.rs` + `smoltable/src/table/writer.rs:12-26`
+  *    (`{"items":[{"row_key":..,"cells":[{"column_key":..,"time"?:..,
+  *    "type":..,"value":..}]}]}`)
+  *  - get rows: `server/src/api/get_rows.rs` + `smoltable/src/query/row.rs`
+  *  - scan: `server/src/api/scan.rs` + `smoltable/src/query/scan.rs`
+  *  - count: `server/src/api/count.rs` + `smoltable/src/query/count.rs`
+  *  - delete: `server/src/api/delete_row.rs`
+  *  - envelope: `server/src/response.rs:14-19`
+  *    (`{"time_ms":..,"status":..,"message":..,"result":..}`)
+  */
+final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession) {
+
+  /** Identifier + system-prefix rules per `server/src/identifier.rs` and the
+    * `_` system-table convention (`server/src/main.rs:60`). */
+  private def validateTableName(name: String): Option[String] =
+    if (name.startsWith("_")) Some("Invalid table name")
+    else if (!ColumnKey.isValidIdentifier(name)) Some("Invalid table name")
+    else None
+
+  private def table(name: String): Smoltable =
+    Smoltable.open(spark, catalog, name)
+
+  private def envelope(timeMs: Long, status: Int, message: String,
+      result: String): String =
+    s"""{"time_ms":$timeMs,"status":$status,"message":${Json.quote(message)},"result":$result}"""
+
+  private def timed[T](f: => (Int, String, String)): String = {
+    val t0 = System.nanoTime()
+    val (status, msg, result) = f
+    envelope((System.nanoTime() - t0) / 1000000L, status, msg, result)
+  }
+
+  // -------------------------------------------------------------- parsing
+
+  private def parseFilter(o: JsonValue): Option[ColumnFilter] = {
+    def key(v: JsonValue) = ColumnKey.of(v.asString)
+    o.get("key").map(k => ColumnFilter.Key(key(k)))
+      .orElse(o.get("multi_key").map(m =>
+        ColumnFilter.Multi(m.asArray.map(key))))
+      .orElse(o.get("prefix").map(p => ColumnFilter.Prefix(key(p))))
+  }
+
+  private def parseCellValue(cell: JsonValue): CellValue = {
+    val v = cell.get("value").getOrElse(JNull)
+    cell.get("type").map(_.asString).getOrElse("string") match {
+      case "string"  => CellValue.S(v.asString)
+      case "boolean" => CellValue.B(v.asBoolean)
+      case "byte"    => CellValue.Byte(v.asLong.toShort)
+      case "i32"     => CellValue.I32(v.asLong.toInt)
+      case "i64"     => CellValue.I64(v.asLong)
+      case "f32"     => CellValue.F32(v.asDouble.toFloat)
+      case "f64"     => CellValue.F64(v.asDouble)
+      case other => throw new IllegalArgumentException(s"unknown type $other")
+    }
+  }
+
+  private def parseRowInput(item: JsonValue): GetRowInput = {
+    val row = item.get("row").getOrElse(JObject(Map.empty))
+    val column = item.get("column")
+    GetRowInput(
+      key = row.get("key").map(_.asString).getOrElse(""),
+      filter = column.flatMap(parseFilter),
+      rowCellLimit = row.get("cell_limit").map(_.asLong.toInt),
+      columnCellLimit =
+        column.flatMap(_.get("cell_limit")).map(_.asLong.toInt))
+  }
+
+  private def parseScanMode(row: JsonValue): ScanMode =
+    row.get("prefix").map(p => ScanMode.Prefix(p.asString))
+      .orElse(row.get("range").map { r =>
+        ScanMode.Range(
+          r.get("start").map(_.asString).getOrElse(""),
+          r.get("end").map(_.asString).getOrElse(""),
+          r.get("inclusive").exists(_.asBoolean))
+      })
+      .getOrElse(throw new IllegalArgumentException("missing scan mode"))
+
+  private def parseScanInput(body: JsonValue): ScanInput = {
+    val row = body.get("row").getOrElse(JObject(Map.empty))
+    val column = body.get("column")
+    ScanInput(
+      mode = parseScanMode(row),
+      filter = column.flatMap(parseFilter),
+      rowLimit = row.get("limit").map(_.asLong.toInt),
+      rowOffset = row.get("offset").map(_.asLong),
+      rowCellLimit = row.get("cell_limit").map(_.asLong.toInt),
+      columnCellLimit = column.flatMap(_.get("cell_limit")).map(_.asLong.toInt),
+      globalCellLimit =
+        body.get("cell").flatMap(_.get("limit")).map(_.asLong.toInt),
+      sample = row.get("sample").map(_.asDouble.toFloat))
+  }
+
+  // ------------------------------------------------------------ rendering
+
+  private def renderRows(rows: Seq[GRow]): String =
+    rows.map(_.toJson).mkString("[", ",", "]")
+
+  // ------------------------------------------------------------- handlers
+
+  /** `PUT /v1/table/{name}` — create table. */
+  def createTable(name: String): String = timed {
+    validateTableName(name) match {
+      case Some(err) => (400, err, "null")
+      case None =>
+        table(name)
+        (200, "Table created successfully", "null")
+    }
+  }
+
+  /** `POST /v1/table/{name}/column-family` — create column families. */
+  def createColumnFamilies(name: String, body: String): String = timed {
+    val json = JsonValue.parse(body)
+    val fams = json.get("column_families").map(_.asArray).getOrElse(Nil).map { f =>
+      val gc = f.get("gc_settings")
+      ColumnFamilyDefinition(
+        f.get("name").map(_.asString).getOrElse(""),
+        GcSettings(
+          versionLimit = gc.flatMap(_.get("version_limit")).map(_.asLong.toInt),
+          ttlSecs = gc.flatMap(_.get("ttl_secs")).map(_.asLong)))
+    }
+    if (fams.exists(f => !ColumnKey.isValidIdentifier(f.name)))
+      (400, "Invalid column family name", "null")
+    else {
+      table(name).createColumnFamilies(fams,
+        localityGroup = json.get("locality_group").exists(_.asBoolean))
+      (200, "Column families created successfully", "null")
+    }
+  }
+
+  /** `POST /v1/table/{name}/write`. */
+  def write(name: String, body: String): String = timed {
+    validateTableName(name) match {
+      case Some(err) => (400, err, "null")
+      case None =>
+        val t0 = System.nanoTime()
+        val json = JsonValue.parse(body)
+        val items = json.get("items").map(_.asArray).getOrElse(Nil).map { item =>
+          RowWriteItem(
+            rowKey = item.get("row_key").map(_.asString).getOrElse(""),
+            cells = item.get("cells").map(_.asArray).getOrElse(Nil).map { c =>
+              ColumnWriteItem(
+                column = ColumnKey.of(
+                  c.get("column_key").map(_.asString).getOrElse("")),
+                ts = c.get("time").map(_.asLong),
+                value = parseCellValue(c))
+            })
+        }
+        if (items.isEmpty) (400, "Invalid write body", "null")
+        else {
+          table(name).write(items)
+          val cellCount = items.map(_.cells.size).sum
+          val microsTotal = (System.nanoTime() - t0) / 1000L
+          val microsPerCell =
+            if (cellCount == 0) 0L else microsTotal / cellCount
+          (200, "Data ingestion successful",
+            s"""{"micros_per_cell":$microsPerCell,"items":{"row_count":${items.size},"cell_count":$cellCount}}""")
+        }
+    }
+  }
+
+  /** `POST /v1/table/{name}/rows` — multi-get. */
+  def getRows(name: String, body: String): String = timed {
+    val json = JsonValue.parse(body)
+    val items = json.get("items").map(_.asArray).getOrElse(Nil)
+      .map(parseRowInput)
+    val out = table(name).multiGet(items)
+    (200, "Query successful",
+      s"""{"rows":${renderRows(out.rows)},"affected_locality_groups":${out.metrics.affectedLocalityGroups},"cells_scanned_count":${out.metrics.cellsScanned},"rows_scanned_count":${out.metrics.rowsScanned},"bytes_scanned_count":${out.metrics.bytesScanned}}""")
+  }
+
+  /** `POST /v1/table/{name}/scan`. */
+  def scan(name: String, body: String): String = timed {
+    val out = table(name).scan(parseScanInput(JsonValue.parse(body)))
+    (200, "Query successful",
+      s"""{"rows":${renderRows(out.rows)},"affected_locality_groups":${out.metrics.affectedLocalityGroups},"cells_scanned_count":${out.metrics.cellsScanned},"rows_scanned_count":${out.metrics.rowsScanned},"bytes_scanned_count":${out.metrics.bytesScanned}}""")
+  }
+
+  /** `POST /v1/table/{name}/count`. */
+  def count(name: String, body: String): String = timed {
+    val json = JsonValue.parse(body)
+    val row = json.get("row").getOrElse(JObject(Map.empty))
+    val out = table(name).scanCount(CountInput(
+      mode = parseScanMode(row),
+      filter = json.get("column").flatMap(parseFilter)))
+    (200, "Query successful",
+      s"""{"affected_locality_groups":${out.affectedLocalityGroups},"cell_count":${out.cellCount},"row_count":${out.rowCount},"bytes_scanned_count":${out.bytesScanned}}""")
+  }
+
+  /** `DELETE /v1/table/{name}/row`. */
+  def deleteRow(name: String, body: String): String = timed {
+    val t0 = System.nanoTime()
+    val json = JsonValue.parse(body)
+    val rowKey = json.get("row_key").map(_.asString).getOrElse("")
+    val filter = json.get("column_filter").flatMap(parseFilter)
+    val deleted = table(name).deleteRow(rowKey, filter)
+    val microsPerItem =
+      if (deleted == 0) 0L else (System.nanoTime() - t0) / 1000L / deleted
+    (202, "Deletion completed successfully",
+      s"""{"micros_per_item":$microsPerItem,"deleted_cells_count":$deleted}""")
+  }
+
+  /** `GET /v1/table` — list tables with disk usage. */
+  def listTables(): String = timed {
+    val tables = catalog.listTables().map { name =>
+      val m = table(name).manifest
+      val fams = m.families.map(f => Json.quote(f.name)).mkString("[", ",", "]")
+      val lgs = m.localityGroups.map(g =>
+        s"""{"id":${Json.quote(g.id)},"column_families":${g.families.map(Json.quote).mkString("[", ",", "]")}}""")
+        .mkString("[", ",", "]")
+      s"""{"name":${Json.quote(name)},"column_families":$fams,"locality_groups":$lgs,"disk_space_in_bytes":${catalog.diskSpaceUsage(name)}}"""
+    }
+    (200, "Tables retrieved successfully",
+      s"""{"tables":{"count":${tables.size},"items":${tables.mkString("[", ",", "]")}}}""")
+  }
+
+  /** `DELETE /v1/table/{name}`. */
+  def deleteTable(name: String): String = timed {
+    catalog.dropTable(name)
+    (200, "Table deleted successfully", "null")
+  }
+}

@@ -89,6 +89,13 @@ object Demo {
       filter = Some(ColumnFilter.Key(ColumnKey.of("counter:hits")))))
     println(s"   after GC: ${postGc.row.map(_.toJson).getOrElse("null")}")
 
+    println("== JSON API parity layer (reference wire shapes) ==")
+    val api = new graft.api.JsonApi(catalog, spark)
+    println(api.scan("webtable",
+      """{"row":{"prefix":"org.apache","limit":2},"column":{"key":"title:"}}"""))
+    println(api.count("webtable", """{"row":{"prefix":"org."}}"""))
+    println(api.listTables())
+
     spark.stop()
   }
 }

@@ -1,0 +1,105 @@
+package graft.api
+
+import graft.SparkSuite
+import graft.core.Catalog
+import graft.json.JsonValue
+
+/** Drives the engine exclusively through the reference's JSON wire shapes,
+  * using the documented examples from
+  * `docs/src/content/docs/reference/json-api/` as fixtures.
+  */
+class JsonApiSpec extends SparkSuite {
+
+  private def result(resp: String): JsonValue = {
+    val parsed = JsonValue.parse(resp)
+    assert(parsed.get("status").exists(_.asLong < 300), s"error response: $resp")
+    parsed.get("result").getOrElse(JsonValue.JNull)
+  }
+
+  test("full API lifecycle via reference wire shapes") {
+    withTempDir { dir =>
+      val api = new JsonApi(new Catalog(dir.toString), spark)
+
+      result(api.createTable("webtable"))
+      result(api.createColumnFamilies("webtable",
+        """{"column_families":[{"name":"title"},{"name":"language"}]}"""))
+
+      // docs ingest-data.md example shape
+      val wr = result(api.write("webtable",
+        """{"items":[
+          |{"row_key":"org.apache.spark","cells":[
+          |  {"column_key":"title:","time":0,"type":"string","value":"Apache Spark"},
+          |  {"column_key":"language:","time":0,"type":"string","value":"en"}]},
+          |{"row_key":"org.apache.kafka","cells":[
+          |  {"column_key":"title:","time":0,"type":"string","value":"Apache Kafka"}]}
+          |]}""".stripMargin))
+      assert(wr.get("items").flatMap(_.get("cell_count")).map(_.asLong) == Some(3L))
+
+      // docs retrieve-rows.md: multi-get with column filter
+      val rows = result(api.getRows("webtable",
+        """{"items":[{"row":{"key":"org.apache.spark"},"column":{"key":"title:"}}]}"""))
+      assert(rows.get("rows").map(_.asArray.size) == Some(1))
+      val row0 = rows.get("rows").get.asArray.head
+      assert(row0.get("row_key").map(_.asString) == Some("org.apache.spark"))
+      assert(row0.get("columns").flatMap(_.get("title")).isDefined)
+      assert(row0.get("columns").flatMap(_.get("language")).isEmpty)
+
+      // scan with prefix + row limit
+      val scan = result(api.scan("webtable",
+        """{"row":{"prefix":"org.apache","limit":10}}"""))
+      assert(scan.get("rows").map(_.asArray.size) == Some(2))
+      assert(scan.get("affected_locality_groups").map(_.asLong) == Some(1L))
+
+      // range scan
+      val ranged = result(api.scan("webtable",
+        """{"row":{"range":{"start":"org.apache.l","end":"org.apache.z","inclusive":true}}}"""))
+      assert(ranged.get("rows").get.asArray
+        .map(_.get("row_key").get.asString) == Seq("org.apache.spark"))
+
+      // count
+      val cnt = result(api.count("webtable", """{"row":{"prefix":""}}"""))
+      assert(cnt.get("row_count").map(_.asLong) == Some(2L))
+      assert(cnt.get("cell_count").map(_.asLong) == Some(3L))
+
+      // filtered delete
+      val del = result(api.deleteRow("webtable",
+        """{"row_key":"org.apache.spark","column_filter":{"key":"language:"}}"""))
+      assert(del.get("deleted_cells_count").map(_.asLong) == Some(1L))
+      val cnt2 = result(api.count("webtable", """{"row":{"prefix":""}}"""))
+      assert(cnt2.get("cell_count").map(_.asLong) == Some(2L))
+
+      // list tables
+      val listed = result(api.listTables())
+      assert(listed.get("tables").flatMap(_.get("count")).map(_.asLong) == Some(1L))
+
+      // system table names rejected
+      val bad = JsonValue.parse(api.createTable("_secret"))
+      assert(bad.get("status").map(_.asLong) == Some(400L))
+
+      result(api.deleteTable("webtable"))
+      val after = result(api.listTables())
+      assert(after.get("tables").flatMap(_.get("count")).map(_.asLong) == Some(0L))
+    }
+  }
+
+  test("typed values round-trip through the wire format") {
+    withTempDir { dir =>
+      val api = new JsonApi(new Catalog(dir.toString), spark)
+      result(api.createTable("t"))
+      result(api.createColumnFamilies("t", """{"column_families":[{"name":"v"}]}"""))
+      result(api.write("t",
+        """{"items":[{"row_key":"r","cells":[
+          |{"column_key":"v:i","time":0,"type":"i64","value":9007199254740993},
+          |{"column_key":"v:f","time":0,"type":"f64","value":2.5},
+          |{"column_key":"v:b","time":0,"type":"boolean","value":true},
+          |{"column_key":"v:u","time":0,"type":"byte","value":255}]}]}""".stripMargin))
+      val rows = result(api.getRows("t", """{"items":[{"row":{"key":"r"}}]}"""))
+      val cols = rows.get("rows").get.asArray.head.get("columns").get.get("v").get
+      def cell(q: String) = cols.get(q).get.asArray.head
+      assert(cell("i").get("value").map(_.asLong) == Some(9007199254740993L))
+      assert(cell("f").get("value").map(_.asDouble) == Some(2.5))
+      assert(cell("b").get("value").map(_.asBoolean) == Some(true))
+      assert(cell("u").get("value").map(_.asLong) == Some(255L))
+    }
+  }
+}
