@@ -237,187 +237,71 @@ object SparkEntry {
     // ================= large-scale pipeline extensions =================
 
     // ---- exact dedup (hash-groupBy over documents + planted dups) ----
-    "ext_dedup_exact" -> ((s, dir) => {
-      val docs2 = plantedDocs(s, dir)
-      docs2.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("keep_id"),
-          org.apache.spark.sql.functions.count(lit(1)).as("dup_count"))
-    }),
+    "ext_dedup_exact" -> ((s, dir) =>
+      graft.operators.Dedup.exact(plantedDocs(s, dir))),
 
     // ---- MinHash + LSH band-join candidate pairs ---------------------
     // 8-char shingles -> 4 md5-derived min-hashes -> 2 bands of 2 -> pairs
     // sharing a band. Planted exact dups guarantee true positives.
-    "ext_dedup_minhash" -> ((s, dir) => {
-      val pos = plantedDocs(s, dir).select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))))
-          .as("i"))
-      val shing = pos
-        .select(col("doc_id"), expr("substring(text, i, 8)").as("sh"))
-        .distinct()
-        // one md5 per shingle; the k hash functions are XOR-seeded variants
-        // (standard minhash trick — k permutations from one base hash)
-        .withColumn("h0",
-          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
-      def h(seed: Long) = expr(s"h0 ^ ${seed}L")
-      val sig = shing.groupBy("doc_id").agg(
-        min(h(0L)).as("m1"), min(h(0x5deece66dL)).as("m2"),
-        min(h(0x9e3779b97f4aL)).as("m3"), min(h(0x2545f4914f6cdd1dL)).as("m4"))
-      val bands = sig.select(col("doc_id"),
-          concat_ws("_", col("m1"), col("m2")).as("band"))
-        .unionAll(sig.select(col("doc_id"),
-          concat_ws("_", col("m3"), col("m4")).as("band")))
-      val a = bands.as("a"); val b = bands.as("b")
-      a.join(b, col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
-    }),
+    // ---- MinHash + LSH band-join candidate pairs ---------------------
+    // 8-char shingles -> 4 XOR-seeded min-hashes -> 2 indexed bands ->
+    // pairs sharing a band. Planted exact dups guarantee true positives.
+    "ext_dedup_minhash" -> ((s, dir) =>
+      graft.operators.Dedup.minhashCandidates(plantedDocs(s, dir))),
 
     // ---- SimHash (16-bit) fingerprints -------------------------------
-    "ext_dedup_simhash" -> ((s, dir) => {
-      val toks = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .distinct()
-        .select(col("doc_id"),
-          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("th"))
-      val bits = toks
-        .select(col("doc_id"), col("th"),
-          explode(sequence(lit(0), lit(15))).as("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(sum(when(expr("shiftright(th, bit) & 1") === 1, 1).otherwise(-1))
-          .as("sgn"))
-      bits.groupBy("doc_id")
-        .agg(sum(when(col("sgn") > 0,
-            expr("cast(shiftleft(cast(1 as bigint), bit) as bigint)"))
-          .otherwise(0L)).cast("long").as("simhash"))
-    }),
+    "ext_dedup_simhash" -> ((s, dir) => graft.operators.Dedup.simhash(
+      s.read.parquet(s"$dir/documents.parquet"), nBits = 16)),
 
     // ---- n-gram (token) Jaccard between consecutive docs -------------
     "ext_dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val dt = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .distinct()
-      val pair = docs.select(col("doc_id").as("id1"))
+      val pairs = docs.select(col("doc_id").as("id1"))
         .join(docs.select(col("doc_id").as("id2")),
           col("id2") === col("id1") + 1)
-      val x = dt.select(col("doc_id").as("id1"), col("tok"))
-      val y = dt.select(col("doc_id").as("id2"), col("tok"))
-      val inter = pair.join(x, "id1").join(y, Seq("id2", "tok"))
-        .groupBy("id1", "id2")
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("intersection"))
-      val sizes = dt.groupBy("doc_id")
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-      pair
-        .join(sizes.withColumnRenamed("doc_id", "id1")
-          .withColumnRenamed("n", "n1"), "id1")
-        .join(sizes.withColumnRenamed("doc_id", "id2")
-          .withColumnRenamed("n", "n2"), "id2")
-        .join(inter, Seq("id1", "id2"), "left")
-        .select(col("id1"), col("id2"),
-          coalesce(col("intersection"), lit(0L)).as("intersection"),
-          (col("n1") + col("n2") - coalesce(col("intersection"), lit(0L)))
-            .as("union_size"))
+      graft.operators.Dedup.jaccardCounts(docs, pairs)
     }),
 
     // ---- embedding cosine near-dup pairs (threshold) -----------------
     "ext_dedup_embedding" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
-      val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
-      a.join(b, col("id2") === col("id1") + 1)
-        .select(col("id1"), col("id2"),
-          (cosine(col("e1"), col("e2")) > 0.5).as("near_dup"))
+      val pairs = e.select(col("vec_id").as("id1"))
+        .join(e.select(col("vec_id").as("id2")), col("id2") === col("id1") + 1)
+      graft.operators.Similarity.nearDupPairs(e, pairs, 0.5)
     }),
 
     // ---- brute-force cosine top-k ANN --------------------------------
     "ext_ann_bruteforce" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-      val scored = q.join(c, col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(col("qe"), col("ce")).as("sim"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id").asc)
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, k = 5)
     }),
 
     // ---- LSH/IVF-bucketed ANN (sign-bit buckets, search own bucket) ---
     "ext_ann_bucketed" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      def bucket(emb: Column) =
-        (when(element_at(emb, 1) > 0, 4).otherwise(0) +
-          when(element_at(emb, 2) > 0, 2).otherwise(0) +
-          when(element_at(emb, 3) > 0, 1).otherwise(0)).cast("long")
-      val withB = e.select(col("vec_id"), col("embedding"),
-        bucket(col("embedding")).as("bucket"))
-      val q = withB.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("bucket"))
-      val c = withB.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ce"), col("bucket"))
-      val scored = q.join(c, Seq("bucket"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(col("qe"), col("ce")).as("sim"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("neighbor_id").asc)
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      graft.operators.Similarity.bucketedTopK(
+        e.filter(col("vec_id") < 10), e, k = 3)
     }),
 
     // ---- language ID (stopword-lexicon heuristic) --------------------
-    "ext_lang_id" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val toks = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      val en = Seq("the", "a", "of", "and", "to")
-      val de = Seq("der", "die", "das", "und", "zu")
-      val scored = toks.groupBy("doc_id").agg(
-        sum(when(col("tok").isin(en: _*), 1).otherwise(0)).as("en_hits"),
-        sum(when(col("tok").isin(de: _*), 1).otherwise(0)).as("de_hits"),
-        org.apache.spark.sql.functions.count(lit(1)).as("n_tokens"))
-      scored.select(col("doc_id"), col("en_hits"), col("de_hits"),
-        col("n_tokens"),
-        when(col("en_hits") > col("de_hits"), "en")
-          .when(col("de_hits") > col("en_hits"), "de")
-          .otherwise("und").as("predicted_lang"))
-    }),
+    "ext_lang_id" -> ((s, dir) => graft.operators.TextAnalysis.langId(
+      s.read.parquet(s"$dir/documents.parquet"))),
 
     // ---- quality scoring (length/punct/stopword ratios) --------------
-    "ext_quality_score" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val nTok = size(split(col("text"), " ")).cast("long")
-      val nPunct = (length(col("text")) -
-        length(regexp_replace(col("text"), "[.!?,;:]", ""))).cast("long")
-      docs.select(col("doc_id"), col("n_chars"),
-        nTok.as("n_tokens"), nPunct.as("n_punct"),
-        (col("n_chars").cast("double") / nTok.cast("double"))
-          .as("mean_token_len"))
-    }),
+    "ext_quality_score" -> ((s, dir) =>
+      graft.operators.TextAnalysis.qualityFeatures(
+        s.read.parquet(s"$dir/documents.parquet"))),
 
     // ---- token counting (whitespace + BPE-ish regex) -----------------
-    "ext_token_count" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      docs.select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
-        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
-          .cast("long").as("bpe_ish_tokens"))
-    }),
+    "ext_token_count" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tokenCounts(
+        s.read.parquet(s"$dir/documents.parquet"))),
 
     // ---- document fingerprinting (normalized content hash) -----------
-    "ext_fingerprint" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val normText = regexp_replace(lower(col("text")), "\\s+", " ")
-      docs.select(col("doc_id"),
-        conv(substring(md5(normText), 1, 15), 16, 10).cast("long")
-          .as("fingerprint"))
-    }),
+    "ext_fingerprint" -> ((s, dir) =>
+      graft.operators.TextAnalysis.fingerprint(
+        s.read.parquet(s"$dir/documents.parquet"))),
 
     // ---- multimodal: binary payload -> batched decode stub -> features
     "ext_multimodal_features" -> ((s, dir) =>
@@ -593,8 +477,8 @@ object SparkEntry {
            |    min(xor(h0, 2685821657736338717)) AS m4
            |  FROM hashed GROUP BY doc_id
            |), bands AS (
-           |  SELECT doc_id, concat(CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM sig
-           |  UNION ALL SELECT doc_id, concat(CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM sig
+           |  SELECT doc_id, concat('0_', CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM sig
+           |  UNION ALL SELECT doc_id, concat('1_', CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM sig
            |) SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id1, CAST(b.doc_id AS BIGINT) AS id2
            |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
       "ext_dedup_simhash" ->
@@ -647,21 +531,26 @@ object SparkEntry {
           |) WHERE rnk <= 3""".stripMargin,
       "ext_lang_id" ->
         """WITH toks AS (
-          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents
           |), scored AS (
-          |  SELECT doc_id,
-          |    CAST(sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
-          |    CAST(sum(CASE WHEN tok IN ('der','die','das','und','zu') THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
-          |    CAST(count(*) AS BIGINT) AS n_tokens
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |    CAST(sum(CASE WHEN tok IN ('der','die','das','und','zu','ist','nicht','ein') THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+          |    CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','that') THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+          |    CAST(sum(CASE WHEN tok IN ('el','la','los','y','de','es','un','una') THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+          |    CAST(sum(CASE WHEN tok IN ('le','la','les','et','de','est','un','une') THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
           |  FROM toks GROUP BY doc_id
-          |) SELECT doc_id, en_hits, de_hits, n_tokens,
-          |  CASE WHEN en_hits > de_hits THEN 'en' WHEN de_hits > en_hits THEN 'de' ELSE 'und' END AS predicted_lang
+          |) SELECT doc_id, n_tokens, de_hits, en_hits, es_hits, fr_hits,
+          |  CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+          |       WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+          |       WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+          |       WHEN es_hits >= fr_hits THEN 'es'
+          |       ELSE 'fr' END AS predicted_lang
           |FROM scored""".stripMargin,
       "ext_quality_score" ->
-        """SELECT doc_id, n_chars,
+        """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
           |  CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
           |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
-          |  CAST(n_chars AS DOUBLE) / CAST(length(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+          |  CAST(length(text) AS DOUBLE) / CAST(length(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
           |FROM documents""".stripMargin,
       "ext_token_count" ->
         """SELECT doc_id,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. Pure Catalyst
+  * expressions throughout (codegen-friendly, no UDFs).
+  */
+object TextAnalysis {
+
+  /** Small stopword lexicons for n-gram-free language scoring. Extend per
+    * deployment; kept deliberately tiny so scoring is explainable. */
+  val DefaultLexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "est", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "de", "es", "un", "una"))
+
+  /** Language ID via stopword hits: per-language hit counts + argmax
+    * (ties and all-zero scores → "und"). One shuffle (groupBy doc). */
+  def langId(docs: DataFrame, lexicons: Map[String, Seq[String]] = DefaultLexicons,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+    val langs = lexicons.keys.toSeq.sorted
+    val hits = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      langs.map(l => sum(when(col("tok").isin(lexicons(l): _*), 1)
+        .otherwise(0)).as(s"${l}_hits")): _*)
+    val best = langs.map(l => struct(col(s"${l}_hits").as("h"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("h") > a.getField("h"), b).otherwise(a))
+    hits.withColumn("predicted_lang",
+      when(best.getField("h") > 0, best.getField("l")).otherwise("und"))
+  }
+
+  /** Quality features: char/token/punctuation counts and mean token
+    * length. Single narrow projection — no shuffle at all. */
+  def qualityFeatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      nTok.as("n_tokens"),
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[.!?,;:]", "")))
+        .cast("long").as("n_punct"),
+      (length(col(textCol)).cast("double") / nTok.cast("double"))
+        .as("mean_token_len"))
+  }
+
+  /** Whitespace token count + a BPE-ish regex token count (letters runs,
+    * digit runs, single punctuation marks — the usual pre-tokenizer
+    * shape). */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("ws_tokens"),
+      regexp_count(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+        .as("bpe_ish_tokens"))
+
+  /** Whitespace-normalized content fingerprint (md5-based 60-bit). Two
+    * docs differing only in whitespace share a fingerprint. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      Dedup.md5Hash60(
+        regexp_replace(lower(col(textCol)), "\\s+", " "))
+        .as("fingerprint"))
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Behavioral tests for the pipeline-extension operators on purpose-built
+  * fixtures (real language samples, planted near-duplicates) — the synthetic
+  * driver corpus shares one vocabulary across languages, so semantic checks
+  * need their own data.
+  */
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs to the hills"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs to the hill"),
+    (3L, "der schnelle braune fuchs springt und das ist nicht ein problem"),
+    (4L, "le chat est sur la table et les livres sont dans le salon"),
+    (5L, "el perro es un animal y los gatos son animales de la casa"),
+    (6L, "completely different content about distributed query engines"),
+    (7L, "the quick brown fox jumps over the lazy dog and runs to the hills"))
+    .toDF("doc_id", "text")
+
+  test("langId picks the right lexicon for real-language samples") {
+    val out = TextAnalysis.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    assert(out(1L) == "en")
+    assert(out(3L) == "de")
+    assert(out(4L) == "fr")
+    assert(out(5L) == "es")
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs).filter(col("dup_count") > 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("keep_id") == 1L) // docs 1 and 7 identical
+    assert(out.head.getAs[Long]("dup_count") == 2L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 7L)), "exact dup pair must be a candidate")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 7L)),
+      "near dup (one-char diff) should collide in some band")
+    assert(!pairs.exists { case (a, b) =>
+      Set(a, b).contains(6L) && Set(a, b).intersect(Set(3L, 4L, 5L)).nonEmpty
+    }, "unrelated docs should not be candidates")
+  }
+
+  test("simhash: identical docs share fingerprints; near dups are close") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(7L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= 8,
+      s"near dups should be close, got ${hamming(sh(1L), sh(2L))}")
+    assert(hamming(sh(1L), sh(6L)) > hamming(sh(1L), sh(2L)),
+      "unrelated doc should be farther than near-dup")
+  }
+
+  test("jaccardCounts: identical = full overlap, near dup high, unrelated low") {
+    val pairs = Seq((1L, 7L), (1L, 2L), (1L, 6L)).toDF("id1", "id2")
+    val out = Dedup.jaccardCounts(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("intersection"), r.getAs[Long]("union_size"))).toMap
+    val (i17, u17) = out((1L, 7L))
+    assert(i17 == u17) // identical token sets
+    val (i12, u12) = out((1L, 2L))
+    assert(i12.toDouble / u12 > 0.8)
+    val (i16, u16) = out((1L, 6L))
+    assert(i16.toDouble / u16 < 0.2)
+  }
+
+  test("brute-force ANN: nearest neighbor of a vector is its duplicate") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (1L, Array(1.0f, 0.01f, 0.5f, 0.2f)), // near-identical to 0
+      (2L, Array(-1.0f, 0.5f, -0.5f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, -0.4f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 2)
+      .orderBy("rnk").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("bucketed ANN agrees with brute force for same-bucket vectors") {
+    val emb = (0L to 19L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array(base, base * 0.5f, base * 0.25f, i.toFloat / 20))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val bucketed = Similarity.bucketedTopK(emb.filter(col("vec_id") === 0), emb, 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    // all even vectors share sign bucket with vec 0; top neighbors are even
+    assert(bucketed == brute)
+  }
+
+  test("quality features and token counts") {
+    val q = TextAnalysis.qualityFeatures(docs).filter(col("doc_id") === 1)
+      .collect().head
+    assert(q.getAs[Long]("n_tokens") == 14L)
+    assert(q.getAs[Long]("n_punct") == 0L)
+    val t = TextAnalysis.tokenCounts(docs).filter(col("doc_id") === 1)
+      .collect().head
+    assert(t.getAs[Long]("ws_tokens") == 14L)
+    assert(t.getAs[Long]("bpe_ish_tokens") == 14L)
+  }
+
+  test("fingerprint is whitespace-insensitive but content-sensitive") {
+    val d = Seq(
+      (1L, "hello   world"), (2L, "hello world"), (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("multimodal feature extraction is deterministic and bounded") {
+    val d = Seq((1L, "payload-one"), (2L, "payload-two"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val f = Multimodal.extractFeatures(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getAs[Long]("n_bytes") == 11L)
+    assert(f(1L).getAs[Long]("width") >= 0 && f(1L).getAs[Long]("width") < 1024)
+    assert(f(1L).getAs[Long]("channels") == 3L)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("width")).toMap
+    assert(again(1L) == f(1L).getAs[Long]("width"))
+  }
+
+  test("sessionize splits on gaps and counts events") {
+    import graft.streaming.StreamOps
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, 0L * ns, 1L), (1L, 60L * ns, 2L), // session 1: two events
+      (1L, 4000L * ns, 3L),                  // > 30 min later: session 2
+      (2L, 0L * ns, 4L))                     // other user: own session
+      .toDF("user_id", "ts", "event_id")
+    val out = StreamOps.sessionize(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        r.getAs[Long]("n_events")).toMap
+    assert(out((1L, 1L)) == 2L)
+    assert(out((1L, 2L)) == 1L)
+    assert(out((2L, 1L)) == 1L)
+  }
+}
