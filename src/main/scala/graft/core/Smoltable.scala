@@ -239,21 +239,57 @@ final class Smoltable private (
     * async" maintenance job per `docs/.../data-retention.md`).
     * Reference: `smoltable/src/table/mod.rs:455-562`.
     */
-  def runVersionGc(): Long = {
-    val settings = manifest.gcSettings
+  def runVersionGc(): Long = runVersionGcWith(manifest.gcSettings)
+
+  /** GC with explicit settings (maintenance jobs like the metrics FIFO cap
+    * override the manifest's per-family options). */
+  def runVersionGcWith(settings: Map[String, GcSettings]): Long = {
     if (!settings.values.exists(_.needsGc) || !hasData) return 0L
     val before = allCells.count()
     rewriteData(CellOps.gcSurvivors(allCells, settings, nowNanos))
     before - allCells.count()
   }
 
-  private def rewriteData(survivors: DataFrame): Unit = {
+  private def rewriteData(survivors: DataFrame,
+      numPartitions: Option[Int] = None): Unit = {
     val tmp = tableDir.resolve("data.tmp")
-    survivors
-      .sort("lg", "row_key", "family", "qualifier")
-      .write.mode("overwrite").partitionBy("lg").parquet(tmp.toString)
+    val sortCols = Seq(col("lg"), col("row_key"), col("family"),
+      col("qualifier"))
+    val arranged = numPartitions match {
+      case Some(n) => survivors.repartitionByRange(n, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+      case None => survivors.sort(sortCols: _*)
+    }
+    arranged.write.mode("overwrite").partitionBy("lg").parquet(tmp.toString)
     deleteRecursively(dataDir)
     Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Parquet data files currently backing the table. */
+  def dataFileCount: Int = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(dataDir)) 0
+    else Files.walk(dataDir).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+  }
+
+  /** File compaction: rewrite all locality-group partitions into row-key-
+    * sorted files of ~`targetBytes` (the analog of the reference's levelled
+    * compaction with its 64 MiB segment target,
+    * `smoltable/src/table/mod.rs:156-165`). Physically applies
+    * last-write-wins, i.e. overwritten cell versions are dropped for good —
+    * exactly what LSM compaction does. Run periodically after many small
+    * appends; scans then read few large sorted files with tight min/max
+    * stats instead of one file per historical write batch.
+    * Returns (files before, files after).
+    */
+  def compact(targetBytes: Long = 64L * 1024 * 1024): (Int, Int) = {
+    if (!hasData) return (0, 0)
+    val before = dataFileCount
+    val totalBytes = catalog.diskSpaceUsage(name)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    rewriteData(allCells, Some(parts))
+    (before, dataFileCount)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -89,6 +89,15 @@ object Demo {
       filter = Some(ColumnFilter.Key(ColumnKey.of("counter:hits")))))
     println(s"   after GC: ${postGc.row.map(_.toJson).getOrElse("null")}")
 
+    println("== metrics self-table (_mtx_webtable) ==")
+    val mtx = MetricsTable.open(spark, catalog, Some("webtable"))
+    for (i <- 1L to 5L) mtx.dataPoint("lat#read#row", 20.0 + i, Some(i))
+    println(s"   latest(3) = ${mtx.latest("lat#read#row", 3)}")
+
+    println("== compaction ==")
+    val (filesBefore, filesAfter) = t.compact()
+    println(s"   files $filesBefore -> $filesAfter; counts after = ${t.count()}")
+
     println("== JSON API parity layer (reference wire shapes) ==")
     val api = new graft.api.JsonApi(catalog, spark)
     println(api.scan("webtable",

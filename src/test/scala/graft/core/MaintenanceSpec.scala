@@ -1,0 +1,61 @@
+package graft.core
+
+import graft.SparkSuite
+import graft.model._
+
+/** Metrics self-tables (§2.1 #27) and file compaction maintenance. */
+class MaintenanceSpec extends SparkSuite {
+
+  test("metrics table records and reads back data points newest-first") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val m = MetricsTable.open(spark, cat, Some("webtable"))
+      assert(m.table.name == "_mtx_webtable")
+      for (i <- 1L to 5L) m.dataPoint("lat#write#cell", i * 1.5, Some(i))
+      val pts = m.latest("lat#write#cell", limit = 3)
+      assert(pts == Seq((5L, 7.5), (4L, 6.0), (3L, 4.5)))
+      // other metrics don't interfere
+      m.dataPoint("lat#read#row", 42.0, Some(1L))
+      assert(m.latest("lat#read#row").map(_._2) == Seq(42.0))
+    }
+  }
+
+  test("metrics FIFO cap trims old versions when over budget") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val m = MetricsTable.open(spark, cat, None)
+      assert(m.table.name == "_metrics")
+      for (i <- 1L to 10L) m.dataPoint("sys#mem", i.toDouble, Some(i))
+      // capBytes=1 forces the trim; keepVersions=4
+      val dropped = m.enforceCap(capBytes = 1L, keepVersions = 4)
+      assert(dropped == 6L)
+      assert(m.latest("sys#mem").map(_._1) == Seq(10L, 9L, 8L, 7L))
+    }
+  }
+
+  test("compaction merges many small write batches, preserving data + LWW") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val t = Smoltable.open(spark, cat, "t")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      for (i <- 1 to 8)
+        t.write(Seq(RowWriteItem(f"row$i%02d", Seq(ColumnWriteItem(
+          ColumnKey.of("v:"), Some(0L), CellValue.S(s"val$i"))))))
+      // overwrite one cell so compaction has an LWW victim to drop
+      t.write(Seq(RowWriteItem("row03", Seq(ColumnWriteItem(
+        ColumnKey.of("v:"), Some(0L), CellValue.S("updated"))))))
+
+      val filesBefore = t.dataFileCount
+      assert(filesBefore >= 9)
+      val (before, after) = t.compact()
+      assert(before == filesBefore && after < before)
+
+      assert(t.count() == (8L, 8L))
+      val row = t.getRow(GetRowInput("row03")).row.get
+      assert(row.columns("v")("").head.value == CellValue.S("updated"))
+      // scans still work over the compacted layout
+      val scan = t.scan(ScanInput(ScanMode.Prefix("row0")))
+      assert(scan.rows.size == 8)
+    }
+  }
+}
