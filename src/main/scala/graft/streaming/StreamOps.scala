@@ -54,6 +54,54 @@ object StreamOps {
     s.table(tableName)
   }
 
+  /** Streaming exact-dedup with custom state: documents arrive as a file
+    * stream, group by content hash, and `flatMapGroupsWithState` keeps a
+    * seen-flag per hash so only the FIRST occurrence across all
+    * micro-batches is emitted. This is the stateful-stream shape
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`) a continuous
+    * training-data ingest pipeline uses for online dedup.
+    */
+  def streamingDedup(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val tableName = s"stream_dedup_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.md5(col("text")).as("h"))
+      .as[(Long, String)]
+    val deduped = stream
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[(Long, String)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // keep the smallest doc_id of the batch for determinism
+            Iterator.single((hash, rows.map(_._1).min))
+          }
+      }
+      .toDF("h", "keep_id")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(tableName)
+  }
+
   /** Gap-based sessionization (30-min inactivity) as a batch pipeline with
     * window functions — the batch-equivalent of
     * `flatMapGroupsWithState`-based session tracking, verifiable in SQL.

@@ -89,6 +89,11 @@ object Demo {
       filter = Some(ColumnFilter.Key(ColumnKey.of("counter:hits")))))
     println(s"   after GC: ${postGc.row.map(_.toJson).getOrElse("null")}")
 
+    println("== stateful streaming dedup (flatMapGroupsWithState) ==")
+    val dedup = graft.streaming.StreamOps.streamingDedup(
+      spark, "/root/testdata/sf0.001")
+    println(s"   distinct-hash rows emitted: ${dedup.count()}")
+
     println("== metrics self-table (_mtx_webtable) ==")
     val mtx = MetricsTable.open(spark, catalog, Some("webtable"))
     for (i <- 1L to 5L) mtx.dataPoint("lat#read#row", 20.0 + i, Some(i))
