@@ -259,17 +259,18 @@ object CellOps {
   ): DataFrame = {
     // struct ordering: sort_array on (ts desc) via descending sort on struct
     // whose first field is ts.
+    // Only version arrays need ordering (newest first, = ts desc since the
+    // struct's first field dominates sort_array). Map levels are unordered
+    // by nature — and sort_array cannot order structs containing maps.
     val cellStruct = struct(col("ts").as("ts"), valueCol.as("v"))
     cells
       .groupBy("row_key", "family", "qualifier")
       .agg(sort_array(collect_list(cellStruct), asc = false).as("cells"))
       .groupBy("row_key", "family")
-      .agg(map_from_entries(
-        sort_array(collect_list(struct(col("qualifier"), col("cells")))))
+      .agg(map_from_entries(collect_list(struct(col("qualifier"), col("cells"))))
         .as("columns"))
       .groupBy("row_key")
-      .agg(map_from_entries(
-        sort_array(collect_list(struct(col("family"), col("columns")))))
+      .agg(map_from_entries(collect_list(struct(col("family"), col("columns"))))
         .as("families"))
   }
 }

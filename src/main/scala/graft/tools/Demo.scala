@@ -89,6 +89,13 @@ object Demo {
       filter = Some(ColumnFilter.Key(ColumnKey.of("counter:hits")))))
     println(s"   after GC: ${postGc.row.map(_.toJson).getOrElse("null")}")
 
+    println("== distributed row assembly (DataFrame-level nested maps) ==")
+    val assembled = graft.core.CellOps.assembleRows(
+      t.cellsFor(None).filter(org.apache.spark.sql.functions.col("row_key")
+        .startsWith("org.apache")),
+      org.apache.spark.sql.functions.col("value.s"))
+    assembled.show(2, truncate = 60)
+
     println("== stateful streaming dedup (flatMapGroupsWithState) ==")
     val dedup = graft.streaming.StreamOps.streamingDedup(
       spark, "/root/testdata/sf0.001")
