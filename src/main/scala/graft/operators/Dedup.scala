@@ -63,12 +63,14 @@ object Dedup {
     */
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
     val sigCols = signatures.columns.filter(_.startsWith("m"))
+    // one explode over an array of band keys — a union of per-band selects
+    // would re-execute the whole signature pipeline once per band
     val bandExprs = sigCols.grouped(rowsPerBand).zipWithIndex.map {
       case (cols, bi) =>
-        concat_ws("_", lit(bi.toString) +: cols.map(col): _*).as("band")
+        concat_ws("_", lit(bi.toString) +: cols.map(col): _*)
     }.toSeq
-    val bands = bandExprs.map(b => signatures.select(col("doc_id"), b))
-      .reduce(_.unionAll(_))
+    val bands = signatures.select(col("doc_id"),
+      explode(array(bandExprs: _*)).as("band"))
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))
