@@ -92,6 +92,42 @@ object SparkEntry {
 
   private def sel(df: DataFrame): DataFrame = df.select(CellCols: _*)
 
+  // ------------------------------------------------- engine-backed storage
+
+  /** Engine tables built once per sf dir under /tmp: the orders cell view
+    * bulk-loaded into a REAL [[graft.core.Smoltable]] (family `m` in its own
+    * locality group), so the `eng_*` queries exercise the physical layout —
+    * lg= partition pruning + row-key row-group skipping — under the same
+    * oracles as the view-based ops.
+    */
+  private def engineOrders(s: SparkSession, dir: String): graft.core.Smoltable = {
+    val base = s"/tmp/graft_engine_${Integer.toHexString(dir.hashCode)}"
+    val cat = new graft.core.Catalog(base)
+    val t = graft.core.Smoltable.open(s, cat, "orders")
+    if (t.dataFileCount == 0) {
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("o")))
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("m")),
+        localityGroup = true)
+      t.writeBulk(orderCells(s, dir).select(
+        col("row_key"), col("family"), col("qualifier"), col("ts"),
+        struct(
+          when(col("vs").isNotNull, "string").otherwise("f64").as("vtype"),
+          col("vs").as("s"),
+          lit(null).cast("boolean").as("b"),
+          lit(null).cast("short").as("u8"),
+          lit(null).cast("int").as("i32"),
+          lit(null).cast("long").as("i64"),
+          lit(null).cast("float").as("f32"),
+          col("vd").as("f64")).as("value")))
+    }
+    t
+  }
+
+  /** Engine cells mapped back to the oracle-comparable view columns. */
+  private def engSel(df: DataFrame): DataFrame =
+    df.select(col("row_key"), col("family"), col("qualifier"), col("ts"),
+      col("value.s").as("vs"), col("value.f64").as("vd"))
+
   // -------------------------------------------------------------- flagship
 
   /** Flagship: locality-style family scan + per-column version limit + agg
@@ -232,6 +268,23 @@ object SparkEntry {
       val upd = eventCells(s, dir).filter(col("qualifier") === "click")
         .withColumn("vd", col("vd") * 2).withColumn("seq", lit(2L))
       sel(CellOps.lastWriteWins(base.unionAll(upd)))
+    }),
+
+    // ======= engine-backed (real Smoltable storage, same oracles) =======
+    "eng_scan_prefix" -> ((s, dir) => {
+      val t = engineOrders(s, dir)
+      engSel(CellOps.scanCells(t.cellsFor(None),
+        ScanInput(ScanMode.Prefix("00000001"))))
+    }),
+    "eng_get_row" -> ((s, dir) => {
+      val t = engineOrders(s, dir)
+      engSel(CellOps.getRowCells(t.cellsFor(None), GetRowInput("0000000001")))
+    }),
+    "eng_locality_scan" -> ((s, dir) => {
+      val t = engineOrders(s, dir)
+      val f = Some(ColumnFilter.Key(ColumnKey.of("m:")))
+      engSel(CellOps.scanCells(t.cellsFor(f),
+        ScanInput(ScanMode.Prefix(""), filter = f)))
     }),
 
     // ================= large-scale pipeline extensions =================
@@ -460,6 +513,12 @@ object SparkEntry {
            |) SELECT row_key, family, qualifier, ts, vs, vd FROM (
            |  SELECT u.*, row_number() OVER (PARTITION BY row_key, family, qualifier, ts ORDER BY seq DESC) AS rn FROM unioned u
            |) WHERE rn = 1""".stripMargin,
+      "eng_scan_prefix" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key LIKE '00000001%'",
+      "eng_get_row" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key = '0000000001'",
+      "eng_locality_scan" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE family = 'm'",
       "ext_dedup_exact" ->
         s"$plantedSql SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count FROM docs2 GROUP BY md5(text)",
       "ext_dedup_minhash" ->

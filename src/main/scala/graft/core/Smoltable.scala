@@ -113,6 +113,33 @@ final class Smoltable private (
     TableManifest.store(manifestPath, m.copy(nextSeq = seqBase + i + 1))
   }
 
+  /** Bulk load: append a cell DataFrame
+    * `(row_key string, family string, qualifier string, ts long, value
+    * struct)` without materializing on the driver — the 100 TB ingest path
+    * (`write` is for small transactional batches). Cells route to their
+    * family's locality-group partition; rows with unknown families are
+    * rejected up front. `seq` is one batch sequence for the whole load
+    * (a single "atomic batch" in the reference's sense).
+    */
+  def writeBulk(cells: DataFrame): Unit = {
+    val m = manifest
+    val known = m.families.map(_.name)
+    val bad = cells.select("family").distinct()
+      .filter(!col("family").isin(known: _*)).take(1)
+    require(bad.isEmpty, s"unknown column family ${bad.headOption}")
+    val lgMap = known.map(f => f -> m.groupOf(f)).toMap
+    val lgExpr = known.foldLeft(lit(TableManifest.DefaultGroup)) { (acc, f) =>
+      when(col("family") === f, lgMap(f)).otherwise(acc)
+    }
+    cells
+      .withColumn("seq", lit(m.nextSeq))
+      .withColumn("lg", lgExpr)
+      .select(cellSchema.fieldNames.map(col): _*)
+      .sortWithinPartitions("lg", "row_key", "family", "qualifier")
+      .write.mode("append").partitionBy("lg").parquet(dataDir.toString)
+    TableManifest.store(manifestPath, m.copy(nextSeq = m.nextSeq + 1))
+  }
+
   // ----------------------------------------------------------------- read
 
   private def hasData: Boolean =
