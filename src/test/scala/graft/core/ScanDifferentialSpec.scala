@@ -149,6 +149,71 @@ class ScanDifferentialSpec extends SparkSuite {
         s" expected: $expected\n got: $got")
   }
 
+  /** get_row semantics (`smoltable/src/table/mod.rs:824-882`): cells are
+    * visited in key order; the row-level cell limit counts every VISITED
+    * cell — including ones the per-column limit then drops (unlike scan,
+    * where only appended cells count). */
+  private def refGetRow(cells: Seq[TCell], in: GetRowInput): Seq[TCell] = {
+    val colLimit = in.columnCellLimit.getOrElse(65535)
+    val globalLimit = in.rowCellLimit.getOrElse(65535)
+    val perCol = mutable.Map.empty[(String, String), Int]
+    val out = mutable.ListBuffer.empty[TCell]
+    var visited = 0
+    val it = cells.iterator
+      .filter(_.row == in.key)
+      .filter(c => in.filter.forall {
+        case ColumnFilter.Key(k) => c.fam == k.family &&
+          k.qualifier.forall(_ == c.qual)
+        case ColumnFilter.Multi(ks) => ks.exists(k =>
+          c.fam == k.family && k.qualifier.forall(_ == c.qual))
+        case ColumnFilter.Prefix(k) => c.fam == k.family &&
+          k.qualifier.forall(q => c.qual.startsWith(q))
+      })
+    var break = false
+    while (it.hasNext && !break) {
+      if (visited >= globalLimit) break = true
+      else {
+        val c = it.next()
+        val n = perCol.getOrElse((c.fam, c.qual), 0)
+        if (n < colLimit) {
+          perCol((c.fam, c.qual)) = n + 1
+          out += c
+        }
+        visited += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("differential fuzz: get_row visited-count limits (40 cases)") {
+    val rnd = new Random(777001L)
+    val fams = Seq("f1", "f2"); val quals = Seq("", "q1", "q2")
+    import spark.implicits._
+    for (caseId <- 1 to 40) {
+      val all = for {
+        r <- Seq("k1", "k2"); f <- fams; q <- quals; t <- 1L to 3L
+        if rnd.nextDouble() < 0.6
+      } yield TCell(r, f, q, t)
+      val cells = all.sortBy(c => (c.row, c.fam, c.qual, -c.ts))
+      val in = GetRowInput(
+        key = "k1",
+        filter = if (rnd.nextBoolean()) None else Some(ColumnFilter.Key(
+          ColumnKey(fams(rnd.nextInt(2)),
+            if (rnd.nextBoolean()) None else Some(quals(rnd.nextInt(3)))))),
+        rowCellLimit = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(7)) else None,
+        columnCellLimit = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(3)) else None)
+
+      val expected = refGetRow(cells, in)
+        .map(c => (c.row, c.fam, c.qual, c.ts)).sorted
+      val df = cells.map(c => (c.row, c.fam, c.qual, c.ts))
+        .toDF("row_key", "family", "qualifier", "ts")
+      val got = CellOps.getRowCells(df, in).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(got == expected, s"get_row case $caseId diverged: $in")
+    }
+  }
+
   test("differential fuzz: multi-version limit interplay (40 cases)") {
     val rnd = new Random(20260812L)
     for (i <- 1 to 40) runCase(rnd, multiVersion = true, i)
