@@ -20,7 +20,13 @@ final case class LocalityGroup(id: String, families: Seq[String])
 final case class TableManifest(
     families: Seq[ColumnFamilyDefinition],
     localityGroups: Seq[LocalityGroup],
-    nextSeq: Long
+    nextSeq: Long,
+    /** Write batches appended since the last full rewrite (delete/GC/
+      * compaction). With at most one batch on disk there can be no
+      * cross-batch overwrites, so reads skip the last-write-wins window —
+      * the bulk-load-then-scan fast path. Absent in older manifests →
+      * assumed "many" (safe). */
+    batchesSinceRewrite: Long = Long.MaxValue
 ) {
   /** Families not owned by any explicit locality group live in the default
     * group. Reference: `column_families_in_default_locality_group`,
@@ -45,19 +51,21 @@ final case class TableManifest(
     val lb = localityGroups.map { g =>
       s"lg\t${g.id}\t${g.families.mkString(",")}"
     }
-    (fb ++ lb ++ Seq(s"seq\t$nextSeq")).mkString("\n")
+    (fb ++ lb ++ Seq(s"seq\t$nextSeq",
+      s"batches\t$batchesSinceRewrite")).mkString("\n")
   }
 }
 
 object TableManifest {
   val DefaultGroup = "_default"
 
-  val empty: TableManifest = TableManifest(Nil, Nil, 0L)
+  val empty: TableManifest = TableManifest(Nil, Nil, 0L, 0L)
 
   def deserialize(text: String): TableManifest = {
     var fams = Vector.empty[ColumnFamilyDefinition]
     var lgs = Vector.empty[LocalityGroup]
     var seq = 0L
+    var batches = Long.MaxValue
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1).toList match {
         case "family" :: name :: vl :: ttl :: Nil =>
@@ -67,10 +75,11 @@ object TableManifest {
         case "lg" :: id :: fs :: Nil =>
           lgs :+= LocalityGroup(id, fs.split(",").filter(_.nonEmpty).toSeq)
         case "seq" :: n :: Nil => seq = n.toLong
+        case "batches" :: n :: Nil => batches = n.toLong
         case other => throw new IllegalStateException(s"bad manifest line: $line")
       }
     }
-    TableManifest(fams, lgs, seq)
+    TableManifest(fams, lgs, seq, batches)
   }
 
   def load(path: Path): TableManifest =

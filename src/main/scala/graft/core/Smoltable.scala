@@ -110,7 +110,8 @@ final class Smoltable private (
       .sort("lg", "row_key", "family", "qualifier")
       .write.mode("append").partitionBy("lg")
       .parquet(dataDir.toString)
-    TableManifest.store(manifestPath, m.copy(nextSeq = seqBase + i + 1))
+    TableManifest.store(manifestPath, m.copy(nextSeq = seqBase + i + 1,
+      batchesSinceRewrite = if (m.batchesSinceRewrite == Long.MaxValue) Long.MaxValue else m.batchesSinceRewrite + 1))
   }
 
   /** Bulk load: append a cell DataFrame
@@ -137,7 +138,8 @@ final class Smoltable private (
       .select(cellSchema.fieldNames.map(col): _*)
       .sortWithinPartitions("lg", "row_key", "family", "qualifier")
       .write.mode("append").partitionBy("lg").parquet(dataDir.toString)
-    TableManifest.store(manifestPath, m.copy(nextSeq = m.nextSeq + 1))
+    TableManifest.store(manifestPath, m.copy(nextSeq = m.nextSeq + 1,
+      batchesSinceRewrite = if (m.batchesSinceRewrite == Long.MaxValue) Long.MaxValue else m.batchesSinceRewrite + 1))
   }
 
   // ----------------------------------------------------------------- read
@@ -154,8 +156,14 @@ final class Smoltable private (
     * (data dir with no parquet files left). */
   def allCells: DataFrame =
     if (!hasData) spark.emptyDataset[StoredCell].toDF()
-    else CellOps.lastWriteWins(
-      spark.read.schema(cellSchema).parquet(dataDir.toString))
+    else maybeLww(spark.read.schema(cellSchema).parquet(dataDir.toString))
+
+  /** With at most one write batch since the last rewrite there are no
+    * cross-batch overwrites, so the LWW dedup window (and its shuffle) is
+    * skipped — the bulk-load-then-scan fast path. Bulk loads with duplicate
+    * exact cell coordinates inside ONE batch should pre-dedup. */
+  private def maybeLww(df: DataFrame): DataFrame =
+    if (manifest.batchesSinceRewrite > 1) CellOps.lastWriteWins(df) else df
 
   /** Locality groups a column filter touches; order mirrors the reference
     * (default group first). `smoltable/src/table/row_reader.rs:6-69`.
@@ -188,7 +196,7 @@ final class Smoltable private (
   def cellsFor(filter: Option[ColumnFilter]): DataFrame = {
     val groups = affectedGroups(filter)
     if (!hasData) allCells
-    else CellOps.lastWriteWins(
+    else maybeLww(
       spark.read.schema(cellSchema).parquet(dataDir.toString)
         .filter(col("lg").isin(groups: _*)))
   }
@@ -290,6 +298,10 @@ final class Smoltable private (
     arranged.write.mode("overwrite").partitionBy("lg").parquet(tmp.toString)
     deleteRecursively(dataDir)
     Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
+    // rewritten data is physically LWW-resolved; reads can skip the window
+    // until a second batch lands
+    val m = manifest
+    TableManifest.store(manifestPath, m.copy(batchesSinceRewrite = 1L))
   }
 
   /** Parquet data files currently backing the table. */
