@@ -380,15 +380,18 @@ object SparkEntry {
     }),
 
     // ---- TPC-H-style analytics (Spark-first capabilities) ------------
+    // Money/quantity aggregates are BIGINT fixed-point (cents / 1e-4 units):
+    // per-row `round(x * scale)` is exact here (inputs have <=2 decimals, fp
+    // noise <3e-7) and BIGINT sums hash identically in Spark and DuckDB,
+    // unlike DECIMAL(38,6) whose binary layout differs between engines.
     "q1_pricing_summary" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,6)"))
-            .cast("decimal(38,6)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,6)"))
-            .cast("decimal(38,6)").as("sum_base_price"),
+          sum(expr("cast(round(l_quantity * 100) as bigint)")).as("sum_qty"),
+          sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .as("sum_base_price"),
           org.apache.spark.sql.functions.count(lit(1)).as("count_order"))
     }),
     "q3_shipping_priority" -> ((s, dir) => {
@@ -399,10 +402,9 @@ object SparkEntry {
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"))
-        .agg(sum((col("l_extendedprice").cast("decimal(18,6)") *
-          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-            .cast("decimal(18,6)"))
-          .cast("decimal(38,6)").as("revenue"))
+        .agg(sum(expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)"))
+          .as("revenue"))
     })
   )
 
@@ -630,7 +632,7 @@ object SparkEntry {
       "ext_stream_window" ->
         """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start_epoch,
           |  event_type, CAST(count(*) AS BIGINT) AS n_events,
-          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+          |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum
           |FROM events GROUP BY 1, 2""".stripMargin,
       "ext_sessionize" ->
         """WITH ev AS (
@@ -648,14 +650,14 @@ object SparkEntry {
           |FROM s GROUP BY user_id, session_id""".stripMargin,
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price,
           |  CAST(count(*) AS BIGINT) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
           |GROUP BY l_returnflag, l_linestatus""".stripMargin,
       "q3_shipping_priority" ->
         """SELECT l_orderkey,
-          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
           |WHERE c_mktsegment = 'BUILDING'

@@ -39,9 +39,11 @@ object StreamOps {
     val agg = stream
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      // BIGINT fixed-point micros: per-row round is exact (values have <=2
+      // decimals) and BIGINT sums hash identically in Spark and DuckDB,
+      // unlike DECIMAL whose binary layout differs between engines.
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
-          .as("value_sum"))
+        sum(expr("cast(round(value * 1000000) as bigint)")).as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
     val q = agg.writeStream
