@@ -203,18 +203,32 @@ final class Smoltable private (
 
   // -------------------------------------------------------------- queries
 
+  /** JSON-API scan verb. Omitted limits default to the reference's 65535
+    * (`mod.rs:635-650`), which also bounds the driver-side assembly — the
+    * collect below can never exceed 65535 cells. For unbounded analytical
+    * output use [[scanFrame]], which never touches the driver.
+    */
   def scan(in: ScanInput): ScanOutput = {
-    val surviving = CellOps.scanCells(cellsFor(in.filter), in)
+    val eff = in.withEngineDefaults
+    val surviving = CellOps.scanCells(cellsFor(eff.filter), eff)
     val rows = assemble(collectCells(surviving))
-    ScanOutput(rows, scanMetrics(in))
+    ScanOutput(rows, scanMetrics(eff))
   }
 
+  /** Scale path: scan as a distributed nested-row DataFrame
+    * `(row_key, families map<family, map<qualifier, array<(ts,v)>>>)` — no
+    * driver materialization, no default limits. The 100 TB scan-to-table
+    * route ([[CellOps.assembleRows]]); the caller writes or joins the frame.
+    */
+  def scanFrame(in: ScanInput): DataFrame =
+    CellOps.assembleRows(
+      CellOps.scanCells(cellsFor(in.filter), in), col("value"))
+
   def getRow(in: GetRowInput): GetRowOutput = {
-    val df = CellOps.getRowCells(
-      cellsFor(in.filter),
-      in)
+    val eff = in.withEngineDefaults
+    val df = CellOps.getRowCells(cellsFor(eff.filter), eff)
     val rows = assemble(collectCells(df))
-    GetRowOutput(rows.headOption, getRowMetrics(in))
+    GetRowOutput(rows.headOption, getRowMetrics(eff))
   }
 
   /** Reference: `smoltable/src/table/mod.rs:600-626` (`multi_get`). */

@@ -174,9 +174,11 @@ final case class ColumnFamilyDefinition(
     gc: GcSettings = GcSettings()
 )
 
-/** Scan query input. Defaults mirror `smoltable/src/table/mod.rs:635-650`
-  * (u16::MAX when omitted); we keep Options and only pay for the global
-  * rank machinery when a bound is actually requested.
+/** Scan query input. `None` means "caller imposed no bound" — the raw
+  * [[graft.core.CellOps]] pipelines treat it as unlimited (the analytics
+  * surface), while the engine verbs ([[graft.core.Smoltable.scan]]) apply
+  * the reference's u16::MAX defaults via [[withEngineDefaults]]
+  * (`smoltable/src/table/mod.rs:635-650`).
   */
 final case class ScanInput(
     mode: ScanMode,
@@ -187,7 +189,21 @@ final case class ScanInput(
     columnCellLimit: Option[Int] = None,
     globalCellLimit: Option[Int] = None,
     sample: Option[Float] = None
-)
+) {
+  /** Engine-verb view: every omitted limit becomes the reference default
+    * 65535 (`scan`, `mod.rs:635-650`). Besides wire parity this bounds the
+    * driver-side row assembly — a limit-less scan can never collect more
+    * than 65535 cells. */
+  def withEngineDefaults: ScanInput = copy(
+    rowLimit = rowLimit.orElse(Some(ScanInput.DefaultLimit)),
+    rowCellLimit = rowCellLimit.orElse(Some(ScanInput.DefaultLimit)),
+    columnCellLimit = columnCellLimit.orElse(Some(ScanInput.DefaultLimit)),
+    globalCellLimit = globalCellLimit.orElse(Some(ScanInput.DefaultLimit)))
+}
+object ScanInput {
+  /** u16::MAX — the reference's default for every omitted limit. */
+  val DefaultLimit = 65535
+}
 
 /** Point-get input. Reference: `smoltable/src/query/row.rs:26-31`. */
 final case class GetRowInput(
@@ -195,7 +211,13 @@ final case class GetRowInput(
     filter: Option[ColumnFilter] = None,
     rowCellLimit: Option[Int] = None,
     columnCellLimit: Option[Int] = None
-)
+) {
+  /** Engine-verb view: reference defaults (u16::MAX) for omitted limits
+    * (`get_row`, `smoltable/src/table/mod.rs:824-831`). */
+  def withEngineDefaults: GetRowInput = copy(
+    rowCellLimit = rowCellLimit.orElse(Some(ScanInput.DefaultLimit)),
+    columnCellLimit = columnCellLimit.orElse(Some(ScanInput.DefaultLimit)))
+}
 
 final case class CountInput(
     mode: ScanMode,

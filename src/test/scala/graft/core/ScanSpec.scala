@@ -230,6 +230,36 @@ class ScanSpec extends SparkSuite {
     }
   }
 
+  test("omitted scan limits default to 65535 (u16::MAX) like the reference") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.functions._
+      val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("value")))
+      // 66k one-cell rows via the bulk path — crosses the u16::MAX boundary
+      val cells = spark.range(66000).select(
+        format_string("r%06d", col("id")).as("row_key"),
+        lit("value").as("family"), lit("").as("qualifier"), lit(0L).as("ts"),
+        struct(lit("string").as("vtype"),
+          format_string("v%d", col("id")).as("s"),
+          lit(null).cast("boolean").as("b"), lit(null).cast("short").as("u8"),
+          lit(null).cast("int").as("i32"), lit(null).cast("long").as("i64"),
+          lit(null).cast("float").as("f32"),
+          lit(null).cast("double").as("f64")).as("value"))
+      t.writeBulk(cells)
+
+      val out = t.scan(ScanInput(ScanMode.Prefix("")))
+      assert(out.rows.size == ScanInput.DefaultLimit)
+      assert(out.rows.map(_.cellCount).sum == ScanInput.DefaultLimit)
+      assert(out.rows.last.rowKey == f"r${ScanInput.DefaultLimit - 1}%06d")
+      // the breaking row (65536th) is visited before the loop stops
+      assert(out.metrics.rowsScanned == ScanInput.DefaultLimit + 1L)
+
+      // explicit limits still override the default
+      val two = t.scan(ScanInput(ScanMode.Prefix(""), rowLimit = Some(2)))
+      assert(two.rows.map(_.rowKey) == Seq("r000000", "r000001"))
+    }
+  }
+
   test("value codec round-trip across all seven types") {
     withTempDir { dir =>
       val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
