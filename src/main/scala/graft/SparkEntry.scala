@@ -286,6 +286,13 @@ object SparkEntry {
       engSel(CellOps.scanCells(t.cellsFor(f),
         ScanInput(ScanMode.Prefix(""), filter = f)))
     }),
+    // multi-get as ONE plan (`isin` + shared per-row limit windows), the
+    // same shape Smoltable.multiGet batches into a single job
+    "eng_multi_get" -> ((s, dir) => {
+      val t = engineOrders(s, dir)
+      engSel(CellOps.getRowCells(t.cellsFor(None), GetRowInput("0000000001"),
+        Seq("0000000001", "0000000042", "0000000777")))
+    }),
 
     // ================= large-scale pipeline extensions =================
 
@@ -519,6 +526,8 @@ object SparkEntry {
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key LIKE '00000001%'",
       "eng_get_row" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key = '0000000001'",
+      "eng_multi_get" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key IN ('0000000001','0000000042','0000000777')",
       "eng_locality_scan" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE family = 'm'",
       "ext_dedup_exact" ->

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,27 +96,44 @@ object CellOps {
     *   order (counting only cells that survived 4+5), 7. row limit on
     *   materialized rows.
     */
-  def scanCells(cells: DataFrame, in: ScanInput): DataFrame = {
+  def scanCells(cells: DataFrame, in: ScanInput): DataFrame =
+    scanCells(cells, in, None)
+
+  /** As [[scanCells]], additionally publishing the qualifying-row count
+    * (distinct rows passing mode + column filter, BEFORE sampling/offset/
+    * limits drop any) through `rowObs` as metric `qual_rows` — computed by
+    * the same job that produces the result, so the engine's scan verb needs
+    * no second pass for its `rows_scanned` accounting. Requires sampling/
+    * offset or a per-row cell limit to be present (the engine defaults
+    * guarantee the latter); plain pipelines pass `None`.
+    */
+  def scanCells(cells: DataFrame, in: ScanInput,
+      rowObs: Option[Observation]): DataFrame = {
     var df = cells.filter(modePredicate(in.mode))
     in.filter.foreach(f => df = df.filter(filterPredicate(f)))
 
-    // 3. sampling + offset: global rank over distinct row keys, joined back.
+    // 3. sampling + offset: global rank over distinct row keys, joined back
+    //    (the rank frame is orders of magnitude smaller than the cells).
     val needRowRank = in.sample.exists(_ < 1.0f) || in.rowOffset.exists(_ > 0)
     if (needRowRank) {
       val rowRank = df.select("row_key").distinct()
         .withColumn("_rk_rank",
           row_number().over(Window.orderBy(col("row_key"))).cast("long"))
-      var keep = rowRank
+      df = df.join(broadcast(rowRank), Seq("row_key"))
+      // qualifying rows = max rank, observed before sampling/offset filter
+      rowObs.foreach { o =>
+        df = df.observe(o, coalesce(max(col("_rk_rank")), lit(0L)).as("qual_rows"))
+      }
       in.sample.filter(_ < 1.0f).foreach { rate =>
-        keep = keep.filter(sampleEmit(col("_rk_rank"), rate))
+        df = df.filter(sampleEmit(col("_rk_rank"), rate))
       }
       // Reference offset check is `rows_scanned_count < row_offset` with the
       // counter already incremented, so rank >= offset survives
       // (`smoltable/src/table/mod.rs:753-756`).
       in.rowOffset.filter(_ > 0).foreach { off =>
-        keep = keep.filter(col("_rk_rank") >= off)
+        df = df.filter(col("_rk_rank") >= off)
       }
-      df = df.join(broadcast(keep.select("row_key")), Seq("row_key"), "left_semi")
+      df = df.drop("_rk_rank")
     }
 
     // 4. per-column version limit (newest first).
@@ -133,8 +150,14 @@ object CellOps {
         val rowW = Window.partitionBy("row_key")
           .orderBy(col("family").asc, col("qualifier").asc, col("ts").desc)
         df = df.withColumn("_row_rank", row_number().over(rowW))
-          .filter(col("_row_rank") <= k)
-          .drop("_row_rank")
+        // each row keeps >=1 cell through the column limit, so rank-1 cells
+        // mark qualifying rows exactly once (hash shuffle keeps rows whole)
+        if (!needRowRank) rowObs.foreach { o =>
+          df = df.observe(o,
+            coalesce(sum(when(col("_row_rank") === 1, 1L)), lit(0L))
+              .as("qual_rows"))
+        }
+        df = df.filter(col("_row_rank") <= k).drop("_row_rank")
       }
       df = df.drop("_col_rank")
     }
@@ -147,9 +170,26 @@ object CellOps {
 
     // 7. row limit: first N materialized rows in row-key order.
     in.rowLimit.foreach { n =>
-      val limited = df.select("row_key").distinct()
-        .orderBy("row_key").limit(n)
-      df = df.join(broadcast(limited), Seq("row_key"), "left_semi")
+      // With rowLimit >= globalCellLimit the row limit can never bind: the
+      // reference loop checks the global cell count per cell BEFORE row
+      // bookkeeping, and cells >= materialized rows, so the global break
+      // fires first (`mod.rs:697-699` vs `:724-734`). The engine defaults
+      // (both 65535) always take this branch — no extra plan nodes.
+      val redundant = in.globalCellLimit.exists(g => n >= g)
+      if (!redundant) {
+        if (in.globalCellLimit.isDefined) {
+          // input already truncated to <= globalCellLimit cells: a global
+          // rank window over the bounded remainder is exact and avoids
+          // re-reading the source for the key list
+          df = df.withColumn("_row_drank",
+              dense_rank().over(Window.orderBy(col("row_key"))))
+            .filter(col("_row_drank") <= n).drop("_row_drank")
+        } else {
+          val limited = df.select("row_key").distinct()
+            .orderBy("row_key").limit(n)
+          df = df.join(broadcast(limited), Seq("row_key"), "left_semi")
+        }
+      }
     }
     df
   }
@@ -161,8 +201,17 @@ object CellOps {
     * Note get_row's global cell limit counts *visited* cells including ones
     * dropped by the column limit (unlike scan) — `mod.rs:843-868`.
     */
-  def getRowCells(cells: DataFrame, in: GetRowInput): DataFrame = {
-    var df = cells.filter(col("row_key") === in.key)
+  def getRowCells(cells: DataFrame, in: GetRowInput): DataFrame =
+    getRowCells(cells, in, Seq(in.key))
+
+  /** Multi-key variant: one plan for N keys (`multi_get`,
+    * `smoltable/src/table/mod.rs:600-626`). All limit windows partition by
+    * `row_key`, so the per-row limit semantics apply to each key
+    * independently inside the single job.
+    */
+  def getRowCells(cells: DataFrame, in: GetRowInput,
+      keys: Seq[String]): DataFrame = {
+    var df = cells.filter(col("row_key").isin(keys: _*))
     in.filter.foreach(f => df = df.filter(filterPredicate(f)))
 
     val colW = Window.partitionBy("row_key", "family", "qualifier")

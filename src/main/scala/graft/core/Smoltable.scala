@@ -2,7 +2,7 @@ package graft.core
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model._
@@ -207,49 +207,101 @@ final class Smoltable private (
     * (`mod.rs:635-650`), which also bounds the driver-side assembly — the
     * collect below can never exceed 65535 cells. For unbounded analytical
     * output use [[scanFrame]], which never touches the driver.
+    *
+    * Single-pass: the scanned-cell/byte accounting rides the result job as
+    * `observe` (CollectMetrics) aggregates over the visited-cell superset,
+    * and the qualifying-row count is observed at the limit windows inside
+    * [[CellOps.scanCells]] — one Spark action, no second read.
     */
   def scan(in: ScanInput): ScanOutput = {
     val eff = in.withEngineDefaults
-    val surviving = CellOps.scanCells(cellsFor(eff.filter), eff)
+    val groups = affectedGroups(eff.filter)
+    if (!hasData) return ScanOutput(Nil, ScanMetrics(groups.size, 0L, 0L, 0L))
+    val cellsObs = Observation()
+    val rowObs = Observation()
+    val surviving = CellOps.scanCells(
+      observedVisible(cellsFor(eff.filter), seekStart(eff.mode), cellsObs),
+      eff, Some(rowObs))
     val rows = assemble(collectCells(surviving))
-    ScanOutput(rows, scanMetrics(eff))
+    val qualRows = rowObs.get("qual_rows").asInstanceOf[Long]
+    // With a row limit the loop visits one row beyond the limit before
+    // breaking (`smoltable/src/table/mod.rs:724-734`).
+    val rowsScanned = eff.rowLimit match {
+      case Some(l) => math.min(qualRows, l.toLong + 1)
+      case None    => qualRows
+    }
+    ScanOutput(rows, ScanMetrics(groups.size,
+      cellsObs.get("cells").asInstanceOf[Long], rowsScanned,
+      cellsObs.get("bytes").asInstanceOf[Long]))
   }
 
   /** Scale path: scan as a distributed nested-row DataFrame
     * `(row_key, families map<family, map<qualifier, array<(ts,v)>>>)` — no
-    * driver materialization, no default limits. The 100 TB scan-to-table
-    * route ([[CellOps.assembleRows]]); the caller writes or joins the frame.
+    * driver materialization, no default limits, no metrics instrumentation
+    * (filters push down to the parquet scan untouched). The 100 TB
+    * scan-to-table route ([[CellOps.assembleRows]]); the caller writes or
+    * joins the frame.
     */
   def scanFrame(in: ScanInput): DataFrame =
     CellOps.assembleRows(
       CellOps.scanCells(cellsFor(in.filter), in), col("value"))
 
   def getRow(in: GetRowInput): GetRowOutput = {
-    val eff = in.withEngineDefaults
-    val df = CellOps.getRowCells(cellsFor(eff.filter), eff)
-    val rows = assemble(collectCells(df))
-    GetRowOutput(rows.headOption, getRowMetrics(eff))
+    val out = multiGet(Seq(in))
+    GetRowOutput(out.rows.headOption,
+      out.metrics.copy(rowsScanned = 1L))
   }
 
-  /** Reference: `smoltable/src/table/mod.rs:600-626` (`multi_get`). */
+  /** Reference: `smoltable/src/table/mod.rs:600-626` (`multi_get`) — but as
+    * ONE Spark plan per distinct option signature (usually one total)
+    * instead of the reference's sequential per-key loop: `row_key IN (keys)`
+    * is sargable (bucket/file pruning), and every limit window already
+    * partitions by `row_key`, so per-key semantics hold inside a single job.
+    */
   def multiGet(ins: Seq[GetRowInput]): ScanOutput = {
-    val outs = ins.map(getRow)
-    val rows = outs.flatMap(_.row)
-    val m = ScanMetrics(
-      affectedLocalityGroups = outs.map(_.metrics.affectedLocalityGroups).sum,
-      cellsScanned = outs.map(_.metrics.cellsScanned).sum,
-      rowsScanned = ins.size.toLong,
-      bytesScanned = outs.map(_.metrics.bytesScanned).sum)
-    ScanOutput(rows, m)
+    val groupsTotal = ins.map(i => affectedGroups(i.filter).size).sum
+    if (ins.isEmpty || !hasData)
+      return ScanOutput(Nil, ScanMetrics(groupsTotal, 0L, ins.size.toLong, 0L))
+    var cellsScanned = 0L
+    var bytesScanned = 0L
+    val assembled = scala.collection.mutable.ArrayBuffer.empty[GRow]
+    ins.groupBy(i => (i.filter, i.rowCellLimit, i.columnCellLimit))
+      .foreach { case (_, batch) =>
+        val eff = batch.head.withEngineDefaults
+        val keys = batch.map(_.key).distinct
+        val obs = Observation()
+        val visible = cellsFor(eff.filter)
+          .filter(col("row_key").isin(keys: _*) &&
+            rawKeyStr >= concat(col("row_key"), lit(getRowSeekSuffix(eff))))
+          .observe(obs, cellCountAgg, cellBytesAgg)
+        val df = CellOps.getRowCells(visible, eff, keys)
+        assembled ++= assemble(collectCells(df))
+        cellsScanned += obs.get("cells").asInstanceOf[Long]
+        bytesScanned += obs.get("bytes").asInstanceOf[Long]
+      }
+    // rows come back in input order, duplicates included (reference loop)
+    val byKey = assembled.map(r => r.rowKey -> r).toMap
+    val rows = ins.flatMap(i => byKey.get(i.key))
+    ScanOutput(rows, ScanMetrics(groupsTotal, cellsScanned,
+      ins.size.toLong, bytesScanned))
   }
 
+  /** Single aggregation job: qualifying row/cell counts and visited bytes
+    * in one pass (`scan_count`, `smoltable/src/table/mod.rs:361-451`).
+    */
   def scanCount(in: CountInput): CountOutput = {
-    val r = CellOps.countCells(cellsFor(in.filter), in).head()
-    CountOutput(
-      rowCount = r.getLong(0), cellCount = r.getLong(1),
-      affectedLocalityGroups = affectedGroups(in.filter).size,
-      bytesScanned = scanMetrics(
-        ScanInput(in.mode, in.filter)).bytesScanned)
+    val groups = affectedGroups(in.filter)
+    if (!hasData) return CountOutput(0L, 0L, groups.size, 0L)
+    var qualPred = CellOps.modePredicate(in.mode)
+    in.filter.foreach(f => qualPred = qualPred && CellOps.filterPredicate(f))
+    val start = seekStart(in.mode)
+    var visible = cellsFor(in.filter)
+    if (start.nonEmpty) visible = visible.filter(rawKeyStr >= start)
+    val r = visible.agg(
+      count_distinct(when(qualPred, col("row_key"))).as("row_count"),
+      coalesce(sum(when(qualPred, 1L)), lit(0L)).as("cell_count"),
+      coalesce(sum(cellBytes), lit(0L)).as("bytes")).head()
+    CountOutput(r.getLong(0), r.getLong(1), groups.size, r.getLong(2))
   }
 
   /** Exact full count. Reference: `smoltable/src/table/mod.rs:322-359`. */
@@ -353,10 +405,56 @@ final class Smoltable private (
 
   // ------------------------------------------------------------- metrics
 
-  /** Cell key-tuple column for seek-position comparisons (LSM raw-key order
-    * `(row_key, family, qualifier, !ts)`). */
-  private def keyTuple =
-    struct(col("row_key"), col("family"), col("qualifier"), -col("ts"))
+  /** The LSM raw key as a string, for seek-position comparisons. The real
+    * codec appends 16 negated-timestamp bytes (`cell.rs:168-182`); those
+    * never participate in comparisons against a row/column seek position,
+    * so the string prefix is enough.
+    */
+  private def rawKeyStr: Column =
+    concat(col("row_key"), lit(":"), col("family"), lit(":"),
+      col("qualifier"), lit(":"))
+
+  /** Where the reference reader's range BEGINS: the literal prefix/range
+    * start (`smoltable/src/table/mod.rs:662-684` builds the range from the
+    * input, not from the first matching key). Static — visited-cell
+    * accounting needs no pre-pass to locate the seek position.
+    */
+  private def seekStart(mode: ScanMode): String = mode match {
+    case ScanMode.Prefix(p)      => p
+    case ScanMode.Range(s, _, _) => s
+  }
+
+  /** get_row seek narrowing (`smoltable/src/table/row_reader.rs:117-131`):
+    * an exact Key filter seeks straight to `row:fam(:qual):`; Multi/Prefix
+    * post-filter from `row:`. Returned as a suffix appended to the row key,
+    * so one static predicate covers every key of a multi-get batch.
+    */
+  private def getRowSeekSuffix(in: GetRowInput): String = in.filter match {
+    case Some(ColumnFilter.Key(k)) => k.qualifier match {
+      case Some(q) => s":${k.family}:$q:"
+      case None    => s":${k.family}:"
+    }
+    case _ => ":"
+  }
+
+  private def cellCountAgg =
+    org.apache.spark.sql.functions.count(lit(1)).as("cells")
+  private def cellBytesAgg = coalesce(sum(cellBytes), lit(0L)).as("bytes")
+
+  /** Visited-cell superset of a scan with its accounting attached: cells of
+    * the affected groups from the seek position to partition end (the
+    * reference reader's range is end-unbounded — `reader.rs:80-148`;
+    * termination stops consumption, not the range). The `observe` node is a
+    * pushdown barrier, so the later mode/filter predicates cannot prune the
+    * parquet read below what the accounting must visit — and the counting
+    * itself is free: CollectMetrics aggregates ride the result job.
+    */
+  private def observedVisible(cells: DataFrame, start: String,
+      obs: Observation): DataFrame = {
+    val visible = if (start.isEmpty) cells
+      else cells.filter(rawKeyStr >= start)
+    visible.observe(obs, cellCountAgg, cellBytesAgg)
+  }
 
   /** Encoded byte size of one cell (raw key + tag-encoded value) per the
     * reference codec: key = "row:fam:qual:" + 16-byte ts
@@ -373,74 +471,6 @@ final class Smoltable private (
       .when(col("value.vtype") === "f32", 5)
       .otherwise(9)
     (keyLen + valLen).cast("long")
-  }
-
-  /** Reproduces the chunked reader's scanned accounting
-    * (`smoltable/src/table/reader.rs:80-148`): each affected locality group
-    * seeks to the first key matching the scan position and counts every cell
-    * from there to the end of the partition (the reader's range is
-    * end-unbounded; termination only stops consumption, not prefetch).
-    */
-  private def scanMetrics(in: ScanInput): ScanMetrics = {
-    val groups = affectedGroups(in.filter)
-    if (!hasData)
-      return ScanMetrics(groups.size, 0L, 0L, 0L)
-    val cells = allCells.filter(col("lg").isin(groups: _*))
-
-    val seekPred = in.mode match {
-      case ScanMode.Prefix("")      => lit(true)
-      case ScanMode.Prefix(p)       => col("row_key").startsWith(p)
-      case ScanMode.Range(s, _, _)  => col("row_key") >= s
-    }
-    // per group: first matching key, then count/bytes of all cells >= it
-    val seek = cells.filter(seekPred)
-      .groupBy("lg").agg(min(keyTuple).as("_seek"))
-    val scanned = cells.join(seek, "lg")
-      .filter(keyTuple >= col("_seek"))
-      .agg(coalesce(org.apache.spark.sql.functions.count(lit(1)), lit(0L)),
-        coalesce(sum(cellBytes), lit(0L)))
-      .head()
-
-    var qualifying = cells.filter(CellOps.modePredicate(in.mode))
-    in.filter.foreach(f => qualifying = qualifying.filter(CellOps.filterPredicate(f)))
-    val qualRows = qualifying.select("row_key").distinct().count()
-    // With a row limit the loop visits one row beyond the limit before
-    // breaking (`smoltable/src/table/mod.rs:724-734`).
-    val rowsScanned = in.rowLimit match {
-      case Some(l) => math.min(qualRows, l.toLong + 1)
-      case None    => qualRows
-    }
-    ScanMetrics(groups.size, scanned.getLong(0), rowsScanned,
-      scanned.getLong(1))
-  }
-
-  /** get_row seek narrowing: an exact Key filter seeks straight to
-    * `row:fam:qual:` / `row:fam:`; Multi/Prefix post-filter from `row:`.
-    * Reference: `smoltable/src/table/row_reader.rs:117-131`.
-    */
-  private def getRowMetrics(in: GetRowInput): ScanMetrics = {
-    val groups = affectedGroups(in.filter)
-    if (!hasData)
-      return ScanMetrics(groups.size, 0L, 0L, 0L)
-    val cells = allCells.filter(col("lg").isin(groups: _*))
-
-    val rawKeyStr = concat(col("row_key"), lit(":"), col("family"),
-      lit(":"), col("qualifier"), lit(":"))
-    val seekPrefix = in.filter match {
-      case Some(ColumnFilter.Key(k)) => k.qualifier match {
-        case Some(q) => s"${in.key}:${k.family}:$q:"
-        case None    => s"${in.key}:${k.family}:"
-      }
-      case _ => s"${in.key}:"
-    }
-    val seek = cells.filter(rawKeyStr.startsWith(seekPrefix))
-      .groupBy("lg").agg(min(keyTuple).as("_seek"))
-    val scanned = cells.join(seek, "lg")
-      .filter(keyTuple >= col("_seek"))
-      .agg(coalesce(org.apache.spark.sql.functions.count(lit(1)), lit(0L)),
-        coalesce(sum(cellBytes), lit(0L)))
-      .head()
-    ScanMetrics(groups.size, scanned.getLong(0), 1L, scanned.getLong(1))
   }
 
   // ------------------------------------------------------------ assembly

@@ -251,12 +251,56 @@ class ScanSpec extends SparkSuite {
       assert(out.rows.size == ScanInput.DefaultLimit)
       assert(out.rows.map(_.cellCount).sum == ScanInput.DefaultLimit)
       assert(out.rows.last.rowKey == f"r${ScanInput.DefaultLimit - 1}%06d")
-      // the breaking row (65536th) is visited before the loop stops
-      assert(out.metrics.rowsScanned == ScanInput.DefaultLimit + 1L)
+      // With 1-cell rows the GLOBAL cell limit breaks first, and its check
+      // precedes row bookkeeping (`mod.rs:697-699`) — the 65536th row is
+      // never counted (unlike a pure row-limit break, which counts the
+      // breaking row).
+      assert(out.metrics.rowsScanned == ScanInput.DefaultLimit.toLong)
 
       // explicit limits still override the default
       val two = t.scan(ScanInput(ScanMode.Prefix(""), rowLimit = Some(2)))
       assert(two.rows.map(_.rowKey) == Seq("r000000", "r000001"))
+    }
+  }
+
+  test("scan, get_row, multi_get and scan_count each run ONE action " +
+      "(metrics ride the result job, no second pass)") {
+    withTempDir { dir =>
+      val t = f7(dir)
+      val actions = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = actions.incrementAndGet()
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      // listener events are async: wait until the count is nonzero and stable
+      def settled(): Int = {
+        var prev = -1
+        var cur = actions.get
+        var spins = 0
+        while ((cur != prev || cur == 0) && spins < 100) {
+          Thread.sleep(50); prev = cur; cur = actions.get; spins += 1
+        }
+        cur
+      }
+      spark.listenerManager.register(listener)
+      try {
+        actions.set(0)
+        t.scan(ScanInput(ScanMode.Prefix("b")))
+        assert(settled() == 1, "scan should be a single action")
+        actions.set(0)
+        t.getRow(GetRowInput("a"))
+        assert(settled() == 1, "get_row should be a single action")
+        actions.set(0)
+        t.multiGet(Seq(GetRowInput("a"), GetRowInput("c")))
+        assert(settled() == 1, "multi_get should be a single action")
+        actions.set(0)
+        t.scanCount(CountInput(ScanMode.Prefix("")))
+        assert(settled() == 1, "scan_count should be a single action")
+      } finally spark.listenerManager.unregister(listener)
     }
   }
 
