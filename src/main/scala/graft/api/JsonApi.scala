@@ -36,9 +36,21 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession) 
       result: String): String =
     s"""{"time_ms":$timeMs,"status":$status,"message":${Json.quote(message)},"result":$result}"""
 
+  /** Times the handler body and maps parse/validation failures to the
+    * reference's 400 envelope (`server/src/api/mod.rs` `bad_request`) —
+    * malformed JSON, unknown column families, a missing scan mode, etc.
+    * produce `{"status":400,...}` instead of escaping to the caller.
+    */
   private def timed[T](f: => (Int, String, String)): String = {
     val t0 = System.nanoTime()
-    val (status, msg, result) = f
+    val (status, msg, result) =
+      try f
+      catch {
+        case e @ (_: IllegalArgumentException | _: IllegalStateException |
+            _: NoSuchElementException | _: NumberFormatException |
+            _: IndexOutOfBoundsException) =>
+          (400, Option(e.getMessage).getOrElse("Bad request"), "null")
+      }
     envelope((System.nanoTime() - t0) / 1000000L, status, msg, result)
   }
 
@@ -211,18 +223,55 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession) 
       s"""{"micros_per_item":$microsPerItem,"deleted_cells_count":$deleted}""")
   }
 
-  /** `GET /v1/table` — list tables with disk usage. */
+  /** `GET /v1/table` — list tables with the reference's full detail
+    * (`server/src/api/list_tables.rs:30-111`): column families with GC
+    * settings, locality groups, per-partition paths + segment counts
+    * (parquet file counts, `smoltable/src/table/mod.rs:888-904`), disk
+    * usage, and global cache stats (Spark block-manager storage memory
+    * standing in for the reference's block cache).
+    */
   def listTables(): String = timed {
+    import graft.core.TableManifest
     val tables = catalog.listTables().map { name =>
-      val m = table(name).manifest
-      val fams = m.families.map(f => Json.quote(f.name)).mkString("[", ",", "]")
+      val t = table(name)
+      val m = t.manifest
+      val fams = m.families.map { f =>
+        val vl = f.gc.versionLimit.map(_.toString).getOrElse("null")
+        val ttl = f.gc.ttlSecs.map(_.toString).getOrElse("null")
+        s"""{"name":${Json.quote(f.name)},"gc_settings":{"version_limit":$vl,"ttl_secs":$ttl}}"""
+      }.mkString("[", ",", "]")
       val lgs = m.localityGroups.map(g =>
         s"""{"id":${Json.quote(g.id)},"column_families":${g.families.map(Json.quote).mkString("[", ",", "]")}}""")
         .mkString("[", ",", "]")
-      s"""{"name":${Json.quote(name)},"column_families":$fams,"locality_groups":$lgs,"disk_space_in_bytes":${catalog.diskSpaceUsage(name)}}"""
+      // partitions: manifest + default data partition + one per lg
+      // (reference shape `PartitionListEntry` + segment counts)
+      val partEntries =
+        Seq(s"_man_$name" -> t.manifestFilePath.toString) ++
+          ((TableManifest.DefaultGroup +: m.localityGroups.map(_.id)).map { lg =>
+            val pname = if (lg == TableManifest.DefaultGroup) s"_dat_$name"
+              else s"_lg_${lg}_$name"
+            pname -> t.partitionPath(lg).toString
+          })
+      val parts = partEntries.zipWithIndex.map { case ((pname, path), i) =>
+        val segs =
+          if (i == 0) 0
+          else {
+            val lg = (TableManifest.DefaultGroup +: m.localityGroups.map(_.id))(i - 1)
+            t.segmentCount(lg)
+          }
+        s"""{"name":${Json.quote(pname)},"path":${Json.quote(path)},"segment_count":$segs}"""
+      }.mkString("[", ",", "]")
+      s"""{"name":${Json.quote(name)},"column_families":$fams,"locality_groups":$lgs,"partitions":$parts,"disk_space_in_bytes":${catalog.diskSpaceUsage(name)}}"""
+    }
+    val cacheStats = {
+      val statuses = spark.sparkContext.getExecutorMemoryStatus.values
+      val used = statuses.map { case (max, remaining) => max - remaining }.sum
+      val blocks = spark.sparkContext.getRDDStorageInfo
+        .map(_.numCachedPartitions).sum
+      s"""{"block_count":$blocks,"memory_usage_in_bytes":$used}"""
     }
     (200, "Tables retrieved successfully",
-      s"""{"tables":{"count":${tables.size},"items":${tables.mkString("[", ",", "]")}}}""")
+      s"""{"tables":{"count":${tables.size},"items":${tables.mkString("[", ",", "]")}},"cache_stats":$cacheStats}""")
   }
 
   /** `DELETE /v1/table/{name}`. */

@@ -378,6 +378,23 @@ final class Smoltable private (
       .count(p => p.getFileName.toString.endsWith(".parquet"))
   }
 
+  /** Parquet files of one locality-group partition — the analog of the
+    * reference's per-partition segment count
+    * (`smoltable/src/table/mod.rs:888-904`, `list_tables.rs`). */
+  def segmentCount(lg: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val p = dataDir.resolve(s"lg=$lg")
+    if (!Files.exists(p)) 0
+    else Files.walk(p).iterator().asScala
+      .count(f => f.getFileName.toString.endsWith(".parquet"))
+  }
+
+  /** Partition directory path for a locality group (diagnostics). */
+  def partitionPath(lg: String): Path = dataDir.resolve(s"lg=$lg")
+
+  /** Manifest file path (diagnostics). */
+  def manifestFilePath: Path = manifestPath
+
   /** File compaction: rewrite all locality-group partitions into row-key-
     * sorted files of ~`targetBytes` (the analog of the reference's levelled
     * compaction with its 64 MiB segment target,

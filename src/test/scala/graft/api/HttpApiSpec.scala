@@ -1,0 +1,120 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSuite
+import graft.core.Catalog
+import graft.json.JsonValue
+
+/** Drives the engine over REAL HTTP using the reference server's routes and
+  * the documented request bodies (the md files under
+  * `docs/src/content/docs/reference/json-api/`, routes
+  * `server/src/main.rs:133-146`).
+  */
+class HttpApiSpec extends SparkSuite {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def send(method: String, url: String,
+      body: String = ""): (Int, JsonValue) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    val req = (method match {
+      case "GET"    => b.GET()
+      case "PUT"    => b.PUT(HttpRequest.BodyPublishers.ofString(body))
+      case "POST"   => b.POST(HttpRequest.BodyPublishers.ofString(body))
+      case "DELETE" => b.method("DELETE", HttpRequest.BodyPublishers.ofString(body))
+    }).header("Content-Type", "application/json").build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val parsed =
+      try JsonValue.parse(resp.body)
+      catch { case _: Throwable => JsonValue.JString(resp.body) }
+    (resp.statusCode, parsed)
+  }
+
+  test("reference routes over real HTTP: lifecycle + doc-example bodies") {
+    withTempDir { dir =>
+      val api = new JsonApi(new Catalog(dir.toString), spark)
+      val srv = new HttpApiServer(api, port = 0)
+      val port = srv.start()
+      val base = s"http://localhost:$port/v1/table"
+      try {
+        // PUT create table
+        val (cs, cb) = send("PUT", s"$base/webtable")
+        assert(cs == 200 && cb.get("status").map(_.asLong) == Some(200L))
+
+        // POST column-family (docs create-column-families.md body)
+        val (fs, _) = send("POST", s"$base/webtable/column-family",
+          """{"column_families":[{"name":"language"},{"name":"title"},
+            |{"name":"anchor"},{"name":"meta"}]}""".stripMargin)
+        assert(fs == 200)
+
+        // POST write (docs ingest-data.md body)
+        val (ws, wb) = send("POST", s"$base/webtable/write",
+          """{"items":[{"row_key":"org.apache.spark","cells":[
+            |{"column_key":"title:","type":"string","value":"Apache Spark™ - Unified Engine for large-scale data analytics"},
+            |{"column_key":"anchor:org.apache.hbase","type":"string","value":"Visit Apache Spark"},
+            |{"column_key":"meta:size","type":"i64","value":152014}]}]}""".stripMargin)
+        assert(ws == 200)
+        assert(wb.get("result").flatMap(_.get("items"))
+          .flatMap(_.get("cell_count")).map(_.asLong) == Some(3L))
+
+        // POST rows (docs retrieve-rows.md shape)
+        val (rs, rb) = send("POST", s"$base/webtable/rows",
+          """{"items":[{"row":{"key":"org.apache.spark"}}]}""")
+        assert(rs == 200)
+        val row0 = rb.get("result").flatMap(_.get("rows")).get.asArray.head
+        assert(row0.get("row_key").map(_.asString) == Some("org.apache.spark"))
+        assert(row0.get("columns").flatMap(_.get("meta")).flatMap(_.get("size"))
+          .get.asArray.head.get("value").map(_.asLong) == Some(152014L))
+
+        // POST scan (docs scan-rows.md shape)
+        val (ss, sb) = send("POST", s"$base/webtable/scan",
+          """{"row":{"prefix":"org.apache"}}""")
+        assert(ss == 200)
+        assert(sb.get("result").flatMap(_.get("rows")).map(_.asArray.size) == Some(1))
+
+        // POST count
+        val (ns, nb) = send("POST", s"$base/webtable/count",
+          """{"row":{"prefix":""}}""")
+        assert(ns == 200)
+        assert(nb.get("result").flatMap(_.get("cell_count")).map(_.asLong) == Some(3L))
+
+        // DELETE row with filter → 202 envelope
+        val (ds, db) = send("DELETE", s"$base/webtable/row",
+          """{"row_key":"org.apache.spark","column_filter":{"key":"anchor:org.apache.hbase"}}""")
+        assert(ds == 202)
+        assert(db.get("result").flatMap(_.get("deleted_cells_count"))
+          .map(_.asLong) == Some(1L))
+
+        // GET list
+        val (ls, lb) = send("GET", base)
+        assert(ls == 200)
+        assert(lb.get("result").flatMap(_.get("tables")).flatMap(_.get("count"))
+          .map(_.asLong) == Some(1L))
+
+        // --- error envelopes (server/src/api/mod.rs bad_request) ---
+        // malformed JSON → 400 envelope, not a connection error
+        val (bs, bb) = send("POST", s"$base/webtable/scan", """{"row": {"pref""")
+        assert(bs == 400 && bb.get("status").map(_.asLong) == Some(400L))
+        // missing scan mode → 400
+        val (ms, _) = send("POST", s"$base/webtable/scan", """{"row":{}}""")
+        assert(ms == 400)
+        // unknown column family on write → 400
+        val (us, _) = send("POST", s"$base/webtable/write",
+          """{"items":[{"row_key":"x","cells":[{"column_key":"nope:","type":"string","value":"v"}]}]}""")
+        assert(us == 400)
+        // system table name → 400
+        val (ts, _) = send("PUT", s"$base/_secret")
+        assert(ts == 400)
+        // unknown route → 404
+        val (xs, _) = send("POST", s"$base/webtable/nope", "{}")
+        assert(xs == 404)
+
+        // DELETE table
+        val (es, _) = send("DELETE", s"$base/webtable")
+        assert(es == 200)
+      } finally srv.stop()
+    }
+  }
+}

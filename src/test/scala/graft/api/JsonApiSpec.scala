@@ -68,9 +68,19 @@ class JsonApiSpec extends SparkSuite {
       val cnt2 = result(api.count("webtable", """{"row":{"prefix":""}}"""))
       assert(cnt2.get("cell_count").map(_.asLong) == Some(2L))
 
-      // list tables
+      // list tables: reference detail (list_tables.rs) — family gc_settings,
+      // partitions with paths + segment counts, cache stats
       val listed = result(api.listTables())
       assert(listed.get("tables").flatMap(_.get("count")).map(_.asLong) == Some(1L))
+      val entry = listed.get("tables").flatMap(_.get("items")).get.asArray.head
+      assert(entry.get("column_families").get.asArray
+        .forall(_.get("gc_settings").isDefined))
+      val parts = entry.get("partitions").get.asArray
+      assert(parts.exists(_.get("name").exists(_.asString == "_man_webtable")))
+      assert(parts.exists(p => p.get("name").exists(_.asString == "_dat_webtable")
+        && p.get("segment_count").exists(_.asLong > 0)))
+      assert(listed.get("cache_stats")
+        .flatMap(_.get("memory_usage_in_bytes")).isDefined)
 
       // system table names rejected
       val bad = JsonValue.parse(api.createTable("_secret"))

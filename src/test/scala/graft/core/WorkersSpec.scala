@@ -1,0 +1,77 @@
+package graft.core
+
+import graft.SparkSuite
+import graft.model._
+
+/** Background workers (`server/src/worker/mod.rs`): sweeps are exercised
+  * synchronously for determinism; scheduling itself is a smoke test.
+  */
+class WorkersSpec extends SparkSuite {
+
+  private def str(v: String) = CellValue.S(v)
+
+  test("GC sweep runs version GC on user tables and records gc#del_cnt") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val t = Smoltable.open(spark, cat, "events")
+      t.createColumnFamilies(Seq(
+        ColumnFamilyDefinition("v", GcSettings(versionLimit = Some(2)))))
+      for (ts <- 1L to 5L)
+        t.write(Seq(RowWriteItem("k", Seq(
+          ColumnWriteItem(ColumnKey.of("v:"), Some(ts), str(s"v$ts"))))))
+
+      new Workers(spark, cat).gcSweep()
+
+      assert(t.count()._2 == 2L) // newest 2 survive
+      val points = MetricsTable.open(spark, cat, Some("events"))
+        .latest("gc#del_cnt")
+      assert(points.map(_._2) == Seq(3.0))
+    }
+  }
+
+  test("row-count sweep records stats#row_cnt / stats#cell_cnt") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val t = Smoltable.open(spark, cat, "webtable")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      t.write(Seq("a", "b", "c").map(k => RowWriteItem(k, Seq(
+        ColumnWriteItem(ColumnKey.of("v:"), Some(0L), str(k))))))
+
+      new Workers(spark, cat).rowCountSweep()
+
+      val m = MetricsTable.open(spark, cat, Some("webtable"))
+      assert(m.latest("stats#row_cnt").map(_._2) == Seq(3.0))
+      assert(m.latest("stats#cell_cnt").map(_._2) == Seq(3.0))
+    }
+  }
+
+  test("system sweep records per-table segments/du and global sys gauges") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val t = Smoltable.open(spark, cat, "webtable")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      t.write(Seq(RowWriteItem("a", Seq(
+        ColumnWriteItem(ColumnKey.of("v:"), Some(0L), str("x"))))))
+
+      new Workers(spark, cat).systemSweep()
+
+      val m = MetricsTable.open(spark, cat, Some("webtable"))
+      assert(m.latest("stats#seg_cnt").map(_._2) == Seq(t.dataFileCount.toDouble))
+      assert(m.latest("stats#du").headOption.exists(_._2 > 0))
+      val g = MetricsTable.open(spark, cat, None)
+      assert(g.latest("sys#mem").headOption.exists(_._2 > 0))
+      // metrics tables are skipped by the sweeps (system `_` prefix)
+      assert(!cat.listTables().filter(_.startsWith("_"))
+        .exists(n => MetricsTable.open(spark, cat, Some(n))
+          .latest("stats#du").nonEmpty))
+    }
+  }
+
+  test("start/stop schedule without throwing") {
+    withTempDir { dir =>
+      val w = new Workers(spark, new Catalog(dir.toString))
+      w.start(initialDelaySecs = 3600L) // never fires during the test
+      w.stop()
+    }
+  }
+}
