@@ -245,14 +245,16 @@ object CellOps {
     * leaving locality-group cells behind (`smoltable/src/table/mod.rs:589-592`)
     * — this deletes across all locality groups (SURVEY.md §2.1 #20).
     */
-  def deleteRowRemaining(
-      cells: DataFrame, rowKey: String, filter: Option[ColumnFilter]
-  ): DataFrame = {
-    val hit = filter.foldLeft(col("row_key") === rowKey) { (p, f) =>
+  /** Cells hit by a filtered row delete. */
+  def deleteHit(rowKey: String, filter: Option[ColumnFilter]): Column =
+    filter.foldLeft(col("row_key") === rowKey) { (p, f) =>
       p && filterPredicate(f)
     }
-    cells.filter(!hit)
-  }
+
+  def deleteRowRemaining(
+      cells: DataFrame, rowKey: String, filter: Option[ColumnFilter]
+  ): DataFrame =
+    cells.filter(!deleteHit(rowKey, filter))
 
   /** Cells surviving version/TTL GC given per-family settings.
     * Version limit: keep newest `limit` versions per (row, family, qualifier).
@@ -263,6 +265,17 @@ object CellOps {
       cells: DataFrame,
       settings: Map[String, GcSettings],
       nowNanos: Long
+  ): DataFrame = gcSurvivors(cells, settings, nowNanos, None)
+
+  /** As [[gcSurvivors]], additionally publishing the dead-cell count as
+    * metric `dead` via `deadObs` — computed by the same job that rewrites
+    * the survivors, so GC needs no before/after table counts.
+    */
+  def gcSurvivors(
+      cells: DataFrame,
+      settings: Map[String, GcSettings],
+      nowNanos: Long,
+      deadObs: Option[Observation]
   ): DataFrame = {
     val colW = Window.partitionBy("row_key", "family", "qualifier")
       .orderBy(col("ts").desc)
@@ -282,7 +295,12 @@ object CellOps {
     }
     val dead = (deadByVersion ++ deadByTtl)
       .reduceOption(_ || _).getOrElse(lit(false))
-    withRank.filter(!dead).drop("_col_rank")
+    var df = withRank
+    deadObs.foreach { o =>
+      df = df.observe(o,
+        coalesce(sum(when(dead, 1L)), lit(0L)).as("dead"))
+    }
+    df.filter(!dead).drop("_col_rank")
   }
 
   /** Last-write-wins on the exact cell coordinate `(row_key, family,

@@ -327,13 +327,18 @@ final class Smoltable private (
 
   /** Filtered row delete (copy-on-write rewrite across ALL locality groups —
     * deliberately fixing the reference's default-partition-only delete,
-    * `smoltable/src/table/mod.rs:589-592`). Returns deleted cell count.
+    * `smoltable/src/table/mod.rs:589-592`). Returns deleted cell count,
+    * observed by the rewrite job itself — one table pass, no before/after
+    * counts.
     */
   def deleteRow(rowKey: String, filter: Option[ColumnFilter] = None): Long = {
     if (!hasData) return 0L
-    val before = allCells.count()
-    rewriteData(CellOps.deleteRowRemaining(allCells, rowKey, filter))
-    before - allCells.count()
+    val hit = CellOps.deleteHit(rowKey, filter)
+    val obs = Observation()
+    val observed = allCells.observe(obs,
+      coalesce(sum(when(hit, 1L)), lit(0L)).as("hits"))
+    rewriteData(observed.filter(!hit))
+    obs.get("hits").asInstanceOf[Long]
   }
 
   /** Version-limit + TTL garbage collection as a table rewrite ("lazy &
@@ -343,31 +348,65 @@ final class Smoltable private (
   def runVersionGc(): Long = runVersionGcWith(manifest.gcSettings)
 
   /** GC with explicit settings (maintenance jobs like the metrics FIFO cap
-    * override the manifest's per-family options). */
+    * override the manifest's per-family options). The dead-cell count is
+    * observed by the rewrite job — one table pass.
+    */
   def runVersionGcWith(settings: Map[String, GcSettings]): Long = {
     if (!settings.values.exists(_.needsGc) || !hasData) return 0L
-    val before = allCells.count()
-    rewriteData(CellOps.gcSurvivors(allCells, settings, nowNanos))
-    before - allCells.count()
+    val obs = Observation()
+    rewriteData(CellOps.gcSurvivors(allCells, settings, nowNanos, Some(obs)))
+    obs.get("dead").asInstanceOf[Long]
   }
 
+  /** Crash-safe copy-on-write rewrite: write `data.tmp`, move the live dir
+    * aside to `data.old`, move tmp in, then drop `data.old`. Any crash
+    * leaves a recoverable state ([[recoverRewrite]]) — the previous
+    * delete-then-move left a window with NO data directory at all.
+    *
+    * Without an explicit partition count the rewrite only sorts WITHIN
+    * partitions (no shuffle — and, critically for the observed delete/GC
+    * counts, no RangePartitioning boundary-sampling pass, which would
+    * execute the plan and its CollectMetrics twice). Source partitions of
+    * a filter-only rewrite are already key-ordered file splits, so files
+    * stay clustered; a post-LWW rewrite can interleave ranges across
+    * files, which [[compact]] (explicit partition count → range
+    * repartition) restores.
+    */
   private def rewriteData(survivors: DataFrame,
       numPartitions: Option[Int] = None): Unit = {
     val tmp = tableDir.resolve("data.tmp")
+    val old = tableDir.resolve("data.old")
     val sortCols = Seq(col("lg"), col("row_key"), col("family"),
       col("qualifier"))
     val arranged = numPartitions match {
       case Some(n) => survivors.repartitionByRange(n, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
-      case None => survivors.sort(sortCols: _*)
+      case None => survivors.sortWithinPartitions(sortCols: _*)
     }
     arranged.write.mode("overwrite").partitionBy("lg").parquet(tmp.toString)
-    deleteRecursively(dataDir)
+    deleteRecursively(old)
+    Files.move(dataDir, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
     // rewritten data is physically LWW-resolved; reads can skip the window
     // until a second batch lands
     val m = manifest
     TableManifest.store(manifestPath, m.copy(batchesSinceRewrite = 1L))
+  }
+
+  /** Recovery from a crashed [[rewriteData]], run on open: a leftover
+    * `data.old` with no live dir rolls BACK (the verb was never
+    * acknowledged); with a live dir present it is debris from after the
+    * swap. A leftover `data.tmp` is always debris.
+    */
+  private[core] def recoverRewrite(): Unit = {
+    val old = tableDir.resolve("data.old")
+    val tmp = tableDir.resolve("data.tmp")
+    if (Files.exists(old)) {
+      if (Files.exists(dataDir)) deleteRecursively(old)
+      else Files.move(old, dataDir, StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (Files.exists(tmp)) deleteRecursively(tmp)
   }
 
   /** Parquet data files currently backing the table. */
@@ -537,6 +576,8 @@ object Smoltable {
   def open(spark: SparkSession, catalog: Catalog, name: String): Smoltable = {
     require(ColumnKey.isValidIdentifier(name), s"invalid table name: $name")
     Files.createDirectories(catalog.tablePath(name))
-    new Smoltable(spark, catalog, name)
+    val t = new Smoltable(spark, catalog, name)
+    t.recoverRewrite()
+    t
   }
 }

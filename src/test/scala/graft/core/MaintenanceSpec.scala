@@ -33,6 +33,35 @@ class MaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("open recovers from a crashed rewrite (data.old / data.tmp debris)") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val t = Smoltable.open(spark, cat, "t")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      t.write(Seq(RowWriteItem("row1", Seq(ColumnWriteItem(
+        ColumnKey.of("v:"), Some(0L), CellValue.S("keep"))))))
+
+      val tableDir = cat.tablePath("t")
+      val data = tableDir.resolve("data")
+      val old = tableDir.resolve("data.old")
+      val tmp = tableDir.resolve("data.tmp")
+
+      // crash between "move data aside" and "move tmp in": only data.old
+      java.nio.file.Files.move(data, old)
+      java.nio.file.Files.createDirectories(tmp)
+      val recovered = Smoltable.open(spark, cat, "t")
+      assert(java.nio.file.Files.exists(data))
+      assert(!java.nio.file.Files.exists(old) && !java.nio.file.Files.exists(tmp))
+      assert(recovered.count() == (1L, 1L))
+
+      // crash after the swap: stray data.old next to a live data dir
+      java.nio.file.Files.createDirectories(old)
+      Smoltable.open(spark, cat, "t")
+      assert(!java.nio.file.Files.exists(old))
+      assert(recovered.count() == (1L, 1L))
+    }
+  }
+
   test("compaction merges many small write batches, preserving data + LWW") {
     withTempDir { dir =>
       val cat = new Catalog(dir.toString)
