@@ -337,7 +337,8 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), e, k = 5)
     }),
 
-    // ---- LSH/IVF-bucketed ANN (sign-bit buckets, search own bucket) ---
+    // ---- LSH-bucketed ANN: seeded ±1 random-hyperplane buckets (16),
+    //      Hamming-1 multi-probe — the scale path vs the exact baseline ---
     "ext_ann_bucketed" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.bucketedTopK(
@@ -587,17 +588,28 @@ object SparkEntry {
           |  WHERE q.vec_id < 10
           |) WHERE rnk <= 5""".stripMargin,
       "ext_ann_bucketed" ->
-        """WITH wb AS (
+        """WITH sgn AS (
+          |  SELECT p, d,
+          |    CASE WHEN CAST(concat('0x', substr(md5(concat('graft_', p, '_', d)), 1, 15)) AS BIGINT) % 2 = 0
+          |      THEN 1 ELSE -1 END AS s
+          |  FROM (SELECT unnest(range(4)) AS p), (SELECT unnest(range(1, 65)) AS d)
+          |), comp AS (
+          |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d FROM embeddings
+          |), proj AS (
+          |  SELECT c.vec_id, g.p, sum(CAST(round(CAST(c.x AS DOUBLE) * 1000000) AS BIGINT) * g.s) AS dot
+          |  FROM comp c JOIN sgn g USING (d) GROUP BY c.vec_id, g.p
+          |), wb AS (
+          |  SELECT p2.vec_id, e.embedding,
+          |    CAST(sum(CASE WHEN p2.dot > 0 THEN 1 << (3 - p2.p) ELSE 0 END) AS BIGINT) AS bucket
+          |  FROM proj p2 JOIN embeddings e USING (vec_id) GROUP BY p2.vec_id, e.embedding
+          |), probes AS (
           |  SELECT vec_id, embedding,
-          |    (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
-          |     CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
-          |     CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
-          |  FROM embeddings
+          |    unnest([bucket, xor(bucket, 8), xor(bucket, 4), xor(bucket, 2), xor(bucket, 1)]) AS bucket
+          |  FROM wb WHERE vec_id < 10
           |) SELECT query_id, neighbor_id, rnk FROM (
           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
-          |  FROM wb q JOIN wb c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
-          |  WHERE q.vec_id < 10
+          |  FROM probes q JOIN wb c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
           |) WHERE rnk <= 3""".stripMargin,
       "ext_lang_id" ->
         """WITH toks AS (

@@ -44,27 +44,50 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
-  /** Sign-bit bucket id over the first `planes` dimensions — a random-
-    * hyperplane LSH with axis-aligned planes (deterministic; swap in a
-    * seeded projection matrix for production). */
-  def signBucket(emb: Column, planes: Int = 3): Column =
+  /** Seeded random-hyperplane LSH bucket id over `planes` hyperplanes.
+    *
+    * Plane weights are deterministic Rademacher (±1) entries derived from
+    * `md5(seed_plane_dim)` — the classic sign-random-projection family for
+    * cosine similarity, but reproducible in ANSI SQL (so the DuckDB oracle
+    * computes identical buckets) and free of RNG state. The projection is
+    * an INTEGER dot product over fixed-point components
+    * (`round(x * 1e6) * ±1`), making the sign decision order-independent
+    * and bit-exact across engines — a float fold could flip a
+    * near-zero projection between engines.
+    */
+  def signBucket(emb: Column, planes: Int, dim: Int,
+      seed: String): Column =
     (0 until planes).map { p =>
-      when(element_at(emb, p + 1) > 0, 1 << (planes - 1 - p)).otherwise(0)
-    }.reduce(_ + _).cast("long")
+      val signs = transform(sequence(lit(1), lit(dim)), d =>
+        when(conv(substring(md5(
+            concat_ws("_", lit(seed), lit(p), d.cast("string"))), 1, 15),
+          16, 10).cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+      val dot = aggregate(
+        zip_with(emb, signs, (x, s) =>
+          round(x.cast("double") * 1000000).cast("long") * s),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << (planes - 1 - p))).otherwise(lit(0L))
+    }.reduce(_ + _)
 
-  /** Approximate top-k: queries probe only their own hash bucket. Recall
-    * trades against bucket count; at scale candidates are written
-    * pre-partitioned by bucket so a probe touches one partition.
+  /** Approximate top-k with multi-probe: each query searches its own
+    * bucket plus every bucket at Hamming distance 1 (`planes + 1` probes),
+    * the standard recall-booster that avoids enlarging buckets. Candidates
+    * shuffle ONCE on their single bucket id (at scale: write candidates
+    * pre-partitioned by bucket and the probe side touches only matching
+    * partitions); queries fan out `planes + 1`-fold — never all-pairs.
     */
   def bucketedTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      planes: Int = 3): DataFrame = {
+      planes: Int = 4, dim: Int = 64, seed: String = "graft"): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"),
-      signBucket(col("embedding"), planes).as("bucket"))
+      signBucket(col("embedding"), planes, dim, seed).as("qbucket"))
+    val probes = q.withColumn("bucket", explode(array(
+      col("qbucket") +: (0 until planes).map(b =>
+        col("qbucket").bitwiseXOR(lit(1L << b))): _*)))
     val c = candidates.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"),
-      signBucket(col("embedding"), planes).as("bucket"))
-    val scored = q.join(c, Seq("bucket"))
+      signBucket(col("embedding"), planes, dim, seed).as("bucket"))
+    val scored = probes.join(c, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))

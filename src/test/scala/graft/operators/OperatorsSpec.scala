@@ -86,17 +86,32 @@ class OperatorsSpec extends SparkSuite {
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
   }
 
-  test("bucketed ANN agrees with brute force for same-bucket vectors") {
+  test("bucketed ANN agrees with brute force for near-parallel vectors") {
     val emb = (0L to 19L).map { i =>
       val base = if (i % 2 == 0) 1.0f else -1.0f
       (i, Array(base, base * 0.5f, base * 0.25f, i.toFloat / 20))
     }.toDF("vec_id", "embedding")
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 3)
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
-    val bucketed = Similarity.bucketedTopK(emb.filter(col("vec_id") === 0), emb, 3)
+    val bucketed = Similarity.bucketedTopK(
+        emb.filter(col("vec_id") === 0), emb, 3, planes = 2, dim = 4)
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
-    // all even vectors share sign bucket with vec 0; top neighbors are even
+    // near-parallel even vectors land in vec 0's bucket under any
+    // hyperplane family; top neighbors are all even
     assert(bucketed == brute)
+  }
+
+  test("seeded multi-probe LSH recalls most of the exact top-k (sf0.1)") {
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, k))
+    val approx = pairs(Similarity.bucketedTopK(q, e, k))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"recall@$k over 2000 candidates, 16 buckets + multi-probe: $recall%.2f")
+    assert(recall >= 0.5, f"recall $recall%.2f below floor")
   }
 
   test("quality features and token counts") {
