@@ -104,6 +104,90 @@ object StreamOps {
     s.table(tableName)
   }
 
+  /** Open session carried across micro-batches per user. */
+  final case class OpenSession(
+      sessionId: Long, startTs: Long, endTs: Long, nEvents: Long)
+
+  /** Emitted (closed) session row — matches [[sessionize]]'s output. */
+  final case class SessionOut(
+      user_id: Long, session_id: Long, n_events: Long,
+      session_start: Long, session_end: Long)
+
+  /** TRUE stateful sessionization: `flatMapGroupsWithState` keyed by user
+    * with event-time timeout. A session CLOSES (and is emitted, append
+    * mode) when a later event of the same user arrives more than `gapNs`
+    * after it, or when the watermark passes the gap with no new events
+    * (timeout path — idle users don't hold state forever). The in-flight
+    * session lives in [[OpenSession]] state.
+    *
+    * Semantics match the batch-equivalent [[sessionize]] exactly, except
+    * that each user's final session stays open until the timeout fires —
+    * the inherent streaming/batch boundary difference
+    * (StreamingSessionSpec pins both halves down).
+    */
+  def streamingSessionize(s: SparkSession, dir: String,
+      gapNs: Long = 30L * 60 * 1000000000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tableName = s"stream_sess_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      // keep the watermark column through to the stateful operator
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    val sessions = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val open = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, open.sessionId, open.nEvents,
+              open.startTs, open.endTs))
+          } else {
+            // all events of this user in this micro-batch, time-ordered
+            // (event_id tiebreak like the batch path)
+            val ts = rows.map(r => (r._2, r._3)).toArray.sortBy(identity)
+            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var open = state.getOption
+            ts.foreach { case (t, _) =>
+              open match {
+                case None =>
+                  open = Some(OpenSession(1L, t, t, 1L))
+                case Some(o) if t - o.endTs > gapNs =>
+                  out += SessionOut(user, o.sessionId, o.nEvents, o.startTs, o.endTs)
+                  open = Some(OpenSession(o.sessionId + 1, t, t, 1L))
+                case Some(o) =>
+                  open = Some(o.copy(endTs = math.max(o.endTs, t),
+                    nEvents = o.nEvents + 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // close via timeout once the watermark passes end + gap
+              state.setTimeoutTimestamp(o.endTs / 1000000L + gapNs / 1000000L)
+            }
+            out.iterator
+          }
+      }
+      .toDF()
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(tableName)
+  }
+
   /** Gap-based sessionization (30-min inactivity) as a batch pipeline with
     * window functions — the batch-equivalent of
     * `flatMapGroupsWithState`-based session tracking, verifiable in SQL.
