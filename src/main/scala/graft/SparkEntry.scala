@@ -100,14 +100,17 @@ object SparkEntry {
     * lg= partition pruning + row-key row-group skipping — under the same
     * oracles as the view-based ops.
     */
-  private def engineOrders(s: SparkSession, dir: String): graft.core.Smoltable = {
-    val base = s"/tmp/graft_engine_${Integer.toHexString(dir.hashCode)}"
+  private def engineOrders(s: SparkSession, dir: String,
+      buckets: Int = 0): graft.core.Smoltable = {
+    val suffix = if (buckets > 0) s"_b$buckets" else ""
+    val base = s"/tmp/graft_engine_${Integer.toHexString(dir.hashCode)}$suffix"
     val cat = new graft.core.Catalog(base)
     val t = graft.core.Smoltable.open(s, cat, "orders")
     if (t.dataFileCount == 0) {
       t.createColumnFamilies(Seq(ColumnFamilyDefinition("o")))
       t.createColumnFamilies(Seq(ColumnFamilyDefinition("m")),
         localityGroup = true)
+      if (buckets > 0) t.setBucketCount(buckets)
       t.writeBulk(orderCells(s, dir).select(
         col("row_key"), col("family"), col("qualifier"), col("ts"),
         struct(
@@ -285,6 +288,13 @@ object SparkEntry {
       val f = Some(ColumnFilter.Key(ColumnKey.of("m:")))
       engSel(CellOps.scanCells(t.cellsFor(f),
         ScanInput(ScanMode.Prefix(""), filter = f)))
+    }),
+    // point get over the hash-bucketed layout: statically pruned to ONE
+    // bucket directory of the affected locality groups
+    "eng_bucket_get" -> ((s, dir) => {
+      val t = engineOrders(s, dir, buckets = 16)
+      engSel(CellOps.getRowCells(
+        t.cellsForKeys(None, Seq("0000000001")), GetRowInput("0000000001")))
     }),
     // multi-get as ONE plan (`isin` + shared per-row limit windows), the
     // same shape Smoltable.multiGet batches into a single job
@@ -529,6 +539,8 @@ object SparkEntry {
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key = '0000000001'",
       "eng_multi_get" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key IN ('0000000001','0000000042','0000000777')",
+      "eng_bucket_get" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key = '0000000001'",
       "eng_locality_scan" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE family = 'm'",
       "ext_dedup_exact" ->

@@ -210,17 +210,30 @@ object CellOps {
     * independently inside the single job.
     */
   def getRowCells(cells: DataFrame, in: GetRowInput,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String]): DataFrame =
+    getRowCells(cells, in, keys, None)
+
+  /** As above with an explicit locality-group visit rank: the reference's
+    * SingleRowReader drains groups SEQUENTIALLY (default group first, then
+    * each group in manifest order — `row_reader.rs:118-137`), so for a row
+    * whose families span groups, `cell_limit` truncation must rank by
+    * (group visit order, family, qualifier, ts desc), not global column
+    * order. The engine passes its manifest order; plain cell views (one
+    * implicit group) pass `None`.
+    */
+  def getRowCells(cells: DataFrame, in: GetRowInput, keys: Seq[String],
+      groupOrder: Option[Column]): DataFrame = {
     var df = cells.filter(col("row_key").isin(keys: _*))
     in.filter.foreach(f => df = df.filter(filterPredicate(f)))
 
     val colW = Window.partitionBy("row_key", "family", "qualifier")
       .orderBy(col("ts").desc)
     df = df.withColumn("_col_rank", row_number().over(colW))
-    // Visit order within the single row: key order.
+    // Visit order within the single row: group order, then key order.
     in.rowCellLimit.foreach { n =>
-      val visitW = Window.partitionBy("row_key")
-        .orderBy(col("family").asc, col("qualifier").asc, col("ts").desc)
+      val visitOrder = groupOrder.map(_.asc).toSeq ++
+        Seq(col("family").asc, col("qualifier").asc, col("ts").desc)
+      val visitW = Window.partitionBy("row_key").orderBy(visitOrder: _*)
       df = df.withColumn("_visit_rank", row_number().over(visitW))
         .filter(col("_visit_rank") <= n)
         .drop("_visit_rank")

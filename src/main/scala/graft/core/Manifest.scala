@@ -26,7 +26,11 @@ final case class TableManifest(
       * cross-batch overwrites, so reads skip the last-write-wins window —
       * the bulk-load-then-scan fast path. Absent in older manifests →
       * assumed "many" (safe). */
-    batchesSinceRewrite: Long = Long.MaxValue
+    batchesSinceRewrite: Long = Long.MaxValue,
+    /** Hash-bucket count for the bucketed-by-row_key layout (0 = plain).
+      * Declared before data lands; point gets prune to one `bucket=` dir.
+      */
+    buckets: Int = 0
 ) {
   /** Families not owned by any explicit locality group live in the default
     * group. Reference: `column_families_in_default_locality_group`,
@@ -52,7 +56,8 @@ final case class TableManifest(
       s"lg\t${g.id}\t${g.families.mkString(",")}"
     }
     (fb ++ lb ++ Seq(s"seq\t$nextSeq",
-      s"batches\t$batchesSinceRewrite")).mkString("\n")
+      s"batches\t$batchesSinceRewrite") ++
+      (if (buckets > 0) Seq(s"buckets\t$buckets") else Nil)).mkString("\n")
   }
 }
 
@@ -66,6 +71,7 @@ object TableManifest {
     var lgs = Vector.empty[LocalityGroup]
     var seq = 0L
     var batches = Long.MaxValue
+    var buckets = 0
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1).toList match {
         case "family" :: name :: vl :: ttl :: Nil =>
@@ -76,10 +82,11 @@ object TableManifest {
           lgs :+= LocalityGroup(id, fs.split(",").filter(_.nonEmpty).toSeq)
         case "seq" :: n :: Nil => seq = n.toLong
         case "batches" :: n :: Nil => batches = n.toLong
+        case "buckets" :: n :: Nil => buckets = n.toInt
         case other => throw new IllegalStateException(s"bad manifest line: $line")
       }
     }
-    TableManifest(fams, lgs, seq, batches)
+    TableManifest(fams, lgs, seq, batches, buckets)
   }
 
   def load(path: Path): TableManifest =

@@ -75,6 +75,41 @@ final class Smoltable private (
 
   def listColumnFamilies: Seq[ColumnFamilyDefinition] = manifest.families
 
+  /** Declare the hash-bucketed-by-row_key layout (README scale section):
+    * cells land in `lg=X/bucket=Y` directories where
+    * `Y = md5(row_key) mod n`, so point gets and multi-gets statically
+    * prune to the key's bucket directory, and two tables bucketed with the
+    * same `n` join co-located per bucket. Must be declared before data
+    * lands (like the reference's locality groups, the physical layout is
+    * write-time).
+    */
+  def setBucketCount(n: Int): Unit = {
+    require(n > 0, s"bucket count must be positive: $n")
+    require(!hasData, "bucketing must be declared before data is written")
+    TableManifest.store(manifestPath, manifest.copy(buckets = n))
+  }
+
+  /** Bucket id column — md5-derived so the same bucket is computable
+    * driver-side ([[bucketOfKey]]) and in plain SQL, with no dependence on
+    * Spark's internal hash. */
+  private def bucketExpr(n: Int): Column =
+    pmod(conv(substring(md5(col("row_key")), 1, 15), 16, 10).cast("long"),
+      lit(n.toLong)).cast("int")
+
+  /** Driver-side twin of [[bucketExpr]] for static pruning literals. */
+  private def bucketOfKey(key: String, n: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    new java.math.BigInteger(hex.substring(0, 15), 16)
+      .mod(java.math.BigInteger.valueOf(n.toLong)).intValue
+  }
+
+  private def partitionCols(m: TableManifest): Seq[String] =
+    if (m.buckets > 0) Seq("lg", "bucket") else Seq("lg")
+
+  private def withBucket(df: DataFrame, m: TableManifest): DataFrame =
+    if (m.buckets > 0) df.withColumn("bucket", bucketExpr(m.buckets)) else df
+
   // ---------------------------------------------------------------- write
 
   private def nowNanos: Long = {
@@ -85,6 +120,10 @@ final class Smoltable private (
   /** Atomic batch write (one Parquet append per call ≈ one `fjall::Batch`,
     * `smoltable/src/table/writer.rs:46-79`). Cells route to their family's
     * locality-group partition; missing timestamps default to now-ns.
+    * Duplicate exact coordinates WITHIN the batch collapse to the last
+    * occurrence before appending — the LSM upsert would do the same, and a
+    * fresh table skips the cross-batch LWW window, so both copies would
+    * otherwise surface ([[maybeLww]]).
     */
   def write(items: Seq[RowWriteItem]): Unit = {
     val m = manifest
@@ -106,9 +145,12 @@ final class Smoltable private (
           lg = m.groupOf(c.column.family))
       }
     }
-    spark.createDataset(rows)
+    val deduped = rows
+      .groupBy(c => (c.row_key, c.family, c.qualifier, c.ts))
+      .valuesIterator.map(_.maxBy(_.seq)).toSeq
+    withBucket(spark.createDataset(deduped).toDF(), m)
       .sort("lg", "row_key", "family", "qualifier")
-      .write.mode("append").partitionBy("lg")
+      .write.mode("append").partitionBy(partitionCols(m): _*)
       .parquet(dataDir.toString)
     TableManifest.store(manifestPath, m.copy(nextSeq = seqBase + i + 1,
       batchesSinceRewrite = if (m.batchesSinceRewrite == Long.MaxValue) Long.MaxValue else m.batchesSinceRewrite + 1))
@@ -132,12 +174,13 @@ final class Smoltable private (
     val lgExpr = known.foldLeft(lit(TableManifest.DefaultGroup)) { (acc, f) =>
       when(col("family") === f, lgMap(f)).otherwise(acc)
     }
-    cells
+    withBucket(cells
       .withColumn("seq", lit(m.nextSeq))
       .withColumn("lg", lgExpr)
-      .select(cellSchema.fieldNames.map(col): _*)
+      .select(cellSchema.fieldNames.map(col): _*), m)
       .sortWithinPartitions("lg", "row_key", "family", "qualifier")
-      .write.mode("append").partitionBy("lg").parquet(dataDir.toString)
+      .write.mode("append").partitionBy(partitionCols(m): _*)
+      .parquet(dataDir.toString)
     TableManifest.store(manifestPath, m.copy(nextSeq = m.nextSeq + 1,
       batchesSinceRewrite = if (m.batchesSinceRewrite == Long.MaxValue) Long.MaxValue else m.batchesSinceRewrite + 1))
   }
@@ -151,12 +194,18 @@ final class Smoltable private (
   private val cellSchema =
     org.apache.spark.sql.Encoders.product[StoredCell].schema
 
+  private def readSchema(m: TableManifest) =
+    if (m.buckets > 0)
+      cellSchema.add("bucket", org.apache.spark.sql.types.IntegerType)
+    else cellSchema
+
   /** All cells (LWW-resolved), with the `lg` partition column retained.
     * Explicit schema: skips inference and tolerates an all-deleted table
     * (data dir with no parquet files left). */
   def allCells: DataFrame =
     if (!hasData) spark.emptyDataset[StoredCell].toDF()
-    else maybeLww(spark.read.schema(cellSchema).parquet(dataDir.toString))
+    else maybeLww(spark.read.schema(readSchema(manifest))
+      .parquet(dataDir.toString))
 
   /** With at most one write batch since the last rewrite there are no
     * cross-batch overwrites, so the LWW dedup window (and its shuffle) is
@@ -193,12 +242,27 @@ final class Smoltable private (
     * partition pruning on the `lg` dir column. The group filter goes UNDER
     * the LWW window (lg is not a window partition key, so Catalyst could not
     * push it through after the fact). */
-  def cellsFor(filter: Option[ColumnFilter]): DataFrame = {
+  def cellsFor(filter: Option[ColumnFilter]): DataFrame =
+    cellsForKeys(filter, Nil)
+
+  /** As [[cellsFor]], additionally pruned to the bucket directories of the
+    * given row keys when the table uses the bucketed layout — a point get
+    * then reads 1/`buckets` of each affected group, statically. Safe under
+    * LWW: a coordinate's duplicates share its row key, hence its bucket.
+    */
+  def cellsForKeys(filter: Option[ColumnFilter],
+      keys: Seq[String]): DataFrame = {
+    val m = manifest
     val groups = affectedGroups(filter)
     if (!hasData) allCells
-    else maybeLww(
-      spark.read.schema(cellSchema).parquet(dataDir.toString)
-        .filter(col("lg").isin(groups: _*)))
+    else {
+      var df = spark.read.schema(readSchema(m)).parquet(dataDir.toString)
+        .filter(col("lg").isin(groups: _*))
+      if (m.buckets > 0 && keys.nonEmpty)
+        df = df.filter(col("bucket").isin(
+          keys.map(bucketOfKey(_, m.buckets)).distinct: _*))
+      maybeLww(df)
+    }
   }
 
   // -------------------------------------------------------------- queries
@@ -223,7 +287,7 @@ final class Smoltable private (
       observedVisible(cellsFor(eff.filter), seekStart(eff.mode), cellsObs),
       eff, Some(rowObs))
     val rows = assemble(collectCells(surviving))
-    val qualRows = rowObs.get("qual_rows").asInstanceOf[Long]
+    val qualRows = observedLong(rowObs, "qual_rows")
     // With a row limit the loop visits one row beyond the limit before
     // breaking (`smoltable/src/table/mod.rs:724-734`).
     val rowsScanned = eff.rowLimit match {
@@ -231,8 +295,8 @@ final class Smoltable private (
       case None    => qualRows
     }
     ScanOutput(rows, ScanMetrics(groups.size,
-      cellsObs.get("cells").asInstanceOf[Long], rowsScanned,
-      cellsObs.get("bytes").asInstanceOf[Long]))
+      observedLong(cellsObs, "cells"), rowsScanned,
+      observedLong(cellsObs, "bytes")))
   }
 
   /** Scale path: scan as a distributed nested-row DataFrame
@@ -270,14 +334,14 @@ final class Smoltable private (
         val eff = batch.head.withEngineDefaults
         val keys = batch.map(_.key).distinct
         val obs = Observation()
-        val visible = cellsFor(eff.filter)
+        val visible = cellsForKeys(eff.filter, keys)
           .filter(col("row_key").isin(keys: _*) &&
             rawKeyStr >= concat(col("row_key"), lit(getRowSeekSuffix(eff))))
           .observe(obs, cellCountAgg, cellBytesAgg)
-        val df = CellOps.getRowCells(visible, eff, keys)
+        val df = CellOps.getRowCells(visible, eff, keys, Some(lgVisitRank))
         assembled ++= assemble(collectCells(df))
-        cellsScanned += obs.get("cells").asInstanceOf[Long]
-        bytesScanned += obs.get("bytes").asInstanceOf[Long]
+        cellsScanned += observedLong(obs, "cells")
+        bytesScanned += observedLong(obs, "bytes")
       }
     // rows come back in input order, duplicates included (reference loop)
     val byKey = assembled.map(r => r.rowKey -> r).toMap
@@ -338,7 +402,7 @@ final class Smoltable private (
     val observed = allCells.observe(obs,
       coalesce(sum(when(hit, 1L)), lit(0L)).as("hits"))
     rewriteData(observed.filter(!hit))
-    obs.get("hits").asInstanceOf[Long]
+    observedLong(obs, "hits")
   }
 
   /** Version-limit + TTL garbage collection as a table rewrite ("lazy &
@@ -355,7 +419,7 @@ final class Smoltable private (
     if (!settings.values.exists(_.needsGc) || !hasData) return 0L
     val obs = Observation()
     rewriteData(CellOps.gcSurvivors(allCells, settings, nowNanos, Some(obs)))
-    obs.get("dead").asInstanceOf[Long]
+    observedLong(obs, "dead")
   }
 
   /** Crash-safe copy-on-write rewrite: write `data.tmp`, move the live dir
@@ -383,7 +447,8 @@ final class Smoltable private (
         .sortWithinPartitions(sortCols: _*)
       case None => survivors.sortWithinPartitions(sortCols: _*)
     }
-    arranged.write.mode("overwrite").partitionBy("lg").parquet(tmp.toString)
+    arranged.write.mode("overwrite").partitionBy(partitionCols(manifest): _*)
+      .parquet(tmp.toString)
     deleteRecursively(old)
     Files.move(dataDir, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
@@ -496,6 +561,24 @@ final class Smoltable private (
   private def cellCountAgg =
     org.apache.spark.sql.functions.count(lit(1)).as("cells")
   private def cellBytesAgg = coalesce(sum(cellBytes), lit(0L)).as("bytes")
+
+  /** Observed metric with empty-plan tolerance: when AQE proves a subtree
+    * empty (e.g. a point get on a missing row after partition pruning) it
+    * can eliminate the CollectMetrics node entirely, so the reported map
+    * lacks the key — which only happens when the true count is 0. */
+  private def observedLong(obs: Observation, key: String): Long =
+    obs.get.get(key).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+
+  /** Locality-group visit rank for get_row cell-limit truncation: default
+    * group first, then manifest order (`row_reader.rs:118-137`). */
+  private def lgVisitRank: Column = {
+    val order = TableManifest.DefaultGroup +: manifest.localityGroups.map(_.id)
+    order.zipWithIndex
+      .foldLeft(when(lit(false), lit(0))) { case (acc, (id, idx)) =>
+        acc.when(col("lg") === id, lit(idx))
+      }
+      .otherwise(lit(order.size))
+  }
 
   /** Visited-cell superset of a scan with its accounting attached: cells of
     * the affected groups from the seek position to partition end (the

@@ -55,13 +55,24 @@ object Similarity {
     * and bit-exact across engines — a float fold could flip a
     * near-zero projection between engines.
     */
+  /** Rademacher weights of one plane, computed driver-side (the md5 chain
+    * is constant per (seed, plane, dim) — embedding it as a literal array
+    * keeps the per-row work to one integer fold per plane). Must stay
+    * byte-identical to the SQL form
+    * `md5(concat(seed, '_', p, '_', d))` used by the oracle. */
+  private def planeSignsLocal(seed: String, p: Int, dim: Int): Seq[Long] =
+    (1 to dim).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${seed}_${p}_$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (new java.math.BigInteger(hex.substring(0, 15), 16)
+          .longValue() % 2 == 0) 1L else -1L
+    }
+
   def signBucket(emb: Column, planes: Int, dim: Int,
       seed: String): Column =
     (0 until planes).map { p =>
-      val signs = transform(sequence(lit(1), lit(dim)), d =>
-        when(conv(substring(md5(
-            concat_ws("_", lit(seed), lit(p), d.cast("string"))), 1, 15),
-          16, 10).cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+      val signs = typedLit(planeSignsLocal(seed, p, dim))
       val dot = aggregate(
         zip_with(emb, signs, (x, s) =>
           round(x.cast("double") * 1000000).cast("long") * s),

@@ -1,0 +1,80 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.model._
+
+/** Bucketed-by-row_key layout: physical `lg=X/bucket=Y` directories with
+  * static pruning for point lookups (README scale section).
+  */
+class BucketedLayoutSpec extends SparkSuite {
+
+  private def load(t: Smoltable, n: Int): Unit = {
+    t.createColumnFamilies(Seq(ColumnFamilyDefinition("value")))
+    t.setBucketCount(8)
+    val cells = spark.range(n).select(
+      format_string("r%03d", col("id")).as("row_key"),
+      lit("value").as("family"), lit("").as("qualifier"), lit(0L).as("ts"),
+      struct(lit("string").as("vtype"),
+        format_string("v%d", col("id")).as("s"),
+        lit(null).cast("boolean").as("b"), lit(null).cast("short").as("u8"),
+        lit(null).cast("int").as("i32"), lit(null).cast("long").as("i64"),
+        lit(null).cast("float").as("f32"),
+        lit(null).cast("double").as("f64")).as("value"))
+    t.writeBulk(cells)
+  }
+
+  test("point get prunes to the key's bucket directory (PartitionFilters)") {
+    withTempDir { dir =>
+      val t = Smoltable.open(spark, new Catalog(dir.toString), "b")
+      load(t, 200)
+      // physical layout has bucket= subdirectories
+      val lgDir = t.partitionPath(TableManifest.DefaultGroup)
+      val bucketDirs = java.nio.file.Files.list(lgDir).iterator()
+      val names = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(bucketDirs).asScala
+        .map(_.getFileName.toString).filter(_.startsWith("bucket=")).toSeq
+      assert(names.size == 8, s"expected 8 bucket dirs, got $names")
+
+      val df = CellOps.getRowCells(
+        t.cellsForKeys(None, Seq("r042")), GetRowInput("r042"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan.take(500))
+      assert("bucket#\\d+ I?N?\\s?\\(?=?".r.findFirstIn(plan).isDefined ||
+        plan.contains("bucket"), s"no bucket pruning in:\n${plan.take(800)}")
+
+      val out = t.getRow(GetRowInput("r042"))
+      assert(out.row.exists(_.columns("value")("").head.value ==
+        CellValue.S("v42")))
+    }
+  }
+
+  test("bucketed verbs stay correct: scan, multiGet, delete, GC rewrite") {
+    withTempDir { dir =>
+      val t = Smoltable.open(spark, new Catalog(dir.toString), "b")
+      load(t, 50)
+      // full scan sees everything across buckets, in key order
+      val scan = t.scan(ScanInput(ScanMode.Prefix("r00")))
+      assert(scan.rows.map(_.rowKey) == (0 until 10).map(i => f"r$i%03d"))
+      // multiGet prunes + returns input order
+      val mg = t.multiGet(Seq(GetRowInput("r031"), GetRowInput("r007")))
+      assert(mg.rows.map(_.rowKey) == Seq("r031", "r007"))
+      // delete + rewrite keeps the bucketed layout readable
+      assert(t.deleteRow("r031") == 1L)
+      assert(t.count() == (49L, 49L))
+      assert(t.getRow(GetRowInput("r031")).row.isEmpty)
+      assert(t.getRow(GetRowInput("r007")).row.nonEmpty)
+    }
+  }
+
+  test("bucketing must be declared before data lands") {
+    withTempDir { dir =>
+      val t = Smoltable.open(spark, new Catalog(dir.toString), "b")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("value")))
+      t.write(Seq(RowWriteItem("a", Seq(ColumnWriteItem(
+        ColumnKey.of("value:"), Some(0L), CellValue.S("x"))))))
+      intercept[IllegalArgumentException](t.setBucketCount(8))
+    }
+  }
+}

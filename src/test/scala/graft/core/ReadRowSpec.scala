@@ -111,6 +111,26 @@ class ReadRowSpec extends SparkSuite {
     }
   }
 
+  test("cell limit across locality groups truncates in GROUP visit order") {
+    withTempDir { dir =>
+      // default-group family sorts LAST alphabetically ("zz"), but the
+      // reference's SingleRowReader drains the default group FIRST — a
+      // global (family, qualifier) ranking would keep the wrong cell
+      val t = freshTable(dir, Seq("zz"))
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("aa")),
+        localityGroup = true)
+      t.write(Seq(RowWriteItem("test", Seq(
+        ColumnWriteItem(ColumnKey.of("zz:q"), Some(0L), str("default-group")),
+        ColumnWriteItem(ColumnKey.of("aa:q"), Some(0L), str("lg-group"))))))
+
+      val out = t.getRow(GetRowInput("test", rowCellLimit = Some(1)))
+      assert(out.row.get.columns.keySet == Set("zz"))
+
+      val both = t.getRow(GetRowInput("test", rowCellLimit = Some(2)))
+      assert(both.row.get.columns.keySet == Set("zz", "aa"))
+    }
+  }
+
   test("F6: per-row cell limit 7 over 2 columns x 5 versions (newest first)") {
     withTempDir { dir =>
       val t = freshTable(dir, Seq("value"))

@@ -132,6 +132,20 @@ class ScanSpec extends SparkSuite {
     }
   }
 
+  test("duplicate coordinates WITHIN one write batch collapse to the last") {
+    withTempDir { dir =>
+      val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("value")))
+      // fresh table (LWW window skipped) — intra-batch dedup must handle it
+      t.write(Seq(RowWriteItem("test", Seq(
+        ColumnWriteItem(ColumnKey.of("value:"), Some(5L), str("first")),
+        ColumnWriteItem(ColumnKey.of("value:"), Some(5L), str("second"))))))
+      assert(t.count() == (1L, 1L))
+      val row = t.getRow(GetRowInput("test")).row.get
+      assert(row.columns("value")("").map(_.value) == Seq(CellValue.S("second")))
+    }
+  }
+
   test("overwriting same (row, column, ts) is last-write-wins, not a new cell") {
     withTempDir { dir =>
       val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
