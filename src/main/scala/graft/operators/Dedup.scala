@@ -27,16 +27,21 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Character shingles of length `n` (positions exploded, then distinct). */
+  /** Character shingles of length `n` (positions exploded). `dedup = false`
+    * keeps duplicate (doc, shingle) pairs — harmless under idempotent
+    * aggregates like `min`, and skips a full shuffle of the exploded rows.
+    */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      textCol: String = "text", dedup: Boolean = true): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .select(col("doc_id"),
         explode(sequence(lit(1),
           greatest(length(col("text")) - (n - 1), lit(1)))).as("i"),
         col("text"))
       .select(col("doc_id"), expr(s"substring(text, i, $n)").as("sh"))
-      .distinct()
+    if (dedup) exploded.distinct() else exploded
+  }
 
   /** MinHash signatures: `k` hash functions derived from ONE md5 per
     * shingle via XOR seeding (the standard k-permutations-from-one-hash
@@ -69,8 +74,14 @@ object Dedup {
       case (cols, bi) =>
         concat_ws("_", lit(bi.toString) +: cols.map(col): _*)
     }.toSeq
+    // persist: the self-join would otherwise execute the whole
+    // shingle->hash->minhash pipeline TWICE (no exchange reuse across a
+    // broadcast side). Bands are k/rowsPerBand small rows per doc — far
+    // smaller than the shingle stream; at cluster scale write them to a
+    // temp table instead if memory-constrained.
     val bands = signatures.select(col("doc_id"),
-      explode(array(bandExprs: _*)).as("band"))
+        explode(array(bandExprs: _*)).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -78,10 +89,15 @@ object Dedup {
       .distinct()
   }
 
-  /** Convenience: shingle → minhash → LSH candidate pairs. */
+  /** Convenience: shingle → minhash → LSH candidate pairs. Shingles are NOT
+    * deduplicated first — `min` is idempotent, so the result is identical
+    * and the exploded shingle stream reaches the per-doc aggregation with
+    * map-side partial mins instead of paying a distinct shuffle first.
+    */
   def minhashCandidates(docs: DataFrame, shingleLen: Int = 8,
       seeds: Seq[Long] = DefaultSeeds, rowsPerBand: Int = 2): DataFrame =
-    lshCandidates(minhashSignatures(shingles(docs, shingleLen), seeds),
+    lshCandidates(
+      minhashSignatures(shingles(docs, shingleLen, dedup = false), seeds),
       rowsPerBand)
 
   /** SimHash over distinct word tokens: per-bit majority vote of
