@@ -17,7 +17,15 @@ import org.apache.spark.sql.types._
   * codecs — but the Spark-side plumbing is real: binary payload column,
   * explicit output schema, partition-preserving `mapPartitions`, and
   * deterministic features so the pipeline is oracle-testable. Swap
-  * [[decodeStub]] for a real codec (e.g. JNI/FFI image decoder) to productionize.
+  * [[decodeStub]] for a real codec (e.g. JNI/FFI image decoder) to
+  * productionize.
+  *
+  * NOTE the md5-derived stub features themselves COULD be pure Catalyst
+  * expressions (the DuckDB oracle proves it) — the `mapPartitions` shape is
+  * kept DELIBERATELY, because a real codec is imperative per-batch work
+  * that cannot be a Catalyst expression, and the point of this operator is
+  * to pin down that production shape (schema contract, batching, memory
+  * bounds), not the stub arithmetic.
   */
 object Multimodal {
 

@@ -56,6 +56,41 @@ object StreamOps {
     s.table(tableName)
   }
 
+  /** Scale variant of [[hourlyWindowAgg]]: watermarked APPEND mode into a
+    * parquet FILE sink — the 100 TB shape. The complete-mode memory sink
+    * above re-collects the whole result to the driver every trigger (fine
+    * for the oracle harness, a scale-killer in production); append mode
+    * emits each window exactly once, when the watermark finalizes it, and
+    * the file sink writes distributed. Windows newer than
+    * `max(event_ts) - watermark` remain open and unemitted — the inherent
+    * streaming/batch boundary (StreamingWindowSinkSpec pins it down).
+    */
+  def hourlyWindowAggToFiles(s: SparkSession, dir: String, outDir: String,
+      checkpointDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 1000000) as bigint)")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(outDir)
+  }
+
   /** Streaming exact-dedup with custom state: documents arrive as a file
     * stream, group by content hash, and `flatMapGroupsWithState` keeps a
     * seen-flag per hash so only the FIRST occurrence across all
