@@ -68,6 +68,67 @@ class BucketedLayoutSpec extends SparkSuite {
     }
   }
 
+  test("differential: bucketed table ≡ plain table across all verbs") {
+    withTempDir { dir =>
+      val rnd = new scala.util.Random(20260812L)
+      val cat = new Catalog(dir.toString)
+      val plain = Smoltable.open(spark, cat, "plain")
+      val bucketed = Smoltable.open(spark, cat, "bucketed")
+      Seq(plain, bucketed).foreach { t =>
+        t.createColumnFamilies(Seq(ColumnFamilyDefinition("f1")))
+        t.createColumnFamilies(Seq(ColumnFamilyDefinition("f2")),
+          localityGroup = true)
+      }
+      bucketed.setBucketCount(4)
+
+      val keys = (0 until 12).map(i => f"k$i%02d")
+      // three write batches (exercises cross-batch LWW) with random cells
+      for (_ <- 1 to 3) {
+        val items = keys.filter(_ => rnd.nextDouble() < 0.7).map { k =>
+          RowWriteItem(k, Seq.fill(1 + rnd.nextInt(3)) {
+            val fam = if (rnd.nextBoolean()) "f1" else "f2"
+            ColumnWriteItem(ColumnKey.of(s"$fam:q${rnd.nextInt(2)}"),
+              Some(rnd.nextInt(5).toLong),
+              CellValue.S(s"v${rnd.nextInt(100)}"))
+          })
+        }
+        // identical batches into both tables
+        plain.write(items)
+        bucketed.write(items)
+      }
+
+      def rowsJson(out: Seq[GRow]) = out.map(_.toJson)
+      // scans with assorted limits
+      for (in <- Seq(
+        ScanInput(ScanMode.Prefix("")),
+        ScanInput(ScanMode.Prefix("k0")),
+        ScanInput(ScanMode.Range("k03", "k09", inclusive = false)),
+        ScanInput(ScanMode.Prefix(""), rowCellLimit = Some(2)),
+        ScanInput(ScanMode.Prefix(""),
+          filter = Some(ColumnFilter.Key(ColumnKey.of("f2:")))))) {
+        val a = plain.scan(in)
+        val b = bucketed.scan(in)
+        assert(rowsJson(a.rows) == rowsJson(b.rows), s"scan $in")
+        assert(a.metrics.rowsScanned == b.metrics.rowsScanned, s"rows $in")
+      }
+      // point gets + multi-get (bucket-pruned path)
+      keys.foreach { k =>
+        assert(plain.getRow(GetRowInput(k)).row.map(_.toJson) ==
+          bucketed.getRow(GetRowInput(k)).row.map(_.toJson), s"get $k")
+      }
+      val mgIn = Seq(GetRowInput("k05"), GetRowInput("k01"), GetRowInput("k11"))
+      assert(rowsJson(plain.multiGet(mgIn).rows) ==
+        rowsJson(bucketed.multiGet(mgIn).rows))
+      // counts and maintenance
+      assert(plain.count() == bucketed.count())
+      assert(plain.deleteRow("k05") == bucketed.deleteRow("k05"))
+      val gc = Map("f1" -> GcSettings(versionLimit = Some(1)))
+      assert(plain.runVersionGcWith(gc) == bucketed.runVersionGcWith(gc))
+      assert(rowsJson(plain.scan(ScanInput(ScanMode.Prefix(""))).rows) ==
+        rowsJson(bucketed.scan(ScanInput(ScanMode.Prefix(""))).rows))
+    }
+  }
+
   test("bucketing must be declared before data lands") {
     withTempDir { dir =>
       val t = Smoltable.open(spark, new Catalog(dir.toString), "b")
