@@ -39,6 +39,16 @@ object Explain {
     CellOps.getRowCells(t.cellsFor(None), GetRowInput("row0042"))
       .explain("formatted")
 
+    println("\n########## bucketed layout: point get (expect PartitionFilters on lg AND bucket)")
+    val tb = Smoltable.open(spark, new Catalog(base.toString), "tb")
+    tb.createColumnFamilies(Seq(ColumnFamilyDefinition("title")))
+    tb.setBucketCount(8)
+    tb.write((1 to 100).map(i => RowWriteItem(f"row$i%04d", Seq(
+      ColumnWriteItem(ColumnKey.of("title:"), Some(0L), CellValue.S(s"t$i"))))))
+    CellOps.getRowCells(
+      tb.cellsForKeys(None, Seq("row0042")), GetRowInput("row0042"))
+      .explain("formatted")
+
     println("\n########## q3 join (expect BroadcastHashJoin on customer)")
     val dir = "/root/testdata/sf0.01"
     graft.SparkEntry.queries("q3_shipping_priority")(spark, dir)
