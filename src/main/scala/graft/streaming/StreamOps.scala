@@ -178,40 +178,8 @@ object StreamOps {
     val sessions = stream
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, SessionOut](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
-            state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val open = state.get
-            state.remove()
-            Iterator.single(SessionOut(user, open.sessionId, open.nEvents,
-              open.startTs, open.endTs))
-          } else {
-            // all events of this user in this micro-batch, time-ordered
-            // (event_id tiebreak like the batch path)
-            val ts = rows.map(r => (r._2, r._3)).toArray.sortBy(identity)
-            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
-            var open = state.getOption
-            ts.foreach { case (t, _) =>
-              open match {
-                case None =>
-                  open = Some(OpenSession(1L, t, t, 1L))
-                case Some(o) if t - o.endTs > gapNs =>
-                  out += SessionOut(user, o.sessionId, o.nEvents, o.startTs, o.endTs)
-                  open = Some(OpenSession(o.sessionId + 1, t, t, 1L))
-                case Some(o) =>
-                  open = Some(o.copy(endTs = math.max(o.endTs, t),
-                    nEvents = o.nEvents + 1))
-              }
-            }
-            open.foreach { o =>
-              state.update(o)
-              // close via timeout once the watermark passes end + gap
-              state.setTimeoutTimestamp(o.endTs / 1000000L + gapNs / 1000000L)
-            }
-            out.iterator
-          }
-      }
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFold(gapNs))
       .toDF()
     val q = sessions.writeStream
       .outputMode("append")
@@ -221,6 +189,47 @@ object StreamOps {
     try q.processAllAvailable()
     finally q.stop()
     s.table(tableName)
+  }
+
+  /** The per-user session fold driven by `flatMapGroupsWithState`: events
+    * of one user in one micro-batch arrive unordered (sorted here with the
+    * batch path's event_id tiebreak); a gap closes and emits the open
+    * session; the in-flight one lives in state with an event-time timeout
+    * at `end + gap` so idle users flush and release state.
+    */
+  def sessionFold(gapNs: Long): (Long,
+      Iterator[(Long, Long, Long, java.sql.Timestamp)],
+      org.apache.spark.sql.streaming.GroupState[OpenSession]) =>
+      Iterator[SessionOut] = {
+    (user, rows, state) =>
+      if (state.hasTimedOut) {
+        val open = state.get
+        state.remove()
+        Iterator.single(SessionOut(user, open.sessionId, open.nEvents,
+          open.startTs, open.endTs))
+      } else {
+        val ts = rows.map(r => (r._2, r._3)).toArray.sortBy(identity)
+        val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+        var open = state.getOption
+        ts.foreach { case (t, _) =>
+          open match {
+            case None =>
+              open = Some(OpenSession(1L, t, t, 1L))
+            case Some(o) if t - o.endTs > gapNs =>
+              out += SessionOut(user, o.sessionId, o.nEvents, o.startTs, o.endTs)
+              open = Some(OpenSession(o.sessionId + 1, t, t, 1L))
+            case Some(o) =>
+              open = Some(o.copy(endTs = math.max(o.endTs, t),
+                nEvents = o.nEvents + 1))
+          }
+        }
+        open.foreach { o =>
+          state.update(o)
+          // close via timeout once the watermark passes end + gap
+          state.setTimeoutTimestamp(o.endTs / 1000000L + gapNs / 1000000L)
+        }
+        out.iterator
+      }
   }
 
   /** Gap-based sessionization (30-min inactivity) as a batch pipeline with
