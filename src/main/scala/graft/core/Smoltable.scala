@@ -299,6 +299,37 @@ final class Smoltable private (
       observedLong(cellsObs, "bytes")))
   }
 
+  /** Cells of ONE bucket directory, pruned statically (under the LWW
+    * window, like the lg filter). */
+  private def cellsInBucket(b: Int): DataFrame = {
+    val m = manifest
+    if (!hasData) allCells
+    else maybeLww(spark.read.schema(readSchema(m)).parquet(dataDir.toString)
+      .filter(col("bucket") === b))
+  }
+
+  /** Co-located row join with another table bucketed with the SAME count —
+    * the bucket-wise join pattern: a union of per-bucket joins, each branch
+    * statically pruned to ONE `bucket=` directory per side. No shuffle
+    * crosses buckets (each branch's exchange holds 1/n of each table) and
+    * AQE sizes each branch independently (small buckets broadcast). Output:
+    * `row_key, left_families, right_families` nested maps, inner-joined on
+    * keys present in both tables.
+    */
+  def joinRows(other: Smoltable): DataFrame = {
+    val n = manifest.buckets
+    require(n > 0 && other.manifest.buckets == n,
+      s"co-located join needs equal bucket counts " +
+        s"($n vs ${other.manifest.buckets})")
+    (0 until n).map { b =>
+      val l = CellOps.assembleRows(cellsInBucket(b), col("value"))
+        .withColumnRenamed("families", "left_families")
+      val r = CellOps.assembleRows(other.cellsInBucket(b), col("value"))
+        .withColumnRenamed("families", "right_families")
+      l.join(r, "row_key")
+    }.reduce(_ unionAll _)
+  }
+
   /** Scale path: scan as a distributed nested-row DataFrame
     * `(row_key, families map<family, map<qualifier, array<(ts,v)>>>)` — no
     * driver materialization, no default limits, no metrics instrumentation

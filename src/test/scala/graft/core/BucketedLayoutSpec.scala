@@ -129,6 +129,41 @@ class BucketedLayoutSpec extends SparkSuite {
     }
   }
 
+  test("co-located join of two equal-bucket tables, bucket-pruned per branch") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val left = Smoltable.open(spark, cat, "left")
+      val right = Smoltable.open(spark, cat, "right")
+      Seq(left, right).foreach { t =>
+        t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+        t.setBucketCount(4)
+      }
+      left.write((0 until 20).map(i => RowWriteItem(f"k$i%02d", Seq(
+        ColumnWriteItem(ColumnKey.of("v:l"), Some(0L), CellValue.S(s"L$i"))))))
+      // right shares only the even keys
+      right.write((0 until 20 by 2).map(i => RowWriteItem(f"k$i%02d", Seq(
+        ColumnWriteItem(ColumnKey.of("v:r"), Some(0L), CellValue.S(s"R$i"))))))
+
+      val joined = left.joinRows(right)
+      // every branch's parquet scans carry a bucket partition filter
+      val plan = joined.queryExecution.executedPlan.toString
+      val bucketFilters = "\\(bucket#\\d+ = \\d\\)".r.findAllIn(plan).size
+      assert(bucketFilters >= 8, s"expected per-branch bucket pruning, " +
+        s"found $bucketFilters filters")
+
+      val rows = joined.select("row_key").collect().map(_.getString(0)).sorted
+      assert(rows.toSeq == (0 until 20 by 2).map(i => f"k$i%02d"))
+      val k04 = joined.filter(col("row_key") === "k04").head()
+      val lf = k04.getMap[String, Map[String, Any]](1)
+      val rf = k04.getMap[String, Map[String, Any]](2)
+      assert(lf.keys.toSet == Set("v") && rf.keys.toSet == Set("v"))
+
+      val unbucketed = Smoltable.open(spark, cat, "plainx")
+      unbucketed.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      intercept[IllegalArgumentException](left.joinRows(unbucketed))
+    }
+  }
+
   test("bucketing must be declared before data lands") {
     withTempDir { dir =>
       val t = Smoltable.open(spark, new Catalog(dir.toString), "b")
