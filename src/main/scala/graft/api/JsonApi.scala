@@ -46,9 +46,10 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession) 
     val (status, msg, result) =
       try f
       catch {
-        case e @ (_: IllegalArgumentException | _: IllegalStateException |
-            _: NoSuchElementException | _: NumberFormatException |
-            _: IndexOutOfBoundsException) =>
+        // input-shaped failures only — IllegalStateException (e.g. a
+        // corrupt manifest) is server-side and must surface as 500
+        case e @ (_: IllegalArgumentException | _: NoSuchElementException |
+            _: NumberFormatException | _: IndexOutOfBoundsException) =>
           (400, Option(e.getMessage).getOrElse("Bad request"), "null")
       }
     envelope((System.nanoTime() - t0) / 1000000L, status, msg, result)

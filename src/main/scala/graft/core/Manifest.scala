@@ -104,6 +104,39 @@ object TableManifest {
   }
 }
 
+/** Directory-stream helpers that CLOSE the underlying stream — a bare
+  * `Files.walk(...).iterator()` leaks a directory file descriptor until GC
+  * finalization, which matters for the per-minute worker sweeps and
+  * per-request `listTables` calls of a long-lived server.
+  */
+private[core] object PathIO {
+  def withStream[A, T](s: java.util.stream.Stream[A])(
+      f: Iterator[A] => T): T =
+    try f(s.iterator().asScala) finally s.close()
+
+  def nonEmptyDir(p: Path): Boolean =
+    Files.exists(p) && withStream(Files.list(p))(_.hasNext)
+
+  def walkCount(p: Path)(pred: Path => Boolean): Int =
+    if (!Files.exists(p)) 0
+    else withStream(Files.walk(p))(_.count(pred))
+
+  def listDirNames(p: Path): Seq[String] =
+    if (!Files.exists(p)) Nil
+    else withStream(Files.list(p))(
+      _.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq)
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      withStream(Files.walk(p))(_.toSeq).reverse
+        .foreach(Files.deleteIfExists(_))
+
+  def sizeSum(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else withStream(Files.walk(p))(
+      _.filter(Files.isRegularFile(_)).map(Files.size).sum)
+}
+
 /** Server-level catalog of tables (the `app_state.rs:21-48` registry):
   * one directory per table under `baseDir/tables/`.
   */
@@ -113,23 +146,13 @@ final class Catalog(val baseDir: String) {
   def tablePath(name: String): Path = tablesDir.resolve(name)
 
   def listTables(): Seq[String] =
-    if (!Files.exists(tablesDir)) Nil
-    else Files.list(tablesDir).iterator.asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    PathIO.listDirNames(tablesDir).sorted
 
-  def dropTable(name: String): Unit = {
-    val p = tablePath(name)
-    if (Files.exists(p)) {
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
-    }
-  }
+  def dropTable(name: String): Unit =
+    PathIO.deleteRecursively(tablePath(name))
 
   /** Disk usage in bytes, mirroring `disk_space_usage`
     * (`smoltable/src/table/mod.rs:906-922`). */
-  def diskSpaceUsage(name: String): Long = {
-    val p = tablePath(name)
-    if (!Files.exists(p)) 0L
-    else Files.walk(p).iterator.asScala
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
-  }
+  def diskSpaceUsage(name: String): Long =
+    PathIO.sizeSum(tablePath(name))
 }

@@ -97,12 +97,8 @@ final class Smoltable private (
       lit(n.toLong)).cast("int")
 
   /** Driver-side twin of [[bucketExpr]] for static pruning literals. */
-  private def bucketOfKey(key: String, n: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    new java.math.BigInteger(hex.substring(0, 15), 16)
-      .mod(java.math.BigInteger.valueOf(n.toLong)).intValue
-  }
+  private def bucketOfKey(key: String, n: Int): Int =
+    (PortableHash.md5Long60(key) % n).toInt
 
   private def partitionCols(m: TableManifest): Seq[String] =
     if (m.buckets > 0) Seq("lg", "bucket") else Seq("lg")
@@ -187,9 +183,7 @@ final class Smoltable private (
 
   // ----------------------------------------------------------------- read
 
-  private def hasData: Boolean =
-    Files.exists(dataDir) &&
-      Files.list(dataDir).iterator().hasNext
+  private def hasData: Boolean = PathIO.nonEmptyDir(dataDir)
 
   private val cellSchema =
     org.apache.spark.sql.Encoders.product[StoredCell].schema
@@ -359,25 +353,27 @@ final class Smoltable private (
       return ScanOutput(Nil, ScanMetrics(groupsTotal, 0L, ins.size.toLong, 0L))
     var cellsScanned = 0L
     var bytesScanned = 0L
-    val assembled = scala.collection.mutable.ArrayBuffer.empty[GRow]
-    ins.groupBy(i => (i.filter, i.rowCellLimit, i.columnCellLimit))
+    // results resolved PER BATCH: two inputs for the same key with
+    // different filters/limits must each get their own batch's row
+    val resolved = new Array[Option[GRow]](ins.size)
+    ins.zipWithIndex.toSeq
+      .groupBy { case (i, _) => (i.filter, i.rowCellLimit, i.columnCellLimit) }
       .foreach { case (_, batch) =>
-        val eff = batch.head.withEngineDefaults
-        val keys = batch.map(_.key).distinct
+        val eff = batch.head._1.withEngineDefaults
+        val keys = batch.map(_._1.key).distinct
         val obs = Observation()
         val visible = cellsForKeys(eff.filter, keys)
           .filter(col("row_key").isin(keys: _*) &&
             rawKeyStr >= concat(col("row_key"), lit(getRowSeekSuffix(eff))))
           .observe(obs, cellCountAgg, cellBytesAgg)
         val df = CellOps.getRowCells(visible, eff, keys, Some(lgVisitRank))
-        assembled ++= assemble(collectCells(df))
+        val byKey = assemble(collectCells(df)).map(r => r.rowKey -> r).toMap
+        batch.foreach { case (in, idx) => resolved(idx) = byKey.get(in.key) }
         cellsScanned += observedLong(obs, "cells")
         bytesScanned += observedLong(obs, "bytes")
       }
-    // rows come back in input order, duplicates included (reference loop)
-    val byKey = assembled.map(r => r.rowKey -> r).toMap
-    val rows = ins.flatMap(i => byKey.get(i.key))
-    ScanOutput(rows, ScanMetrics(groupsTotal, cellsScanned,
+    // rows in input order, duplicates included (reference loop)
+    ScanOutput(resolved.toSeq.flatten, ScanMetrics(groupsTotal, cellsScanned,
       ins.size.toLong, bytesScanned))
   }
 
@@ -468,61 +464,59 @@ final class Smoltable private (
     * repartition) restores.
     */
   private def rewriteData(survivors: DataFrame,
-      numPartitions: Option[Int] = None): Unit = {
-    val tmp = tableDir.resolve("data.tmp")
-    val old = tableDir.resolve("data.old")
-    val sortCols = Seq(col("lg"), col("row_key"), col("family"),
-      col("qualifier"))
-    val arranged = numPartitions match {
-      case Some(n) => survivors.repartitionByRange(n, sortCols: _*)
-        .sortWithinPartitions(sortCols: _*)
-      case None => survivors.sortWithinPartitions(sortCols: _*)
+      numPartitions: Option[Int] = None): Unit =
+    Smoltable.mutationLock(catalog, name).synchronized {
+      val tmp = tableDir.resolve("data.tmp")
+      val old = tableDir.resolve("data.old")
+      val sortCols = Seq(col("lg"), col("row_key"), col("family"),
+        col("qualifier"))
+      val arranged = numPartitions match {
+        case Some(n) => survivors.repartitionByRange(n, sortCols: _*)
+          .sortWithinPartitions(sortCols: _*)
+        case None => survivors.sortWithinPartitions(sortCols: _*)
+      }
+      // the survivors plan reads the live files lazily, i.e. inside this
+      // lock — concurrent rewrites serialize correctly (no lost updates).
+      // overwrite mode also clears any stray data.tmp from an old crash.
+      arranged.write.mode("overwrite")
+        .partitionBy(partitionCols(manifest): _*)
+        .parquet(tmp.toString)
+      PathIO.deleteRecursively(old)
+      Files.move(dataDir, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
+      PathIO.deleteRecursively(old)
+      // rewritten data is physically LWW-resolved; reads can skip the
+      // window until a second batch lands
+      val m = manifest
+      TableManifest.store(manifestPath, m.copy(batchesSinceRewrite = 1L))
     }
-    arranged.write.mode("overwrite").partitionBy(partitionCols(manifest): _*)
-      .parquet(tmp.toString)
-    deleteRecursively(old)
-    Files.move(dataDir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
-    // rewritten data is physically LWW-resolved; reads can skip the window
-    // until a second batch lands
-    val m = manifest
-    TableManifest.store(manifestPath, m.copy(batchesSinceRewrite = 1L))
-  }
 
-  /** Recovery from a crashed [[rewriteData]], run on open: a leftover
+  /** Recovery from a CRASHED [[rewriteData]], run on open: a leftover
     * `data.old` with no live dir rolls BACK (the verb was never
-    * acknowledged); with a live dir present it is debris from after the
-    * swap. A leftover `data.tmp` is always debris.
+    * acknowledged). Deliberately non-destructive otherwise — a stray
+    * `data.tmp` or a `data.old` next to a live dir might belong to a
+    * rewrite in flight on another thread (open runs per request in server
+    * mode), and both are cleaned by the next rewrite anyway. The
+    * roll-back itself takes the mutation lock, so it can never interleave
+    * with a live swap's missing-dataDir window.
     */
-  private[core] def recoverRewrite(): Unit = {
-    val old = tableDir.resolve("data.old")
-    val tmp = tableDir.resolve("data.tmp")
-    if (Files.exists(old)) {
-      if (Files.exists(dataDir)) deleteRecursively(old)
-      else Files.move(old, dataDir, StandardCopyOption.ATOMIC_MOVE)
+  private[core] def recoverRewrite(): Unit =
+    Smoltable.mutationLock(catalog, name).synchronized {
+      val old = tableDir.resolve("data.old")
+      if (!Files.exists(dataDir) && Files.exists(old))
+        Files.move(old, dataDir, StandardCopyOption.ATOMIC_MOVE)
     }
-    if (Files.exists(tmp)) deleteRecursively(tmp)
-  }
 
   /** Parquet data files currently backing the table. */
-  def dataFileCount: Int = {
-    import scala.jdk.CollectionConverters._
-    if (!Files.exists(dataDir)) 0
-    else Files.walk(dataDir).iterator().asScala
-      .count(p => p.getFileName.toString.endsWith(".parquet"))
-  }
+  def dataFileCount: Int =
+    PathIO.walkCount(dataDir)(_.getFileName.toString.endsWith(".parquet"))
 
   /** Parquet files of one locality-group partition — the analog of the
     * reference's per-partition segment count
     * (`smoltable/src/table/mod.rs:888-904`, `list_tables.rs`). */
-  def segmentCount(lg: String): Int = {
-    import scala.jdk.CollectionConverters._
-    val p = dataDir.resolve(s"lg=$lg")
-    if (!Files.exists(p)) 0
-    else Files.walk(p).iterator().asScala
-      .count(f => f.getFileName.toString.endsWith(".parquet"))
-  }
+  def segmentCount(lg: String): Int =
+    PathIO.walkCount(dataDir.resolve(s"lg=$lg"))(
+      _.getFileName.toString.endsWith(".parquet"))
 
   /** Partition directory path for a locality group (diagnostics). */
   def partitionPath(lg: String): Path = dataDir.resolve(s"lg=$lg")
@@ -547,12 +541,6 @@ final class Smoltable private (
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     rewriteData(allCells, Some(parts))
     (before, dataFileCount)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
   }
 
   // ------------------------------------------------------------- metrics
@@ -685,6 +673,16 @@ final class Smoltable private (
 }
 
 object Smoltable {
+  /** Per-(catalog, table) JVM locks serializing rewrites and crash
+    * recovery — server mode opens a Smoltable per request, and recovery
+    * must never mistake an in-flight rewrite's directories for debris.
+    * (Cross-process mutators still need external coordination, like the
+    * reference's single-process keyspace.) */
+  private val swapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def mutationLock(catalog: Catalog, name: String): Object =
+    swapLocks.computeIfAbsent(s"${catalog.baseDir}/$name", _ => new Object)
+
   /** Open-or-create, mirroring `Smoltable::open`
     * (`smoltable/src/table/mod.rs:107-154`). */
   def open(spark: SparkSession, catalog: Catalog, name: String): Smoltable = {

@@ -74,14 +74,17 @@ object Dedup {
       case (cols, bi) =>
         concat_ws("_", lit(bi.toString) +: cols.map(col): _*)
     }.toSeq
-    // persist: the self-join would otherwise execute the whole
+    // localCheckpoint: the self-join would otherwise execute the whole
     // shingle->hash->minhash pipeline TWICE (no exchange reuse across a
     // broadcast side). Bands are k/rowsPerBand small rows per doc — far
-    // smaller than the shingle stream; at cluster scale write them to a
-    // temp table instead if memory-constrained.
+    // smaller than the shingle stream. Checkpoint blocks are released by
+    // the ContextCleaner once the frame is unreachable, unlike persist()
+    // which leaks cache entries nobody can unpersist; at cluster scale
+    // write bands to a temp table instead (localCheckpoint does not
+    // survive executor loss).
     val bands = signatures.select(col("doc_id"),
         explode(array(bandExprs: _*)).as("band"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -62,11 +62,8 @@ object Similarity {
     * `md5(concat(seed, '_', p, '_', d))` used by the oracle. */
   private def planeSignsLocal(seed: String, p: Int, dim: Int): Seq[Long] =
     (1 to dim).map { d =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${seed}_${p}_$d".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      if (new java.math.BigInteger(hex.substring(0, 15), 16)
-          .longValue() % 2 == 0) 1L else -1L
+      if (graft.model.PortableHash.md5Long60(s"${seed}_${p}_$d") % 2 == 0) 1L
+      else -1L
     }
 
   def signBucket(emb: Column, planes: Int, dim: Int,

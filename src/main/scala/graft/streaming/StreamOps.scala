@@ -195,7 +195,12 @@ object StreamOps {
     * of one user in one micro-batch arrive unordered (sorted here with the
     * batch path's event_id tiebreak); a gap closes and emits the open
     * session; the in-flight one lives in state with an event-time timeout
-    * at `end + gap` so idle users flush and release state.
+    * at `end + gap` so idle users flush.
+    *
+    * A timeout emits the open session but keeps a ZERO-EVENT tombstone
+    * (one more gap's worth of state) so a user who reappears continues the
+    * session numbering instead of duplicating `(user_id, session_id)`
+    * pairs; the tombstone's own timeout removes state for good.
     */
   def sessionFold(gapNs: Long): (Long,
       Iterator[(Long, Long, Long, java.sql.Timestamp)],
@@ -204,9 +209,17 @@ object StreamOps {
     (user, rows, state) =>
       if (state.hasTimedOut) {
         val open = state.get
-        state.remove()
-        Iterator.single(SessionOut(user, open.sessionId, open.nEvents,
-          open.startTs, open.endTs))
+        if (open.nEvents == 0L) {
+          // tombstone expired: numbering may restart, state is released
+          state.remove()
+          Iterator.empty
+        } else {
+          state.update(open.copy(nEvents = 0L))
+          state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + gapNs / 1000000L)
+          Iterator.single(SessionOut(user, open.sessionId, open.nEvents,
+            open.startTs, open.endTs))
+        }
       } else {
         val ts = rows.map(r => (r._2, r._3)).toArray.sortBy(identity)
         val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
@@ -215,8 +228,11 @@ object StreamOps {
           open match {
             case None =>
               open = Some(OpenSession(1L, t, t, 1L))
-            case Some(o) if t - o.endTs > gapNs =>
-              out += SessionOut(user, o.sessionId, o.nEvents, o.startTs, o.endTs)
+            case Some(o) if o.nEvents == 0L || t - o.endTs > gapNs =>
+              // a tombstone (already emitted on timeout) just advances the
+              // numbering; a live session closes and emits here
+              if (o.nEvents > 0L)
+                out += SessionOut(user, o.sessionId, o.nEvents, o.startTs, o.endTs)
               open = Some(OpenSession(o.sessionId + 1, t, t, 1L))
             case Some(o) =>
               open = Some(o.copy(endTs = math.max(o.endTs, t),
@@ -226,7 +242,8 @@ object StreamOps {
         open.foreach { o =>
           state.update(o)
           // close via timeout once the watermark passes end + gap
-          state.setTimeoutTimestamp(o.endTs / 1000000L + gapNs / 1000000L)
+          state.setTimeoutTimestamp(math.max(o.endTs / 1000000L,
+            state.getCurrentWatermarkMs()) + gapNs / 1000000L)
         }
         out.iterator
       }

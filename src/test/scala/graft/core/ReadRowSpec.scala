@@ -111,6 +111,20 @@ class ReadRowSpec extends SparkSuite {
     }
   }
 
+  test("multiGet: same key with different filters resolves per input") {
+    withTempDir { dir =>
+      val t = freshTable(dir, Seq("aa", "bb"))
+      t.write(Seq(RowWriteItem("test", Seq(
+        ColumnWriteItem(ColumnKey.of("aa:"), Some(0L), str("A")),
+        ColumnWriteItem(ColumnKey.of("bb:"), Some(0L), str("B"))))))
+      val out = t.multiGet(Seq(
+        GetRowInput("test", filter = Some(ColumnFilter.Key(ColumnKey.of("aa:")))),
+        GetRowInput("test", filter = Some(ColumnFilter.Key(ColumnKey.of("bb:"))))))
+      assert(out.rows.size == 2)
+      assert(out.rows.map(_.columns.keySet) == Seq(Set("aa"), Set("bb")))
+    }
+  }
+
   test("cell limit across locality groups truncates in GROUP visit order") {
     withTempDir { dir =>
       // default-group family sorts LAST alphabetically ("zz"), but the
