@@ -35,6 +35,13 @@ private final case class StoredCell(
   * builds a DataFrame plan (see [[CellOps]]) and lets Catalyst pick pruning,
   * pushdown, and join/window strategies, instead of a hand-rolled LSM merge
   * loop.
+  *
+  * Concurrency: mutations (delete/GC/compaction rewrites) serialize on a
+  * per-table JVM lock and are lossless under concurrency; reads racing a
+  * rewrite swap may observe a vanished file (the reference gets snapshot
+  * isolation from its LSM for free) — a retry, or a manifest-listed file
+  * set instead of directory listing, is the production hardening for a
+  * serving deployment.
   */
 final class Smoltable private (
     val spark: SparkSession,
@@ -426,9 +433,8 @@ final class Smoltable private (
     if (!hasData) return 0L
     val hit = CellOps.deleteHit(rowKey, filter)
     val obs = Observation()
-    val observed = allCells.observe(obs,
-      coalesce(sum(when(hit, 1L)), lit(0L)).as("hits"))
-    rewriteData(observed.filter(!hit))
+    rewriteData(() => allCells.observe(obs,
+      coalesce(sum(when(hit, 1L)), lit(0L)).as("hits")).filter(!hit))
     observedLong(obs, "hits")
   }
 
@@ -445,7 +451,8 @@ final class Smoltable private (
   def runVersionGcWith(settings: Map[String, GcSettings]): Long = {
     if (!settings.values.exists(_.needsGc) || !hasData) return 0L
     val obs = Observation()
-    rewriteData(CellOps.gcSurvivors(allCells, settings, nowNanos, Some(obs)))
+    rewriteData(() =>
+      CellOps.gcSurvivors(allCells, settings, nowNanos, Some(obs)))
     observedLong(obs, "dead")
   }
 
@@ -463,20 +470,22 @@ final class Smoltable private (
     * files, which [[compact]] (explicit partition count → range
     * repartition) restores.
     */
-  private def rewriteData(survivors: DataFrame,
+  private def rewriteData(survivors: () => DataFrame,
       numPartitions: Option[Int] = None): Unit =
     Smoltable.mutationLock(catalog, name).synchronized {
       val tmp = tableDir.resolve("data.tmp")
       val old = tableDir.resolve("data.old")
       val sortCols = Seq(col("lg"), col("row_key"), col("family"),
         col("qualifier"))
+      // the survivors plan is BUILT inside the lock: spark.read.parquet
+      // lists files at DataFrame creation, so a plan built earlier would
+      // reference files a concurrent rewrite already swapped away.
+      // Serialized construction + execution means no lost updates.
       val arranged = numPartitions match {
-        case Some(n) => survivors.repartitionByRange(n, sortCols: _*)
+        case Some(n) => survivors().repartitionByRange(n, sortCols: _*)
           .sortWithinPartitions(sortCols: _*)
-        case None => survivors.sortWithinPartitions(sortCols: _*)
+        case None => survivors().sortWithinPartitions(sortCols: _*)
       }
-      // the survivors plan reads the live files lazily, i.e. inside this
-      // lock — concurrent rewrites serialize correctly (no lost updates).
       // overwrite mode also clears any stray data.tmp from an old crash.
       arranged.write.mode("overwrite")
         .partitionBy(partitionCols(manifest): _*)
@@ -539,7 +548,7 @@ final class Smoltable private (
     val before = dataFileCount
     val totalBytes = catalog.diskSpaceUsage(name)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    rewriteData(allCells, Some(parts))
+    rewriteData(() => allCells, Some(parts))
     (before, dataFileCount)
   }
 

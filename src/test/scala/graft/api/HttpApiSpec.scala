@@ -32,6 +32,43 @@ class HttpApiSpec extends SparkSuite {
     (resp.statusCode, parsed)
   }
 
+  test("concurrent mutations through the server serialize correctly") {
+    withTempDir { dir =>
+      val api = new JsonApi(new Catalog(dir.toString), spark)
+      val srv = new HttpApiServer(api, port = 0)
+      val port = srv.start()
+      val base = s"http://localhost:$port/v1/table"
+      try {
+        send("PUT", s"$base/ctable")
+        send("POST", s"$base/ctable/column-family",
+          """{"column_families":[{"name":"v"}]}""")
+        val items = (0 until 8).map(i =>
+          s"""{"row_key":"r$i","cells":[{"column_key":"v:","time":0,"type":"string","value":"x$i"}]}""")
+          .mkString("""{"items":[""", ",", "]}")
+        send("POST", s"$base/ctable/write", items)
+
+        // four concurrent filtered row deletes: the per-table mutation
+        // lock must serialize the copy-on-write rewrites losslessly
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration._
+        val deletes = (0 until 4).map { i =>
+          Future(send("DELETE", s"$base/ctable/row",
+            s"""{"row_key":"r$i"}"""))
+        }
+        val results = Await.result(Future.sequence(deletes), 120.seconds)
+        assert(results.forall(_._1 == 202), results.map(_._1))
+        assert(results.map(_._2.get("result")
+          .flatMap(_.get("deleted_cells_count")).get.asLong).sum == 4L)
+
+        val (_, cnt) = send("POST", s"$base/ctable/count",
+          """{"row":{"prefix":""}}""")
+        assert(cnt.get("result").flatMap(_.get("row_count"))
+          .map(_.asLong) == Some(4L))
+      } finally srv.stop()
+    }
+  }
+
   test("reference routes over real HTTP: lifecycle + doc-example bodies") {
     withTempDir { dir =>
       val api = new JsonApi(new Catalog(dir.toString), spark)
