@@ -36,12 +36,16 @@ private final case class StoredCell(
   * pushdown, and join/window strategies, instead of a hand-rolled LSM merge
   * loop.
   *
-  * Concurrency: mutations (delete/GC/compaction rewrites) serialize on a
-  * per-table JVM lock and are lossless under concurrency; reads racing a
-  * rewrite swap may observe a vanished file (the reference gets snapshot
-  * isolation from its LSM for free) — a retry, or a manifest-listed file
-  * set instead of directory listing, is the production hardening for a
-  * serving deployment.
+  * Concurrency: ALL mutations — appends, delete/GC/compaction rewrites,
+  * DDL manifest updates, crash recovery — serialize on a per-table
+  * reentrant JVM lock ([[withMutationLock]]) and are lossless under
+  * concurrency; opens never block behind a running rewrite (recovery is
+  * tryLock-and-skip). Reads stay lock-free: one racing a rewrite swap may
+  * observe a vanished file (the reference gets snapshot isolation from
+  * its LSM for free) — a retry, or a manifest-listed file set instead of
+  * directory listing, is the production hardening for a serving
+  * deployment. Cross-process mutators still need external coordination,
+  * like the reference's single-process keyspace.
   */
 final class Smoltable private (
     val spark: SparkSession,
@@ -65,7 +69,7 @@ final class Smoltable private (
   def createColumnFamilies(
       defs: Seq[ColumnFamilyDefinition],
       localityGroup: Boolean = false
-  ): Unit = {
+  ): Unit = withMutationLock {
     defs.foreach { d =>
       require(ColumnKey.isValidIdentifier(d.name), s"invalid family ${d.name}")
     }
@@ -90,7 +94,7 @@ final class Smoltable private (
     * lands (like the reference's locality groups, the physical layout is
     * write-time).
     */
-  def setBucketCount(n: Int): Unit = {
+  def setBucketCount(n: Int): Unit = withMutationLock {
     require(n > 0, s"bucket count must be positive: $n")
     require(!hasData, "bucketing must be declared before data is written")
     TableManifest.store(manifestPath, manifest.copy(buckets = n))
@@ -128,7 +132,7 @@ final class Smoltable private (
     * fresh table skips the cross-batch LWW window, so both copies would
     * otherwise surface ([[maybeLww]]).
     */
-  def write(items: Seq[RowWriteItem]): Unit = {
+  def write(items: Seq[RowWriteItem]): Unit = withMutationLock {
     val m = manifest
     val known = m.families.map(_.name).toSet
     val seqBase = m.nextSeq
@@ -167,7 +171,7 @@ final class Smoltable private (
     * rejected up front. `seq` is one batch sequence for the whole load
     * (a single "atomic batch" in the reference's sense).
     */
-  def writeBulk(cells: DataFrame): Unit = {
+  def writeBulk(cells: DataFrame): Unit = withMutationLock {
     val m = manifest
     val known = m.families.map(_.name)
     val bad = cells.select("family").distinct()
@@ -300,14 +304,11 @@ final class Smoltable private (
       observedLong(cellsObs, "bytes")))
   }
 
-  /** Cells of ONE bucket directory, pruned statically (under the LWW
-    * window, like the lg filter). */
-  private def cellsInBucket(b: Int): DataFrame = {
-    val m = manifest
-    if (!hasData) allCells
-    else maybeLww(spark.read.schema(readSchema(m)).parquet(dataDir.toString)
-      .filter(col("bucket") === b))
-  }
+  /** Raw bucket-keyed cells for bucket-wise plans: ONE directory listing
+    * and manifest load, shared by every per-bucket branch filtering it
+    * (each branch still gets static `bucket=` partition pruning). */
+  private def bucketedBase(m: TableManifest): DataFrame =
+    spark.read.schema(readSchema(m)).parquet(dataDir.toString)
 
   /** Co-located row join with another table bucketed with the SAME count —
     * the bucket-wise join pattern: a union of per-bucket joins, each branch
@@ -318,14 +319,21 @@ final class Smoltable private (
     * keys present in both tables.
     */
   def joinRows(other: Smoltable): DataFrame = {
-    val n = manifest.buckets
-    require(n > 0 && other.manifest.buckets == n,
-      s"co-located join needs equal bucket counts " +
-        s"($n vs ${other.manifest.buckets})")
+    val m = manifest
+    val om = other.manifest
+    val n = m.buckets
+    require(n > 0 && om.buckets == n,
+      s"co-located join needs equal bucket counts ($n vs ${om.buckets})")
+    val lBase = bucketedBase(m)
+    val rBase = other.bucketedBase(om)
+    def lww(df: DataFrame, mm: TableManifest) =
+      if (mm.batchesSinceRewrite > 1) CellOps.lastWriteWins(df) else df
     (0 until n).map { b =>
-      val l = CellOps.assembleRows(cellsInBucket(b), col("value"))
+      val l = CellOps.assembleRows(
+          lww(lBase.filter(col("bucket") === b), m), col("value"))
         .withColumnRenamed("families", "left_families")
-      val r = CellOps.assembleRows(other.cellsInBucket(b), col("value"))
+      val r = CellOps.assembleRows(
+          lww(rBase.filter(col("bucket") === b), om), col("value"))
         .withColumnRenamed("families", "right_families")
       l.join(r, "row_key")
     }.reduce(_ unionAll _)
@@ -429,14 +437,17 @@ final class Smoltable private (
     * observed by the rewrite job itself — one table pass, no before/after
     * counts.
     */
-  def deleteRow(rowKey: String, filter: Option[ColumnFilter] = None): Long = {
-    if (!hasData) return 0L
-    val hit = CellOps.deleteHit(rowKey, filter)
-    val obs = Observation()
-    rewriteData(() => allCells.observe(obs,
-      coalesce(sum(when(hit, 1L)), lit(0L)).as("hits")).filter(!hit))
-    observedLong(obs, "hits")
-  }
+  def deleteRow(rowKey: String, filter: Option[ColumnFilter] = None): Long =
+    withMutationLock {
+      if (!hasData) 0L
+      else {
+        val hit = CellOps.deleteHit(rowKey, filter)
+        val obs = Observation()
+        rewriteData(() => allCells.observe(obs,
+          coalesce(sum(when(hit, 1L)), lit(0L)).as("hits")).filter(!hit))
+        observedLong(obs, "hits")
+      }
+    }
 
   /** Version-limit + TTL garbage collection as a table rewrite ("lazy &
     * async" maintenance job per `docs/.../data-retention.md`).
@@ -448,13 +459,16 @@ final class Smoltable private (
     * override the manifest's per-family options). The dead-cell count is
     * observed by the rewrite job — one table pass.
     */
-  def runVersionGcWith(settings: Map[String, GcSettings]): Long = {
-    if (!settings.values.exists(_.needsGc) || !hasData) return 0L
-    val obs = Observation()
-    rewriteData(() =>
-      CellOps.gcSurvivors(allCells, settings, nowNanos, Some(obs)))
-    observedLong(obs, "dead")
-  }
+  def runVersionGcWith(settings: Map[String, GcSettings]): Long =
+    withMutationLock {
+      if (!settings.values.exists(_.needsGc) || !hasData) 0L
+      else {
+        val obs = Observation()
+        rewriteData(() =>
+          CellOps.gcSurvivors(allCells, settings, nowNanos, Some(obs)))
+        observedLong(obs, "dead")
+      }
+    }
 
   /** Crash-safe copy-on-write rewrite: write `data.tmp`, move the live dir
     * aside to `data.old`, move tmp in, then drop `data.old`. Any crash
@@ -472,7 +486,7 @@ final class Smoltable private (
     */
   private def rewriteData(survivors: () => DataFrame,
       numPartitions: Option[Int] = None): Unit =
-    Smoltable.mutationLock(catalog, name).synchronized {
+    withMutationLock {
       val tmp = tableDir.resolve("data.tmp")
       val old = tableDir.resolve("data.old")
       val sortCols = Seq(col("lg"), col("row_key"), col("family"),
@@ -500,21 +514,36 @@ final class Smoltable private (
       TableManifest.store(manifestPath, m.copy(batchesSinceRewrite = 1L))
     }
 
-  /** Recovery from a CRASHED [[rewriteData]], run on open: a leftover
-    * `data.old` with no live dir rolls BACK (the verb was never
-    * acknowledged). Deliberately non-destructive otherwise — a stray
-    * `data.tmp` or a `data.old` next to a live dir might belong to a
-    * rewrite in flight on another thread (open runs per request in server
-    * mode), and both are cleaned by the next rewrite anyway. The
-    * roll-back itself takes the mutation lock, so it can never interleave
-    * with a live swap's missing-dataDir window.
+  /** Mutation critical section (reentrant). Serializes appends, rewrites,
+    * DDL manifest updates, and crash recovery per table. */
+  private def withMutationLock[T](body: => T): T = {
+    val lock = Smoltable.mutationLock(catalog, name)
+    lock.lock()
+    try body finally lock.unlock()
+  }
+
+  /** Recovery from a CRASHED [[rewriteData]], run on open. `tryLock`: if
+    * the mutation lock is held, a rewrite is IN FLIGHT on another thread —
+    * its directories are not debris and there is nothing to recover, so
+    * open returns immediately instead of blocking behind a long rewrite
+    * job. When the lock IS free, any `data.old`/`data.tmp` is provably
+    * crash debris: roll back a missing live dir (the verb was never
+    * acknowledged), then clear the leftovers so disk accounting stays
+    * truthful even on tables that never rewrite again.
     */
-  private[core] def recoverRewrite(): Unit =
-    Smoltable.mutationLock(catalog, name).synchronized {
-      val old = tableDir.resolve("data.old")
-      if (!Files.exists(dataDir) && Files.exists(old))
-        Files.move(old, dataDir, StandardCopyOption.ATOMIC_MOVE)
+  private[core] def recoverRewrite(): Unit = {
+    val lock = Smoltable.mutationLock(catalog, name)
+    if (lock.tryLock()) {
+      try {
+        val old = tableDir.resolve("data.old")
+        val tmp = tableDir.resolve("data.tmp")
+        if (!Files.exists(dataDir) && Files.exists(old))
+          Files.move(old, dataDir, StandardCopyOption.ATOMIC_MOVE)
+        PathIO.deleteRecursively(old)
+        PathIO.deleteRecursively(tmp)
+      } finally lock.unlock()
     }
+  }
 
   /** Parquet data files currently backing the table. */
   def dataFileCount: Int =
@@ -687,10 +716,12 @@ object Smoltable {
     * must never mistake an in-flight rewrite's directories for debris.
     * (Cross-process mutators still need external coordination, like the
     * reference's single-process keyspace.) */
-  private val swapLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def mutationLock(catalog: Catalog, name: String): Object =
-    swapLocks.computeIfAbsent(s"${catalog.baseDir}/$name", _ => new Object)
+  private val swapLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
+  private def mutationLock(catalog: Catalog,
+      name: String): java.util.concurrent.locks.ReentrantLock =
+    swapLocks.computeIfAbsent(s"${catalog.baseDir}/$name",
+      _ => new java.util.concurrent.locks.ReentrantLock())
 
   /** Open-or-create, mirroring `Smoltable::open`
     * (`smoltable/src/table/mod.rs:107-154`). */

