@@ -185,11 +185,11 @@ class ScanDifferentialSpec extends SparkSuite {
     out.toSeq
   }
 
-  test("differential fuzz: get_row visited-count limits (40 cases)") {
+  test("differential fuzz: get_row visited-count limits (80 cases)") {
     val rnd = new Random(777001L)
     val fams = Seq("f1", "f2"); val quals = Seq("", "q1", "q2")
     import spark.implicits._
-    for (caseId <- 1 to 40) {
+    for (caseId <- 1 to 80) {
       val all = for {
         r <- Seq("k1", "k2"); f <- fams; q <- quals; t <- 1L to 3L
         if rnd.nextDouble() < 0.6
@@ -214,13 +214,13 @@ class ScanDifferentialSpec extends SparkSuite {
     }
   }
 
-  test("differential fuzz: multi-version limit interplay (40 cases)") {
+  test("differential fuzz: multi-version limit interplay (80 cases)") {
     val rnd = new Random(20260812L)
-    for (i <- 1 to 40) runCase(rnd, multiVersion = true, i)
+    for (i <- 1 to 80) runCase(rnd, multiVersion = true, i)
   }
 
-  test("differential fuzz: sampling + offset on single-cell rows (40 cases)") {
+  test("differential fuzz: sampling + offset on single-cell rows (80 cases)") {
     val rnd = new Random(42424242L)
-    for (i <- 1 to 40) runCase(rnd, multiVersion = false, i)
+    for (i <- 1 to 80) runCase(rnd, multiVersion = false, i)
   }
 }
