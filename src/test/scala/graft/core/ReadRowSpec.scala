@@ -111,6 +111,36 @@ class ReadRowSpec extends SparkSuite {
     }
   }
 
+  test("multiGet batching == sequential per-key getRow (randomized)") {
+    withTempDir { dir =>
+      val rnd = new scala.util.Random(20260813L)
+      val t = freshTable(dir, Seq("f1", "f2"))
+      val keys = (0 until 10).map(i => s"k$i")
+      t.write(keys.map { k =>
+        RowWriteItem(k, (1 to 1 + rnd.nextInt(4)).map { _ =>
+          ColumnWriteItem(
+            ColumnKey.of(s"f${1 + rnd.nextInt(2)}:q${rnd.nextInt(2)}"),
+            Some(rnd.nextInt(4).toLong), str(s"v${rnd.nextInt(9)}"))
+        })
+      })
+      val ins = (1 to 12).map { _ =>
+        GetRowInput(
+          key = if (rnd.nextBoolean()) keys(rnd.nextInt(keys.size))
+            else s"missing${rnd.nextInt(3)}",
+          filter = rnd.nextInt(3) match {
+            case 0 => None
+            case 1 => Some(ColumnFilter.Key(ColumnKey.of("f1:")))
+            case 2 => Some(ColumnFilter.Prefix(ColumnKey.of("f2:q")))
+          },
+          rowCellLimit = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(3)) else None,
+          columnCellLimit = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(2)) else None)
+      }
+      val batched = t.multiGet(ins).rows.map(_.toJson)
+      val sequential = ins.flatMap(i => t.getRow(i).row).map(_.toJson)
+      assert(batched == sequential)
+    }
+  }
+
   test("multiGet: same key with different filters resolves per input") {
     withTempDir { dir =>
       val t = freshTable(dir, Seq("aa", "bb"))
