@@ -61,12 +61,24 @@ object Dedup {
   val DefaultSeeds: Seq[Long] =
     Seq(0L, 0x5deece66dL, 0x9e3779b97f4aL, 0x2545f4914f6cdd1dL)
 
+  /** Buckets larger than this are skipped by [[lshCandidates]]: a band
+    * shared by B docs yields B²/2 pairs, so one mega-duplicate cluster
+    * (every copy shares EVERY band) would go quadratic. Clusters that big
+    * are exact duplicates in practice and [[exact]] already catches them;
+    * capping trades that sliver of recall for a hard bound of
+    * `maxBandSize²/2` pairs per band. Never binds at test scale. */
+  val DefaultMaxBandSize: Int = 100000
+
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+    lshCandidates(signatures, rowsPerBand, DefaultMaxBandSize)
+
   /** LSH banding: signature columns grouped into bands of `rowsPerBand`;
     * docs sharing any band become candidate pairs (id1 < id2). The join is
-    * on the band key — a shuffle join over small buckets, never an all-pairs
-    * product.
+    * on the band key — a shuffle join over small buckets (each capped at
+    * `maxBandSize`), never an all-pairs product.
     */
-  def lshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int,
+      maxBandSize: Int): DataFrame = {
     val sigCols = signatures.columns.filter(_.startsWith("m"))
     // one explode over an array of band keys — a union of per-band selects
     // would re-execute the whole signature pipeline once per band
@@ -77,20 +89,27 @@ object Dedup {
     // persist: the self-join would otherwise execute the whole
     // shingle->hash->minhash pipeline TWICE (no exchange reuse across a
     // broadcast side; localCheckpoint measurably fails to dedup across
-    // that boundary — 3.2s vs 0.8s at sf0.1). Deliberate tradeoff: the
-    // cache entry outlives this call (nobody can unpersist a frame the
-    // result still depends on), but bands are 2 small rows per doc,
-    // MEMORY_AND_DISK evicts LRU under pressure, and callers running many
-    // pipelines can spark.catalog.clearCache() between them; at cluster
-    // scale write bands to a temp table instead.
+    // that boundary — 3.2s vs 0.8s at sf0.1). The hot-band count window
+    // shuffles on `band`, the same partitioning the self-join needs.
     val bands = signatures.select(col("doc_id"),
         explode(array(bandExprs: _*)).as("band"))
+      .withColumn("_bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band")))
+      .filter(col("_bn") <= maxBandSize).drop("_bn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
+    val pairs = a.join(b, col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+    // eagerly materialize the (bounded) pair set, then drop the band cache
+    // before returning: repeated calls on a long-lived server must not
+    // accumulate cache entries. localCheckpoint keeps only the result
+    // blocks (lineage truncated), which the context cleaner reclaims once
+    // the returned frame is unreferenced.
+    val out = pairs.localCheckpoint(true)
+    bands.unpersist(false)
+    out
   }
 
   /** Convenience: shingle → minhash → LSH candidate pairs. Shingles are NOT
@@ -99,14 +118,20 @@ object Dedup {
     * map-side partial mins instead of paying a distinct shuffle first.
     */
   def minhashCandidates(docs: DataFrame, shingleLen: Int = 8,
-      seeds: Seq[Long] = DefaultSeeds, rowsPerBand: Int = 2): DataFrame =
+      seeds: Seq[Long] = DefaultSeeds, rowsPerBand: Int = 2,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame =
     lshCandidates(
       minhashSignatures(shingles(docs, shingleLen, dedup = false), seeds),
-      rowsPerBand)
+      rowsPerBand, maxBandSize)
 
   /** SimHash over distinct word tokens: per-bit majority vote of
     * md5-derived token hashes. `nBits` ≤ 60. Near-dup detection then
     * compares fingerprints by hamming distance ([[hammingDistance]]).
+    *
+    * One `groupBy(doc_id)` with `nBits` conditional-sum aggregates: every
+    * bit's majority vote rides the same single shuffle (map-side partial
+    * sums), instead of exploding each token hash into `nBits` rows and
+    * paying a second per-(doc, bit) aggregation.
     */
   def simhash(docs: DataFrame, nBits: Int = 60, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -115,16 +140,16 @@ object Dedup {
         explode(split(col(textCol), " ")).as("tok"))
       .distinct()
       .select(col("doc_id"), md5Hash60(col("tok")).as("th"))
-    toks
-      .select(col("doc_id"), col("th"),
-        explode(sequence(lit(0), lit(nBits - 1))).as("bit"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(expr("shiftright(th, bit) & 1") === 1, 1).otherwise(-1))
-        .as("sgn"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sgn") > 0,
-          expr("cast(shiftleft(cast(1 as bigint), bit) as bigint)"))
-        .otherwise(0L)).cast("long").as("simhash"))
+    val votes = (0 until nBits).map { b =>
+      sum(when(expr(s"shiftright(th, $b) & 1") === 1, 1).otherwise(-1))
+        .as(s"_sgn$b")
+    }
+    val fingerprint = (0 until nBits).map { b =>
+      when(col(s"_sgn$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fingerprint.cast("long").as("simhash"))
   }
 
   def hammingDistance(a: Column, b: Column): Column =

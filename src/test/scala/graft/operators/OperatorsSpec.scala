@@ -50,6 +50,28 @@ class OperatorsSpec extends SparkSuite {
     }, "unrelated docs should not be candidates")
   }
 
+  test("lshCandidates leaves no cache entries behind") {
+    Dedup.minhashCandidates(docs).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "band cache must be dropped before lshCandidates returns")
+  }
+
+  test("hot-band cap bounds a mega-duplicate cluster") {
+    val mega = (1L to 1000L).map(i => (i, "identical hot cluster text body"))
+      .toDF("doc_id", "text")
+    val distinctDocs = Seq((2001L, "some other unrelated document one"),
+      (2002L, "and a second unrelated document two")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(mega.unionAll(distinctDocs),
+      maxBandSize = 100)
+    // every band of the 1000-copy cluster exceeds the cap, so the cluster
+    // contributes zero pairs (exact dedup owns identical docs) instead of
+    // ~500k; the op completes with a hard-bounded pair count.
+    assert(pairs.count() == 0L)
+    val uncapped = Dedup.minhashCandidates(mega.limit(50))
+    assert(uncapped.count() == 50L * 49 / 2,
+      "below the cap, the cluster still pairs fully")
+  }
+
   test("simhash: identical docs share fingerprints; near dups are close") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
