@@ -311,11 +311,9 @@ object SparkEntry {
       graft.operators.Dedup.exact(plantedDocs(s, dir))),
 
     // ---- MinHash + LSH band-join candidate pairs ---------------------
-    // 8-char shingles -> 4 md5-derived min-hashes -> 2 bands of 2 -> pairs
-    // sharing a band. Planted exact dups guarantee true positives.
-    // ---- MinHash + LSH band-join candidate pairs ---------------------
-    // 8-char shingles -> 4 XOR-seeded min-hashes -> 2 indexed bands ->
-    // pairs sharing a band. Planted exact dups guarantee true positives.
+    // per-doc polynomial window hashes -> 4 XOR-seeded min-hashes -> 2
+    // indexed bands -> pairs sharing a band (sort-merge self-join with
+    // exchange reuse). Planted exact dups guarantee true positives.
     "ext_dedup_minhash" -> ((s, dir) =>
       graft.operators.Dedup.minhashCandidates(plantedDocs(s, dir))),
 
@@ -456,6 +454,16 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
         |)""".stripMargin
+    // The 8-char polynomial window hash of Dedup.windowHashes, as portable
+    // SQL over (text, i): sum_j cp(i+j) * 131^(7-j), chars past
+    // end-of-string as 0 — generated from the SAME power table the Spark
+    // side uses, so the two can never drift.
+    val minhashH0Sql = {
+      val pows = graft.operators.Dedup.hashPows(8)
+      (0 until 8).map { j =>
+        s"(CASE WHEN i + $j <= length(text) THEN CAST(ascii(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) ELSE 0 END) * ${pows(7 - j)}"
+      }.mkString(" + ")
+    }
     Map(
       "op01_get_row" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key = '0000000001'",
@@ -548,10 +556,8 @@ object SparkEntry {
       "ext_dedup_minhash" ->
         s"""$plantedSql, pos AS (
            |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM docs2
-           |), shing AS (
-           |  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh FROM pos
            |), hashed AS (
-           |  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h0 FROM shing
+           |  SELECT doc_id, ($minhashH0Sql) % 2147483647 AS h0 FROM pos
            |), sig AS (
            |  SELECT doc_id,
            |    min(xor(h0, 0)) AS m1,

@@ -43,19 +43,66 @@ object Dedup {
     if (dedup) exploded.distinct() else exploded
   }
 
-  /** MinHash signatures: `k` hash functions derived from ONE md5 per
-    * shingle via XOR seeding (the standard k-permutations-from-one-hash
-    * trick), min-aggregated per document. Output: doc_id, m1..mk.
+  /** Polynomial base for the windowed shingle hash (see
+    * [[windowHashes]]): `131^k mod (2^31 - 1)` for k = 0..n-1. Pure 64-bit
+    * arithmetic, so the identical formula runs in any ANSI SQL engine —
+    * which is what makes the signatures oracle-verifiable WITHOUT paying an
+    * md5 per shingle (md5 over every shingle row measured ~7x the cost of
+    * the rest of the minhash pipeline combined at sf0.1).
     */
-  def minhashSignatures(shingleDf: DataFrame, seeds: Seq[Long]): DataFrame = {
-    val base = shingleDf.withColumn("h0", md5Hash60(col("sh")))
-    base.groupBy("doc_id").agg(
-      seeds.zipWithIndex.map { case (seed, i) =>
-        min(expr(s"h0 ^ ${seed}L")).as(s"m${i + 1}")
-      }.head,
-      seeds.zipWithIndex.tail.map { case (seed, i) =>
-        min(expr(s"h0 ^ ${seed}L")).as(s"m${i + 1}")
-      }: _*)
+  val HashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+  def hashPows(n: Int): Seq[Long] =
+    Iterator.iterate(1L)(x => x * 131 % HashP).take(n).toSeq
+
+  /** MinHash signatures, one row per document: every `shingleLen`-char
+    * window of `text` is hashed with the polynomial
+    * `h(i) = (sum_j cp(i+j) * 131^(shingleLen-1-j)) mod (2^31 - 1)` over
+    * character codes, `k` permutations are derived from that ONE hash via
+    * XOR seeding (the standard k-permutations-from-one-hash trick), and
+    * each permutation is min-folded per document. Output: doc_id, m1..mk.
+    *
+    * Plan shape (scale-critical): ONE projection materializes the per-doc
+    * codepoint array (O(len)); then window positions explode and each
+    * window hashes with O(1) codegen'd `element_at` lookups into that
+    * array, partial-`min` folding per doc before the only shuffle — which
+    * carries one row per document. Two rejected formulations, measured at
+    * sf0.1: (a) an array-of-window-hashes inside higher-order `transform`
+    * — HOFs are interpreted (no codegen) and Catalyst does not CSE
+    * subexpressions referenced inside lambda bodies (2.9s, or minutes if
+    * the codepoint array inlines into the lambda); (b) per-window
+    * `ascii(substr(text, i+j, 1))` — `UTF8String.substring(i)` scans from
+    * the string start, so per-window substr is O(len²) per doc even
+    * codegen'd (13.9s). This hybrid: 0.9s.
+    *
+    * Characters past end-of-string count as 0 (only reachable for docs
+    * shorter than `shingleLen`, which hash their zero-padded prefix —
+    * mirrored in the oracle SQL). Code points are per UTF-16 unit; parity
+    * with SQL-engine `ascii(substr(...))` holds for BMP text.
+    */
+  def minhashSignatures(docs: DataFrame, shingleLen: Int, seeds: Seq[Long],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pows = hashPows(shingleLen)
+    val h0 = (0 until shingleLen).map { j =>
+      coalesce(try_element_at(col("_cps"), col("_i") + lit(j)), lit(0L)) *
+        lit(pows(shingleLen - 1 - j))
+    }.reduce(_ + _) % lit(HashP)
+    val sigCols = seeds.zipWithIndex.map { case (seed, i) =>
+      min(col("_h0").bitwiseXOR(lit(seed))).as(s"m${i + 1}")
+    }
+    docs
+      // the Generate (explode) between this projection and the hash
+      // projection keeps CollapseProject from inlining the O(len) array
+      // build into the 8 per-window references
+      .select(col(idCol).as("doc_id"),
+        transform(split(col(textCol), ""), ch => ascii(ch).cast("long"))
+          .as("_cps"),
+        length(col(textCol)).as("_len"))
+      .select(col("doc_id"), col("_cps"),
+        explode(sequence(lit(1),
+          greatest(col("_len") - (shingleLen - 1), lit(1)))).as("_i"))
+      .select(col("doc_id"), h0.as("_h0"))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
   }
 
   val DefaultSeeds: Seq[Long] =
@@ -72,56 +119,81 @@ object Dedup {
   def lshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame =
     lshCandidates(signatures, rowsPerBand, DefaultMaxBandSize)
 
-  /** LSH banding: signature columns grouped into bands of `rowsPerBand`;
-    * docs sharing any band become candidate pairs (id1 < id2). The join is
-    * on the band key — a shuffle join over small buckets (each capped at
-    * `maxBandSize`), never an all-pairs product.
+  /** Exploded (doc_id, band) rows — one band key per signature band. A
+    * single explode over an array of band keys; a union of per-band selects
+    * would re-execute the whole signature pipeline once per band.
     */
-  def lshCandidates(signatures: DataFrame, rowsPerBand: Int,
-      maxBandSize: Int): DataFrame = {
+  private def bandRows(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
     val sigCols = signatures.columns.filter(_.startsWith("m"))
-    // one explode over an array of band keys — a union of per-band selects
-    // would re-execute the whole signature pipeline once per band
     val bandExprs = sigCols.grouped(rowsPerBand).zipWithIndex.map {
       case (cols, bi) =>
         concat_ws("_", lit(bi.toString) +: cols.map(col): _*)
     }.toSeq
-    // persist: the self-join would otherwise execute the whole
-    // shingle->hash->minhash pipeline TWICE (no exchange reuse across a
-    // broadcast side; localCheckpoint measurably fails to dedup across
-    // that boundary — 3.2s vs 0.8s at sf0.1). The hot-band count window
-    // shuffles on `band`, the same partitioning the self-join needs.
-    val bands = signatures.select(col("doc_id"),
-        explode(array(bandExprs: _*)).as("band"))
-      .withColumn("_bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band")))
-      .filter(col("_bn") <= maxBandSize).drop("_bn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bands.as("a"); val b = bands.as("b")
-    val pairs = a.join(b, col("a.band") === col("b.band") &&
+    signatures.select(col("doc_id"),
+      explode(array(bandExprs: _*)).as("band"))
+  }
+
+  /** LSH banding: signature columns grouped into bands of `rowsPerBand`;
+    * docs sharing any band become candidate pairs (id1 < id2).
+    *
+    * Plan shape (scale-critical): the self-join is hinted SORT-MERGE so
+    * BOTH sides carry an identical shuffle-on-`band` subplan — exchange
+    * reuse then executes the shingle→hash→minhash pipeline ONCE and serves
+    * both join sides from the same disk-backed, lineage-recoverable shuffle
+    * files. No persist and no checkpoint: the returned frame is fully lazy,
+    * leaves no cache entries behind on a long-lived server, and recomputes
+    * from lineage on executor loss. (A broadcast self-join would NOT get
+    * this reuse — the probe side has no exchange and re-executes the whole
+    * upstream pipeline; measured 3.2s vs 0.8s at sf0.1.)
+    *
+    * Bands larger than `maxBandSize` are dropped wholesale (see
+    * [[DefaultMaxBandSize]] for the rationale); that drop is silent here —
+    * use [[droppedHotBands]] as the audit side-output to see exactly which
+    * bands and how many docs the cap removed. The per-band count is a
+    * window over the band partitioning, so it rides the join's own
+    * shuffle+sort (no extra exchange — the sort-merge join needs the input
+    * shuffled and sorted by `band` anyway); it is skipped entirely when
+    * `maxBandSize == Int.MaxValue`.
+    */
+  def lshCandidates(signatures: DataFrame, rowsPerBand: Int,
+      maxBandSize: Int): DataFrame = {
+    val bands = bandRows(signatures, rowsPerBand)
+    val capped =
+      if (maxBandSize == Int.MaxValue) bands
+      else bands
+        .withColumn("_bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band")))
+        .filter(col("_bn") <= maxBandSize).drop("_bn")
+    val a = capped.as("a"); val b = capped.as("b")
+    a.hint("merge").join(b.hint("merge"),
+        col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    // eagerly materialize the (bounded) pair set, then drop the band cache
-    // before returning: repeated calls on a long-lived server must not
-    // accumulate cache entries. localCheckpoint keeps only the result
-    // blocks (lineage truncated), which the context cleaner reclaims once
-    // the returned frame is unreferenced.
-    val out = pairs.localCheckpoint(true)
-    bands.unpersist(false)
-    out
   }
 
-  /** Convenience: shingle → minhash → LSH candidate pairs. Shingles are NOT
-    * deduplicated first — `min` is idempotent, so the result is identical
-    * and the exploded shingle stream reaches the per-doc aggregation with
-    * map-side partial mins instead of paying a distinct shuffle first.
+  /** Audit side-output for the [[lshCandidates]] hot-band cap: the bands
+    * that exceed `maxBandSize` with their row and distinct-doc counts.
+    * Near-duplicate clusters larger than the cap (templated docs that are
+    * NOT byte-identical, so [[exact]] misses them) surface here instead of
+    * vanishing silently.
+    */
+  def droppedHotBands(signatures: DataFrame, rowsPerBand: Int,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame =
+    bandRows(signatures, rowsPerBand)
+      .groupBy("band")
+      .agg(count(lit(1)).as("band_rows"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("band_rows") > maxBandSize)
+
+  /** Convenience: per-doc window-hash minhash → LSH candidate pairs.
+    * Duplicate shingles within a doc are NOT removed first — `min` is
+    * idempotent, so the result is identical without a distinct pass.
     */
   def minhashCandidates(docs: DataFrame, shingleLen: Int = 8,
       seeds: Seq[Long] = DefaultSeeds, rowsPerBand: Int = 2,
       maxBandSize: Int = DefaultMaxBandSize): DataFrame =
-    lshCandidates(
-      minhashSignatures(shingles(docs, shingleLen, dedup = false), seeds),
+    lshCandidates(minhashSignatures(docs, shingleLen, seeds),
       rowsPerBand, maxBandSize)
 
   /** SimHash over distinct word tokens: per-bit majority vote of

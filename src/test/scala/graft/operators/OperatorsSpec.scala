@@ -51,9 +51,30 @@ class OperatorsSpec extends SparkSuite {
   }
 
   test("lshCandidates leaves no cache entries behind") {
+    // start from a known-empty cache so the assertion is about THIS call,
+    // not about whatever earlier tests may have legitimately persisted
+    spark.catalog.clearCache()
     Dedup.minhashCandidates(docs).collect()
     assert(spark.sharedState.cacheManager.isEmpty,
-      "band cache must be dropped before lshCandidates returns")
+      "lshCandidates must not register cache entries")
+  }
+
+  test("lshCandidates executes the signature pipeline once (exchange reuse)") {
+    val plan = Dedup.minhashCandidates(docs).queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("SortMergeJoin"),
+      s"self-join must be sort-merge for exchange reuse, got:\n$s")
+  }
+
+  test("droppedHotBands reports what the cap removed") {
+    val mega = (1L to 200L).map(i => (i, "identical hot cluster text body"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(mega, 8, Dedup.DefaultSeeds)
+    val dropped = Dedup.droppedHotBands(sigs, rowsPerBand = 2,
+      maxBandSize = 100).collect()
+    assert(dropped.nonEmpty, "a 200-copy cluster must exceed a 100 cap")
+    assert(dropped.forall(_.getAs[Long]("n_docs") == 200L))
+    assert(Dedup.droppedHotBands(sigs, 2, maxBandSize = 1000).count() == 0L)
   }
 
   test("hot-band cap bounds a mega-duplicate cluster") {
