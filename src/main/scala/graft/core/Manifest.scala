@@ -30,7 +30,17 @@ final case class TableManifest(
     /** Hash-bucket count for the bucketed-by-row_key layout (0 = plain).
       * Declared before data lands; point gets prune to one `bucket=` dir.
       */
-    buckets: Int = 0
+    buckets: Int = 0,
+    /** The committed Parquet segment set, as paths relative to the table
+      * dir (`data/lg=.../part-*.parquet`). Reads pin THIS list instead of
+      * listing the data directory, so a scan never races a rewrite swap —
+      * the analog of the reference's `keyspace.instant()` snapshot
+      * (`smoltable/src/table/mod.rs:653`), and the same
+      * manifest-lists-files design as the Delta/Iceberg table formats.
+      * Files on disk but not listed are either crash debris (removed on
+      * open) or retired segments still pinned by in-flight readers
+      * (removed when the last such reader finishes). */
+    dataFiles: Seq[String] = Nil
 ) {
   /** Families not owned by any explicit locality group live in the default
     * group. Reference: `column_families_in_default_locality_group`,
@@ -55,9 +65,11 @@ final case class TableManifest(
     val lb = localityGroups.map { g =>
       s"lg\t${g.id}\t${g.families.mkString(",")}"
     }
+    val files = dataFiles.map(f => s"file\t$f")
     (fb ++ lb ++ Seq(s"seq\t$nextSeq",
       s"batches\t$batchesSinceRewrite") ++
-      (if (buckets > 0) Seq(s"buckets\t$buckets") else Nil)).mkString("\n")
+      (if (buckets > 0) Seq(s"buckets\t$buckets") else Nil) ++
+      files).mkString("\n")
   }
 }
 
@@ -72,6 +84,7 @@ object TableManifest {
     var seq = 0L
     var batches = Long.MaxValue
     var buckets = 0
+    var files = Vector.empty[String]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1).toList match {
         case "family" :: name :: vl :: ttl :: Nil =>
@@ -83,10 +96,11 @@ object TableManifest {
         case "seq" :: n :: Nil => seq = n.toLong
         case "batches" :: n :: Nil => batches = n.toLong
         case "buckets" :: n :: Nil => buckets = n.toInt
+        case "file" :: p :: Nil => files :+= p
         case other => throw new IllegalStateException(s"bad manifest line: $line")
       }
     }
-    TableManifest(fams, lgs, seq, batches, buckets)
+    TableManifest(fams, lgs, seq, batches, buckets, files)
   }
 
   def load(path: Path): TableManifest =
@@ -120,6 +134,11 @@ private[core] object PathIO {
   def walkCount(p: Path)(pred: Path => Boolean): Int =
     if (!Files.exists(p)) 0
     else withStream(Files.walk(p))(_.count(pred))
+
+  def walkFiles(p: Path)(pred: Path => Boolean): Seq[Path] =
+    if (!Files.exists(p)) Nil
+    else withStream(Files.walk(p))(
+      _.filter(f => Files.isRegularFile(f) && pred(f)).toSeq)
 
   def listDirNames(p: Path): Seq[String] =
     if (!Files.exists(p)) Nil

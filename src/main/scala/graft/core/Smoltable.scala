@@ -40,12 +40,19 @@ private final case class StoredCell(
   * DDL manifest updates, crash recovery — serialize on a per-table
   * reentrant JVM lock ([[withMutationLock]]) and are lossless under
   * concurrency; opens never block behind a running rewrite (recovery is
-  * tryLock-and-skip). Reads stay lock-free: one racing a rewrite swap may
-  * observe a vanished file (the reference gets snapshot isolation from
-  * its LSM for free) — a retry, or a manifest-listed file set instead of
-  * directory listing, is the production hardening for a serving
-  * deployment. Cross-process mutators still need external coordination,
-  * like the reference's single-process keyspace.
+  * tryLock-and-skip). Reads are snapshot-isolated WITHOUT locking: every
+  * plan is built from the manifest's committed file list (never a
+  * directory listing), rewrites append new segments and commit the list
+  * atomically, and replaced segments are retired — deleted only once no
+  * in-flight read verb can still reference them ([[Smoltable.ReadGuard]]).
+  * This is the reference's `keyspace.instant()` semantics
+  * (`smoltable/src/table/mod.rs:653`, `table/reader.rs:28`) re-derived as
+  * the manifest-lists-files design of the open table formats. Verbs
+  * (`scan`/`getRow`/`multiGet`/counts) pin their snapshot end-to-end;
+  * lazy frames ([[allCells]], [[scanFrame]], [[joinRows]]) pin the file
+  * LIST at plan time — execute them before retiring rewrites run, or
+  * persist the result. Cross-process mutators still need external
+  * coordination, like the reference's single-process keyspace.
   */
 final class Smoltable private (
     val spark: SparkSession,
@@ -160,8 +167,26 @@ final class Smoltable private (
       .write.mode("append").partitionBy(partitionCols(m): _*)
       .parquet(dataDir.toString)
     TableManifest.store(manifestPath, m.copy(nextSeq = seqBase + i + 1,
-      batchesSinceRewrite = if (m.batchesSinceRewrite == Long.MaxValue) Long.MaxValue else m.batchesSinceRewrite + 1))
+      batchesSinceRewrite = if (m.batchesSinceRewrite == Long.MaxValue) Long.MaxValue else m.batchesSinceRewrite + 1,
+      dataFiles = m.dataFiles ++ appendedFiles(m)))
   }
+
+  /** Segment files the append job just wrote: everything on disk that is
+    * neither committed (manifest-listed) nor retired-but-pinned. Only
+    * called under the mutation lock, so no other append can interleave;
+    * crash debris cannot be misattributed because [[recoverRewrite]]
+    * removes it before any write verb can run. */
+  private def appendedFiles(m: TableManifest): Seq[String] = {
+    val live = m.dataFiles.toSet
+    val retired = Smoltable.readGuard(catalog, name).retiredSet
+    listDataFilesRel().filterNot(f =>
+      live(f) || retired(tableDir.resolve(f)))
+  }
+
+  /** All parquet files under `data/`, as table-dir-relative paths. */
+  private def listDataFilesRel(): Seq[String] =
+    PathIO.walkFiles(dataDir)(_.getFileName.toString.endsWith(".parquet"))
+      .map(f => tableDir.relativize(f).toString)
 
   /** Bulk load: append a cell DataFrame
     * `(row_key string, family string, qualifier string, ts long, value
@@ -189,12 +214,13 @@ final class Smoltable private (
       .write.mode("append").partitionBy(partitionCols(m): _*)
       .parquet(dataDir.toString)
     TableManifest.store(manifestPath, m.copy(nextSeq = m.nextSeq + 1,
-      batchesSinceRewrite = if (m.batchesSinceRewrite == Long.MaxValue) Long.MaxValue else m.batchesSinceRewrite + 1))
+      batchesSinceRewrite = if (m.batchesSinceRewrite == Long.MaxValue) Long.MaxValue else m.batchesSinceRewrite + 1,
+      dataFiles = m.dataFiles ++ appendedFiles(m)))
   }
 
   // ----------------------------------------------------------------- read
 
-  private def hasData: Boolean = PathIO.nonEmptyDir(dataDir)
+  private def hasData: Boolean = manifest.dataFiles.nonEmpty
 
   private val cellSchema =
     org.apache.spark.sql.Encoders.product[StoredCell].schema
@@ -204,20 +230,30 @@ final class Smoltable private (
       cellSchema.add("bucket", org.apache.spark.sql.types.IntegerType)
     else cellSchema
 
+  /** Snapshot scan source: the manifest's committed file list read with an
+    * explicit `basePath`, so `lg=`/`bucket=` partition columns still parse
+    * from the paths and static partition pruning applies exactly as with a
+    * directory read — but a concurrent rewrite can never make a listed
+    * file vanish mid-job (replaced files are retired, not deleted, while
+    * pinned). Caller guarantees `m.dataFiles` is non-empty. */
+  private def snapshotRead(m: TableManifest): DataFrame =
+    spark.read.option("basePath", dataDir.toString).schema(readSchema(m))
+      .parquet(m.dataFiles.map(tableDir.resolve(_).toString): _*)
+
   /** All cells (LWW-resolved), with the `lg` partition column retained.
-    * Explicit schema: skips inference and tolerates an all-deleted table
-    * (data dir with no parquet files left). */
-  def allCells: DataFrame =
-    if (!hasData) spark.emptyDataset[StoredCell].toDF()
-    else maybeLww(spark.read.schema(readSchema(manifest))
-      .parquet(dataDir.toString))
+    * The plan pins the manifest's file list at creation (snapshot). */
+  def allCells: DataFrame = {
+    val m = manifest
+    if (m.dataFiles.isEmpty) spark.emptyDataset[StoredCell].toDF()
+    else maybeLww(snapshotRead(m), m)
+  }
 
   /** With at most one write batch since the last rewrite there are no
     * cross-batch overwrites, so the LWW dedup window (and its shuffle) is
     * skipped — the bulk-load-then-scan fast path. Bulk loads with duplicate
     * exact cell coordinates inside ONE batch should pre-dedup. */
-  private def maybeLww(df: DataFrame): DataFrame =
-    if (manifest.batchesSinceRewrite > 1) CellOps.lastWriteWins(df) else df
+  private def maybeLww(df: DataFrame, m: TableManifest): DataFrame =
+    if (m.batchesSinceRewrite > 1) CellOps.lastWriteWins(df) else df
 
   /** Locality groups a column filter touches; order mirrors the reference
     * (default group first). `smoltable/src/table/row_reader.rs:6-69`.
@@ -259,14 +295,13 @@ final class Smoltable private (
       keys: Seq[String]): DataFrame = {
     val m = manifest
     val groups = affectedGroups(filter)
-    if (!hasData) allCells
+    if (m.dataFiles.isEmpty) allCells
     else {
-      var df = spark.read.schema(readSchema(m)).parquet(dataDir.toString)
-        .filter(col("lg").isin(groups: _*))
+      var df = snapshotRead(m).filter(col("lg").isin(groups: _*))
       if (m.buckets > 0 && keys.nonEmpty)
         df = df.filter(col("bucket").isin(
           keys.map(bucketOfKey(_, m.buckets)).distinct: _*))
-      maybeLww(df)
+      maybeLww(df, m)
     }
   }
 
@@ -282,7 +317,7 @@ final class Smoltable private (
     * and the qualifying-row count is observed at the limit windows inside
     * [[CellOps.scanCells]] — one Spark action, no second read.
     */
-  def scan(in: ScanInput): ScanOutput = {
+  def scan(in: ScanInput): ScanOutput = withReadPin {
     val eff = in.withEngineDefaults
     val groups = affectedGroups(eff.filter)
     if (!hasData) return ScanOutput(Nil, ScanMetrics(groups.size, 0L, 0L, 0L))
@@ -304,11 +339,10 @@ final class Smoltable private (
       observedLong(cellsObs, "bytes")))
   }
 
-  /** Raw bucket-keyed cells for bucket-wise plans: ONE directory listing
+  /** Raw bucket-keyed cells for bucket-wise plans: ONE snapshot file list
     * and manifest load, shared by every per-bucket branch filtering it
     * (each branch still gets static `bucket=` partition pruning). */
-  private def bucketedBase(m: TableManifest): DataFrame =
-    spark.read.schema(readSchema(m)).parquet(dataDir.toString)
+  private def bucketedBase(m: TableManifest): DataFrame = snapshotRead(m)
 
   /** Co-located row join with another table bucketed with the SAME count —
     * the bucket-wise join pattern: a union of per-bucket joins, each branch
@@ -362,7 +396,7 @@ final class Smoltable private (
     * is sargable (bucket/file pruning), and every limit window already
     * partitions by `row_key`, so per-key semantics hold inside a single job.
     */
-  def multiGet(ins: Seq[GetRowInput]): ScanOutput = {
+  def multiGet(ins: Seq[GetRowInput]): ScanOutput = withReadPin {
     val groupsTotal = ins.map(i => affectedGroups(i.filter).size).sum
     if (ins.isEmpty || !hasData)
       return ScanOutput(Nil, ScanMetrics(groupsTotal, 0L, ins.size.toLong, 0L))
@@ -395,7 +429,7 @@ final class Smoltable private (
   /** Single aggregation job: qualifying row/cell counts and visited bytes
     * in one pass (`scan_count`, `smoltable/src/table/mod.rs:361-451`).
     */
-  def scanCount(in: CountInput): CountOutput = {
+  def scanCount(in: CountInput): CountOutput = withReadPin {
     val groups = affectedGroups(in.filter)
     if (!hasData) return CountOutput(0L, 0L, groups.size, 0L)
     var qualPred = CellOps.modePredicate(in.mode)
@@ -411,7 +445,7 @@ final class Smoltable private (
   }
 
   /** Exact full count. Reference: `smoltable/src/table/mod.rs:322-359`. */
-  def count(): (Long, Long) = {
+  def count(): (Long, Long) = withReadPin {
     val r = allCells
       .agg(count_distinct(col("row_key")), org.apache.spark.sql.functions.count(lit(1))).head()
     (r.getLong(0), r.getLong(1))
@@ -421,11 +455,10 @@ final class Smoltable private (
     * of `approximate_len`), rows estimated as cells / family count.
     * Reference: `smoltable/src/table/mod.rs:299-320`.
     */
-  def approximateCount(): (Long, Long) = {
-    val cellCount =
-      if (!hasData) 0L
-      else spark.read.parquet(dataDir.toString).count()
-    val cfCount = manifest.families.size
+  def approximateCount(): (Long, Long) = withReadPin {
+    val m = manifest
+    val cellCount = if (m.dataFiles.isEmpty) 0L else snapshotRead(m).count()
+    val cfCount = m.families.size
     if (cfCount == 0) (0L, 0L) else (cellCount / cfCount, cellCount)
   }
 
@@ -470,10 +503,21 @@ final class Smoltable private (
       }
     }
 
-  /** Crash-safe copy-on-write rewrite: write `data.tmp`, move the live dir
-    * aside to `data.old`, move tmp in, then drop `data.old`. Any crash
-    * leaves a recoverable state ([[recoverRewrite]]) — the previous
-    * delete-then-move left a window with NO data directory at all.
+  /** Crash-safe copy-on-write rewrite with snapshot-isolated readers:
+    * write the survivors to `data.tmp`, move each produced segment into
+    * its `data/` partition dir (fresh job-unique names — no collisions),
+    * COMMIT by storing the manifest's new file list, then RETIRE the
+    * replaced segments: they stay on disk until no in-flight read verb
+    * can still reference them ([[Smoltable.ReadGuard]]). A reader that
+    * pinned the old list keeps reading the old segments; one arriving
+    * after the commit sees only the new — `keyspace.instant()` semantics.
+    *
+    * Crash at ANY point leaves the acknowledged state intact: files moved
+    * before the manifest store are unlisted (debris, removed on open);
+    * after the store, the OLD files are unlisted and removed on open.
+    * There is never a window without a committed, fully-present file set
+    * — strictly better than the previous dir-swap, which had
+    * `data.old`-shaped failure modes and made concurrent reads racy.
     *
     * Without an explicit partition count the rewrite only sorts WITHIN
     * partitions (no shuffle — and, critically for the observed delete/GC
@@ -482,19 +526,22 @@ final class Smoltable private (
     * a filter-only rewrite are already key-ordered file splits, so files
     * stay clustered; a post-LWW rewrite can interleave ranges across
     * files, which [[compact]] (explicit partition count → range
-    * repartition) restores.
+    * repartition) restores. On bucketed tables the range keys INCLUDE
+    * `bucket`, so each output partition covers few (lg, bucket) dirs and
+    * the file count stays O(max(partitions, buckets)) instead of
+    * partitions × buckets.
     */
   private def rewriteData(survivors: () => DataFrame,
       numPartitions: Option[Int] = None): Unit =
     withMutationLock {
+      val m = manifest
       val tmp = tableDir.resolve("data.tmp")
-      val old = tableDir.resolve("data.old")
-      val sortCols = Seq(col("lg"), col("row_key"), col("family"),
-        col("qualifier"))
-      // the survivors plan is BUILT inside the lock: spark.read.parquet
-      // lists files at DataFrame creation, so a plan built earlier would
-      // reference files a concurrent rewrite already swapped away.
-      // Serialized construction + execution means no lost updates.
+      val bucketCol = if (m.buckets > 0) Seq(col("bucket")) else Nil
+      val sortCols = col("lg") +: (bucketCol ++
+        Seq(col("row_key"), col("family"), col("qualifier")))
+      // the survivors plan is BUILT inside the lock (snapshot file list of
+      // the current manifest). Serialized construction + execution means
+      // no lost updates between concurrent mutations.
       val arranged = numPartitions match {
         case Some(n) => survivors().repartitionByRange(n, sortCols: _*)
           .sortWithinPartitions(sortCols: _*)
@@ -502,16 +549,22 @@ final class Smoltable private (
       }
       // overwrite mode also clears any stray data.tmp from an old crash.
       arranged.write.mode("overwrite")
-        .partitionBy(partitionCols(manifest): _*)
+        .partitionBy(partitionCols(m): _*)
         .parquet(tmp.toString)
-      PathIO.deleteRecursively(old)
-      Files.move(dataDir, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, dataDir, StandardCopyOption.ATOMIC_MOVE)
-      PathIO.deleteRecursively(old)
+      val moved = PathIO.walkFiles(tmp)(
+          _.getFileName.toString.endsWith(".parquet")).map { f =>
+        val target = dataDir.resolve(tmp.relativize(f))
+        Files.createDirectories(target.getParent)
+        Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
+        tableDir.relativize(target).toString
+      }
+      PathIO.deleteRecursively(tmp)
       // rewritten data is physically LWW-resolved; reads can skip the
       // window until a second batch lands
-      val m = manifest
-      TableManifest.store(manifestPath, m.copy(batchesSinceRewrite = 1L))
+      TableManifest.store(manifestPath, m.copy(batchesSinceRewrite = 1L,
+        dataFiles = moved))
+      Smoltable.readGuard(catalog, name)
+        .retire(m.dataFiles.map(tableDir.resolve(_)))
     }
 
   /** Mutation critical section (reentrant). Serializes appends, rewrites,
@@ -522,14 +575,34 @@ final class Smoltable private (
     try body finally lock.unlock()
   }
 
-  /** Recovery from a CRASHED [[rewriteData]], run on open. `tryLock`: if
-    * the mutation lock is held, a rewrite is IN FLIGHT on another thread —
-    * its directories are not debris and there is nothing to recover, so
-    * open returns immediately instead of blocking behind a long rewrite
-    * job. When the lock IS free, any `data.old`/`data.tmp` is provably
-    * crash debris: roll back a missing live dir (the verb was never
-    * acknowledged), then clear the leftovers so disk accounting stays
-    * truthful even on tables that never rewrite again.
+  /** Snapshot window for an eagerly-executing read verb: registers with
+    * the table's [[Smoltable.ReadGuard]] BEFORE the body loads the
+    * manifest, so every segment the manifest lists is guaranteed to
+    * outlive the verb — a rewrite committing concurrently retires (does
+    * not delete) the files this verb may be reading. Lock-free for the
+    * reader and never blocks mutations. Mutation verbs don't need it:
+    * their reads run under the mutation lock, and rewrites serialize. */
+  private def withReadPin[T](body: => T): T = {
+    val g = Smoltable.readGuard(catalog, name)
+    val e = g.enter()
+    try body finally g.exit(e)
+  }
+
+  /** Recovery + debris sweep, run on open. `tryLock`: if the mutation
+    * lock is held, a mutation is IN FLIGHT on another thread — its files
+    * are not debris and there is nothing to recover, so open returns
+    * immediately instead of blocking behind a long rewrite job. When the
+    * lock IS free:
+    *  - pre-manifest-era `data.old`/`data.tmp` dir-swap debris is rolled
+    *    back / cleared (upgrade path);
+    *  - a manifest with NO file list over a non-empty data dir (written
+    *    by an older version) adopts the directory listing as its
+    *    committed set;
+    *  - otherwise, parquet files on disk that are neither
+    *    manifest-listed nor retired-but-pinned are crash debris from an
+    *    unacknowledged append or an uncommitted rewrite — removed, so
+    *    disk accounting stays truthful and later appends cannot
+    *    misattribute them.
     */
   private[core] def recoverRewrite(): Unit = {
     val lock = Smoltable.mutationLock(catalog, name)
@@ -541,20 +614,30 @@ final class Smoltable private (
           Files.move(old, dataDir, StandardCopyOption.ATOMIC_MOVE)
         PathIO.deleteRecursively(old)
         PathIO.deleteRecursively(tmp)
+        val m = manifest
+        val listing = listDataFilesRel()
+        if (m.dataFiles.isEmpty && listing.nonEmpty)
+          TableManifest.store(manifestPath, m.copy(dataFiles = listing))
+        else {
+          val live = m.dataFiles.toSet
+          val retired = Smoltable.readGuard(catalog, name).retiredSet
+          listing.filterNot(f =>
+              live(f) || retired(tableDir.resolve(f)))
+            .foreach(f => Files.deleteIfExists(tableDir.resolve(f)))
+        }
       } finally lock.unlock()
     }
   }
 
-  /** Parquet data files currently backing the table. */
-  def dataFileCount: Int =
-    PathIO.walkCount(dataDir)(_.getFileName.toString.endsWith(".parquet"))
+  /** Committed parquet segments currently backing the table (retired
+    * segments awaiting reader-drain are excluded). */
+  def dataFileCount: Int = manifest.dataFiles.size
 
-  /** Parquet files of one locality-group partition — the analog of the
-    * reference's per-partition segment count
+  /** Committed segments of one locality-group partition — the analog of
+    * the reference's per-partition segment count
     * (`smoltable/src/table/mod.rs:888-904`, `list_tables.rs`). */
   def segmentCount(lg: String): Int =
-    PathIO.walkCount(dataDir.resolve(s"lg=$lg"))(
-      _.getFileName.toString.endsWith(".parquet"))
+    manifest.dataFiles.count(_.startsWith(s"data/lg=$lg/"))
 
   /** Partition directory path for a locality group (diagnostics). */
   def partitionPath(lg: String): Path = dataDir.resolve(s"lg=$lg")
@@ -722,6 +805,65 @@ object Smoltable {
       name: String): java.util.concurrent.locks.ReentrantLock =
     swapLocks.computeIfAbsent(s"${catalog.baseDir}/$name",
       _ => new java.util.concurrent.locks.ReentrantLock())
+
+  /** Deferred deletion of replaced segments, the reader half of snapshot
+    * isolation (the reference gets this from `keyspace.instant()`; table
+    * formats call it vacuum-with-retention — here retention is exact:
+    * drain-based, not time-based).
+    *
+    * A read verb `enter()`s before loading the manifest and `exit()`s
+    * after its last action; a rewrite `retire()`s the files it replaced,
+    * tagged with a new epoch. A retired batch is deletable once every
+    * in-flight reader entered at-or-after its retire epoch (such readers
+    * loaded a manifest that no longer lists those files). Single JVM by
+    * design, like the mutation locks.
+    */
+  private[core] final class ReadGuard {
+    private var epoch = 0L
+    private val active = scala.collection.mutable.Map.empty[Long, Int]
+    private var retired = Vector.empty[(Long, Seq[Path])]
+
+    def enter(): Long = synchronized {
+      active(epoch) = active.getOrElse(epoch, 0) + 1; epoch
+    }
+
+    def exit(e: Long): Unit = {
+      synchronized {
+        val n = active(e) - 1
+        if (n == 0) active.remove(e) else active(e) = n
+      }
+      cleanup()
+    }
+
+    def retire(files: Seq[Path]): Unit = {
+      synchronized {
+        epoch += 1
+        if (files.nonEmpty) retired :+= (epoch, files)
+      }
+      cleanup()
+    }
+
+    def retiredSet: Set[Path] = synchronized(retired.flatMap(_._2).toSet)
+
+    /** Deletes drained batches. Partitioning inside the lock hands each
+      * batch to exactly one caller; file IO runs outside the lock. */
+    private def cleanup(): Unit = {
+      val deletable = synchronized {
+        val minEntry =
+          if (active.isEmpty) Long.MaxValue else active.keysIterator.min
+        val (del, keep) = retired.partition { case (r, _) => r <= minEntry }
+        retired = keep
+        del.flatMap(_._2)
+      }
+      deletable.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  private val readGuards = new java.util.concurrent.ConcurrentHashMap[
+    String, ReadGuard]()
+  private[core] def readGuard(catalog: Catalog, name: String): ReadGuard =
+    readGuards.computeIfAbsent(s"${catalog.baseDir}/$name",
+      _ => new ReadGuard)
 
   /** Open-or-create, mirroring `Smoltable::open`
     * (`smoltable/src/table/mod.rs:107-154`). */

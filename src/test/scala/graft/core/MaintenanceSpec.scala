@@ -61,6 +61,37 @@ class MaintenanceSpec extends SparkSuite {
       Smoltable.open(spark, cat, "t")
       assert(!java.nio.file.Files.exists(old))
       assert(recovered.count() == (1L, 1L))
+
+      // crash mid-append/mid-rewrite: a parquet file on disk that the
+      // manifest never committed is debris — swept on open, and the
+      // committed segments survive untouched
+      val orphan = data.resolve("lg=_default").resolve("part-orphan.parquet")
+      java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+      val swept = Smoltable.open(spark, cat, "t")
+      assert(!java.nio.file.Files.exists(orphan))
+      assert(swept.count() == (1L, 1L))
+    }
+  }
+
+  test("bucketed compaction keeps file count O(buckets), not parts x buckets") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val t = Smoltable.open(spark, cat, "tb")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      t.setBucketCount(4)
+      for (i <- 1 to 6)
+        t.write(Seq(RowWriteItem(f"row$i%02d", Seq(ColumnWriteItem(
+          ColumnKey.of("v:"), Some(0L), CellValue.S(s"val$i"))))))
+      val (before, after) = t.compact()
+      // 6 batches x up-to-4 buckets each before; after, the range keys
+      // include `bucket`, so each output partition covers contiguous
+      // (lg, bucket) dirs: at most one file per populated bucket (+1 per
+      // range-partition boundary, none here with a single partition)
+      assert(before > 4, s"pre-compact should have many files, got $before")
+      assert(after <= 4, s"post-compact must be <= buckets files, got $after")
+      assert(t.count() == (6L, 6L))
+      val scan = t.scan(ScanInput(ScanMode.Prefix("row")))
+      assert(scan.rows.size == 6)
     }
   }
 
