@@ -21,10 +21,12 @@ import graft.model._
   *    Spark executes with per-partition pre-limits before a single-partition
   *    final step (no full sort materialization).
   *  - Row offset + deterministic sampling need a global row rank; they rank
-  *    the *distinct row keys* (orders of magnitude smaller than cells) and
-  *    semi-join back — the only intentionally-global step, matching the
-  *    inherently sequential reference semantics
-  *    (`smoltable/src/table/mod.rs:736-756`).
+  *    the *distinct row keys* (orders of magnitude smaller than cells) with
+  *    a fully distributed two-level rank ([[globalRowRank]]) and join back.
+  *    The only single-partition step is the cumulative sum over the
+  *    per-partition COUNTS — one row per shuffle partition, constant-size —
+  *    matching the inherently sequential reference semantics
+  *    (`smoltable/src/table/mod.rs:736-756`) without a global sort.
   */
 object CellOps {
 
@@ -85,6 +87,43 @@ object CellOps {
       floor(rankCol.cast("double") * r) > floor((rankCol - 1).cast("double") * r)
   }
 
+  /** Dense 1-based global rank of (distinct) `row_key`s as
+    * `(row_key, _rk_rank long)`, computed WITHOUT a global sort: range-
+    * repartition on the key (so partition order = key order), local sort,
+    * then `monotonically_increasing_id` decomposed into its
+    * (partition, local index) halves — the id is documented as
+    * `pid << 33 | row-index-within-partition`, and evaluation is pinned
+    * after the local sort because Catalyst never reorders nondeterministic
+    * projections across a Sort. Per-partition counts accumulate into start
+    * offsets with a window over ONE ROW PER PARTITION (the only
+    * single-partition step — constant-size, the "tiny driver array" as a
+    * plan node), and both consumers read the SAME range exchange (reuse),
+    * so partition ids agree. The explicit partition count keeps AQE from
+    * coalescing the two sides differently.
+    *
+    * Replaces `row_number().over(Window.orderBy(key))`, which sorts every
+    * distinct key in ONE task and cannot survive a 100× scale-up.
+    */
+  def globalRowRank(keys: DataFrame): DataFrame = {
+    val parts = keys.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = keys
+      .repartitionByRange(parts, col("row_key"))
+      .sortWithinPartitions("row_key")
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftrightunsigned(col("_mid"), 33))
+    val offsets = keyed.groupBy("_pid").agg(count(lit(1)).as("_pcnt"))
+      .withColumn("_poff", coalesce(sum(col("_pcnt")).over(
+        Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_pcnt")
+    // offsets is provably <= `parts` rows — broadcasting it is bounded by
+    // config, not by data (unlike broadcasting the rank frame itself)
+    keyed.join(broadcast(offsets), "_pid")
+      .select(col("row_key"),
+        (col("_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L) +
+          col("_poff")).as("_rk_rank"))
+  }
+
   /** Full scan pipeline: returns the surviving cell rows (all original
     * columns preserved), in no particular order — callers sort/group.
     *
@@ -113,13 +152,13 @@ object CellOps {
     in.filter.foreach(f => df = df.filter(filterPredicate(f)))
 
     // 3. sampling + offset: global rank over distinct row keys, joined back
-    //    (the rank frame is orders of magnitude smaller than the cells).
+    //    (the rank frame is orders of magnitude smaller than the cells; the
+    //    join strategy is left to AQE — broadcast when it fits, shuffle
+    //    otherwise).
     val needRowRank = in.sample.exists(_ < 1.0f) || in.rowOffset.exists(_ > 0)
     if (needRowRank) {
-      val rowRank = df.select("row_key").distinct()
-        .withColumn("_rk_rank",
-          row_number().over(Window.orderBy(col("row_key"))).cast("long"))
-      df = df.join(broadcast(rowRank), Seq("row_key"))
+      val rowRank = globalRowRank(df.select("row_key").distinct())
+      df = df.join(rowRank, Seq("row_key"))
       // qualifying rows = max rank, observed before sampling/offset filter
       rowObs.foreach { o =>
         df = df.observe(o, coalesce(max(col("_rk_rank")), lit(0L)).as("qual_rows"))

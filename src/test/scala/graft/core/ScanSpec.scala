@@ -82,6 +82,25 @@ class ScanSpec extends SparkSuite {
     }
   }
 
+  test("globalRowRank is dense 1..N across many partitions, with no " +
+      "single-partition key sort and no row_number window") {
+    import spark.implicits._
+    // 10k keys, deliberately unsorted input, forced through many partitions
+    val keys = spark.createDataset(
+      scala.util.Random.shuffle((0 until 10000).toVector)
+        .map(i => f"k$i%05d")).toDF("row_key").repartition(16)
+    val ranked = CellOps.globalRowRank(keys)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"),
+      s"rank must not come from a global row_number window:\n$plan")
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning"),
+      s"keys must be range-partitioned for the two-level rank:\n$plan")
+    val got = ranked.orderBy("row_key").select("_rk_rank")
+      .as[Long].collect().toSeq
+    assert(got == (1L to 10000L), "rank must be dense 1..N in key order")
+  }
+
   test("global cell limit truncates in key order") {
     withTempDir { dir =>
       val out = f7(dir).scan(ScanInput(ScanMode.Prefix(""),
