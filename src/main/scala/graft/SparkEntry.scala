@@ -244,12 +244,13 @@ object SparkEntry {
       orderCells(s, dir), CountInput(ScanMode.Prefix("")))),
 
     // ---- #19 approximate count (cells exact / rows = cells/familyCount)
+    // through the ENGINE's own path: Smoltable.approximateCount counts the
+    // snapshot parquet (metadata-only count) and divides by the family
+    // count — 2 here (o, m), matching the oracle's // 2.
     "op19_approx_count" -> ((s, dir) => {
-      orderCells(s, dir)
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
-        .select(
-          floor(col("c") / 5).cast("long").as("row_count_estimate"),
-          col("c").as("cell_count"))
+      val (rows, cells) = engineOrders(s, dir).approximateCount()
+      import s.implicits._
+      Seq((rows, cells)).toDF("row_count_estimate", "cell_count")
     }),
 
     // ---- #20 filtered row delete (surviving cells) -------------------
@@ -521,7 +522,7 @@ object SparkEntry {
       "op18_full_count" ->
         s"$oc SELECT CAST(count(DISTINCT row_key) AS BIGINT) AS row_count, CAST(count(*) AS BIGINT) AS cell_count FROM cells",
       "op19_approx_count" ->
-        s"$oc SELECT CAST(count(*) // 5 AS BIGINT) AS row_count_estimate, CAST(count(*) AS BIGINT) AS cell_count FROM cells",
+        s"$oc SELECT CAST(count(*) // 2 AS BIGINT) AS row_count_estimate, CAST(count(*) AS BIGINT) AS cell_count FROM cells",
       "op20_delete_row" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key < '0000000100' AND NOT (row_key = '0000000042' AND family = 'o' AND qualifier = 'status')",
       "op21_gc_version" ->

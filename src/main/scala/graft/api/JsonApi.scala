@@ -20,7 +20,26 @@ import graft.model._
   *  - envelope: `server/src/response.rs:14-19`
   *    (`{"time_ms":..,"status":..,"message":..,"result":..}`)
   */
-final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession) {
+final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
+    /** Record per-call `lat#*` latency points into each table's `_mtx_{t}`
+      * metrics table, as the reference server does on every API call
+      * (`server/src/api/write.rs:103-110`, `get_rows.rs:70-77`,
+      * `scan.rs:64-71`, `delete_row.rs:76-83`). Off by default: metrics
+      * self-hosting adds a write per query (SURVEY §7.4 #5's
+      * write-amplification loop), which benches and embedded use don't
+      * want; the server ([[graft.tools.Serve]]) turns it on. */
+    val recordLatencies: Boolean = false) {
+
+  import graft.core.MetricsTable
+
+  /** Fire-and-forget latency points, one write batch; failures are
+    * swallowed like the reference's `.ok()` — a metrics write must never
+    * fail the verb that produced it. System tables don't self-report. */
+  private def recordLat(tableName: String, points: (String, Double)*): Unit =
+    if (recordLatencies && !tableName.startsWith("_"))
+      try MetricsTable.open(spark, catalog, Some(tableName))
+        .dataPoints(points)
+      catch { case _: Exception => () }
 
   /** Identifier + system-prefix rules per `server/src/identifier.rs` and the
     * `_` system-table convention (`server/src/main.rs:60`). */
@@ -177,6 +196,8 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession) 
           val microsTotal = (System.nanoTime() - t0) / 1000L
           val microsPerCell =
             if (cellCount == 0) 0L else microsTotal / cellCount
+          recordLat(name, "lat#write#cell" -> microsPerCell.toDouble,
+            "lat#write#batch" -> microsTotal.toDouble)
           (200, "Data ingestion successful",
             s"""{"micros_per_cell":$microsPerCell,"items":{"row_count":${items.size},"cell_count":$cellCount}}""")
         }
@@ -185,17 +206,24 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession) 
 
   /** `POST /v1/table/{name}/rows` — multi-get. */
   def getRows(name: String, body: String): String = timed {
+    val t0 = System.nanoTime()
     val json = JsonValue.parse(body)
     val items = json.get("items").map(_.asArray).getOrElse(Nil)
       .map(parseRowInput)
     val out = table(name).multiGet(items)
+    val microsPerRow = if (out.rows.isEmpty) 0L
+      else (System.nanoTime() - t0) / 1000L / out.rows.size
+    recordLat(name, "lat#read#row" -> microsPerRow.toDouble)
     (200, "Query successful",
       s"""{"rows":${renderRows(out.rows)},"affected_locality_groups":${out.metrics.affectedLocalityGroups},"cells_scanned_count":${out.metrics.cellsScanned},"rows_scanned_count":${out.metrics.rowsScanned},"bytes_scanned_count":${out.metrics.bytesScanned}}""")
   }
 
   /** `POST /v1/table/{name}/scan`. */
   def scan(name: String, body: String): String = timed {
+    val t0 = System.nanoTime()
     val out = table(name).scan(parseScanInput(JsonValue.parse(body)))
+    recordLat(name,
+      "lat#read#pfx" -> ((System.nanoTime() - t0) / 1000L).toDouble)
     (200, "Query successful",
       s"""{"rows":${renderRows(out.rows)},"affected_locality_groups":${out.metrics.affectedLocalityGroups},"cells_scanned_count":${out.metrics.cellsScanned},"rows_scanned_count":${out.metrics.rowsScanned},"bytes_scanned_count":${out.metrics.bytesScanned}}""")
   }
@@ -218,8 +246,10 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession) 
     val rowKey = json.get("row_key").map(_.asString).getOrElse("")
     val filter = json.get("column_filter").flatMap(parseFilter)
     val deleted = table(name).deleteRow(rowKey, filter)
-    val microsPerItem =
-      if (deleted == 0) 0L else (System.nanoTime() - t0) / 1000L / deleted
+    val microsTotal = (System.nanoTime() - t0) / 1000L
+    val microsPerItem = if (deleted == 0) 0L else microsTotal / deleted
+    recordLat(name, "lat#del#row" -> microsTotal.toDouble,
+      "lat#del#cell" -> microsPerItem.toDouble)
     (202, "Deletion completed successfully",
       s"""{"micros_per_item":$microsPerItem,"deleted_cells_count":$deleted}""")
   }

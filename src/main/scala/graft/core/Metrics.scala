@@ -21,8 +21,17 @@ final class MetricsTable private (val table: Smoltable) {
   /** Record one data point for a metric row (now-ns version timestamp).
     * Reference macro: `data_point!` (`server/src/metrics.rs:40-45`). */
   def dataPoint(metric: String, value: Double, tsNanos: Option[Long] = None): Unit =
-    table.write(Seq(RowWriteItem(metric, Seq(
-      ColumnWriteItem(ColumnKey.of("value:"), tsNanos, CellValue.F64(value))))))
+    dataPoints(Seq(metric -> value), tsNanos)
+
+  /** Record several metrics in ONE write batch (one parquet append), the
+    * shape of the reference's per-API-call `write_batch` with multiple
+    * `lat#*` rows (`server/src/api/write.rs:103-110`). */
+  def dataPoints(points: Seq[(String, Double)],
+      tsNanos: Option[Long] = None): Unit =
+    table.write(points.map { case (metric, value) =>
+      RowWriteItem(metric, Seq(
+        ColumnWriteItem(ColumnKey.of("value:"), tsNanos, CellValue.F64(value))))
+    })
 
   /** Newest `limit` points for a metric, newest first (dashboard read
     * path: multi-get with `cell_limit: 720`). */
@@ -36,16 +45,14 @@ final class MetricsTable private (val table: Smoltable) {
     * oldest versions until each metric keeps at most `keepVersions`.
     * The reference gets this from a byte-capped FIFO compaction strategy
     * (`server/src/metrics.rs:14-23`); here it is an explicit maintenance
-    * rewrite, run opportunistically after writes.
+    * rewrite, run opportunistically after writes. ONE Spark job: the
+    * dropped count is the GC rewrite's own observed dead-cell metric
+    * ([[CellOps.gcSurvivors]]) — no before/after table counts.
     */
   def enforceCap(capBytes: Long = 1024 * 1024, keepVersions: Int = 720): Long =
     if (table.catalog.diskSpaceUsage(table.name) <= capBytes) 0L
-    else {
-      val before = table.count()._2
-      table.runVersionGcWith(Map("value" ->
-        GcSettings(versionLimit = Some(keepVersions))))
-      before - table.count()._2
-    }
+    else table.runVersionGcWith(Map("value" ->
+      GcSettings(versionLimit = Some(keepVersions))))
 }
 
 object MetricsTable {

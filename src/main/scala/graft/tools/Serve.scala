@@ -27,7 +27,9 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     val catalog = new Catalog(dataDir)
     new graft.core.Workers(spark, catalog).start()
-    val srv = new HttpApiServer(new JsonApi(catalog, spark), port)
+    // server mode records per-call lat#* self-metrics, like the reference
+    val srv = new HttpApiServer(
+      new JsonApi(catalog, spark, recordLatencies = true), port)
     val bound = srv.start()
     println(s"smoltable-spark server listening on 0.0.0.0:$bound (data: $dataDir)")
     Thread.currentThread().join()

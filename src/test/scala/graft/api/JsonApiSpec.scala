@@ -92,6 +92,47 @@ class JsonApiSpec extends SparkSuite {
     }
   }
 
+  test("per-call lat#* latency points land in _mtx_{t} when enabled") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val api = new JsonApi(cat, spark, recordLatencies = true)
+      result(api.createTable("wt"))
+      result(api.createColumnFamilies("wt",
+        """{"column_families":[{"name":"v"}]}"""))
+      result(api.write("wt",
+        """{"items":[{"row_key":"r1","cells":[
+          |{"column_key":"v:","time":0,"type":"string","value":"x"}]}]}""".stripMargin))
+      result(api.getRows("wt", """{"items":[{"row":{"key":"r1"}}]}"""))
+      result(api.scan("wt", """{"row":{"prefix":"r"}}"""))
+      result(api.deleteRow("wt", """{"row_key":"r1"}"""))
+
+      val m = graft.core.MetricsTable.open(spark, cat, Some("wt"))
+      for (metric <- Seq("lat#write#batch", "lat#write#cell", "lat#read#row",
+          "lat#read#pfx", "lat#del#row", "lat#del#cell")) {
+        val pts = m.latest(metric)
+        assert(pts.size == 1, s"$metric must have exactly one point: $pts")
+        assert(pts.head._2 >= 0.0)
+      }
+    }
+  }
+
+  test("lat#* self-metrics are off by default (bench-safe)") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val api = new JsonApi(cat, spark)
+      result(api.createTable("wt"))
+      result(api.createColumnFamilies("wt",
+        """{"column_families":[{"name":"v"}]}"""))
+      result(api.write("wt",
+        """{"items":[{"row_key":"r1","cells":[
+          |{"column_key":"v:","time":0,"type":"string","value":"x"}]}]}""".stripMargin))
+      result(api.scan("wt", """{"row":{"prefix":"r"}}"""))
+      val m = graft.core.MetricsTable.open(spark, cat, Some("wt"))
+      assert(m.latest("lat#write#batch").isEmpty)
+      assert(m.latest("lat#read#pfx").isEmpty)
+    }
+  }
+
   test("typed values round-trip through the wire format") {
     withTempDir { dir =>
       val api = new JsonApi(new Catalog(dir.toString), spark)

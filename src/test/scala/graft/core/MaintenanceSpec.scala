@@ -20,15 +20,38 @@ class MaintenanceSpec extends SparkSuite {
     }
   }
 
-  test("metrics FIFO cap trims old versions when over budget") {
+  test("metrics FIFO cap trims old versions when over budget, in ONE job") {
     withTempDir { dir =>
       val cat = new Catalog(dir.toString)
       val m = MetricsTable.open(spark, cat, None)
       assert(m.table.name == "_metrics")
       for (i <- 1L to 10L) m.dataPoint("sys#mem", i.toDouble, Some(i))
-      // capBytes=1 forces the trim; keepVersions=4
-      val dropped = m.enforceCap(capBytes = 1L, keepVersions = 4)
-      assert(dropped == 6L)
+
+      val actions = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = actions.incrementAndGet()
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      def settled(): Int = {
+        var prev = -1; var cur = actions.get; var spins = 0
+        while ((cur != prev || cur == 0) && spins < 100) {
+          Thread.sleep(50); prev = cur; cur = actions.get; spins += 1
+        }
+        cur
+      }
+      spark.listenerManager.register(listener)
+      try {
+        // capBytes=1 forces the trim; keepVersions=4. The dropped count is
+        // the GC rewrite's observed dead-cell metric — no before/after
+        // counts, so the whole enforcement is the rewrite job alone.
+        val dropped = m.enforceCap(capBytes = 1L, keepVersions = 4)
+        assert(dropped == 6L)
+        assert(settled() == 1, "cap enforcement must be a single job")
+      } finally spark.listenerManager.unregister(listener)
       assert(m.latest("sys#mem").map(_._1) == Seq(10L, 9L, 8L, 7L))
     }
   }
