@@ -20,6 +20,7 @@ import graft.json.JsonValue
   *   POST   /v1/table/{name}/count          count
   *   POST   /v1/table/{name}/column-family  create column families
   *   DELETE /v1/table/{name}/row            filtered row delete
+  *   GET    /  or  /index.html              metrics dashboard (HTML)
   * }}}
   *
   * (`GET /v1/table/{name}/metrics` is `unimplemented!()` upstream —
@@ -51,7 +52,15 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876) {
       try {
         val body =
           new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        route(ex.getRequestMethod, ex.getRequestURI.getPath, body) match {
+        val path = ex.getRequestURI.getPath
+        if (ex.getRequestMethod == "GET" &&
+            (path == "/" || path == "/index.html")) {
+          // reference routes `/` and `/index.html` to the dashboard
+          // (`server/src/main.rs:133-134`)
+          respond(ex, 200, "text/html", api.dashboardHtml())
+          return
+        }
+        route(ex.getRequestMethod, path, body) match {
           case Some(envelope) =>
             val status = JsonValue.parse(envelope).get("status")
               .map(_.asLong.toInt).getOrElse(200)

@@ -310,4 +310,8 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     catalog.dropTable(name)
     (200, "Table deleted successfully", "null")
   }
+
+  /** `GET /` — server-rendered metrics dashboard ([[Dashboard]]), the
+    * reference's `render_dashboard` (`server/src/html.rs:11-197`). */
+  def dashboardHtml(): String = Dashboard.render(catalog, spark)
 }

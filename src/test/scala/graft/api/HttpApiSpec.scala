@@ -69,6 +69,41 @@ class HttpApiSpec extends SparkSuite {
     }
   }
 
+  test("GET / serves the metrics dashboard with recorded lat#* series") {
+    withTempDir { dir =>
+      val api = new JsonApi(new Catalog(dir.toString), spark,
+        recordLatencies = true)
+      val srv = new HttpApiServer(api, port = 0)
+      val port = srv.start()
+      val base = s"http://localhost:$port"
+      try {
+        send("PUT", s"$base/v1/table/dash")
+        send("POST", s"$base/v1/table/dash/column-family",
+          """{"column_families":[{"name":"v"}]}""")
+        send("POST", s"$base/v1/table/dash/write",
+          """{"items":[{"row_key":"r1","cells":[
+            |{"column_key":"v:","time":0,"type":"string","value":"x"}]}]}""".stripMargin)
+        send("POST", s"$base/v1/table/dash/scan", """{"row":{"prefix":"r"}}""")
+
+        val req = HttpRequest.newBuilder(URI.create(s"$base/")).GET().build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode == 200)
+        assert(resp.headers.firstValue("Content-Type")
+          .orElse("") == "text/html")
+        val html = resp.body
+        assert(html.contains("table: dash"), "dashboard lists the user table")
+        assert(html.contains("lat#read#pfx"), "scan latency series present")
+        assert(html.contains("lat#write#batch"), "write latency series present")
+        assert(html.contains("""id="table_stats""""), "JSON data island present")
+        // /index.html serves the same page (reference main.rs:134)
+        val req2 = HttpRequest.newBuilder(
+          URI.create(s"$base/index.html")).GET().build()
+        assert(client.send(req2,
+          HttpResponse.BodyHandlers.ofString()).statusCode == 200)
+      } finally srv.stop()
+    }
+  }
+
   test("reference routes over real HTTP: lifecycle + doc-example bodies") {
     withTempDir { dir =>
       val api = new JsonApi(new Catalog(dir.toString), spark)
