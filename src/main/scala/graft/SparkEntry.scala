@@ -455,10 +455,11 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
         |)""".stripMargin
-    // The 8-char polynomial window hash of Dedup.windowHashes, as portable
-    // SQL over (text, i): sum_j cp(i+j) * 131^(7-j), chars past
+    // The 8-char polynomial window hash of MinHashSignature.compute, as
+    // portable SQL over (text, i): sum_j cp(i+j) * 131^(7-j), chars past
     // end-of-string as 0 — generated from the SAME power table the Spark
-    // side uses, so the two can never drift.
+    // side uses (Dedup.hashPows delegates to MinHashSignature.hashPows),
+    // so the two can never drift.
     val minhashH0Sql = {
       val pows = graft.operators.Dedup.hashPows(8)
       (0 until 8).map { j =>

@@ -44,15 +44,18 @@ object Dedup {
   }
 
   /** Polynomial base for the windowed shingle hash (see
-    * [[windowHashes]]): `131^k mod (2^31 - 1)` for k = 0..n-1. Pure 64-bit
-    * arithmetic, so the identical formula runs in any ANSI SQL engine —
-    * which is what makes the signatures oracle-verifiable WITHOUT paying an
-    * md5 per shingle (md5 over every shingle row measured ~7x the cost of
-    * the rest of the minhash pipeline combined at sf0.1).
+    * [[minhashSignatures]]): `131^k mod (2^31 - 1)` for k = 0..n-1. ONE
+    * definition, shared with the native expression
+    * ([[graft.functions.MinHashSignature.hashPows]]) and the oracle-SQL
+    * generator in [[graft.SparkEntry]] — pure 64-bit arithmetic, so the
+    * identical formula runs in any ANSI SQL engine, which is what makes the
+    * signatures oracle-verifiable WITHOUT paying an md5 per shingle (md5
+    * over every shingle row measured ~7x the cost of the rest of the
+    * minhash pipeline combined at sf0.1).
     */
-  val HashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val HashP: Long = graft.functions.MinHashSignature.HashP
   def hashPows(n: Int): Seq[Long] =
-    Iterator.iterate(1L)(x => x * 131 % HashP).take(n).toSeq
+    graft.functions.MinHashSignature.hashPows(n)
 
   /** MinHash signatures, one row per document: every `shingleLen`-char
     * window of `text` is hashed with the polynomial
@@ -61,18 +64,14 @@ object Dedup {
     * XOR seeding (the standard k-permutations-from-one-hash trick), and
     * each permutation is min-folded per document. Output: doc_id, m1..mk.
     *
-    * Plan shape (scale-critical): ONE projection materializes the per-doc
-    * codepoint array (O(len)); then window positions explode and each
-    * window hashes with O(1) codegen'd `element_at` lookups into that
-    * array, partial-`min` folding per doc before the only shuffle — which
-    * carries one row per document. Two rejected formulations, measured at
-    * sf0.1: (a) an array-of-window-hashes inside higher-order `transform`
-    * — HOFs are interpreted (no codegen) and Catalyst does not CSE
-    * subexpressions referenced inside lambda bodies (2.9s, or minutes if
-    * the codepoint array inlines into the lambda); (b) per-window
-    * `ascii(substr(text, i+j, 1))` — `UTF8String.substring(i)` scans from
-    * the string start, so per-window substr is O(len²) per doc even
-    * codegen'd (13.9s). This hybrid: 0.9s.
+    * Plan shape (scale-critical): the whole fold runs inside
+    * [[graft.functions.MinHashSignature]], a codegen'd Catalyst expression
+    * — one narrow projection per document, NO explode, NO shuffle (the
+    * composed-builtins history and why the expression wins by ~8x is
+    * documented on that class). The per-seed signature columns are O(1)
+    * `element_at` picks from the signature array; the expression's
+    * value-based `equals` keeps Catalyst subexpression elimination
+    * computing the array once across the k picks.
     *
     * Characters past end-of-string count as 0 (only reachable for docs
     * shorter than `shingleLen`, which hash their zero-padded prefix —
@@ -81,28 +80,14 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, shingleLen: Int, seeds: Seq[Long],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pows = hashPows(shingleLen)
-    val h0 = (0 until shingleLen).map { j =>
-      coalesce(try_element_at(col("_cps"), col("_i") + lit(j)), lit(0L)) *
-        lit(pows(shingleLen - 1 - j))
-    }.reduce(_ + _) % lit(HashP)
-    val sigCols = seeds.zipWithIndex.map { case (seed, i) =>
-      min(col("_h0").bitwiseXOR(lit(seed))).as(s"m${i + 1}")
+    val sig =
+      graft.functions.MinHashSignature(col(textCol), shingleLen, seeds)
+    val sigCols = seeds.indices.map { i =>
+      element_at(col("_sig"), i + 1).as(s"m${i + 1}")
     }
     docs
-      // the Generate (explode) between this projection and the hash
-      // projection keeps CollapseProject from inlining the O(len) array
-      // build into the 8 per-window references
-      .select(col(idCol).as("doc_id"),
-        transform(split(col(textCol), ""), ch => ascii(ch).cast("long"))
-          .as("_cps"),
-        length(col(textCol)).as("_len"))
-      .select(col("doc_id"), col("_cps"),
-        explode(sequence(lit(1),
-          greatest(col("_len") - (shingleLen - 1), lit(1)))).as("_i"))
-      .select(col("doc_id"), h0.as("_h0"))
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col(idCol).as("doc_id"), sig.as("_sig"))
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   val DefaultSeeds: Seq[Long] =
