@@ -304,6 +304,31 @@ object SparkEntry {
       engSel(CellOps.getRowCells(t.cellsFor(None), GetRowInput("0000000001"),
         Seq("0000000001", "0000000042", "0000000777")))
     }),
+    // limits (row limit + per-row cell limit) through the METRICS-BEARING
+    // verb: Smoltable.scan end-to-end over lg= storage — observe/
+    // CollectMetrics accounting, limit windows, snapshot pin, driver-side
+    // row assembly — then flattened back to oracle-comparable cells. The
+    // collect is bounded by the limits (<= 300 cells here).
+    "eng_scan_limits" -> ((s, dir) => {
+      import s.implicits._
+      val t = engineOrders(s, dir)
+      val out = t.scan(ScanInput(ScanMode.Prefix("0000001"),
+        rowLimit = Some(100), rowCellLimit = Some(3)))
+      out.rows.flatMap { r =>
+        r.columns.toSeq.flatMap { case (fam, quals) =>
+          quals.toSeq.flatMap { case (q, cells) =>
+            cells.map { c =>
+              val (vs, vd) = c.value match {
+                case CellValue.S(v)   => (Option(v), Option.empty[Double])
+                case CellValue.F64(v) => (Option.empty[String], Some(v))
+                case other => (Some(other.jsonValue), Option.empty[Double])
+              }
+              (r.rowKey, fam, q, c.time, vs, vd)
+            }
+          }
+        }
+      }.toDF("row_key", "family", "qualifier", "ts", "vs", "vd")
+    }),
 
     // ================= large-scale pipeline extensions =================
 
@@ -551,6 +576,13 @@ object SparkEntry {
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key IN ('0000000001','0000000042','0000000777')",
       "eng_bucket_get" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key = '0000000001'",
+      "eng_scan_limits" ->
+        s"""$oc, lim AS (
+           |  SELECT DISTINCT row_key FROM cells WHERE row_key LIKE '0000001%' ORDER BY row_key LIMIT 100
+           |), ranked AS (
+           |  SELECT c.*, row_number() OVER (PARTITION BY c.row_key ORDER BY family, qualifier, ts DESC) AS rn
+           |  FROM cells c JOIN lim USING (row_key)
+           |) SELECT row_key, family, qualifier, ts, vs, vd FROM ranked WHERE rn <= 3""".stripMargin,
       "eng_locality_scan" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE family = 'm'",
       "ext_dedup_exact" ->

@@ -11,6 +11,16 @@ import graft.model.{ColumnFamilyDefinition, GcSettings}
   */
 final case class LocalityGroup(id: String, families: Seq[String])
 
+/** One committed Parquet segment: table-dir-relative path + byte size.
+  * The size rides in the manifest so reads can build their file index
+  * without a single filesystem stat ([[org.apache.spark.sql.graft.ManifestFileIndex]])
+  * — `size = -1` marks an entry from an older manifest version that
+  * predates sizes (stat once on use). */
+final case class DataFile(path: String, size: Long) {
+  def sizeOrStat(tableDir: Path): Long =
+    if (size >= 0) size else Files.size(tableDir.resolve(path))
+}
+
 /** Per-table manifest: column families (with GC options) and locality
   * groups, mirroring the `cf#{name}` / `lg#{id}` manifest keys of
   * `smoltable/src/table/mod.rs:183-243`. Persisted as a small line-based
@@ -40,7 +50,17 @@ final case class TableManifest(
       * Files on disk but not listed are either crash debris (removed on
       * open) or retired segments still pinned by in-flight readers
       * (removed when the last such reader finishes). */
-    dataFiles: Seq[String] = Nil
+    dataFiles: Seq[DataFile] = Nil,
+    /** True iff this manifest was WRITTEN by a snapshot-era version (it
+      * carried a `files` count line — always emitted, even for an empty
+      * set). Distinguishes "committed file set is legitimately empty"
+      * (e.g. a delete/GC removed every cell and pinned retired segments
+      * are still on disk) from a legacy pre-snapshot manifest, which has
+      * no file list at all: only the latter may adopt the directory
+      * listing as its committed set on open. Without the marker the two
+      * serialize byte-identically and a crash between an empty-set commit
+      * and the retired-segment drain would resurrect deleted data. */
+    hasFileList: Boolean = false
 ) {
   /** Families not owned by any explicit locality group live in the default
     * group. Reference: `column_families_in_default_locality_group`,
@@ -65,7 +85,8 @@ final case class TableManifest(
     val lb = localityGroups.map { g =>
       s"lg\t${g.id}\t${g.families.mkString(",")}"
     }
-    val files = dataFiles.map(f => s"file\t$f")
+    val files = s"files\t${dataFiles.size}" +:
+      dataFiles.map(f => s"file\t${f.path}\t${f.size}")
     (fb ++ lb ++ Seq(s"seq\t$nextSeq",
       s"batches\t$batchesSinceRewrite") ++
       (if (buckets > 0) Seq(s"buckets\t$buckets") else Nil) ++
@@ -84,7 +105,8 @@ object TableManifest {
     var seq = 0L
     var batches = Long.MaxValue
     var buckets = 0
-    var files = Vector.empty[String]
+    var files = Vector.empty[DataFile]
+    var hasList = false
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1).toList match {
         case "family" :: name :: vl :: ttl :: Nil =>
@@ -96,11 +118,15 @@ object TableManifest {
         case "seq" :: n :: Nil => seq = n.toLong
         case "batches" :: n :: Nil => batches = n.toLong
         case "buckets" :: n :: Nil => buckets = n.toInt
-        case "file" :: p :: Nil => files :+= p
+        case "files" :: _ :: Nil => hasList = true
+        case "file" :: p :: s :: Nil => files :+= DataFile(p, s.toLong)
+        // pre-size manifest version: path only, stat lazily on use
+        case "file" :: p :: Nil => files :+= DataFile(p, -1L)
         case other => throw new IllegalStateException(s"bad manifest line: $line")
       }
     }
-    TableManifest(fams, lgs, seq, batches, buckets, files)
+    TableManifest(fams, lgs, seq, batches, buckets, files,
+      hasList || files.nonEmpty)
   }
 
   def load(path: Path): TableManifest =

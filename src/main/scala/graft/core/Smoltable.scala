@@ -50,9 +50,10 @@ private final case class StoredCell(
   * the manifest-lists-files design of the open table formats. Verbs
   * (`scan`/`getRow`/`multiGet`/counts) pin their snapshot end-to-end;
   * lazy frames ([[allCells]], [[scanFrame]], [[joinRows]]) pin the file
-  * LIST at plan time — execute them before retiring rewrites run, or
-  * persist the result. Cross-process mutators still need external
-  * coordination, like the reference's single-process keyspace.
+  * LIST at plan time — wrap plan-build + action in [[withPinnedSnapshot]]
+  * to extend the eager verbs' end-to-end guarantee to a caller-driven
+  * action. Cross-process mutators still need external coordination, like
+  * the reference's single-process keyspace.
   */
 final class Smoltable private (
     val spark: SparkSession,
@@ -171,16 +172,20 @@ final class Smoltable private (
       dataFiles = m.dataFiles ++ appendedFiles(m)))
   }
 
-  /** Segment files the append job just wrote: everything on disk that is
-    * neither committed (manifest-listed) nor retired-but-pinned. Only
-    * called under the mutation lock, so no other append can interleave;
-    * crash debris cannot be misattributed because [[recoverRewrite]]
-    * removes it before any write verb can run. */
-  private def appendedFiles(m: TableManifest): Seq[String] = {
-    val live = m.dataFiles.toSet
+  /** Segment files the append job just wrote, with their sizes (sized at
+    * commit so reads never stat): everything on disk that is neither
+    * committed (manifest-listed) nor retired-but-pinned. Only called
+    * under the mutation lock, so no other append can interleave; crash
+    * debris cannot be misattributed because [[recoverRewrite]] removes it
+    * before any write verb can run; a concurrent ReadGuard cleanup keeps
+    * draining batches in `retiredSet` until their files are actually
+    * gone, so a mid-delete segment cannot be misread as newly appended. */
+  private def appendedFiles(m: TableManifest): Seq[DataFile] = {
+    val live = m.dataFiles.map(_.path).toSet
     val retired = Smoltable.readGuard(catalog, name).retiredSet
     listDataFilesRel().filterNot(f =>
-      live(f) || retired(tableDir.resolve(f)))
+        live(f) || retired(tableDir.resolve(f)))
+      .map(f => DataFile(f, Files.size(tableDir.resolve(f))))
   }
 
   /** All parquet files under `data/`, as table-dir-relative paths. */
@@ -192,18 +197,23 @@ final class Smoltable private (
     * `(row_key string, family string, qualifier string, ts long, value
     * struct)` without materializing on the driver — the 100 TB ingest path
     * (`write` is for small transactional batches). Cells route to their
-    * family's locality-group partition; rows with unknown families are
-    * rejected up front. `seq` is one batch sequence for the whole load
-    * (a single "atomic batch" in the reference's sense).
+    * family's locality-group partition; a cell with an unknown family
+    * fails the load INSIDE the write job (the family→group routing
+    * expression's fallthrough raises), so validation costs zero extra
+    * passes — the previous `distinct()` pre-scan read the entire input a
+    * second time, a full extra read of the corpus at the ingest target.
+    * The write is all-or-nothing either way: a failed job's partial
+    * output is never committed to the manifest (swept as debris on
+    * recovery). `seq` is one batch sequence for the whole load (a single
+    * "atomic batch" in the reference's sense).
     */
   def writeBulk(cells: DataFrame): Unit = withMutationLock {
     val m = manifest
     val known = m.families.map(_.name)
-    val bad = cells.select("family").distinct()
-      .filter(!col("family").isin(known: _*)).take(1)
-    require(bad.isEmpty, s"unknown column family ${bad.headOption}")
     val lgMap = known.map(f => f -> m.groupOf(f)).toMap
-    val lgExpr = known.foldLeft(lit(TableManifest.DefaultGroup)) { (acc, f) =>
+    val unknownFamily = raise_error(concat(
+      lit("unknown column family "), col("family"))).cast("string")
+    val lgExpr = known.foldLeft(unknownFamily) { (acc, f) =>
       when(col("family") === f, lgMap(f)).otherwise(acc)
     }
     withBucket(cells
@@ -225,20 +235,40 @@ final class Smoltable private (
   private val cellSchema =
     org.apache.spark.sql.Encoders.product[StoredCell].schema
 
-  private def readSchema(m: TableManifest) =
+  /** Partition directory columns: `lg` (+ `bucket` on bucketed tables). */
+  private def partitionSchema(m: TableManifest) = {
+    val base = new org.apache.spark.sql.types.StructType()
+      .add("lg", org.apache.spark.sql.types.StringType, nullable = true)
     if (m.buckets > 0)
-      cellSchema.add("bucket", org.apache.spark.sql.types.IntegerType)
-    else cellSchema
+      base.add("bucket", org.apache.spark.sql.types.IntegerType,
+        nullable = true)
+    else base
+  }
 
-  /** Snapshot scan source: the manifest's committed file list read with an
-    * explicit `basePath`, so `lg=`/`bucket=` partition columns still parse
-    * from the paths and static partition pruning applies exactly as with a
-    * directory read — but a concurrent rewrite can never make a listed
-    * file vanish mid-job (replaced files are retired, not deleted, while
-    * pinned). Caller guarantees `m.dataFiles` is non-empty. */
-  private def snapshotRead(m: TableManifest): DataFrame =
-    spark.read.option("basePath", dataDir.toString).schema(readSchema(m))
-      .parquet(m.dataFiles.map(tableDir.resolve(_).toString): _*)
+  /** Snapshot scan source: a DataFrame over exactly the manifest's
+    * committed `(path, size)` list via
+    * [[org.apache.spark.sql.graft.ManifestFileIndex]] — NO filesystem
+    * listing and NO stat calls at plan time (sizes ride in the manifest),
+    * so planning cost is independent of segment count, and none of
+    * `InMemoryFileIndex`'s machinery runs (beyond 32 explicit paths it
+    * launches a distributed listing JOB per query just to stat files the
+    * manifest already knows). `lg=`/`bucket=` partition columns parse
+    * from the listed paths, so static partition pruning applies exactly
+    * as with a directory read — and a concurrent rewrite can never make a
+    * listed file vanish mid-job (replaced files are retired, not
+    * deleted, while pinned). Caller guarantees `m.dataFiles` non-empty. */
+  private def snapshotRead(m: TableManifest): DataFrame = {
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      cellSchema.filterNot(_.name == "lg"))
+    org.apache.spark.sql.graft.ManifestFileIndex.frame(
+        spark, dataDir.toString,
+        m.dataFiles.map(f => (tableDir.resolve(f.path).toString,
+          f.sizeOrStat(tableDir))),
+        partitionSchema(m), dataSchema)
+      // canonical column order (StoredCell puts lg before bucket)
+      .select((cellSchema.fieldNames.toSeq ++
+        (if (m.buckets > 0) Seq("bucket") else Nil)).map(col): _*)
+  }
 
   /** All cells (LWW-resolved), with the `lg` partition column retained.
     * The plan pins the manifest's file list at creation (snapshot). */
@@ -553,10 +583,11 @@ final class Smoltable private (
         .parquet(tmp.toString)
       val moved = PathIO.walkFiles(tmp)(
           _.getFileName.toString.endsWith(".parquet")).map { f =>
+        val size = Files.size(f)
         val target = dataDir.resolve(tmp.relativize(f))
         Files.createDirectories(target.getParent)
         Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
-        tableDir.relativize(target).toString
+        DataFile(tableDir.relativize(target).toString, size)
       }
       PathIO.deleteRecursively(tmp)
       // rewritten data is physically LWW-resolved; reads can skip the
@@ -564,7 +595,7 @@ final class Smoltable private (
       TableManifest.store(manifestPath, m.copy(batchesSinceRewrite = 1L,
         dataFiles = moved))
       Smoltable.readGuard(catalog, name)
-        .retire(m.dataFiles.map(tableDir.resolve(_)))
+        .retire(m.dataFiles.map(f => tableDir.resolve(f.path)))
     }
 
   /** Mutation critical section (reentrant). Serializes appends, rewrites,
@@ -587,6 +618,21 @@ final class Smoltable private (
     val e = g.enter()
     try body finally g.exit(e)
   }
+
+  /** Pinned-snapshot bracket for the LAZY frames ([[allCells]],
+    * [[scanFrame]], [[joinRows]]): frames built AND executed inside
+    * `body` get the same end-to-end guarantee the eager verbs have —
+    * segments their plans list cannot be deleted by a concurrent
+    * delete/GC/compact rewrite until `body` returns (the rewrite
+    * commits and retires; deletion waits for the pin to drain). The
+    * 100 TB bulk-consumer contract: wrap the whole plan-build + action
+    * (write/collect/stream) in one bracket; outside a bracket a lazy
+    * frame only pins the file list at plan time, and a rewrite retiring
+    * concurrently may delete a listed segment before the action runs.
+    * Reentrant with the other verbs; never blocks mutations — a rewrite
+    * under the bracket simply defers its file deletion.
+    */
+  def withPinnedSnapshot[T](body: => T): T = withReadPin(body)
 
   /** Recovery + debris sweep, run on open. `tryLock`: if the mutation
     * lock is held, a mutation is IN FLIGHT on another thread — its files
@@ -616,10 +662,15 @@ final class Smoltable private (
         PathIO.deleteRecursively(tmp)
         val m = manifest
         val listing = listDataFilesRel()
-        if (m.dataFiles.isEmpty && listing.nonEmpty)
-          TableManifest.store(manifestPath, m.copy(dataFiles = listing))
+        // adopt the directory listing ONLY for a legacy manifest that
+        // never carried a file list; a snapshot-era manifest with a
+        // legitimately-empty committed set (delete/GC removed every
+        // cell) must NOT resurrect its retired on-disk segments
+        if (!m.hasFileList && listing.nonEmpty)
+          TableManifest.store(manifestPath, m.copy(dataFiles =
+            listing.map(f => DataFile(f, Files.size(tableDir.resolve(f))))))
         else {
-          val live = m.dataFiles.toSet
+          val live = m.dataFiles.map(_.path).toSet
           val retired = Smoltable.readGuard(catalog, name).retiredSet
           listing.filterNot(f =>
               live(f) || retired(tableDir.resolve(f)))
@@ -637,7 +688,7 @@ final class Smoltable private (
     * the reference's per-partition segment count
     * (`smoltable/src/table/mod.rs:888-904`, `list_tables.rs`). */
   def segmentCount(lg: String): Int =
-    manifest.dataFiles.count(_.startsWith(s"data/lg=$lg/"))
+    manifest.dataFiles.count(_.path.startsWith(s"data/lg=$lg/"))
 
   /** Partition directory path for a locality group (diagnostics). */
   def partitionPath(lg: String): Path = dataDir.resolve(s"lg=$lg")
@@ -843,19 +894,36 @@ object Smoltable {
       cleanup()
     }
 
+    /** Epochs whose batches a cleanup call is currently deleting: still
+      * visible via [[retiredSet]] (their files may be mid-delete — a
+      * concurrent append diffing the disk against live+retired must not
+      * misread a not-yet-deleted segment as newly appended and commit a
+      * path that is about to vanish), but claimed, so no second cleanup
+      * call double-handles them. */
+    private var deleting = Set.empty[Long]
+
     def retiredSet: Set[Path] = synchronized(retired.flatMap(_._2).toSet)
 
-    /** Deletes drained batches. Partitioning inside the lock hands each
-      * batch to exactly one caller; file IO runs outside the lock. */
+    /** Deletes drained batches. Claiming inside the lock hands each batch
+      * to exactly one caller; file IO runs outside the lock; batches
+      * leave `retired` only AFTER their files are gone from disk. */
     private def cleanup(): Unit = {
-      val deletable = synchronized {
+      val claimed = synchronized {
         val minEntry =
           if (active.isEmpty) Long.MaxValue else active.keysIterator.min
-        val (del, keep) = retired.partition { case (r, _) => r <= minEntry }
-        retired = keep
-        del.flatMap(_._2)
+        val del = retired.filter { case (r, _) =>
+          r <= minEntry && !deleting(r) }
+        deleting ++= del.map(_._1)
+        del
       }
-      deletable.foreach(Files.deleteIfExists(_))
+      if (claimed.nonEmpty) {
+        claimed.foreach(_._2.foreach(Files.deleteIfExists(_)))
+        synchronized {
+          val done = claimed.map(_._1).toSet
+          retired = retired.filterNot { case (r, _) => done(r) }
+          deleting --= done
+        }
+      }
     }
   }
 
@@ -865,13 +933,26 @@ object Smoltable {
     readGuards.computeIfAbsent(s"${catalog.baseDir}/$name",
       _ => new ReadGuard)
 
+  /** Tables whose crash-recovery sweep already ran in this JVM. Crash
+    * debris can only exist when a PROCESS died mid-mutation; within a
+    * live JVM every mutation holds the table lock and maintains the
+    * manifest invariants, so the recovery dir walk is needed exactly once
+    * per table per process — not on every open (server mode opens a
+    * Smoltable per request, and the per-open walk measurably taxed point
+    * gets). [[forgetRecovery]] lets crash-simulation tests model a
+    * process restart. */
+  private val recovered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[core] def forgetRecovery(catalog: Catalog, name: String): Unit =
+    recovered.remove(s"${catalog.baseDir}/$name")
+
   /** Open-or-create, mirroring `Smoltable::open`
     * (`smoltable/src/table/mod.rs:107-154`). */
   def open(spark: SparkSession, catalog: Catalog, name: String): Smoltable = {
     require(ColumnKey.isValidIdentifier(name), s"invalid table name: $name")
     Files.createDirectories(catalog.tablePath(name))
     val t = new Smoltable(spark, catalog, name)
-    t.recoverRewrite()
+    if (recovered.add(s"${catalog.baseDir}/$name")) t.recoverRewrite()
     t
   }
 }

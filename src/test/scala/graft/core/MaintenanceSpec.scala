@@ -74,6 +74,9 @@ class MaintenanceSpec extends SparkSuite {
       // free, so they are provably not an in-flight rewrite's)
       java.nio.file.Files.move(data, old)
       java.nio.file.Files.createDirectories(tmp)
+      // a crash means the process died: model the restart, or the
+      // once-per-JVM recovery cache will skip the sweep
+      Smoltable.forgetRecovery(cat, "t")
       val recovered = Smoltable.open(spark, cat, "t")
       assert(java.nio.file.Files.exists(data))
       assert(!java.nio.file.Files.exists(old) && !java.nio.file.Files.exists(tmp))
@@ -81,6 +84,7 @@ class MaintenanceSpec extends SparkSuite {
 
       // crash after the swap: stray data.old next to a live data dir
       java.nio.file.Files.createDirectories(old)
+      Smoltable.forgetRecovery(cat, "t")
       Smoltable.open(spark, cat, "t")
       assert(!java.nio.file.Files.exists(old))
       assert(recovered.count() == (1L, 1L))
@@ -90,6 +94,7 @@ class MaintenanceSpec extends SparkSuite {
       // committed segments survive untouched
       val orphan = data.resolve("lg=_default").resolve("part-orphan.parquet")
       java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+      Smoltable.forgetRecovery(cat, "t")
       val swept = Smoltable.open(spark, cat, "t")
       assert(!java.nio.file.Files.exists(orphan))
       assert(swept.count() == (1L, 1L))

@@ -99,9 +99,10 @@ class SnapshotIsolationSpec extends SparkSuite {
       val onDisk = PathIO.walkFiles(dataDir)(
           _.getFileName.toString.endsWith(".parquet"))
         .map(f => cat.tablePath("drain").relativize(f).toString).toSet
-      assert(onDisk == t.manifest.dataFiles.toSet,
+      val committed = t.manifest.dataFiles.map(_.path).toSet
+      assert(onDisk == committed,
         s"on-disk segments must equal the committed set; " +
-          s"stray: ${onDisk -- t.manifest.dataFiles.toSet}")
+          s"stray: ${onDisk -- committed}")
     }
   }
 
