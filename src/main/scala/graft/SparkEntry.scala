@@ -126,6 +126,18 @@ object SparkEntry {
     t
   }
 
+  /** Build (once per testdata dir) the physical LSH layout for
+    * `eng_ann_bucketed`: embeddings written `l=<table>/bucket=<id>`
+    * partitioned, so probes plan as partition-pruned reads. */
+  private def annLayoutDir(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_ann_${Integer.toHexString(dir.hashCode)}"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      graft.operators.Similarity.writeBucketedLayout(
+        s.read.parquet(s"$dir/embeddings.parquet"), path)
+    }
+    path
+  }
+
   /** Engine cells mapped back to the oracle-comparable view columns. */
   private def engSel(df: DataFrame): DataFrame =
     df.select(col("row_key"), col("family"), col("qualifier"), col("ts"),
@@ -371,12 +383,23 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), e, k = 5)
     }),
 
-    // ---- LSH-bucketed ANN: seeded ±1 random-hyperplane buckets (16),
-    //      Hamming-1 multi-probe — the scale path vs the exact baseline ---
+    // ---- LSH-bucketed ANN: 3 seeded ±1 random-hyperplane tables (16
+    //      buckets each), 5 query-directed probes per table (smallest
+    //      |projection|-margin flips) — the scale path vs the baseline ----
     "ext_ann_bucketed" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.bucketedTopK(
         e.filter(col("vec_id") < 10), e, k = 3)
+    }),
+
+    // ---- the same probe against the PHYSICAL `l=/bucket=` layout: the
+    //      100 TB path — candidates pre-partitioned by (table, bucket),
+    //      probe planned as a static partition-pruned read (the scan's
+    //      PartitionFilters carry the probe set; nothing else is read) ----
+    "eng_ann_bucketed" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.bucketedTopKFromLayout(
+        annLayoutDir(s, dir), e.filter(col("vec_id") < 10), k = 3)
     }),
 
     // ---- language ID (stopword-lexicon heuristic) --------------------
@@ -471,6 +494,52 @@ object SparkEntry {
   }
 
   // --------------------------------------------------------------- oracle
+
+  /** Multi-table directed-probe LSH ANN oracle, shared by
+    * `ext_ann_bucketed` (logical plan) and `eng_ann_bucketed` (probe of the
+    * physical `l=/bucket=` layout) — both must produce the identical
+    * candidate union: 3 seeded Rademacher families over integer fixed-point
+    * projections, per table the query probes its own bucket plus the
+    * one/two/three smallest-margin plane flips (`ORDER BY abs(dot), p` ==
+    * Spark's `array_sort` on `(abs(dot), p)` structs), candidates union
+    * DISTINCT across tables, then exact cosine rescoring.
+    */
+  private val annBucketedSql: String =
+    """WITH sgn AS (
+      |  SELECT l, p, d,
+      |    CASE WHEN CAST(concat('0x', substr(md5(concat('graft', l, '_', p, '_', d)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(3)) AS l), (SELECT unnest(range(4)) AS p), (SELECT unnest(range(1, 65)) AS d)
+      |), comp AS (
+      |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d FROM embeddings
+      |), proj AS (
+      |  SELECT c.vec_id, g.l, g.p, sum(CAST(round(CAST(c.x AS DOUBLE) * 1000000) AS BIGINT) * g.s) AS dot
+      |  FROM comp c JOIN sgn g USING (d) GROUP BY c.vec_id, g.l, g.p
+      |), buck AS (
+      |  SELECT vec_id, l, CAST(sum(CASE WHEN dot > 0 THEN 1 << (3 - p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id, l
+      |), ranked AS (
+      |  SELECT vec_id, l, p, row_number() OVER (PARTITION BY vec_id, l ORDER BY abs(dot), p) AS rnk FROM proj
+      |), mbits AS (
+      |  SELECT vec_id, l,
+      |    CAST(max(CASE WHEN rnk = 1 THEN 1 << (3 - p) END) AS BIGINT) AS b1,
+      |    CAST(max(CASE WHEN rnk = 2 THEN 1 << (3 - p) END) AS BIGINT) AS b2,
+      |    CAST(max(CASE WHEN rnk = 3 THEN 1 << (3 - p) END) AS BIGINT) AS b3
+      |  FROM ranked GROUP BY vec_id, l
+      |), probes AS (
+      |  SELECT b.vec_id, b.l,
+      |    unnest([b.bucket, xor(b.bucket, m.b1), xor(b.bucket, m.b2), xor(xor(b.bucket, m.b1), m.b2), xor(b.bucket, m.b3)]) AS bucket
+      |  FROM buck b JOIN mbits m ON m.vec_id = b.vec_id AND m.l = b.l
+      |  WHERE b.vec_id < 10
+      |), cand AS (
+      |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM probes p JOIN buck c ON c.l = p.l AND c.bucket = p.bucket AND c.vec_id != p.vec_id
+      |) SELECT query_id, neighbor_id, rnk FROM (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    row_number() OVER (PARTITION BY cand.query_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, cand.neighbor_id) AS rnk
+      |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+      |            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+      |) WHERE rnk <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val oc = OrderCellsSql
@@ -583,6 +652,7 @@ object SparkEntry {
            |  SELECT c.*, row_number() OVER (PARTITION BY c.row_key ORDER BY family, qualifier, ts DESC) AS rn
            |  FROM cells c JOIN lim USING (row_key)
            |) SELECT row_key, family, qualifier, ts, vs, vd FROM ranked WHERE rn <= 3""".stripMargin,
+      "eng_ann_bucketed" -> annBucketedSql,
       "eng_locality_scan" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE family = 'm'",
       "ext_dedup_exact" ->
@@ -639,30 +709,7 @@ object SparkEntry {
           |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
           |  WHERE q.vec_id < 10
           |) WHERE rnk <= 5""".stripMargin,
-      "ext_ann_bucketed" ->
-        """WITH sgn AS (
-          |  SELECT p, d,
-          |    CASE WHEN CAST(concat('0x', substr(md5(concat('graft_', p, '_', d)), 1, 15)) AS BIGINT) % 2 = 0
-          |      THEN 1 ELSE -1 END AS s
-          |  FROM (SELECT unnest(range(4)) AS p), (SELECT unnest(range(1, 65)) AS d)
-          |), comp AS (
-          |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d FROM embeddings
-          |), proj AS (
-          |  SELECT c.vec_id, g.p, sum(CAST(round(CAST(c.x AS DOUBLE) * 1000000) AS BIGINT) * g.s) AS dot
-          |  FROM comp c JOIN sgn g USING (d) GROUP BY c.vec_id, g.p
-          |), wb AS (
-          |  SELECT p2.vec_id, e.embedding,
-          |    CAST(sum(CASE WHEN p2.dot > 0 THEN 1 << (3 - p2.p) ELSE 0 END) AS BIGINT) AS bucket
-          |  FROM proj p2 JOIN embeddings e USING (vec_id) GROUP BY p2.vec_id, e.embedding
-          |), probes AS (
-          |  SELECT vec_id, embedding,
-          |    unnest([bucket, xor(bucket, 8), xor(bucket, 4), xor(bucket, 2), xor(bucket, 1)]) AS bucket
-          |  FROM wb WHERE vec_id < 10
-          |) SELECT query_id, neighbor_id, rnk FROM (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
-          |  FROM probes q JOIN wb c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
-          |) WHERE rnk <= 3""".stripMargin,
+      "ext_ann_bucketed" -> annBucketedSql,
       "ext_lang_id" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents

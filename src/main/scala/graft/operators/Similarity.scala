@@ -77,33 +77,156 @@ object Similarity {
       when(dot > 0, lit(1L << (planes - 1 - p))).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k with multi-probe: each query searches its own
-    * bucket plus every bucket at Hamming distance 1 (`planes + 1` probes),
-    * the standard recall-booster that avoids enlarging buckets. Candidates
-    * shuffle ONCE on their single bucket id (at scale: write candidates
-    * pre-partitioned by bucket and the probe side touches only matching
-    * partitions); queries fan out `planes + 1`-fold — never all-pairs.
+  /** Fixed-point integer projection of `emb` onto plane `p` of `seed`'s
+    * Rademacher family — the sign decides the bucket bit, the magnitude is
+    * the distance-to-boundary margin that drives query-directed probing. */
+  private def planeDot(emb: Column, p: Int, dim: Int, seed: String): Column = {
+    val signs = typedLit(planeSignsLocal(seed, p, dim))
+    aggregate(
+      zip_with(emb, signs, (x, s) =>
+        round(x.cast("double") * 1000000).cast("long") * s),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Bit value of plane `p` in the bucket id (MSB = plane 0). */
+  private def bitOf(p: Column, planes: Int): Column =
+    coalesce((0 until planes).map(i =>
+      when(p === i, lit(1L << (planes - 1 - i)))): _*)
+
+  /** Per-table `(l, bucket)` pairs for the candidate side — one entry per
+    * hash table, exploded so candidates shuffle ONCE on `(l, bucket)`. */
+  private def candidateBuckets(emb: Column, planes: Int, dim: Int,
+      seed: String, tables: Int): Column =
+    array((0 until tables).map { l =>
+      struct(lit(l).as("l"),
+        signBucket(emb, planes, dim, s"$seed$l").as("bucket"))
+    }: _*)
+
+  /** Query-directed probe set for one table: the query's own bucket plus
+    * the three buckets reached by flipping the one or two planes with the
+    * SMALLEST projection margin `|dot|` — the planes most likely to have
+    * put a true neighbor on the other side. Directed probes concentrate
+    * the probe budget where the error probability is, which beats blind
+    * Hamming-1 fan-out at equal probe count (classic multi-probe LSH).
+    * Ties in margin break by plane index, mirroring the oracle's
+    * `ORDER BY abs(dot), p`.
+    */
+  private def probeBuckets(emb: Column, planes: Int, dim: Int,
+      seed: String): Column = {
+    val dots = (0 until planes).map(p => planeDot(emb, p, dim, seed))
+    val bucket = dots.zipWithIndex.map { case (d, p) =>
+      when(d > 0, lit(1L << (planes - 1 - p))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val byMargin = array_sort(array(dots.zipWithIndex.map { case (d, p) =>
+      struct(abs(d).as("m"), lit(p).as("p"))
+    }: _*))
+    def bit(i: Int) = bitOf(byMargin.getItem(i).getField("p"), planes)
+    val probes = Seq(bucket) ++
+      (if (planes >= 1) Seq(bucket.bitwiseXOR(bit(0))) else Nil) ++
+      (if (planes >= 2) Seq(bucket.bitwiseXOR(bit(1)),
+        bucket.bitwiseXOR(bit(0)).bitwiseXOR(bit(1))) else Nil) ++
+      (if (planes >= 3) Seq(bucket.bitwiseXOR(bit(2))) else Nil)
+    array(probes: _*)
+  }
+
+  /** Approximate top-k: `tables` independent hyperplane families (seeded
+    * `seed0..seedN`), each probed at the query's own bucket plus the three
+    * smallest-margin perturbations (4 directed probes/table — see
+    * [[probeBuckets]]). Candidate pairs found by ANY table union before
+    * exact rescoring, so recall compounds as `1-(1-r)^L` while the
+    * candidate side still computes one narrow `(l, bucket)` pair per table
+    * and shuffles once — never all-pairs. At scale, persist the candidate
+    * side pre-partitioned by `(l, bucket)` ([[writeBucketedLayout]]) and
+    * the probe side becomes a partition-pruned read.
     */
   def bucketedTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      planes: Int = 4, dim: Int = 64, seed: String = "graft"): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qe"),
-      signBucket(col("embedding"), planes, dim, seed).as("qbucket"))
-    val probes = q.withColumn("bucket", explode(array(
-      col("qbucket") +: (0 until planes).map(b =>
-        col("qbucket").bitwiseXOR(lit(1L << b))): _*)))
+      planes: Int = 4, dim: Int = 64, seed: String = "graft",
+      tables: Int = 3): DataFrame = {
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        explode(flatten(array((0 until tables).map { l =>
+          transform(probeBuckets(col("embedding"), planes, dim, s"$seed$l"),
+            b => struct(lit(l).as("l"), b.as("bucket")))
+        }: _*))).as("lb"))
+      .select(col("query_id"), col("qe"),
+        col("lb.l").as("l"), col("lb.bucket").as("bucket"))
     val c = candidates.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"),
-      signBucket(col("embedding"), planes, dim, seed).as("bucket"))
-    val scored = probes.join(c, Seq("bucket"))
+        col("embedding").as("ce"),
+        explode(candidateBuckets(col("embedding"), planes, dim, seed,
+          tables)).as("lb"))
+      .select(col("neighbor_id"), col("ce"),
+        col("lb.l").as("l"), col("lb.bucket").as("bucket"))
+    rankCandidates(probes, c, k)
+  }
+
+  /** Shared tail of the bucketed variants: join probes to candidates on
+    * `(l, bucket)`, dedupe pairs found by several tables (`sim` is
+    * deterministic per pair, so distinct-after-scoring is exact), rank. */
+  private def rankCandidates(probes: DataFrame, c: DataFrame,
+      k: Int): DataFrame = {
+    val scored = probes.join(c, Seq("l", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
+      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** Persist candidates physically partitioned by hash table and LSH
+    * bucket (`l=<table>/bucket=<id>` directories — the same `bucket=`
+    * static-pruning pattern as [[graft.core.Smoltable.setBucketCount]]).
+    * This is the 100 TB layout: each embedding is written once per table
+    * (L× storage, the standard LSH-index trade), and a probe then reads
+    * ONLY its own `(l, bucket)` partitions instead of shuffling the whole
+    * candidate corpus per query batch.
+    */
+  def writeBucketedLayout(candidates: DataFrame, dir: String,
+      planes: Int = 4, dim: Int = 64, seed: String = "graft",
+      tables: Int = 3): Unit =
+    candidates.select(col("vec_id"), col("embedding"),
+        explode(candidateBuckets(col("embedding"), planes, dim, seed,
+          tables)).as("lb"))
+      .select(col("vec_id"), col("embedding"), col("lb.l").as("l"),
+        // int, so the partition-inferred read schema matches the filter
+        // literals exactly (a cast on the partition attribute would defeat
+        // static pruning)
+        col("lb.bucket").cast("int").as("bucket"))
+      .write.mode("overwrite").partitionBy("l", "bucket").parquet(dir)
+
+  /** Probe a [[writeBucketedLayout]] directory. The probe set is computed
+    * driver-side first (the query batch is small — that is the ANN
+    * contract, same as point-get key pruning), then the candidate scan is
+    * planned with a STATIC disjunction of `(l = …, bucket = …)` equality
+    * conjunctions, so Catalyst prunes to the probed `l=/bucket=`
+    * directories at plan time — `.explain` shows them as PartitionFilters
+    * and the scan never lists, reads, or shuffles the rest of the corpus.
+    * Results are identical to [[bucketedTopK]] on the same parameters.
+    */
+  def bucketedTopKFromLayout(dir: String, queries: DataFrame, k: Int,
+      planes: Int = 4, dim: Int = 64, seed: String = "graft",
+      tables: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        explode(flatten(array((0 until tables).map { l =>
+          transform(probeBuckets(col("embedding"), planes, dim, s"$seed$l"),
+            b => struct(lit(l).as("l"), b.as("bucket")))
+        }: _*))).as("lb"))
+      .select(col("query_id"), col("qe"),
+        col("lb.l").as("l"), col("lb.bucket").as("bucket"))
+    val probeSet = probes.select(col("l"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val pruned = spark.read.parquet(dir)
+      .filter(probeSet.map { case (l, b) =>
+        col("l") === lit(l) && col("bucket") === lit(b.toInt)
+      }.reduce(_ || _))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("l"), col("bucket").cast("long").as("bucket"))
+    rankCandidates(probes, pruned, k)
   }
 
   /** Cosine near-duplicate flags for explicit pairs (id1, id2). */

@@ -144,7 +144,7 @@ class OperatorsSpec extends SparkSuite {
     assert(bucketed == brute)
   }
 
-  test("seeded multi-probe LSH recalls most of the exact top-k (sf0.1)") {
+  test("multi-table directed-probe LSH recalls the exact top-k (sf0.1)") {
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)
     val k = 5
@@ -153,8 +153,37 @@ class OperatorsSpec extends SparkSuite {
     val exact = pairs(Similarity.bruteForceTopK(q, e, k))
     val approx = pairs(Similarity.bucketedTopK(q, e, k))
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    info(f"recall@$k over 2000 candidates, 16 buckets + multi-probe: $recall%.2f")
-    assert(recall >= 0.5, f"recall $recall%.2f below floor")
+    info(f"recall@$k over 2000 candidates, 3 tables x 5 directed probes: " +
+      f"$recall%.2f")
+    assert(recall >= 0.85, f"recall $recall%.2f below floor")
+  }
+
+  test("physical l=/bucket= layout probe matches the logical plan and " +
+      "prunes partitions") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_layout")
+      .toString
+    try {
+      Similarity.writeBucketedLayout(e, dir)
+      val fromLayout = Similarity.bucketedTopKFromLayout(dir, q, 3)
+      val logical = Similarity.bucketedTopK(q, e, 3)
+      val a = fromLayout.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b = logical.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a == b, "layout probe must equal the logical bucketed probe")
+      // the probe plan must prune statically: PartitionFilters on (l,
+      // bucket) at the scan, no pushed data filter doing the work
+      val plan = fromLayout.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan)
+          .isDefined,
+        s"expected static (l, bucket) PartitionFilters in scan:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("quality features and token counts") {
