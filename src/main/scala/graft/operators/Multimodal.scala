@@ -13,19 +13,20 @@ import org.apache.spark.sql.types._
   * analog of `mapInPandas`: one iterator per partition, work proceeds in
   * batches, schema declared up front).
   *
-  * The actual media decode is a STUB — this container has no image/audio
-  * codecs — but the Spark-side plumbing is real: binary payload column,
-  * explicit output schema, partition-preserving `mapPartitions`, and
-  * deterministic features so the pipeline is oracle-testable. Swap
-  * [[decodeStub]] for a real codec (e.g. JNI/FFI image decoder) to
-  * productionize.
+  * Image payloads are decoded for REAL: [[decodeHeader]] asks the JRE's
+  * `javax.imageio` registry for a reader claiming the byte stream (PNG,
+  * JPEG, GIF, BMP, WBMP in a stock JRE) and reads width/height/components
+  * from the header — no full pixel decode, so cost stays proportional to
+  * header size, not image size. Payloads no reader recognizes (or other
+  * media types — audio/video codecs are not in the JRE) fall back to
+  * [[decodeStub]], which derives deterministic pseudo-dimensions so the
+  * pipeline stays total and oracle-testable on synthetic corpora.
   *
-  * NOTE the md5-derived stub features themselves COULD be pure Catalyst
-  * expressions (the DuckDB oracle proves it) — the `mapPartitions` shape is
-  * kept DELIBERATELY, because a real codec is imperative per-batch work
+  * The `mapPartitions` shape is DELIBERATE even where an expression could
+  * compute the fallback arithmetic: a codec is imperative per-batch work
   * that cannot be a Catalyst expression, and the point of this operator is
   * to pin down that production shape (schema contract, batching, memory
-  * bounds), not the stub arithmetic.
+  * bounds).
   */
 object Multimodal {
 
@@ -38,10 +39,39 @@ object Multimodal {
     StructField("height", LongType, nullable = false),
     StructField("channels", LongType, nullable = false)))
 
-  /** STUB media decode: derives deterministic pseudo-dimensions from an md5
-    * of the payload. A real implementation would parse the container format
-    * here; everything around it (batching, schema, partitioning) is what a
-    * production decode pipeline needs.
+  /** Real image-header decode via the `javax.imageio` reader registry:
+    * width/height straight from the container header and channel count from
+    * the reader's raw image type — pixels are never decoded. Returns None
+    * when no installed reader claims the payload (non-image bytes, or a
+    * media type the JRE has no codec for).
+    */
+  private def decodeHeader(payload: Array[Byte]): Option[(Long, Long, Long)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val w = r.getWidth(0).toLong
+          val h = r.getHeight(0).toLong
+          val types = r.getImageTypes(0)
+          val channels =
+            if (types.hasNext) types.next().getNumComponents.toLong else 3L
+          Some((w, h, channels))
+        } finally r.dispose()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None // truncated/corrupt header
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Fallback decode for payloads [[decodeHeader]] cannot claim: derives
+    * deterministic pseudo-dimensions from an md5 of the payload, keeping
+    * the pipeline total and oracle-testable on synthetic (non-image)
+    * corpora.
     */
   private def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
     val md = MessageDigest.getInstance("MD5")
@@ -64,7 +94,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val (w, h, c) = decodeStub(payload)
+          val (w, h, c) = decodeHeader(payload).getOrElse(decodeStub(payload))
           Row(id, payload.length.toLong, w, h, c)
         }
       }

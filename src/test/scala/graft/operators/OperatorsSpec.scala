@@ -222,6 +222,37 @@ class OperatorsSpec extends SparkSuite {
     assert(again(1L) == f(1L).getAs[Long]("width"))
   }
 
+  test("multimodal decode reads real PNG and JPEG headers") {
+    import java.awt.image.BufferedImage
+    def imageBytes(w: Int, h: Int, imgType: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      img.setRGB(0, 0, 0xff8040) // non-trivial pixel so encoders emit data
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val png = imageBytes(31, 17, BufferedImage.TYPE_INT_RGB, "png")
+    val pngA = imageBytes(5, 9, BufferedImage.TYPE_INT_ARGB, "png")
+    val jpg = imageBytes(23, 41, BufferedImage.TYPE_3BYTE_BGR, "jpg")
+    val d = Seq((1L, png), (2L, pngA), (3L, jpg),
+        (4L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val f = Multimodal.extractFeatures(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getAs[Long]("width") == 31L)
+    assert(f(1L).getAs[Long]("height") == 17L)
+    assert(f(1L).getAs[Long]("channels") == 3L)
+    assert(f(2L).getAs[Long]("width") == 5L)
+    assert(f(2L).getAs[Long]("height") == 9L)
+    assert(f(2L).getAs[Long]("channels") == 4L) // RGBA
+    assert(f(3L).getAs[Long]("width") == 23L)
+    assert(f(3L).getAs[Long]("height") == 41L)
+    assert(f(3L).getAs[Long]("channels") == 3L)
+    // undecodable payload falls back to the deterministic stub
+    assert(f(4L).getAs[Long]("width") < 1024L)
+    assert(f(4L).getAs[Long]("n_bytes") == 12L)
+  }
+
   test("sessionize splits on gaps and counts events") {
     import graft.streaming.StreamOps
     val ns = 1000000000L
