@@ -483,16 +483,6 @@ object SparkEntry {
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
-  /** Cosine similarity over float-array embeddings: ordered fold so the
-    * accumulation order matches DuckDB's `list_cosine_similarity`.
-    */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
-
   // --------------------------------------------------------------- oracle
 
   /** Multi-table directed-probe LSH ANN oracle, shared by

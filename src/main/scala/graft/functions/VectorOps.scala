@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.GraftColumn
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native codegen'd vector kernels for the similarity operators.
+  *
+  * Why expressions and not the `zip_with`/`aggregate` higher-order
+  * builtins they replace: HOFs are interpreted — every element allocates a
+  * lambda frame and boxes through `InternalRow`, and nothing inside the
+  * lambda participates in whole-stage codegen or subexpression
+  * elimination. The ANN hot path evaluates these kernels per candidate
+  * pair (cosine) and per corpus row × hash table (projections), which at
+  * 100 TB is exactly the interpreted overhead the MinHashSignature rewrite
+  * already measured as dominant (see its scaladoc). Both kernels run one
+  * tight JVM loop inside codegen.
+  *
+  * Semantics are bit-identical to the composed-builtin formulations (and
+  * thus to the DuckDB oracle):
+  *  - accumulation is the same left-to-right fold order;
+  *  - the fixed-point conversion `round(x·10^6)` rounds half away from
+  *    zero, matching Spark's `round` (BigDecimal HALF_UP) and DuckDB's
+  *    `round` — NOT `Math.round`, which rounds half toward +∞ and would
+  *    flip negative-tie components.
+  */
+object VectorOps {
+
+  /** Fixed-point component: `round(double(x) * 1e6)` half-away-from-zero. */
+  @inline def fixedPoint(x: Double): Long = {
+    val a = x * 1000000.0
+    (if (a >= 0) Math.floor(a + 0.5) else Math.ceil(a - 0.5)).toLong
+  }
+}
+
+/** `rows` integer projections of one embedding in ONE pass: output
+  * `array<long>` where entry `r` is `Σ_d fixedPoint(emb(d)) ·
+  * signs(r·dim + d)` — every hash table × hyperplane row of the ANN index
+  * computed together, so the per-element fixed-point conversion is done
+  * once regardless of how many planes consume it.
+  */
+final case class SignProjections(child: Expression, rows: Int,
+    signs: Array[Long])
+    extends UnaryExpression {
+
+  // ExpectsInputTypes/AbstractDataType are private[sql] in Spark 4.1.2's
+  // ScalaSig outside an org.apache.spark.sql package, so type-check with
+  // public types directly (the MinHashSignature pattern).
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_projections"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    SignProjections.compute(
+      input.asInstanceOf[ArrayData], rows, signs, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.SignProjections.compute(
+         |  $c, $rows, $signsRef, $isFloat);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignProjections = copy(child = newChild)
+
+  // Array[Long] breaks case-class equality (reference equality on arrays
+  // would defeat subexpression elimination — the probe derivations read
+  // this expression many times per row), so compare signs by value.
+  override def equals(other: Any): Boolean = other match {
+    case s: SignProjections =>
+      s.child == child && s.rows == rows &&
+        java.util.Arrays.equals(s.signs, signs)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(rows),
+      Integer.valueOf(java.util.Arrays.hashCode(signs)))
+}
+
+object SignProjections {
+
+  /** One pass: fixed-point each element once, scatter into all rows. */
+  def compute(arr: ArrayData, rows: Int, signs: Array[Long],
+      isFloat: Boolean): ArrayData = {
+    val dim = signs.length / rows
+    val n = math.min(arr.numElements(), dim)
+    val acc = new Array[Long](rows)
+    var d = 0
+    while (d < n) {
+      val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      val v = VectorOps.fixedPoint(x)
+      var r = 0
+      while (r < rows) {
+        acc(r) += v * signs(r * dim + d)
+        r += 1
+      }
+      d += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  /** Column-level entry point; `signs` is one Seq per projection row. */
+  def apply(emb: Column, signs: Seq[Seq[Long]]): Column =
+    GraftColumn(SignProjections(GraftColumn.expr(emb), signs.length,
+      signs.flatten.toArray))
+}
+
+/** Cosine similarity of two embeddings as one fused loop: dot product and
+  * both norms accumulate together (three doubles per element), then
+  * `dot / sqrt(na) / sqrt(nb)` — the identical operation/order sequence as
+  * the `aggregate(zip_with(...))` fold it replaces, so results are
+  * bit-exact with the previous formulation and the DuckDB oracle.
+  */
+final case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(t: DataType) = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_similarity"
+
+  private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarity.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.CosineSimilarity.compute(
+         |  $a, $b, $leftFloat, $rightFloat);""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+
+  def compute(a: ArrayData, b: ArrayData, aFloat: Boolean,
+      bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / Math.sqrt(na) / Math.sqrt(nb)
+  }
+
+  def apply(a: Column, b: Column): Column =
+    GraftColumn(
+      CosineSimilarity(GraftColumn.expr(a), GraftColumn.expr(b)))
+}

@@ -4,25 +4,25 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{CosineSimilarity, SignProjections}
+
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Brute-force top-k is the exact baseline (O(|Q|·|C|) — fine when the
   * query set is small or as ground truth); the bucketed variant is the
-  * scale path: candidates partition into hash buckets, queries probe only
-  * their own bucket, so the join fans out per-bucket instead of globally.
-  * All arithmetic stays inside Catalyst (`zip_with`/`aggregate` fold —
-  * no UDF), keeping whole-stage codegen intact.
+  * scale path: candidates partition into LSH hash buckets, queries probe
+  * only a directed handful of buckets, so the join fans out per-bucket
+  * instead of globally. The vector arithmetic runs in native codegen'd
+  * kernels ([[graft.functions.SignProjections]],
+  * [[graft.functions.CosineSimilarity]]) — one tight loop per row/pair
+  * inside whole-stage codegen, no interpreted higher-order functions on
+  * the hot path.
   */
 object Similarity {
 
-  /** Cosine similarity as an ordered double fold (deterministic
-    * accumulation order — reproducible across runs and engines). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  /** Cosine similarity — fused native kernel, deterministic accumulation
+    * order (reproducible across runs and engines). */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
 
   /** Exact cosine top-k: every query row against every candidate row.
     * Output: query_id, neighbor_id, rnk (1-based by similarity desc,
@@ -44,17 +44,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
-  /** Seeded random-hyperplane LSH bucket id over `planes` hyperplanes.
-    *
-    * Plane weights are deterministic Rademacher (±1) entries derived from
-    * `md5(seed_plane_dim)` — the classic sign-random-projection family for
-    * cosine similarity, but reproducible in ANSI SQL (so the DuckDB oracle
-    * computes identical buckets) and free of RNG state. The projection is
-    * an INTEGER dot product over fixed-point components
-    * (`round(x * 1e6) * ±1`), making the sign decision order-independent
-    * and bit-exact across engines — a float fold could flip a
-    * near-zero projection between engines.
-    */
   /** Rademacher weights of one plane, computed driver-side (the md5 chain
     * is constant per (seed, plane, dim) — embedding it as a literal array
     * keeps the per-row work to one integer fold per plane). Must stay
@@ -66,59 +55,61 @@ object Similarity {
       else -1L
     }
 
-  def signBucket(emb: Column, planes: Int, dim: Int,
-      seed: String): Column =
+  /** Sign matrix for all `tables` × `planes` hyperplanes — table `l` uses
+    * the derived seed `s"$seed$l"`, so tables are independent families. */
+  private def allSigns(planes: Int, dim: Int, seed: String,
+      tables: Int): Seq[Seq[Long]] =
+    for { l <- 0 until tables; p <- 0 until planes }
+      yield planeSignsLocal(s"$seed$l", p, dim)
+
+  /** Bucket id of one table from the shared projections array: bit
+    * `planes-1-p` set iff projection `base+p` is positive (MSB = plane 0,
+    * the SQL-reproducible convention).
+    */
+  private def bucketFromDots(dots: Column, base: Int, planes: Int): Column =
     (0 until planes).map { p =>
-      val signs = typedLit(planeSignsLocal(seed, p, dim))
-      val dot = aggregate(
-        zip_with(emb, signs, (x, s) =>
-          round(x.cast("double") * 1000000).cast("long") * s),
-        lit(0L), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << (planes - 1 - p))).otherwise(lit(0L))
+      when(dots.getItem(base + p) > 0, lit(1L << (planes - 1 - p)))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Fixed-point integer projection of `emb` onto plane `p` of `seed`'s
-    * Rademacher family — the sign decides the bucket bit, the magnitude is
-    * the distance-to-boundary margin that drives query-directed probing. */
-  private def planeDot(emb: Column, p: Int, dim: Int, seed: String): Column = {
-    val signs = typedLit(planeSignsLocal(seed, p, dim))
-    aggregate(
-      zip_with(emb, signs, (x, s) =>
-        round(x.cast("double") * 1000000).cast("long") * s),
-      lit(0L), (acc, v) => acc + v)
-  }
+  /** Seeded random-hyperplane LSH bucket id over `planes` hyperplanes.
+    *
+    * Plane weights are deterministic Rademacher (±1) entries derived from
+    * `md5(seed_plane_dim)` — the classic sign-random-projection family for
+    * cosine similarity, but reproducible in ANSI SQL (so the DuckDB oracle
+    * computes identical buckets) and free of RNG state. The projection is
+    * an INTEGER dot product over fixed-point components
+    * (`round(x * 1e6) * ±1`), making the sign decision order-independent
+    * and bit-exact across engines — a float fold could flip a
+    * near-zero projection between engines.
+    */
+  def signBucket(emb: Column, planes: Int, dim: Int,
+      seed: String): Column =
+    bucketFromDots(
+      SignProjections(emb, (0 until planes).map(planeSignsLocal(seed, _,
+        dim))),
+      0, planes)
 
   /** Bit value of plane `p` in the bucket id (MSB = plane 0). */
   private def bitOf(p: Column, planes: Int): Column =
     coalesce((0 until planes).map(i =>
       when(p === i, lit(1L << (planes - 1 - i)))): _*)
 
-  /** Per-table `(l, bucket)` pairs for the candidate side — one entry per
-    * hash table, exploded so candidates shuffle ONCE on `(l, bucket)`. */
-  private def candidateBuckets(emb: Column, planes: Int, dim: Int,
-      seed: String, tables: Int): Column =
-    array((0 until tables).map { l =>
-      struct(lit(l).as("l"),
-        signBucket(emb, planes, dim, s"$seed$l").as("bucket"))
-    }: _*)
-
-  /** Query-directed probe set for one table: the query's own bucket plus
-    * the three buckets reached by flipping the one or two planes with the
-    * SMALLEST projection margin `|dot|` — the planes most likely to have
-    * put a true neighbor on the other side. Directed probes concentrate
-    * the probe budget where the error probability is, which beats blind
-    * Hamming-1 fan-out at equal probe count (classic multi-probe LSH).
-    * Ties in margin break by plane index, mirroring the oracle's
-    * `ORDER BY abs(dot), p`.
+  /** Query-directed probe set for one table from the shared projections
+    * array: the query's own bucket plus the buckets reached by flipping
+    * the one or two planes with the SMALLEST projection margin `|dot|` —
+    * the planes most likely to have put a true neighbor on the other
+    * side — and the third-smallest single flip. Directed probes
+    * concentrate the probe budget where the error probability is, which
+    * beats blind Hamming-1 fan-out at equal probe count (classic
+    * multi-probe LSH). Ties in margin break by plane index, mirroring the
+    * oracle's `ORDER BY abs(dot), p`.
     */
-  private def probeBuckets(emb: Column, planes: Int, dim: Int,
-      seed: String): Column = {
-    val dots = (0 until planes).map(p => planeDot(emb, p, dim, seed))
-    val bucket = dots.zipWithIndex.map { case (d, p) =>
-      when(d > 0, lit(1L << (planes - 1 - p))).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val byMargin = array_sort(array(dots.zipWithIndex.map { case (d, p) =>
-      struct(abs(d).as("m"), lit(p).as("p"))
+  private def probesFromDots(dots: Column, base: Int,
+      planes: Int): Column = {
+    val bucket = bucketFromDots(dots, base, planes)
+    val byMargin = array_sort(array((0 until planes).map { p =>
+      struct(abs(dots.getItem(base + p)).as("m"), lit(p).as("p"))
     }: _*))
     def bit(i: Int) = bitOf(byMargin.getItem(i).getField("p"), planes)
     val probes = Seq(bucket) ++
@@ -129,35 +120,56 @@ object Similarity {
     array(probes: _*)
   }
 
-  /** Approximate top-k: `tables` independent hyperplane families (seeded
-    * `seed0..seedN`), each probed at the query's own bucket plus the three
-    * smallest-margin perturbations (4 directed probes/table — see
-    * [[probeBuckets]]). Candidate pairs found by ANY table union before
-    * exact rescoring, so recall compounds as `1-(1-r)^L` while the
-    * candidate side still computes one narrow `(l, bucket)` pair per table
-    * and shuffles once — never all-pairs. At scale, persist the candidate
-    * side pre-partitioned by `(l, bucket)` ([[writeBucketedLayout]]) and
-    * the probe side becomes a partition-pruned read.
-    */
-  def bucketedTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      planes: Int = 4, dim: Int = 64, seed: String = "graft",
-      tables: Int = 3): DataFrame = {
-    val probes = queries.select(col("vec_id").as("query_id"),
+  /** Query side: one row per (query, table, probed bucket). All tables'
+    * probe sets derive from a SINGLE [[SignProjections]] evaluation per
+    * query row (value-equal expression instances, so codegen subexpression
+    * elimination computes the projections once). */
+  private def probeFrame(queries: DataFrame, planes: Int, dim: Int,
+      seed: String, tables: Int): DataFrame = {
+    val dots = SignProjections(col("embedding"),
+      allSigns(planes, dim, seed, tables))
+    queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qe"),
         explode(flatten(array((0 until tables).map { l =>
-          transform(probeBuckets(col("embedding"), planes, dim, s"$seed$l"),
+          transform(probesFromDots(dots, l * planes, planes),
             b => struct(lit(l).as("l"), b.as("bucket")))
         }: _*))).as("lb"))
       .select(col("query_id"), col("qe"),
         col("lb.l").as("l"), col("lb.bucket").as("bucket"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"),
+  }
+
+  /** Candidate side: one narrow `(l, bucket)` pair per table per row, all
+    * from a single projections pass. */
+  private def candidateFrame(candidates: DataFrame, planes: Int, dim: Int,
+      seed: String, tables: Int): DataFrame = {
+    val dots = SignProjections(col("embedding"),
+      allSigns(planes, dim, seed, tables))
+    candidates.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce"),
-        explode(candidateBuckets(col("embedding"), planes, dim, seed,
-          tables)).as("lb"))
+        explode(array((0 until tables).map { l =>
+          struct(lit(l).as("l"),
+            bucketFromDots(dots, l * planes, planes).as("bucket"))
+        }: _*)).as("lb"))
       .select(col("neighbor_id"), col("ce"),
         col("lb.l").as("l"), col("lb.bucket").as("bucket"))
-    rankCandidates(probes, c, k)
   }
+
+  /** Approximate top-k: `tables` independent hyperplane families (seeded
+    * `seed0..seedN`), each probed at the query's own bucket plus the three
+    * smallest-margin perturbations (5 directed probes/table — see
+    * [[probesFromDots]]). Candidate pairs found by ANY table union before
+    * exact rescoring, so recall compounds as `1-(1-r)^L` while the
+    * candidate side still computes one narrow `(l, bucket)` pair per table
+    * and shuffles once — never all-pairs. At scale, persist the candidate
+    * side pre-partitioned by `(l, bucket)` ([[writeBucketedLayout]]) and
+    * the probe side becomes a partition-pruned read
+    * ([[bucketedTopKFromLayout]]).
+    */
+  def bucketedTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      planes: Int = 4, dim: Int = 64, seed: String = "graft",
+      tables: Int = 3): DataFrame =
+    rankCandidates(probeFrame(queries, planes, dim, seed, tables),
+      candidateFrame(candidates, planes, dim, seed, tables), k)
 
   /** Shared tail of the bucketed variants: join probes to candidates on
     * `(l, bucket)`, dedupe pairs found by several tables (`sim` is
@@ -187,14 +199,13 @@ object Similarity {
   def writeBucketedLayout(candidates: DataFrame, dir: String,
       planes: Int = 4, dim: Int = 64, seed: String = "graft",
       tables: Int = 3): Unit =
-    candidates.select(col("vec_id"), col("embedding"),
-        explode(candidateBuckets(col("embedding"), planes, dim, seed,
-          tables)).as("lb"))
-      .select(col("vec_id"), col("embedding"), col("lb.l").as("l"),
+    candidateFrame(candidates, planes, dim, seed, tables)
+      .select(col("neighbor_id").as("vec_id"), col("ce").as("embedding"),
+        col("l"),
         // int, so the partition-inferred read schema matches the filter
         // literals exactly (a cast on the partition attribute would defeat
         // static pruning)
-        col("lb.bucket").cast("int").as("bucket"))
+        col("bucket").cast("int").as("bucket"))
       .write.mode("overwrite").partitionBy("l", "bucket").parquet(dir)
 
   /** Probe a [[writeBucketedLayout]] directory. The probe set is computed
@@ -210,14 +221,7 @@ object Similarity {
       planes: Int = 4, dim: Int = 64, seed: String = "graft",
       tables: Int = 3): DataFrame = {
     val spark = queries.sparkSession
-    val probes = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe"),
-        explode(flatten(array((0 until tables).map { l =>
-          transform(probeBuckets(col("embedding"), planes, dim, s"$seed$l"),
-            b => struct(lit(l).as("l"), b.as("bucket")))
-        }: _*))).as("lb"))
-      .select(col("query_id"), col("qe"),
-        col("lb.l").as("l"), col("lb.bucket").as("bucket"))
+    val probes = probeFrame(queries, planes, dim, seed, tables)
     val probeSet = probes.select(col("l"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val pruned = spark.read.parquet(dir)

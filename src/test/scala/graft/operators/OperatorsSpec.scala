@@ -207,6 +207,57 @@ class OperatorsSpec extends SparkSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("native vector kernels are bit-exact with the composed-builtin " +
+      "formulas (sf0.1 differential)") {
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(200)
+    // adversarial rows: negative halves (round-half-away-from-zero) and
+    // near-zero components that a float fold could flip
+    val extra = Seq(
+      (900001L, Array(-0.0000005f, 0.0000005f, -2.5f, 2.5f) ++
+        Array.fill(60)(-0.25f)),
+      (900002L, Array.tabulate(64)(i => (if (i % 2 == 0) -1 else 1) *
+        (i + 0.5f) / 1000000f)))
+      .toDF("vec_id", "embedding")
+    val all = e.unionAll(extra)
+    import org.apache.spark.sql.Column
+    def hofDot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val hofCos = hofDot(col("e1"), col("e2")) /
+      sqrt(hofDot(col("e1"), col("e1"))) /
+      sqrt(hofDot(col("e2"), col("e2")))
+    val pairs = all.select(col("vec_id").as("id1"),
+        col("embedding").as("e1"))
+      .join(all.select((col("vec_id") + 1).as("id1"),
+        col("embedding").as("e2")), "id1")
+    val cosDiff = pairs.select(
+        graft.functions.CosineSimilarity(col("e1"), col("e2")).as("native"),
+        hofCos.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(cosDiff == 0L, s"$cosDiff cosine rows differ from HOF fold")
+    // sign projections vs the zip_with/aggregate integer fold, plane 0..3
+    val signs = (0 until 4).map { p =>
+      (1 to 64).map { d =>
+        if (graft.model.PortableHash.md5Long60(s"graft0_${p}_$d") % 2 == 0)
+          1L
+        else -1L
+      }
+    }
+    val hofDots = array(signs.map { s =>
+      aggregate(
+        zip_with(col("embedding"), typedLit(s), (x, sg) =>
+          round(x.cast("double") * 1000000).cast("long") * sg),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+    val projDiff = all.select(
+        graft.functions.SignProjections(col("embedding"), signs)
+          .as("native"),
+        hofDots.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(projDiff == 0L, s"$projDiff projection rows differ from HOF fold")
+  }
+
   test("multimodal feature extraction is deterministic and bounded") {
     val d = Seq((1L, "payload-one"), (2L, "payload-two"))
       .toDF("doc_id", "text")
