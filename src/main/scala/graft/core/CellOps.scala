@@ -154,9 +154,23 @@ object CellOps {
     // 3. sampling + offset: global rank over distinct row keys, joined back
     //    (the rank frame is orders of magnitude smaller than the cells; the
     //    join strategy is left to AQE — broadcast when it fits, shuffle
-    //    otherwise).
+    //    otherwise). With `perCellDiffusion` the rank is replaced by the
+    //    reference's sequential per-cell acceptance simulation.
     val needRowRank = in.sample.exists(_ < 1.0f) || in.rowOffset.exists(_ > 0)
-    if (needRowRank) {
+    if (needRowRank && in.perCellDiffusion) {
+      val visitW = Window.partitionBy("row_key")
+        .orderBy(col("family").asc, col("qualifier").asc, col("ts").desc)
+      df = df.withColumn("_visit_pos", row_number().over(visitW).cast("long"))
+      rowObs.foreach { o =>
+        df = df.observe(o,
+          coalesce(sum(when(col("_visit_pos") === 1L, 1L)), lit(0L))
+            .as("qual_rows"))
+      }
+      val acc = perCellAcceptance(df, in.sample, in.rowOffset.getOrElse(0L))
+      df = df.join(acc, Seq("row_key"))
+        .filter(col("_visit_pos") >= col("_accept_pos"))
+        .drop("_visit_pos", "_accept_pos")
+    } else if (needRowRank) {
       val rowRank = globalRowRank(df.select("row_key").distinct())
       df = df.join(rowRank, Seq("row_key"))
       // qualifying rows = max rank, observed before sampling/offset filter
@@ -231,6 +245,57 @@ object CellOps {
       }
     }
     df
+  }
+
+  /** The reference's per-cell sampling/offset state machine, run over
+    * per-row cell COUNTS in key order (the only inputs it needs: the
+    * counter advances once per cell of a not-yet-accepted row and stops
+    * advancing at acceptance). Returns `(row_key, _accept_pos)` for
+    * accepted rows — the 1-based within-row visit position whose cell
+    * first passed BOTH the f32 error-diffusion gate (`counter += rate`,
+    * accept when `>= 1.0` then `-= 1.0`, starting at 1.0) and the offset
+    * gate (`rows_scanned_count >= offset`); earlier cells are consumed by
+    * the chain and lost, exactly like the reference
+    * (`smoltable/src/table/mod.rs:724-756`).
+    *
+    * The fold is a SINGLE-partition pass over one summary row per row key:
+    * error diffusion is order-sequential by definition (each decision
+    * depends on the full prefix), so the reference semantics cannot be
+    * distributed without changing results — which is why this mode is
+    * flag-gated and the default stays the rank-based per-row definition.
+    * The sequential data is row summaries (not cells), bounded by the
+    * distinct-row count of the scan range.
+    */
+  private def perCellAcceptance(cells: DataFrame, sample: Option[Float],
+      offset: Long): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val rate = sample.filter(_ < 1.0f)
+    cells.groupBy("row_key").agg(count(lit(1)).as("_m"))
+      .repartitionByRange(1, col("row_key"))
+      .sortWithinPartitions("row_key")
+      .select(col("row_key"), col("_m"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        var counter = 1.0f
+        var rowsScanned = 0L
+        it.flatMap { case (rk, m) =>
+          var j = 1L
+          var accepted = 0L
+          while (j <= m && accepted == 0L) {
+            rowsScanned += 1
+            var pass = true
+            rate.foreach { r =>
+              counter += r
+              if (counter < 1.0f) pass = false else counter -= 1.0f
+            }
+            if (pass && rowsScanned >= offset) accepted = j
+            j += 1
+          }
+          if (accepted == 0L) Iterator.empty
+          else Iterator.single((rk, accepted))
+        }
+      }.toDF("row_key", "_accept_pos")
   }
 
   /** Point-get pipeline: equality on row_key (bucket/file-pruned on a

@@ -188,7 +188,19 @@ final case class ScanInput(
     rowCellLimit: Option[Int] = None,
     columnCellLimit: Option[Int] = None,
     globalCellLimit: Option[Int] = None,
-    sample: Option[Float] = None
+    sample: Option[Float] = None,
+    /** Reference-faithful PER-CELL sampling/offset advancement: the
+      * reference loop never inserts a sampling/offset-rejected row into its
+      * row map, so every further cell of that row re-triggers the new-row
+      * branch — the sample counter and `rows_scanned_count` advance once
+      * per *cell* of a skipped row, and a row can be accepted mid-row with
+      * its earlier cells lost (`smoltable/src/table/mod.rs:724-756`,
+      * `TODO: test` upstream). Default `false` keeps the per-row
+      * definition (rank-based, fully distributed, coincides on single-cell
+      * rows); `true` reproduces the reference exactly at the cost of a
+      * sequential diffusion fold over the row summaries
+      * ([[graft.core.CellOps.scanCells]] step 3). */
+    perCellDiffusion: Boolean = false
 ) {
   /** Engine-verb view: every omitted limit becomes the reference default
     * 65535 (`scan`, `mod.rs:635-650`). Besides wire parity this bounds the

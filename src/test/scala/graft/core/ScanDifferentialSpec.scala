@@ -10,7 +10,7 @@ import graft.model._
   * transcription of the reference's scan-loop SEMANTICS
   * (`smoltable/src/table/mod.rs:685-787`) over seeded random fixtures.
   *
-  * Two generator regimes:
+  * Three generator regimes:
   *  - multi-version fixtures exercise the limit interplay (per-column,
   *    per-row, global, row limit) with sampling/offset disabled;
   *  - single-cell-per-row fixtures additionally exercise sampling and
@@ -18,8 +18,12 @@ import graft.model._
   *    advance once per *cell* of a skipped row — rows it skips never enter
   *    the row map, so each of their cells re-triggers the new-row branch.
   *    With multi-cell rows that behavior is order-dependent and flagged
-  *    `TODO: test` upstream; we implement per-row semantics and fuzz the
-  *    regime where both definitions coincide.)
+  *    `TODO: test` upstream; the per-row DEFAULT covers the regime where
+  *    both definitions coincide.)
+  *  - `perCellDiffusion = true` re-enables multi-cell fixtures WITH
+  *    sampling/offset: the flag-gated parity mode must reproduce the
+  *    reference's per-cell advancement exactly, including mid-row
+  *    acceptance losing the row's earlier cells.
   */
 class ScanDifferentialSpec extends SparkSuite {
 
@@ -89,7 +93,8 @@ class ScanDifferentialSpec extends SparkSuite {
     out.toSeq
   }
 
-  private def runCase(rnd: Random, multiVersion: Boolean, caseId: Int): Unit = {
+  private def runCase(rnd: Random, multiVersion: Boolean, caseId: Int,
+      perCell: Boolean = false): Unit = {
     val rowKeys = Seq("a", "ab", "b", "ba", "c", "d")
     val fams = Seq("f1", "f2")
     val quals = Seq("", "q1", "q2")
@@ -123,16 +128,24 @@ class ScanDifferentialSpec extends SparkSuite {
         ColumnKey("f1", Some("q1")), ColumnKey("f2", None))))
       case 3 => Some(ColumnFilter.Prefix(ColumnKey(fams(rnd.nextInt(2)), Some("q"))))
     }
+    // sampling/offset: single-cell regime always may have them; the
+    // per-cell parity regime exercises them on multi-cell fixtures too
+    // (arbitrary f32 rates — the parity mode is an exact f32 simulation,
+    // not the closed form, so no rate restriction applies)
+    val samplingOk = !multiVersion || perCell
     val in = ScanInput(
       mode = mode,
       filter = filter,
       rowLimit = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(4)) else None,
-      rowOffset = if (!multiVersion && rnd.nextBoolean()) Some(rnd.nextInt(4).toLong) else None,
+      rowOffset = if (samplingOk && rnd.nextBoolean()) Some(rnd.nextInt(4).toLong) else None,
       rowCellLimit = if (multiVersion && rnd.nextBoolean()) Some(1 + rnd.nextInt(5)) else None,
       columnCellLimit = if (multiVersion && rnd.nextBoolean()) Some(1 + rnd.nextInt(3)) else None,
       globalCellLimit = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(8)) else None,
-      sample = if (!multiVersion && rnd.nextBoolean())
-        Some(Seq(0.25f, 0.5f, 0.75f)(rnd.nextInt(3))) else None)
+      sample = if (samplingOk && rnd.nextBoolean()) {
+        if (perCell) Some(0.05f + rnd.nextFloat() * 0.9f)
+        else Some(Seq(0.25f, 0.5f, 0.75f)(rnd.nextInt(3)))
+      } else None,
+      perCellDiffusion = perCell)
 
     val expected = refScan(cells, in)
       .map(c => (c.row, c.fam, c.qual, c.ts)).sorted
@@ -222,5 +235,17 @@ class ScanDifferentialSpec extends SparkSuite {
   test("differential fuzz: sampling + offset on single-cell rows (80 cases)") {
     val rnd = new Random(42424242L)
     for (i <- 1 to 80) runCase(rnd, multiVersion = false, i)
+  }
+
+  test("differential fuzz: per-cell diffusion parity on multi-cell rows " +
+      "(80 cases)") {
+    val rnd = new Random(606060606L)
+    for (i <- 1 to 80) runCase(rnd, multiVersion = true, i, perCell = true)
+  }
+
+  test("differential fuzz: per-cell mode coincides with reference on " +
+      "single-cell rows (40 cases)") {
+    val rnd = new Random(909090909L)
+    for (i <- 1 to 40) runCase(rnd, multiVersion = false, i, perCell = true)
   }
 }
