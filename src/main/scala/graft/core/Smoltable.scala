@@ -356,7 +356,8 @@ final class Smoltable private (
     val surviving = CellOps.scanCells(
       observedVisible(cellsFor(eff.filter), seekStart(eff.mode), cellsObs),
       eff, Some(rowObs))
-    val rows = assemble(collectCells(surviving))
+    val cells = collectCells(surviving)
+    val rows = assemble(cells)
     val qualRows = observedLong(rowObs, "qual_rows")
     // With a row limit the loop visits one row beyond the limit before
     // breaking (`smoltable/src/table/mod.rs:724-734`).
@@ -364,9 +365,113 @@ final class Smoltable private (
       case Some(l) => math.min(qualRows, l.toLong + 1)
       case None    => qualRows
     }
-    ScanOutput(rows, ScanMetrics(groups.size,
-      observedLong(cellsObs, "cells"), rowsScanned,
-      observedLong(cellsObs, "bytes")))
+    val (cellsScanned, bytesScanned) =
+      (if (eff.chunkGranularMetrics) chunkEmulated(eff, cells, qualRows)
+       else None)
+        .getOrElse((observedLong(cellsObs, "cells"),
+          observedLong(cellsObs, "bytes")))
+    ScanOutput(rows, ScanMetrics(groups.size, cellsScanned, rowsScanned,
+      bytesScanned))
+  }
+
+  /** Chunk-fetch emulation for [[ScanInput.chunkGranularMetrics]]: replays
+    * the reference reader's adaptive chunking (`table/reader.rs:90-131` —
+    * per-group chunk sizes 10, ×2 per fetch to a 128k cap; counters
+    * reflect whole fetched chunks) on scans that BREAK early via the
+    * global cell limit (`mod.rs:687-689`) or the row limit
+    * (`mod.rs:730-733`). Returns None when the default single-action
+    * totals are already reference-exact: no early break (out-of-bounds
+    * cells only `continue` the reference loop, so range-end termination
+    * consumes the keyspace to its end), or sampling/offset present (their
+    * per-cell acceptance makes the break position acceptance-dependent;
+    * out of scope, upstream-untested territory).
+    *
+    * Fetch arithmetic: the merge loop peeks EVERY group reader on every
+    * pull (`merge_reader.rs:27-31`), so at the final pull each reader had
+    * fetched chunks covering one cell past its consumed count (or the
+    * final cell itself for the group that supplied it):
+    * `fetched_g = min(T_g, chunkBound(consumed_g + (owner ? 0 : 1)))`.
+    * The follow-up work is two bounded aggregation jobs over the visited
+    * range (pushed-down predicates; one more tiny job to locate the
+    * break row when the row limit binds) — a deliberate trade of the
+    * single-action design for counter fidelity, which is why the mode is
+    * flag-gated.
+    */
+  private def chunkEmulated(eff: ScanInput, survivors: Seq[Row],
+      qualRows: Long): Option[(Long, Long)] = {
+    if (eff.sample.exists(_ < 1.0f) || eff.rowOffset.exists(_ > 0))
+      return None
+    val globalBound =
+      eff.globalCellLimit.exists(n => survivors.size >= n)
+    val rowBound = eff.rowLimit.exists(l => qualRows > l)
+    if (!globalBound && !rowBound) return None
+    val m = manifest
+    val start = seekStart(eff.mode)
+    def visited = {
+      val base = cellsFor(eff.filter)
+      if (start.isEmpty) base else base.filter(rawKeyStr >= start)
+    }
+    // the final pulled cell (row, family, qualifier, ts) and its group:
+    // global break happens BEFORE the next pull, so the final pull is the
+    // last appended cell; the row-limit break pulls the first cell of the
+    // break row first
+    val (fRow, fFam, fQual, fTs) =
+      if (globalBound) {
+        val last = survivors.last
+        (last.getString(0), last.getString(1), last.getString(2),
+          last.getLong(3))
+      } else {
+        val l = eff.rowLimit.get
+        val bounds = CellOps.modePredicate(eff.mode)
+        val qual = eff.filter.foldLeft(visited.filter(bounds))((d, f) =>
+          d.filter(CellOps.filterPredicate(f)))
+        val breakRow = qual.select(col("row_key")).distinct()
+          .orderBy("row_key").limit(l + 1)
+          .collect().map(_.getString(0)).last
+        val first = visited.filter(col("row_key") === breakRow)
+          .orderBy(CellOps.keyOrder: _*).limit(1).collect().head
+        (first.getString(0), first.getString(1), first.getString(2),
+          first.getLong(3))
+      }
+    val consumed = col("row_key") < fRow ||
+      (col("row_key") === fRow && (col("family") < fFam ||
+        (col("family") === fFam && (col("qualifier") < fQual ||
+          (col("qualifier") === fQual && col("ts") >= fTs)))))
+    val perGroup = visited.groupBy(col("lg"))
+      .agg(cellCountAgg.as("total"),
+        org.apache.spark.sql.functions.count(when(consumed, 1)).as("cons"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val owner = m.groupOf(fFam)
+    val fetched = perGroup.map { case (g, (total, cons)) =>
+      val needed = math.max(1L, cons + (if (g == owner) 0L else 1L))
+      g -> math.min(total, chunkBound(needed))
+    }
+    val cellsScanned = fetched.values.sum
+    val fetchedExpr = fetched.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (g, n)) => acc.when(col("lg") === g, lit(n))
+    }.otherwise(lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lg")).orderBy(CellOps.keyOrder: _*)
+    val bytesScanned = visited
+      .withColumn("_fetch_rank", row_number().over(w))
+      .filter(col("_fetch_rank") <= fetchedExpr)
+      .agg(coalesce(sum(cellBytes), lit(0L)))
+      .collect().head.getLong(0)
+    Some((cellsScanned, bytesScanned))
+  }
+
+  /** Smallest cumulative chunk boundary `>= x` for the reference reader's
+    * fetch sizes 10, 20, 40, … capped at 128 000 (`reader.rs:37,109`; the
+    * 10 MB memory brake never binds for wide-column cells). */
+  private def chunkBound(x: Long): Long = {
+    var size = 10L
+    var cum = 0L
+    while (cum < x) {
+      cum += size
+      size = math.min(size * 2, 128000L)
+    }
+    cum
   }
 
   /** Raw bucket-keyed cells for bucket-wise plans: ONE snapshot file list

@@ -200,7 +200,20 @@ final case class ScanInput(
       * rows); `true` reproduces the reference exactly at the cost of a
       * sequential diffusion fold over the row summaries
       * ([[graft.core.CellOps.scanCells]] step 3). */
-    perCellDiffusion: Boolean = false
+    perCellDiffusion: Boolean = false,
+    /** Reference-faithful CHUNK-GRANULAR `cells_scanned`/`bytes_scanned`
+      * accounting: the reference reader fetches the keyspace in adaptive
+      * chunks (10 cells, doubling to a 128k cap — `table/reader.rs:90-131`)
+      * and its counters reflect FETCHED chunks, so a scan terminated early
+      * by the global-cell or row limit reports up to one chunk past the
+      * break per locality group. Default `false` reports the visited-range
+      * totals in one action (exact whenever the scan runs to range end —
+      * which is also what the reference does there, since out-of-bounds
+      * cells only `continue` its loop). `true` replays the chunk-fetch
+      * arithmetic with bounded follow-up aggregation jobs on early breaks
+      * ([[graft.core.Smoltable]] `chunkEmulated`); exact for scans without
+      * sampling/offset. */
+    chunkGranularMetrics: Boolean = false
 ) {
   /** Engine-verb view: every omitted limit becomes the reference default
     * 65535 (`scan`, `mod.rs:635-650`). Besides wire parity this bounds the

@@ -57,6 +57,83 @@ class LocalityMetricsSpec extends SparkSuite {
     }
   }
 
+  test("chunk-granular accounting matches a hand-computed reference " +
+      "fetch trace on early-terminated scans") {
+    withTempDir { dir =>
+      val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("m")),
+        localityGroup = true)
+      // 60 rows, one cell in each group; merged visit order alternates
+      // groups per cell (r00:m, r00:v, r01:m, ...). Every cell encodes to
+      // 29 bytes: key 3+1+0+3+16 = 23, value "hello" = 6.
+      t.write((0 until 60).map { i =>
+        RowWriteItem(f"r$i%02d", Seq(
+          ColumnWriteItem(ColumnKey.of("m:"), Some(0L), str("hello")),
+          ColumnWriteItem(ColumnKey.of("v:"), Some(0L), str("hello"))))
+      })
+
+      // Reference trace, global cell limit 12: the loop breaks before the
+      // 13th pull, so the final pull is r05:v. Consumed: 6 cells per
+      // group. Owner group (v) needed 6, other (m) needed 7 (peeked one
+      // past) -> both inside the first 10-cell chunk: fetched 10 + 10.
+      val g12 = t.scan(ScanInput(ScanMode.Prefix(""),
+        globalCellLimit = Some(12), chunkGranularMetrics = true))
+      assert(g12.rows.size == 6)
+      assert(g12.metrics.cellsScanned == 20,
+        s"expected 2 first chunks (10+10), got ${g12.metrics.cellsScanned}")
+      assert(g12.metrics.bytesScanned == 20L * 29)
+
+      // Global cell limit 26: final pull r12:v, consumed 13 per group ->
+      // needed 13/14 crosses the first boundary (10) into the second
+      // chunk (20): fetched 30 + 30.
+      val g26 = t.scan(ScanInput(ScanMode.Prefix(""),
+        globalCellLimit = Some(26), chunkGranularMetrics = true))
+      assert(g26.metrics.cellsScanned == 60,
+        s"expected 2x(10+20) fetched, got ${g26.metrics.cellsScanned}")
+      assert(g26.metrics.bytesScanned == 60L * 29)
+
+      // Row limit 8 (global limit not binding): the break pulls the first
+      // cell of the 9th row (r08:m). Consumed m=9 (owner), v=8 (+1
+      // peek) -> both within chunk 1: fetched 10 + 10.
+      val r8 = t.scan(ScanInput(ScanMode.Prefix(""), rowLimit = Some(8),
+        chunkGranularMetrics = true))
+      assert(r8.rows.size == 8)
+      assert(r8.metrics.cellsScanned == 20)
+      assert(r8.metrics.bytesScanned == 20L * 29)
+
+      // No early break: reference consumes the range to its end -> totals
+      // (flag on changes nothing).
+      val full = t.scan(ScanInput(ScanMode.Prefix("r0"),
+        chunkGranularMetrics = true))
+      assert(full.metrics.cellsScanned == 120)
+
+      // The default single-action mode reports the visited-range totals
+      // (the documented COVERAGE divergence this flag closes).
+      val dflt = t.scan(ScanInput(ScanMode.Prefix(""),
+        globalCellLimit = Some(12)))
+      assert(dflt.metrics.cellsScanned == 120)
+    }
+  }
+
+  test("chunk-granular accounting crosses boundaries on a single group") {
+    withTempDir { dir =>
+      val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      // 100 single-cell rows (r000..r099, 30 bytes per cell)
+      t.write((0 until 100).map { i =>
+        RowWriteItem(f"r$i%03d", Seq(
+          ColumnWriteItem(ColumnKey.of("v:"), Some(0L), str("hello"))))
+      })
+      // limit 35: consumed 35 = needed (owner) -> chunks 10+20+40 = 70
+      val out = t.scan(ScanInput(ScanMode.Prefix(""),
+        globalCellLimit = Some(35), chunkGranularMetrics = true))
+      assert(out.metrics.cellsScanned == 70,
+        s"expected 10+20+40 fetched, got ${out.metrics.cellsScanned}")
+      assert(out.metrics.bytesScanned == 70L * 30)
+    }
+  }
+
   test("scan_prefix_simple multi-cell rows: prefix 'a' scans 7, 'b' scans 5") {
     withTempDir { dir =>
       val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
