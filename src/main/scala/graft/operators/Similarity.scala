@@ -227,7 +227,7 @@ object Similarity {
     val pruned = spark.read.parquet(dir)
       .filter(probeSet.map { case (l, b) =>
         col("l") === lit(l) && col("bucket") === lit(b.toInt)
-      }.reduce(_ || _))
+      }.reduceOption(_ || _).getOrElse(lit(false))) // empty query batch
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("l"), col("bucket").cast("long").as("bucket"))
     rankCandidates(probes, pruned, k)

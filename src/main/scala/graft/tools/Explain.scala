@@ -49,6 +49,15 @@ object Explain {
       tb.cellsForKeys(None, Seq("row0042")), GetRowInput("row0042"))
       .explain("formatted")
 
+    println("\n########## ANN physical layout probe (expect PartitionFilters on l AND bucket at the candidate scan; no data filter doing the pruning)")
+    val annDir = base.resolve("ann").toString
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.operators.Similarity.writeBucketedLayout(emb, annDir)
+    graft.operators.Similarity.bucketedTopKFromLayout(
+        annDir, emb.filter(col("vec_id") < 5), k = 3)
+      .explain("formatted")
+
     println("\n########## q3 join (expect BroadcastHashJoin on customer)")
     val dir = "/root/testdata/sf0.01"
     graft.SparkEntry.queries("q3_shipping_priority")(spark, dir)
