@@ -131,7 +131,14 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
       columnCellLimit = column.flatMap(_.get("cell_limit")).map(_.asLong.toInt),
       globalCellLimit =
         body.get("cell").flatMap(_.get("limit")).map(_.asLong.toInt),
-      sample = row.get("sample").map(_.asDouble.toFloat))
+      sample = row.get("sample").map(_.asDouble.toFloat),
+      // graft extensions beyond the reference wire shape (both default
+      // false): reference-exact per-cell sampling/offset advancement and
+      // chunk-granular scanned-cell accounting (COVERAGE divergences 1/6)
+      perCellDiffusion =
+        body.get("per_cell_diffusion").exists(_.asBoolean),
+      chunkGranularMetrics =
+        body.get("chunk_granular_metrics").exists(_.asBoolean))
   }
 
   // ------------------------------------------------------------ rendering

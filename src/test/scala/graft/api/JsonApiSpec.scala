@@ -56,6 +56,19 @@ class JsonApiSpec extends SparkSuite {
       assert(ranged.get("rows").get.asArray
         .map(_.get("row_key").get.asString) == Seq("org.apache.spark"))
 
+      // graft extension flags (per_cell_diffusion, chunk_granular_metrics)
+      // parse and flow through the wire scan — semantics are golden-tested
+      // in LocalityMetricsSpec / ScanDifferentialSpec; here the fixture is
+      // small enough (3 cells < first chunk) that both accounting modes
+      // agree on 3
+      val flagged = result(api.scan("webtable",
+        """{"row":{"prefix":"org","limit":1,"sample":1.0},
+          |"cell":{"limit":1},
+          |"per_cell_diffusion":true,"chunk_granular_metrics":true}"""
+          .stripMargin))
+      assert(flagged.get("rows").map(_.asArray.size) == Some(1))
+      assert(flagged.get("cells_scanned_count").map(_.asLong) == Some(3L))
+
       // count
       val cnt = result(api.count("webtable", """{"row":{"prefix":""}}"""))
       assert(cnt.get("row_count").map(_.asLong) == Some(2L))
