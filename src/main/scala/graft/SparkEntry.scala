@@ -126,11 +126,21 @@ object SparkEntry {
     t
   }
 
-  /** Build (once per testdata dir) the physical LSH layout for
+  /** Build (once per embeddings snapshot) the physical LSH layout for
     * `eng_ann_bucketed`: embeddings written `l=<table>/bucket=<id>`
-    * partitioned, so probes plan as partition-pruned reads. */
+    * partitioned, so probes plan as partition-pruned reads. The cache key
+    * fingerprints the source files (size + mtime), so a regenerated
+    * embeddings.parquet gets a fresh layout instead of silently probing a
+    * stale one. */
   private def annLayoutDir(s: SparkSession, dir: String): String = {
-    val path = s"/tmp/graft_ann_${Integer.toHexString(dir.hashCode)}"
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val parts =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
+      else Seq(src)
+    val fp = parts.foldLeft(0L)((acc, f) =>
+      31 * (31 * acc + f.length) + f.lastModified)
+    val path = s"/tmp/graft_ann_${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       graft.operators.Similarity.writeBucketedLayout(
         s.read.parquet(s"$dir/embeddings.parquet"), path)

@@ -405,6 +405,9 @@ final class Smoltable private (
       eff.globalCellLimit.exists(n => survivors.size >= n)
     val rowBound = eff.rowLimit.exists(l => qualRows > l)
     if (!globalBound && !rowBound) return None
+    // a zero global cell limit breaks before the FIRST pull: the merge
+    // reader is constructed but never peeked, so nothing is fetched
+    if (globalBound && survivors.isEmpty) return Some((0L, 0L))
     val m = manifest
     val start = seekStart(eff.mode)
     def visited = {
@@ -413,8 +416,9 @@ final class Smoltable private (
     }
     // the final pulled cell (row, family, qualifier, ts) and its group:
     // global break happens BEFORE the next pull, so the final pull is the
-    // last appended cell; the row-limit break pulls the first cell of the
-    // break row first
+    // last appended cell; the row-limit break pulls the break row's first
+    // QUALIFYING cell (filter-failing cells `continue` before the
+    // reference's new-row branch, so they cannot trigger the break)
     val (fRow, fFam, fQual, fTs) =
       if (globalBound) {
         val last = survivors.last
@@ -428,7 +432,7 @@ final class Smoltable private (
         val breakRow = qual.select(col("row_key")).distinct()
           .orderBy("row_key").limit(l + 1)
           .collect().map(_.getString(0)).last
-        val first = visited.filter(col("row_key") === breakRow)
+        val first = qual.filter(col("row_key") === breakRow)
           .orderBy(CellOps.keyOrder: _*).limit(1).collect().head
         (first.getString(0), first.getString(1), first.getString(2),
           first.getLong(3))

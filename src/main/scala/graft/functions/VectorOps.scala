@@ -27,6 +27,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   *    zero, matching Spark's `round` (BigDecimal HALF_UP) and DuckDB's
   *    `round` — NOT `Math.round`, which rounds half toward +∞ and would
   *    flip negative-tie components.
+  *
+  * Deliberate divergence on MALFORMED input: a length-mismatched pair (or
+  * an embedding shorter than the plane dimension) computes over the common
+  * prefix, where the `zip_with` formulation would null-pad and propagate
+  * NULL through the fold. Embeddings are fixed-width by schema, so a
+  * mismatch means corruption; prefix semantics keep the kernels
+  * codegen-simple (primitive, non-nullable outputs).
   */
 object VectorOps {
 

@@ -197,9 +197,12 @@ final case class ScanInput(
       * its earlier cells lost (`smoltable/src/table/mod.rs:724-756`,
       * `TODO: test` upstream). Default `false` keeps the per-row
       * definition (rank-based, fully distributed, coincides on single-cell
-      * rows); `true` reproduces the reference exactly at the cost of a
-      * sequential diffusion fold over the row summaries
-      * ([[graft.core.CellOps.scanCells]] step 3). */
+      * rows); `true` reproduces the reference's CELL VISIBILITY exactly at
+      * the cost of a sequential diffusion fold over the row summaries
+      * ([[graft.core.CellOps.scanCells]] step 3). Scope: result rows only —
+      * the published `rows_scanned` metric stays the per-row qualifying
+      * count in both modes (the reference's counter would also tick once
+      * per cell of skipped rows; COVERAGE divergence 1). */
     perCellDiffusion: Boolean = false,
     /** Reference-faithful CHUNK-GRANULAR `cells_scanned`/`bytes_scanned`
       * accounting: the reference reader fetches the keyspace in adaptive

@@ -39,14 +39,36 @@ object Multimodal {
     StructField("height", LongType, nullable = false),
     StructField("channels", LongType, nullable = false)))
 
+  /** Strong magic-number check gating the ImageIO probe. The JDK registry
+    * also ships readers with WEAK signatures (BMP sniffs only the 2-byte
+    * `BM`, WBMP a leading type byte) that would happily claim text
+    * payloads and "decode" garbage dimensions from them — so only formats
+    * whose magic is long enough to be unambiguous are handed to a reader.
+    */
+  private def looksLikeImage(p: Array[Byte]): Boolean = {
+    def at(i: Int, b: Int) = i < p.length && p(i) == b.toByte
+    // PNG: 89 50 4E 47 0D 0A 1A 0A
+    (at(0, 0x89) && at(1, 0x50) && at(2, 0x4e) && at(3, 0x47) &&
+      at(4, 0x0d) && at(5, 0x0a) && at(6, 0x1a) && at(7, 0x0a)) ||
+    // JPEG: FF D8 FF
+    (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) ||
+    // GIF87a / GIF89a
+    (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8') &&
+      (at(4, '7') || at(4, '9')) && at(5, 'a'))
+  }
+
   /** Real image-header decode via the `javax.imageio` reader registry:
     * width/height straight from the container header and channel count from
     * the reader's raw image type — pixels are never decoded. Returns None
-    * when no installed reader claims the payload (non-image bytes, or a
-    * media type the JRE has no codec for).
+    * when the payload lacks a strong image magic ([[looksLikeImage]]) or no
+    * installed reader claims it. The stream is an explicit
+    * `MemoryCacheImageInputStream` — the `ImageIO.createImageInputStream`
+    * default spools every payload through a disk temp file, which would
+    * turn the per-row header sniff into file I/O.
     */
   private def decodeHeader(payload: Array[Byte]): Option[(Long, Long, Long)] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    if (!looksLikeImage(payload)) return None
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -65,7 +87,7 @@ object Multimodal {
       }
     } catch {
       case scala.util.control.NonFatal(_) => None // truncated/corrupt header
-    } finally if (iis != null) iis.close()
+    } finally iis.close()
   }
 
   /** Fallback decode for payloads [[decodeHeader]] cannot claim: derives

@@ -116,6 +116,46 @@ class LocalityMetricsSpec extends SparkSuite {
     }
   }
 
+  test("chunk-granular row-limit break anchors on the break row's first " +
+      "QUALIFYING cell") {
+    withTempDir { dir =>
+      val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      // 20 rows x 3 cells (quals a, b, c); filter selects only qual c, so
+      // the reference's new-row branch fires on each row's LAST cell.
+      // rowLimit 3 -> break pull is r03:v:c, consumed = 3*3 + 3 = 12
+      // (crossing the first 10-cell chunk -> fetched 30). Anchoring on the
+      // row's first VISITED cell instead would stop consumed at 10 and
+      // fetch only the first chunk.
+      t.write((0 until 20).map { i =>
+        RowWriteItem(f"r$i%02d", Seq("a", "b", "c").map(q =>
+          ColumnWriteItem(ColumnKey.of(s"v:$q"), Some(0L), str("hello"))))
+      })
+      val out = t.scan(ScanInput(ScanMode.Prefix(""),
+        filter = Some(ColumnFilter.Key(ColumnKey.of("v:c"))),
+        rowLimit = Some(3), chunkGranularMetrics = true))
+      assert(out.rows.size == 3)
+      assert(out.metrics.cellsScanned == 30,
+        s"expected 10+20 fetched, got ${out.metrics.cellsScanned}")
+    }
+  }
+
+  test("chunk-granular accounting: zero global cell limit fetches nothing") {
+    withTempDir { dir =>
+      val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      t.write((0 until 20).map { i =>
+        RowWriteItem(f"r$i%02d", Seq(
+          ColumnWriteItem(ColumnKey.of("v:"), Some(0L), str("hello"))))
+      })
+      val out = t.scan(ScanInput(ScanMode.Prefix(""),
+        globalCellLimit = Some(0), chunkGranularMetrics = true))
+      assert(out.rows.isEmpty)
+      assert(out.metrics.cellsScanned == 0)
+      assert(out.metrics.bytesScanned == 0)
+    }
+  }
+
   test("chunk-granular accounting crosses boundaries on a single group") {
     withTempDir { dir =>
       val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
