@@ -221,9 +221,16 @@ object Similarity {
       planes: Int = 4, dim: Int = 64, seed: String = "graft",
       tables: Int = 3): DataFrame = {
     val spark = queries.sparkSession
-    val probes = probeFrame(queries, planes, dim, seed, tables)
-    val probeSet = probes.select(col("l"), col("bucket")).distinct()
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val pf = probeFrame(queries, planes, dim, seed, tables)
+    // ONE planning job: the probe frame is |Q|·tables·5 rows, so collect
+    // it whole — the distinct (l, bucket) set prunes the scan and the
+    // rows themselves become a local relation, so the main job does not
+    // re-read or re-project the query side
+    val probeRows = pf.collect()
+    val probeSet = probeRows
+      .map(r => (r.getInt(2), r.getLong(3))).distinct
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), pf.schema)
     val pruned = spark.read.parquet(dir)
       .filter(probeSet.map { case (l, b) =>
         col("l") === lit(l) && col("bucket") === lit(b.toInt)
