@@ -100,10 +100,34 @@ object SparkEntry {
     * lg= partition pruning + row-key row-group skipping — under the same
     * oracles as the view-based ops.
     */
+  /** size + mtime fingerprint of a parquet file-or-directory, folded over
+    * its parts in name order — the cache-staleness key for every /tmp
+    * derived artifact: a regenerated source gets a different fingerprint,
+    * hence a different cache path, hence a rebuild. */
+  private def sourceFingerprint(path: String): Long = {
+    val src = new java.io.File(path)
+    val parts =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
+      else Seq(src)
+    parts.foldLeft(0L)((acc, f) =>
+      31 * (31 * acc + f.length) + f.lastModified)
+  }
+
+  /** Cache location of the engine-backed orders table for `dir` —
+    * fingerprinted on the SOURCE parquet, so a driver-regenerated
+    * `orders.parquet` rebuilds instead of silently serving stale cells to
+    * the seven `eng_*` oracle rows. Package-visible for the staleness
+    * spec. */
+  private[graft] def engineCachePath(dir: String, buckets: Int): String = {
+    val suffix = if (buckets > 0) s"_b$buckets" else ""
+    val fp = sourceFingerprint(s"$dir/orders.parquet")
+    s"/tmp/graft_engine_${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp) + suffix
+  }
+
   private def engineOrders(s: SparkSession, dir: String,
       buckets: Int = 0): graft.core.Smoltable = {
-    val suffix = if (buckets > 0) s"_b$buckets" else ""
-    val base = s"/tmp/graft_engine_${Integer.toHexString(dir.hashCode)}$suffix"
+    val base = engineCachePath(dir, buckets)
     val cat = new graft.core.Catalog(base)
     val t = graft.core.Smoltable.open(s, cat, "orders")
     if (t.dataFileCount == 0) {
@@ -126,24 +150,43 @@ object SparkEntry {
     t
   }
 
-  /** Build (once per embeddings snapshot) the physical LSH layout for
-    * `eng_ann_bucketed`: embeddings written `l=<table>/bucket=<id>`
-    * partitioned, so probes plan as partition-pruned reads. The cache key
-    * fingerprints the source files (size + mtime), so a regenerated
-    * embeddings.parquet gets a fresh layout instead of silently probing a
-    * stale one. */
+  /** Layout-format version: bump when the on-disk layout shape changes
+    * (v2 added the planning manifest), orphaning incompatible caches. */
+  private val AnnLayoutVersion = 2
+
+  /** Cache location of the physical ANN layout for `dir` — fingerprinted
+    * on the source parquet (size + mtime) AND the LSH geometry + layout
+    * version, so regenerated embeddings, retuned parameters, or a format
+    * change each land on a fresh path instead of probing a stale layout.
+    * Package-visible for the staleness spec. */
+  private[graft] def annLayoutPath(dir: String): String = {
+    import graft.operators.Similarity._
+    val fp = sourceFingerprint(s"$dir/embeddings.parquet")
+    s"/tmp/graft_ann_v${AnnLayoutVersion}_" +
+      s"${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp) +
+      s"_t${DefaultTables}p${DefaultPlanes}d$DefaultDim$DefaultSeed"
+  }
+
+  /** Build (once per embeddings snapshot × parameters) the physical LSH
+    * layout for `eng_ann_bucketed`: embeddings written `l=<table>/
+    * bucket=<id>` partitioned, so probes plan as partition-pruned reads.
+    * Built in a temp dir and atomically renamed into place, so a
+    * concurrent builder can never expose (or probe) a half-written
+    * layout: exactly one rename wins, the loser discards its copy. */
   private def annLayoutDir(s: SparkSession, dir: String): String = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val parts =
-      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
-      else Seq(src)
-    val fp = parts.foldLeft(0L)((acc, f) =>
-      31 * (31 * acc + f.length) + f.lastModified)
-    val path = s"/tmp/graft_ann_${Integer.toHexString(dir.hashCode)}_" +
-      java.lang.Long.toHexString(fp)
+    val path = annLayoutPath(dir)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val tmp = path + ".tmp-" + java.util.UUID.randomUUID()
       graft.operators.Similarity.writeBucketedLayout(
-        s.read.parquet(s"$dir/embeddings.parquet"), path)
+        s.read.parquet(s"$dir/embeddings.parquet"), tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
+        // a concurrent builder won the rename; its layout is complete
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        val all = try st.iterator().asScala.toSeq finally st.close()
+        all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
     path
   }
@@ -393,7 +436,7 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), e, k = 5)
     }),
 
-    // ---- LSH-bucketed ANN: 3 seeded ±1 random-hyperplane tables (16
+    // ---- LSH-bucketed ANN: 4 seeded ±1 random-hyperplane tables (16
     //      buckets each), 5 query-directed probes per table (smallest
     //      |projection|-margin flips) — the scale path vs the baseline ----
     "ext_ann_bucketed" -> ((s, dir) => {
@@ -498,18 +541,20 @@ object SparkEntry {
   /** Multi-table directed-probe LSH ANN oracle, shared by
     * `ext_ann_bucketed` (logical plan) and `eng_ann_bucketed` (probe of the
     * physical `l=/bucket=` layout) — both must produce the identical
-    * candidate union: 3 seeded Rademacher families over integer fixed-point
-    * projections, per table the query probes its own bucket plus the
-    * one/two/three smallest-margin plane flips (`ORDER BY abs(dot), p` ==
-    * Spark's `array_sort` on `(abs(dot), p)` structs), candidates union
-    * DISTINCT across tables, then exact cosine rescoring.
+    * candidate union: 4 seeded Rademacher families over integer fixed-point
+    * projections (`range(4) AS l` below tracks
+    * [[graft.operators.Similarity.DefaultTables]]), per table the query
+    * probes its own bucket plus the one/two/three smallest-margin plane
+    * flips (`ORDER BY abs(dot), p` == Spark's `array_sort` on
+    * `(abs(dot), p)` structs), candidates union DISTINCT across tables,
+    * then exact cosine rescoring.
     */
   private val annBucketedSql: String =
     """WITH sgn AS (
       |  SELECT l, p, d,
       |    CASE WHEN CAST(concat('0x', substr(md5(concat('graft', l, '_', p, '_', d)), 1, 15)) AS BIGINT) % 2 = 0
       |      THEN 1 ELSE -1 END AS s
-      |  FROM (SELECT unnest(range(3)) AS l), (SELECT unnest(range(4)) AS p), (SELECT unnest(range(1, 65)) AS d)
+      |  FROM (SELECT unnest(range(4)) AS l), (SELECT unnest(range(4)) AS p), (SELECT unnest(range(1, 65)) AS d)
       |), comp AS (
       |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d FROM embeddings
       |), proj AS (

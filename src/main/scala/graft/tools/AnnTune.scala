@@ -7,7 +7,7 @@ import graft.operators.Similarity
 
 /** Recall/latency sweep for the bucketed ANN parameters (tables × directed
   * probes) against the exact baseline — the measurement loop behind the
-  * `tables = 3` default. Usage: `runMain graft.tools.AnnTune [sfDir]`.
+  * `tables = 4` default. Usage: `runMain graft.tools.AnnTune [sfDir]`.
   */
 object AnnTune {
   def main(args: Array[String]): Unit = {
