@@ -161,15 +161,24 @@ object CellOps {
       val visitW = Window.partitionBy("row_key")
         .orderBy(col("family").asc, col("qualifier").asc, col("ts").desc)
       df = df.withColumn("_visit_pos", row_number().over(visitW).cast("long"))
+      // the row-limit break is only reachable when accepted rows RETAIN at
+      // least one cell (a 0 cell limit empties every row out of the
+      // reference's row map before its len() is checked — mod.rs:728-734)
+      val retains =
+        !in.rowCellLimit.contains(0) && !in.columnCellLimit.contains(0)
+      val acc = perCellAcceptance(df, in.sample, in.rowOffset.getOrElse(0L),
+        in.rowLimit.filter(_ => retains).map(_.toLong))
+      df = df.join(acc, Seq("row_key"))
+      // qual_rows = the reference's rows_scanned_count: per-row tick totals
+      // from the acceptance fold, summed once per row (at its first cell)
       rowObs.foreach { o =>
         df = df.observe(o,
-          coalesce(sum(when(col("_visit_pos") === 1L, 1L)), lit(0L))
-            .as("qual_rows"))
+          coalesce(sum(when(col("_visit_pos") === 1L, col("_row_ticks"))),
+            lit(0L)).as("qual_rows"))
       }
-      val acc = perCellAcceptance(df, in.sample, in.rowOffset.getOrElse(0L))
-      df = df.join(acc, Seq("row_key"))
-        .filter(col("_visit_pos") >= col("_accept_pos"))
-        .drop("_visit_pos", "_accept_pos")
+      df = df.filter(col("_accept_pos") > 0L &&
+          col("_visit_pos") >= col("_accept_pos"))
+        .drop("_visit_pos", "_accept_pos", "_row_ticks")
     } else if (needRowRank) {
       val rowRank = globalRowRank(df.select("row_key").distinct())
       df = df.join(rowRank, Seq("row_key"))
@@ -250,13 +259,26 @@ object CellOps {
   /** The reference's per-cell sampling/offset state machine, run over
     * per-row cell COUNTS in key order (the only inputs it needs: the
     * counter advances once per cell of a not-yet-accepted row and stops
-    * advancing at acceptance). Returns `(row_key, _accept_pos)` for
-    * accepted rows — the 1-based within-row visit position whose cell
-    * first passed BOTH the f32 error-diffusion gate (`counter += rate`,
-    * accept when `>= 1.0` then `-= 1.0`, starting at 1.0) and the offset
-    * gate (`rows_scanned_count >= offset`); earlier cells are consumed by
-    * the chain and lost, exactly like the reference
-    * (`smoltable/src/table/mod.rs:724-756`).
+    * advancing at acceptance). Returns `(row_key, _accept_pos, _row_ticks)`
+    * for every row the loop visits before terminating:
+    *  - `_accept_pos` — the 1-based within-row visit position whose cell
+    *    first passed BOTH the f32 error-diffusion gate (`counter += rate`,
+    *    accept when `>= 1.0` then `-= 1.0`, starting at 1.0) and the offset
+    *    gate (`rows_scanned_count >= offset`); earlier cells are consumed
+    *    by the chain and lost, exactly like the reference
+    *    (`smoltable/src/table/mod.rs:724-756`). 0 = row rejected.
+    *  - `_row_ticks` — how often the row incremented the reference's
+    *    `rows_scanned_count`: once per cell up to acceptance (an accepted
+    *    row enters the row map, so its later cells skip the new-row
+    *    branch), every cell for a rejected row.
+    * When `rowLimit` is set, the fold also models the reference's row-limit
+    * break: visiting a new row with `rowLimit` rows already accepted ticks
+    * that row ONCE (`rows_scanned_count += 1` precedes the `len()` check,
+    * mod.rs:726-733) and terminates — later rows are neither emitted nor
+    * ticked. Callers pass `rowLimit = None` when accepted rows cannot
+    * retain cells (0 cell limits), where the break is unreachable. A
+    * binding global cell limit (which would stop the loop earlier still)
+    * is not modeled here.
     *
     * The fold is a SINGLE-partition pass over one summary row per row key:
     * error diffusion is order-sequential by definition (each decision
@@ -267,7 +289,7 @@ object CellOps {
     * distinct-row count of the scan range.
     */
   private def perCellAcceptance(cells: DataFrame, sample: Option[Float],
-      offset: Long): DataFrame = {
+      offset: Long, rowLimit: Option[Long]): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
     val rate = sample.filter(_ < 1.0f)
@@ -279,23 +301,32 @@ object CellOps {
       .mapPartitions { it =>
         var counter = 1.0f
         var rowsScanned = 0L
+        var acceptedRows = 0L
+        var broke = false
         it.flatMap { case (rk, m) =>
-          var j = 1L
-          var accepted = 0L
-          while (j <= m && accepted == 0L) {
-            rowsScanned += 1
-            var pass = true
-            rate.foreach { r =>
-              counter += r
-              if (counter < 1.0f) pass = false else counter -= 1.0f
+          if (broke) Iterator.empty
+          else if (rowLimit.exists(acceptedRows >= _)) {
+            // new-row visit with the row map already full: one tick, break
+            broke = true
+            Iterator.single((rk, 0L, 1L))
+          } else {
+            var j = 1L
+            var accepted = 0L
+            while (j <= m && accepted == 0L) {
+              rowsScanned += 1
+              var pass = true
+              rate.foreach { r =>
+                counter += r
+                if (counter < 1.0f) pass = false else counter -= 1.0f
+              }
+              if (pass && rowsScanned >= offset) accepted = j
+              j += 1
             }
-            if (pass && rowsScanned >= offset) accepted = j
-            j += 1
+            if (accepted > 0L) acceptedRows += 1
+            Iterator.single((rk, accepted, if (accepted > 0L) accepted else m))
           }
-          if (accepted == 0L) Iterator.empty
-          else Iterator.single((rk, accepted))
         }
-      }.toDF("row_key", "_accept_pos")
+      }.toDF("row_key", "_accept_pos", "_row_ticks")
   }
 
   /** Point-get pipeline: equality on row_key (bucket/file-pruned on a

@@ -359,14 +359,21 @@ final class Smoltable private (
     val cells = collectCells(surviving)
     val rows = assemble(cells)
     val qualRows = observedLong(rowObs, "qual_rows")
-    // With a row limit the loop visits one row beyond the limit before
-    // breaking (`smoltable/src/table/mod.rs:724-734`).
-    val rowsScanned = eff.rowLimit match {
-      case Some(l) => math.min(qualRows, l.toLong + 1)
-      case None    => qualRows
-    }
+    // Under perCellDiffusion the acceptance fold already publishes the
+    // reference's rows_scanned_count verbatim (per-cell ticks, row-limit
+    // break included); otherwise qual_rows is the per-row count and the
+    // loop visits one row beyond a binding row limit before breaking
+    // (`smoltable/src/table/mod.rs:724-734`).
+    val diffused = eff.perCellDiffusion &&
+      (eff.sample.exists(_ < 1.0f) || eff.rowOffset.exists(_ > 0))
+    val rowsScanned =
+      if (diffused) qualRows
+      else eff.rowLimit match {
+        case Some(l) => math.min(qualRows, l.toLong + 1)
+        case None    => qualRows
+      }
     val (cellsScanned, bytesScanned) =
-      (if (eff.chunkGranularMetrics) chunkEmulated(eff, cells, qualRows)
+      (if (eff.chunkGranularMetrics) chunkEmulated(eff, cells)
        else None)
         .getOrElse((observedLong(cellsObs, "cells"),
           observedLong(cellsObs, "bytes")))
