@@ -373,7 +373,7 @@ final class Smoltable private (
         case None    => qualRows
       }
     val (cellsScanned, bytesScanned) =
-      (if (eff.chunkGranularMetrics) chunkEmulated(eff, cells)
+      (if (eff.chunkGranularMetrics) chunkEmulated(eff, cells, qualRows)
        else None)
         .getOrElse((observedLong(cellsObs, "cells"),
           observedLong(cellsObs, "bytes")))
