@@ -161,24 +161,26 @@ object CellOps {
       val visitW = Window.partitionBy("row_key")
         .orderBy(col("family").asc, col("qualifier").asc, col("ts").desc)
       df = df.withColumn("_visit_pos", row_number().over(visitW).cast("long"))
-      // the row-limit break is only reachable when accepted rows RETAIN at
-      // least one cell (a 0 cell limit empties every row out of the
-      // reference's row map before its len() is checked — mod.rs:728-734)
-      val retains =
-        !in.rowCellLimit.contains(0) && !in.columnCellLimit.contains(0)
-      val acc = perCellAcceptance(df, in.sample, in.rowOffset.getOrElse(0L),
-        in.rowLimit.filter(_ => retains).map(_.toLong))
+      val acc = perCellAcceptance(df, in)
       df = df.join(acc, Seq("row_key"))
       // qual_rows = the reference's rows_scanned_count: per-row tick totals
-      // from the acceptance fold, summed once per row (at its first cell)
+      // from the acceptance fold, summed once per row (at its first cell).
+      // brk_kind/brk_row expose the fold's break (1 = row-limit break with
+      // brk_row the break row, 2 = global-cell-limit stop) for the engine's
+      // chunk-granular accounting — the break position under sampling is
+      // acceptance-dependent, so only the fold knows it.
       rowObs.foreach { o =>
         df = df.observe(o,
           coalesce(sum(when(col("_visit_pos") === 1L, col("_row_ticks"))),
-            lit(0L)).as("qual_rows"))
+            lit(0L)).as("qual_rows"),
+          coalesce(max(when(col("_visit_pos") === 1L, col("_brk"))),
+            lit(0)).as("brk_kind"),
+          max(when(col("_visit_pos") === 1L && col("_brk") > 0,
+            col("row_key"))).as("brk_row"))
       }
       df = df.filter(col("_accept_pos") > 0L &&
           col("_visit_pos") >= col("_accept_pos"))
-        .drop("_visit_pos", "_accept_pos", "_row_ticks")
+        .drop("_visit_pos", "_accept_pos", "_row_ticks", "_brk")
     } else if (needRowRank) {
       val rowRank = globalRowRank(df.select("row_key").distinct())
       df = df.join(rowRank, Seq("row_key"))
@@ -237,7 +239,13 @@ object CellOps {
       // bookkeeping, and cells >= materialized rows, so the global break
       // fires first (`mod.rs:697-699` vs `:724-734`). The engine defaults
       // (both 65535) always take this branch — no extra plan nodes.
-      val redundant = in.globalCellLimit.exists(g => n >= g)
+      // The diffusion fold also already enforces it (rows past its break
+      // are never emitted, and at most rowLimit rows are retained), and
+      // the semi-join here is an AQE hazard for the observed metrics: an
+      // empty limited side lets AQE collapse the join — and with it the
+      // CollectMetrics — before the tick totals are collected.
+      val redundant = in.globalCellLimit.exists(g => n >= g) ||
+        (needRowRank && in.perCellDiffusion)
       if (!redundant) {
         if (in.globalCellLimit.isDefined) {
           // input already truncated to <= globalCellLimit cells: a global
@@ -257,10 +265,9 @@ object CellOps {
   }
 
   /** The reference's per-cell sampling/offset state machine, run over
-    * per-row cell COUNTS in key order (the only inputs it needs: the
-    * counter advances once per cell of a not-yet-accepted row and stops
-    * advancing at acceptance). Returns `(row_key, _accept_pos, _row_ticks)`
-    * for every row the loop visits before terminating:
+    * per-row COLUMN summaries in key order. Returns
+    * `(row_key, _accept_pos, _row_ticks, _brk)` for every row the loop
+    * visits before terminating:
     *  - `_accept_pos` — the 1-based within-row visit position whose cell
     *    first passed BOTH the f32 error-diffusion gate (`counter += rate`,
     *    accept when `>= 1.0` then `-= 1.0`, starting at 1.0) and the offset
@@ -271,45 +278,90 @@ object CellOps {
     *    `rows_scanned_count`: once per cell up to acceptance (an accepted
     *    row enters the row map, so its later cells skip the new-row
     *    branch), every cell for a rejected row.
-    * When `rowLimit` is set, the fold also models the reference's row-limit
-    * break: visiting a new row with `rowLimit` rows already accepted ticks
-    * that row ONCE (`rows_scanned_count += 1` precedes the `len()` check,
-    * mod.rs:726-733) and terminates — later rows are neither emitted nor
-    * ticked. Callers pass `rowLimit = None` when accepted rows cannot
-    * retain cells (0 cell limits), where the break is unreachable. A
-    * binding global cell limit (which would stop the loop earlier still)
-    * is not modeled here.
+    *  - `_brk` — 0 normally; on the terminating row, 1 for the row-limit
+    *    break (`mod.rs:726-733`: the visit ticks ONCE — `rows_scanned_count
+    *    += 1` precedes the `len()` check — then breaks) or 2 for the
+    *    global-cell-limit stop (`mod.rs:687-689`: checked per cell BEFORE
+    *    the new-row branch, so the stopped row never ticks). Rows after
+    *    the break are neither emitted nor ticked.
+    *
+    * Both breaks are modeled faithfully:
+    *  - the row-limit check compares against rows the map RETAINS — rows
+    *    whose acceptance appended at least one cell after the per-column
+    *    version limit and per-row cell limit (`rows.retain(column_count >
+    *    0)` runs before the `len()` check, so 0-cell-limit rows never
+    *    count);
+    *  - the global check tracks APPENDED cells via the per-column counts:
+    *    a column contributes `min(cells at visit positions >= accept_pos,
+    *    column limit, remaining row budget)` — visited-but-dropped cells
+    *    do not advance the reference's `cell_count` (`mod.rs:758-787`).
+    *    Within-row overshoot is irrelevant: the check is a threshold, and
+    *    the result-side truncation to exactly `global_cell_limit` cells is
+    *    the downstream TakeOrdered (scan step 6).
     *
     * The fold is a SINGLE-partition pass over one summary row per row key:
     * error diffusion is order-sequential by definition (each decision
     * depends on the full prefix), so the reference semantics cannot be
     * distributed without changing results — which is why this mode is
     * flag-gated and the default stays the rank-based per-row definition.
-    * The sequential data is row summaries (not cells), bounded by the
-    * distinct-row count of the scan range.
+    * The sequential data is per-column count summaries (not cells),
+    * bounded by the distinct-column count of the scan range.
     */
-  private def perCellAcceptance(cells: DataFrame, sample: Option[Float],
-      offset: Long, rowLimit: Option[Long]): DataFrame = {
+  private def perCellAcceptance(cells: DataFrame, in: ScanInput)
+      : DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
-    val rate = sample.filter(_ < 1.0f)
-    cells.groupBy("row_key").agg(count(lit(1)).as("_m"))
+    val rate = in.sample.filter(_ < 1.0f)
+    val offset = in.rowOffset.getOrElse(0L)
+    val rowLimit = in.rowLimit.map(_.toLong)
+    val globalLimit = in.globalCellLimit.map(_.toLong)
+    val colCap = in.columnCellLimit.map(_.toLong).getOrElse(Long.MaxValue)
+    val rowCap = in.rowCellLimit.map(_.toLong).getOrElse(Long.MaxValue)
+
+    // appended cells if the row is accepted at visit position p: columns in
+    // visit order, each contributing its post-acceptance cells up to the
+    // version limit, until the row budget is exhausted
+    def appendedFrom(p: Long, cols: Seq[(String, String, Long)]): Long = {
+      var pos = 0L
+      var total = 0L
+      val it = cols.iterator
+      while (it.hasNext && total < rowCap) {
+        val c = it.next()._3
+        val lo = pos + 1
+        val hi = pos + c
+        pos = hi
+        val visible = hi - math.max(lo - 1, p - 1)
+        if (visible > 0)
+          total += math.min(math.min(visible, colCap), rowCap - total)
+      }
+      total
+    }
+
+    cells.groupBy("row_key", "family", "qualifier")
+      .agg(count(lit(1)).as("_c"))
+      .groupBy("row_key")
+      // struct sorts lexicographically by (family, qualifier) = visit order
+      .agg(sort_array(collect_list(
+        struct(col("family"), col("qualifier"), col("_c")))).as("_cols"))
       .repartitionByRange(1, col("row_key"))
       .sortWithinPartitions("row_key")
-      .select(col("row_key"), col("_m"))
-      .as[(String, Long)]
+      .as[(String, Seq[(String, String, Long)])]
       .mapPartitions { it =>
         var counter = 1.0f
         var rowsScanned = 0L
-        var acceptedRows = 0L
-        var broke = false
-        it.flatMap { case (rk, m) =>
-          if (broke) Iterator.empty
-          else if (rowLimit.exists(acceptedRows >= _)) {
-            // new-row visit with the row map already full: one tick, break
-            broke = true
-            Iterator.single((rk, 0L, 1L))
+        var retained = 0L
+        var cellCount = 0L
+        var done = false
+        it.flatMap { case (rk, cols) =>
+          if (done) Iterator.empty
+          else if (globalLimit.exists(cellCount >= _)) {
+            done = true
+            Iterator.single((rk, 0L, 0L, 2))
+          } else if (rowLimit.exists(retained >= _)) {
+            done = true
+            Iterator.single((rk, 0L, 1L, 1))
           } else {
+            val m = cols.iterator.map(_._3).sum
             var j = 1L
             var accepted = 0L
             while (j <= m && accepted == 0L) {
@@ -322,11 +374,15 @@ object CellOps {
               if (pass && rowsScanned >= offset) accepted = j
               j += 1
             }
-            if (accepted > 0L) acceptedRows += 1
-            Iterator.single((rk, accepted, if (accepted > 0L) accepted else m))
+            if (accepted > 0L) {
+              val appended = appendedFrom(accepted, cols)
+              if (appended > 0L) retained += 1
+              cellCount += appended
+            }
+            Iterator.single((rk, accepted, if (accepted > 0L) accepted else m, 0))
           }
         }
-      }.toDF("row_key", "_accept_pos", "_row_ticks")
+      }.toDF("row_key", "_accept_pos", "_row_ticks", "_brk")
   }
 
   /** Point-get pipeline: equality on row_key (bucket/file-pruned on a

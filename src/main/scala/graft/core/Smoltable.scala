@@ -361,19 +361,30 @@ final class Smoltable private (
     val qualRows = observedLong(rowObs, "qual_rows")
     // Under perCellDiffusion the acceptance fold already publishes the
     // reference's rows_scanned_count verbatim (per-cell ticks, row-limit
-    // break included); otherwise qual_rows is the per-row count and the
-    // loop visits one row beyond a binding row limit before breaking
-    // (`smoltable/src/table/mod.rs:724-734`).
+    // and global-cell-limit breaks included); otherwise qual_rows is the
+    // per-row count and the loop visits one row beyond a binding row limit
+    // before breaking (`smoltable/src/table/mod.rs:724-734`).
     val diffused = eff.perCellDiffusion &&
       (eff.sample.exists(_ < 1.0f) || eff.rowOffset.exists(_ > 0))
+    val sampled = eff.sample.exists(_ < 1.0f) || eff.rowOffset.exists(_ > 0)
+    val globalBound = eff.globalCellLimit.exists(n => cells.size >= n)
     val rowsScanned =
       if (diffused) qualRows
+      else if (eff.chunkGranularMetrics && !sampled && globalBound)
+        // global break stops the visit loop at the pull after the G-th
+        // append — rows visited = distinct rows among the appended cells
+        // (every visited row appends its first qualifying cell when the
+        // cell limits are nonzero; 0-limit scans append nothing and the
+        // G=0 break precedes the first visit — mod.rs:687-689)
+        cells.iterator.map(_.getString(0)).toSet.size.toLong
       else eff.rowLimit match {
         case Some(l) => math.min(qualRows, l.toLong + 1)
         case None    => qualRows
       }
     val (cellsScanned, bytesScanned) =
-      (if (eff.chunkGranularMetrics) chunkEmulated(eff, cells, qualRows)
+      (if (eff.chunkGranularMetrics)
+        chunkEmulated(eff, cells, qualRows, diffused,
+          observedLong(rowObs, "brk_kind"), observedString(rowObs, "brk_row"))
        else None)
         .getOrElse((observedLong(cellsObs, "cells"),
           observedLong(cellsObs, "bytes")))
@@ -389,9 +400,11 @@ final class Smoltable private (
     * (`mod.rs:730-733`). Returns None when the default single-action
     * totals are already reference-exact: no early break (out-of-bounds
     * cells only `continue` the reference loop, so range-end termination
-    * consumes the keyspace to its end), or sampling/offset present (their
-    * per-cell acceptance makes the break position acceptance-dependent;
-    * out of scope, upstream-untested territory).
+    * consumes the keyspace to its end). Sampling/offset make the break
+    * position acceptance-dependent; under `perCellDiffusion` the
+    * acceptance fold publishes it (`brk_kind`/`brk_row` observation) and
+    * the replay proceeds, while the default per-row mode has no faithful
+    * break position and falls back to visited-range totals.
     *
     * Fetch arithmetic: the merge loop peeks EVERY group reader on every
     * pull (`merge_reader.rs:27-31`), so at the final pull each reader had
@@ -405,12 +418,19 @@ final class Smoltable private (
     * flag-gated.
     */
   private def chunkEmulated(eff: ScanInput, survivors: Seq[Row],
-      qualRows: Long): Option[(Long, Long)] = {
-    if (eff.sample.exists(_ < 1.0f) || eff.rowOffset.exists(_ > 0))
-      return None
+      qualRows: Long, diffused: Boolean, brkKind: Long,
+      brkRow: Option[String]): Option[(Long, Long)] = {
+    val sampled = eff.sample.exists(_ < 1.0f) || eff.rowOffset.exists(_ > 0)
+    // under sampling/offset the break position is acceptance-dependent:
+    // only the perCellDiffusion fold knows it (published as brk_kind/
+    // brk_row); the default per-row mode has no reference-faithful break
+    // position to replay, so fall back to visited-range totals there
+    if (sampled && !diffused) return None
     val globalBound =
       eff.globalCellLimit.exists(n => survivors.size >= n)
-    val rowBound = eff.rowLimit.exists(l => qualRows > l)
+    val rowBound =
+      if (diffused) brkKind == 1L
+      else eff.rowLimit.exists(l => qualRows > l)
     if (!globalBound && !rowBound) return None
     // a zero global cell limit breaks before the FIRST pull: the merge
     // reader is constructed but never peeked, so nothing is fetched
@@ -432,13 +452,18 @@ final class Smoltable private (
         (last.getString(0), last.getString(1), last.getString(2),
           last.getLong(3))
       } else {
-        val l = eff.rowLimit.get
         val bounds = CellOps.modePredicate(eff.mode)
         val qual = eff.filter.foldLeft(visited.filter(bounds))((d, f) =>
           d.filter(CellOps.filterPredicate(f)))
-        val breakRow = qual.select(col("row_key")).distinct()
-          .orderBy("row_key").limit(l + 1)
-          .collect().map(_.getString(0)).last
+        // under diffusion the break row came out of the acceptance fold
+        // (sampling makes it acceptance-dependent); otherwise it is the
+        // (rowLimit+1)-th distinct qualifying row
+        val breakRow = brkRow.getOrElse {
+          val l = eff.rowLimit.get
+          qual.select(col("row_key")).distinct()
+            .orderBy("row_key").limit(l + 1)
+            .collect().map(_.getString(0)).last
+        }
         val first = qual.filter(col("row_key") === breakRow)
           .orderBy(CellOps.keyOrder: _*).limit(1).collect().head
         (first.getString(0), first.getString(1), first.getString(2),
@@ -875,6 +900,9 @@ final class Smoltable private (
     * lacks the key — which only happens when the true count is 0. */
   private def observedLong(obs: Observation, key: String): Long =
     obs.get.get(key).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+
+  private def observedString(obs: Observation, key: String): Option[String] =
+    obs.get.get(key).flatMap(v => Option(v).map(_.toString))
 
   /** Locality-group visit rank for get_row cell-limit truncation: default
     * group first, then manifest order (`row_reader.rs:118-137`). */

@@ -198,11 +198,11 @@ final case class ScanInput(
       * `TODO: test` upstream). Default `false` keeps the per-row
       * definition (rank-based, fully distributed, coincides on single-cell
       * rows); `true` reproduces the reference's CELL VISIBILITY exactly at
-      * the cost of a sequential diffusion fold over the row summaries
-      * ([[graft.core.CellOps.scanCells]] step 3). Scope: result rows only —
-      * the published `rows_scanned` metric stays the per-row qualifying
-      * count in both modes (the reference's counter would also tick once
-      * per cell of skipped rows; COVERAGE divergence 1). */
+      * the cost of a sequential diffusion fold over per-column count
+      * summaries ([[graft.core.CellOps.scanCells]] step 3), and publishes
+      * the reference's `rows_scanned_count` verbatim — per-cell ticks of
+      * skipped rows, the row-limit break tick, and the global-cell-limit
+      * stop included. */
     perCellDiffusion: Boolean = false,
     /** Reference-faithful CHUNK-GRANULAR `cells_scanned`/`bytes_scanned`
       * accounting: the reference reader fetches the keyspace in adaptive
@@ -215,7 +215,8 @@ final case class ScanInput(
       * cells only `continue` its loop). `true` replays the chunk-fetch
       * arithmetic with bounded follow-up aggregation jobs on early breaks
       * ([[graft.core.Smoltable]] `chunkEmulated`); exact for scans without
-      * sampling/offset. */
+      * sampling/offset, and with them too when [[perCellDiffusion]] is on
+      * (the acceptance fold publishes the break position). */
     chunkGranularMetrics: Boolean = false
 ) {
   /** Engine-verb view: every omitted limit becomes the reference default

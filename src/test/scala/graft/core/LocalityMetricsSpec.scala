@@ -174,6 +174,108 @@ class LocalityMetricsSpec extends SparkSuite {
     }
   }
 
+  test("diffused rows_scanned goldens: per-cell sampling ticks, offset " +
+      "catch-up, row-limit break tick, global-cell-limit stop " +
+      "(mod.rs:687-756)") {
+    withTempDir { dir =>
+      val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      // 10 rows x 3 cells (quals a, b, c)
+      t.write((0 until 10).map { i =>
+        RowWriteItem(f"r$i%02d", Seq("a", "b", "c").map(q =>
+          ColumnWriteItem(ColumnKey.of(s"v:$q"), Some(0L), str("hello"))))
+      })
+
+      // sample 0.5, counter starts 1.0 and ticks once per cell of a
+      // not-yet-accepted row: r00 accepts at visit 1 (1.5), r01 at visit 1
+      // (1.0), r02..r09 reject visit 1 (0.5) and accept visit 2 (1.0) —
+      // losing their first cell. rows_scanned = 1 + 1 + 2*8 = 18.
+      val sampled = t.scan(ScanInput(ScanMode.Prefix(""),
+        sample = Some(0.5f), perCellDiffusion = true))
+      assert(sampled.rows.size == 10)
+      assert(sampled.rows.map(_.cellCount).sum == 3 + 3 + 2 * 8)
+      assert(sampled.metrics.rowsScanned == 18,
+        s"expected 18 per-cell ticks, got ${sampled.metrics.rowsScanned}")
+      // the default per-row definition reports the qualifying-row count
+      val perRow = t.scan(ScanInput(ScanMode.Prefix(""),
+        sample = Some(0.5f)))
+      assert(perRow.metrics.rowsScanned == 10)
+
+      // offset 4: r00 ticks all 3 cells (rows_scanned 1..3 < 4) and is
+      // rejected; r01 catches up at its first cell (rows_scanned 4 >= 4)
+      // and every later row accepts at visit 1. Total = 3 + 9*1 = 12.
+      val off = t.scan(ScanInput(ScanMode.Prefix(""),
+        rowOffset = Some(4L), perCellDiffusion = true))
+      assert(off.rows.map(_.rowKey) == (1 until 10).map(i => f"r$i%02d"))
+      assert(off.metrics.rowsScanned == 12)
+
+      // row limit 2 + offset 2: r00 catches up at visit 2 (rows_scanned
+      // 2 >= 2), accepted losing cell 1; r01 accepts at visit 1
+      // (rows_scanned 3); r02's first visit finds the map full: ONE tick,
+      // break. rows_scanned = 2 + 1 + 1 = 4.
+      val rl = t.scan(ScanInput(ScanMode.Prefix(""), rowLimit = Some(2),
+        rowOffset = Some(2L), perCellDiffusion = true))
+      assert(rl.rows.map(_.rowKey) == Seq("r00", "r01"))
+      assert(rl.rows.map(_.cellCount).sum == 2 + 3)
+      assert(rl.metrics.rowsScanned == 4,
+        s"expected break-row tick included, got ${rl.metrics.rowsScanned}")
+
+      // global cell limit 3, sample 0.5: r00 accepts visit 1 and appends 3
+      // (cellCount 3 >= 3) — the loop stops BEFORE r01's first visit
+      // (the global check precedes the new-row branch). rows_scanned = 1.
+      val g = t.scan(ScanInput(ScanMode.Prefix(""),
+        globalCellLimit = Some(3), sample = Some(0.5f),
+        perCellDiffusion = true))
+      assert(g.rows.map(_.rowKey) == Seq("r00"))
+      assert(g.rows.map(_.cellCount).sum == 3)
+      assert(g.metrics.rowsScanned == 1,
+        s"expected global stop before r01, got ${g.metrics.rowsScanned}")
+    }
+  }
+
+  test("chunk-granular accounting composes with per-cell sampling " +
+      "(break position from the acceptance fold)") {
+    withTempDir { dir =>
+      val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      // 20 rows x 2 cells (quals a, b), single locality group
+      t.write((0 until 20).map { i =>
+        RowWriteItem(f"r$i%02d", Seq("a", "b").map(q =>
+          ColumnWriteItem(ColumnKey.of(s"v:$q"), Some(0L), str("hello"))))
+      })
+
+      // rowLimit 3, sample 0.5: r00 accepts v1 (2 cells), r01 accepts v1
+      // (2 cells), r02 rejects v1 / accepts v2 (1 cell), r03's first visit
+      // breaks on the full row map. Break pull = r03:v:a; consumed =
+      // 3 rows x 2 cells + 1 = 7 -> first chunk (10) fetched.
+      val out = t.scan(ScanInput(ScanMode.Prefix(""), rowLimit = Some(3),
+        sample = Some(0.5f), perCellDiffusion = true,
+        chunkGranularMetrics = true))
+      assert(out.rows.map(_.rowKey) == Seq("r00", "r01", "r02"))
+      assert(out.rows.map(_.cellCount).sum == 2 + 2 + 1)
+      assert(out.metrics.rowsScanned == 1 + 1 + 2 + 1)
+      assert(out.metrics.cellsScanned == 10,
+        s"expected first chunk (10), got ${out.metrics.cellsScanned}")
+
+      // global limit 10, sample 0.5 on single-cell rows: accepts land on
+      // r00,r01 then every second row; the 10th accept is r17, so consumed
+      // = 18 cells -> chunks 10+20 = 30 fetched.
+      val t2 = Smoltable.open(spark, new Catalog(dir.toString), "t2")
+      t2.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      t2.write((0 until 100).map { i =>
+        RowWriteItem(f"r$i%02d", Seq(
+          ColumnWriteItem(ColumnKey.of("v:"), Some(0L), str("hello"))))
+      })
+      val g = t2.scan(ScanInput(ScanMode.Prefix(""),
+        globalCellLimit = Some(10), sample = Some(0.5f),
+        perCellDiffusion = true, chunkGranularMetrics = true))
+      assert(g.rows.size == 10)
+      assert(g.metrics.rowsScanned == 18)
+      assert(g.metrics.cellsScanned == 30,
+        s"expected 10+20 fetched, got ${g.metrics.cellsScanned}")
+    }
+  }
+
   test("scan_prefix_simple multi-cell rows: prefix 'a' scans 7, 'b' scans 5") {
     withTempDir { dir =>
       val t = Smoltable.open(spark, new Catalog(dir.toString), "test")

@@ -29,8 +29,10 @@ class ScanDifferentialSpec extends SparkSuite {
 
   private case class TCell(row: String, fam: String, qual: String, ts: Long)
 
-  /** Sequential reference semantics. Cells must arrive in key order. */
-  private def refScan(cells: Seq[TCell], in: ScanInput): Seq[TCell] = {
+  /** Sequential reference semantics. Cells must arrive in key order.
+    * Returns the output cells AND the loop's final `rows_scanned_count`
+    * (`smoltable/src/table/mod.rs:656,726`). */
+  private def refScan(cells: Seq[TCell], in: ScanInput): (Seq[TCell], Long) = {
     val rowLimit = in.rowLimit.getOrElse(65535)
     val colLimit = in.columnCellLimit.getOrElse(65535)
     val rowCellLimit = in.rowCellLimit.getOrElse(65535)
@@ -90,7 +92,7 @@ class ScanDifferentialSpec extends SparkSuite {
         }
       }
     }
-    out.toSeq
+    (out.toSeq, rowsScanned)
   }
 
   private def runCase(rnd: Random, multiVersion: Boolean, caseId: Int,
@@ -147,19 +149,32 @@ class ScanDifferentialSpec extends SparkSuite {
       } else None,
       perCellDiffusion = perCell)
 
-    val expected = refScan(cells, in)
-      .map(c => (c.row, c.fam, c.qual, c.ts)).sorted
+    val (refCells, refRowsScanned) = refScan(cells, in)
+    val expected = refCells.map(c => (c.row, c.fam, c.qual, c.ts)).sorted
 
     import spark.implicits._
     val df = cells.map(c => (c.row, c.fam, c.qual, c.ts))
       .toDF("row_key", "family", "qualifier", "ts")
-    val got = CellOps.scanCells(df, in).collect()
+    // the diffused branch publishes the reference's rows_scanned_count as
+    // qual_rows — assert metric parity whenever that branch is active
+    val diffused = perCell &&
+      (in.sample.exists(_ < 1.0f) || in.rowOffset.exists(_ > 0))
+    val obs = org.apache.spark.sql.Observation()
+    val got = CellOps.scanCells(df, in, if (diffused) Some(obs) else None)
+      .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sorted.toSeq
 
     assert(got == expected,
       s"case $caseId diverged\n input: $in\n cells: ${cells.size}\n" +
         s" expected: $expected\n got: $got")
+    if (diffused) {
+      val gotRows = obs.get.get("qual_rows")
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      assert(gotRows == refRowsScanned,
+        s"case $caseId rows_scanned diverged\n input: $in\n" +
+          s" expected: $refRowsScanned got: $gotRows")
+    }
   }
 
   /** get_row semantics (`smoltable/src/table/mod.rs:824-882`): cells are
