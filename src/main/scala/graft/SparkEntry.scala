@@ -101,16 +101,26 @@ object SparkEntry {
     * oracles as the view-based ops.
     */
   /** size + mtime fingerprint of a parquet file-or-directory, folded over
-    * its parts in name order — the cache-staleness key for every /tmp
-    * derived artifact: a regenerated source gets a different fingerprint,
-    * hence a different cache path, hence a rebuild. */
+    * every regular file in the tree in relative-path order — the
+    * cache-staleness key for every /tmp derived artifact: a regenerated
+    * source gets a different fingerprint, hence a different cache path,
+    * hence a rebuild. Recursive so nested rewrites (e.g. a partitioned
+    * source's leaf files) are visible; a missing source fails fast instead
+    * of silently fingerprinting as empty. */
   private def sourceFingerprint(path: String): Long = {
-    val src = new java.io.File(path)
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    require(java.nio.file.Files.exists(root),
+      s"fingerprint source does not exist: $path")
+    val st = java.nio.file.Files.walk(root)
     val parts =
-      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
-      else Seq(src)
-    parts.foldLeft(0L)((acc, f) =>
-      31 * (31 * acc + f.length) + f.lastModified)
+      try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .toSeq.sortBy(p => root.relativize(p).toString)
+      finally st.close()
+    parts.foldLeft(0L) { (acc, p) =>
+      val f = p.toFile
+      31 * (31 * acc + f.length) + f.lastModified
+    }
   }
 
   /** Cache location of the engine-backed orders table for `dir` —
@@ -181,7 +191,14 @@ object SparkEntry {
       graft.operators.Similarity.writeBucketedLayout(
         s.read.parquet(s"$dir/embeddings.parquet"), tmp)
       if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
-        // a concurrent builder won the rename; its layout is complete
+        // the rename only legitimately fails when a concurrent builder won
+        // it — verify the destination really is a complete layout before
+        // discarding our copy, so a failure for any other reason (perms,
+        // stray leftovers) surfaces here instead of as an opaque read
+        // error on every later probe
+        require(new java.io.File(path, "_SUCCESS").exists(),
+          s"ANN layout rename $tmp -> $path failed but the destination " +
+            "is not a complete layout (no _SUCCESS)")
         import scala.jdk.CollectionConverters._
         val st = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
         val all = try st.iterator().asScala.toSeq finally st.close()
@@ -442,7 +459,7 @@ object SparkEntry {
     "ext_ann_bucketed" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.bucketedTopK(
-        e.filter(col("vec_id") < 10), e, k = 3)
+        e.filter(col("vec_id") < 10), e, k = 3, smallQueryBatch = true)
     }),
 
     // ---- the same probe against the PHYSICAL `l=/bucket=` layout: the

@@ -187,24 +187,40 @@ object Similarity {
     * the probe side becomes a partition-pruned read
     * ([[bucketedTopKFromLayout]]).
     */
+  /** `smallQueryBatch = true` asserts the query frame is a small probe
+    * batch (interactive top-k, not a corpus-sized self-join): the probe
+    * side gets an explicit broadcast hint, collapsing the candidate join
+    * to ONE exchange. Leave false for arbitrary query frames — the probe
+    * expansion is |Q|·tables·probes rows WITH full embedding vectors, and
+    * a forced broadcast of a large batch can exceed the broadcast limit
+    * or driver memory; AQE then picks the strategy from runtime stats. */
   def bucketedTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       planes: Int = DefaultPlanes, dim: Int = DefaultDim,
-      seed: String = DefaultSeed, tables: Int = DefaultTables): DataFrame =
+      seed: String = DefaultSeed, tables: Int = DefaultTables,
+      smallQueryBatch: Boolean = false): DataFrame =
     rankCandidates(probeFrame(queries, planes, dim, seed, tables),
-      candidateFrame(candidates, planes, dim, seed, tables), k)
+      candidateFrame(candidates, planes, dim, seed, tables), k,
+      hintBroadcast = smallQueryBatch)
 
   /** Shared tail of the bucketed variants: join probes to candidates on
-    * `(l, bucket)` (probe side broadcasts — it is |Q|·tables·probes rows),
-    * dedupe pairs found by several tables (`sim` is deterministic per
-    * pair, so max == any), rank. ONE exchange end-to-end: the explicit
+    * `(l, bucket)`, dedupe pairs found by several tables (`sim` is
+    * deterministic per pair, so max == any), rank. ONE exchange
+    * end-to-end when the probe side broadcasts: the explicit
     * `repartition(query_id)` satisfies both the dedup aggregate's
     * clustering (query_id ⊆ (query_id, neighbor_id)) and the rank
     * window's, so neither adds a shuffle of its own — on a tiny probe
     * batch the saved stages are most of the latency, at scale it halves
-    * the shuffled volume. */
+    * the shuffled volume.
+    *
+    * `hintBroadcast` is set ONLY by [[bucketedTopKFromLayout]], whose
+    * probe batch was already collected driver-side and is known small; a
+    * public [[bucketedTopK]] call can carry an arbitrarily large query
+    * frame, where a forced broadcast could exceed the broadcast limit or
+    * driver memory — there AQE decides. */
   private def rankCandidates(probes: DataFrame, c: DataFrame,
-      k: Int): DataFrame = {
-    val scored = broadcast(probes).join(c, Seq("l", "bucket"))
+      k: Int, hintBroadcast: Boolean = false): DataFrame = {
+    val probeSide = if (hintBroadcast) broadcast(probes) else probes
+    val scored = probeSide.join(c, Seq("l", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
@@ -326,7 +342,7 @@ object Similarity {
       }.reduceOption(_ || _).getOrElse(lit(false))) // empty query batch
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("l"), col("bucket").cast("long").as("bucket"))
-    rankCandidates(probes, pruned, k)
+    rankCandidates(probes, pruned, k, hintBroadcast = true)
   }
 
   /** Cosine near-duplicate flags for explicit pairs (id1, id2). */
