@@ -20,11 +20,14 @@ import graft.json.JsonValue
   *   POST   /v1/table/{name}/count          count
   *   POST   /v1/table/{name}/column-family  create column families
   *   DELETE /v1/table/{name}/row            filtered row delete
+  *   GET    /v1/table/{name}/metrics        registered; unimplemented upstream
   *   GET    /  or  /index.html              metrics dashboard (HTML)
   * }}}
   *
-  * (`GET /v1/table/{name}/metrics` is `unimplemented!()` upstream —
-  * `server/src/api/metrics.rs` — and therefore deliberately absent here.)
+  * (`GET /v1/table/{name}/metrics` is `unimplemented!()` upstream past its
+  * table-existence check — `server/src/api/metrics.rs:29-44` — so the route
+  * here reproduces exactly the reachable behavior: 404 envelope for unknown
+  * tables, plain 500 for known ones.)
   *
   * Built on the JDK's `com.sun.net.httpserver` — zero new dependencies in
   * the zero-egress build. The HTTP status code mirrors the envelope's
@@ -102,6 +105,8 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876) {
           Some(api.count(name, body))
         case ("POST", Array("v1", "table", name, "column-family")) =>
           Some(api.createColumnFamilies(name, body))
+        case ("GET", Array("v1", "table", name, "metrics")) =>
+          Some(api.tableMetrics(name))
         case _ => None
       }
     }

@@ -312,6 +312,22 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
       s"""{"tables":{"count":${tables.size},"items":${tables.mkString("[", ",", "]")}},"cache_stats":$cacheStats}""")
   }
 
+  /** `GET /v1/table/{name}/metrics`. The reference registers this route but
+    * its success path is `unimplemented!()`
+    * (`server/src/api/metrics.rs:29-30`); only the unknown-table branch is
+    * reachable, returning the 404 envelope (`metrics.rs:38-44`). Mirrored
+    * exactly: unknown table → 404 envelope, known table → the panic
+    * surfaces as the transport's plain-text 500 (`server/src/error.rs`).
+    * Metrics remain queryable the reference's own way — a scan on the
+    * `_mtx_*` system tables ([[graft.core.MetricsTable]]).
+    */
+  def tableMetrics(name: String): String = timed {
+    if (catalog.listTables().contains(name))
+      throw new IllegalStateException(
+        "not implemented: metrics route is unimplemented!() upstream")
+    (404, "Table not found", "null")
+  }
+
   /** `DELETE /v1/table/{name}`. */
   def deleteTable(name: String): String = timed {
     catalog.dropTable(name)

@@ -183,6 +183,17 @@ class HttpApiSpec extends SparkSuite {
         val (xs, _) = send("POST", s"$base/webtable/nope", "{}")
         assert(xs == 404)
 
+        // GET metrics: registered upstream but unimplemented!() past the
+        // table-existence check (server/src/api/metrics.rs:29-44) —
+        // known table → the panic's plain 500, unknown table → 404 envelope
+        val (is, ib) = send("GET", s"$base/webtable/metrics")
+        assert(is == 500 && ib.asString == "Internal Server Error")
+        val (as2, ab) = send("GET", s"$base/absent/metrics")
+        assert(as2 == 404)
+        assert(ab.get("status").map(_.asLong) == Some(404L))
+        assert(ab.get("message").map(_.asString) == Some("Table not found"))
+        assert(ab.asObject.get("result") == Some(JsonValue.JNull))
+
         // DELETE table
         val (es, _) = send("DELETE", s"$base/webtable")
         assert(es == 200)
