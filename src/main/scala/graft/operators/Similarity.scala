@@ -322,27 +322,83 @@ object Similarity {
     * and the scan never lists, reads, or shuffles the rest of the corpus.
     * Results are identical to [[bucketedTopK]] on the same parameters.
     */
+  /** Driver-side replica of the probe derivation
+    * ([[SignProjections]] → [[bucketFromDots]] → [[probesFromDots]]) for
+    * one collected query row: the fixed-point conversion, fold order,
+    * bucket bit convention, and margin tiebreak are all identical, so the
+    * probe set is bit-exact with the distributed [[probeFrame]] — pinned
+    * by the layout≡logical differential in `OperatorsSpec`. Returns
+    * `(l, bucket)` pairs in [[probeFrame]]'s emission order. */
+  private def probesLocal(emb: Seq[Any], planes: Int, dim: Int,
+      seed: String, tables: Int): Seq[(Int, Long)] = {
+    val signs = allSigns(planes, dim, seed, tables).map(_.toArray)
+    val n = math.min(emb.length, dim)
+    val fp = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      fp(d) = graft.functions.VectorOps.fixedPoint(emb(d) match {
+        case f: Float => f.toDouble
+        case x: Double => x
+        case other => throw new IllegalArgumentException(
+          s"embedding element of type ${other.getClass}")
+      })
+      d += 1
+    }
+    val dots = signs.map { row =>
+      var acc = 0L; var i = 0
+      while (i < n) { acc += fp(i) * row(i); i += 1 }
+      acc
+    }
+    (0 until tables).flatMap { l =>
+      val base = l * planes
+      val bucket = (0 until planes).map(p =>
+        if (dots(base + p) > 0) 1L << (planes - 1 - p) else 0L).sum
+      val byMargin = (0 until planes)
+        .map(p => (math.abs(dots(base + p)), p)).sorted
+      def bit(i: Int) = 1L << (planes - 1 - byMargin(i)._2)
+      val probes = Seq(bucket) ++
+        (if (planes >= 1) Seq(bucket ^ bit(0)) else Nil) ++
+        (if (planes >= 2) Seq(bucket ^ bit(1), bucket ^ bit(0) ^ bit(1))
+         else Nil) ++
+        (if (planes >= 3) Seq(bucket ^ bit(2)) else Nil)
+      probes.map((l, _))
+    }
+  }
+
   def bucketedTopKFromLayout(dir: String, queries: DataFrame, k: Int,
       planes: Int = DefaultPlanes, dim: Int = DefaultDim,
       seed: String = DefaultSeed, tables: Int = DefaultTables): DataFrame = {
     val spark = queries.sparkSession
-    val pf = probeFrame(queries, planes, dim, seed, tables)
-    // ONE planning job: the probe frame is |Q|·tables·5 rows, so collect
-    // it whole — the distinct (l, bucket) set prunes the scan and the
-    // rows themselves become a local relation, so the main job does not
-    // re-read or re-project the query side
-    val probeRows = pf.collect()
+    // ONE slim planning job: collect the query batch itself (|Q| rows —
+    // small by the ANN probe contract) and derive every probe driver-side
+    // ([[probesLocal]]), instead of running SignProjections + explode +
+    // array_sort through a second Spark job just to read back
+    // |Q|·tables·5 rows. The collected rows become the local probe
+    // relation, so the main job never re-reads the query side.
+    val q = queries.select(col("vec_id"), col("embedding"))
+    val qRows = q.collect()
+    val probeRows = qRows.flatMap { r =>
+      val emb = r.getSeq[Any](1)
+      probesLocal(emb, planes, dim, seed, tables).map { case (l, b) =>
+        org.apache.spark.sql.Row(r.get(0), emb, l, b)
+      }
+    }
     val probeSet = probeRows
       .map(r => (r.getInt(2), r.getLong(3))).distinct
-    val probes = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), pf.schema)
+    val pf = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      types.StructType(Seq(
+        q.schema.fields(0).copy(name = "query_id"),
+        q.schema.fields(1).copy(name = "qe"),
+        types.StructField("l", types.IntegerType, nullable = false),
+        types.StructField("bucket", types.LongType, nullable = false))))
     val pruned = layoutFrame(spark, dir)
       .filter(probeSet.map { case (l, b) =>
         col("l") === lit(l) && col("bucket") === lit(b.toInt)
       }.reduceOption(_ || _).getOrElse(lit(false))) // empty query batch
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("l"), col("bucket").cast("long").as("bucket"))
-    rankCandidates(probes, pruned, k, hintBroadcast = true)
+    rankCandidates(pf, pruned, k, hintBroadcast = true)
   }
 
   /** Cosine near-duplicate flags for explicit pairs (id1, id2). */

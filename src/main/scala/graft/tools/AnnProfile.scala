@@ -37,7 +37,12 @@ object AnnProfile {
         graft.operators.Similarity.bucketedTopKFromLayout(layout, q, 3)
           .collect())
     }
-    // pieces: the probe-collect job alone, then a raw pruned read
+    // pieces: the planning collect alone, then a raw pruned read
+    for (i <- 1 to 3) {
+      time(s"query-collect-only-$i") {
+        q.select(col("vec_id"), col("embedding")).collect()
+      }
+    }
     time("probe-job-only") {
       graft.operators.Similarity.bucketedTopK(q, q, 3).collect()
     }
