@@ -472,6 +472,16 @@ object SparkEntry {
         annLayoutDir(s, dir), e.filter(col("vec_id") < 10), k = 3)
     }),
 
+    // ---- IVF ANN: deterministic data-sampled centroids (vec_id %
+    //      stride), zero-shuffle assignment via the NearestCentroid
+    //      kernel, static cid IN (...) list pruning, broadcast rescore —
+    //      the density-adaptive scale path next to LSH ------------------
+    "ext_ann_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+
     // ---- language ID (stopword-lexicon heuristic) --------------------
     "ext_lang_id" -> ((s, dir) => graft.operators.TextAnalysis.langId(
       s.read.parquet(s"$dir/documents.parquet"))),
@@ -772,6 +782,30 @@ object SparkEntry {
           |  WHERE q.vec_id < 10
           |) WHERE rnk <= 5""".stripMargin,
       "ext_ann_bucketed" -> annBucketedSql,
+      // IVF: centroids = every (DefaultIvfStride)-th vec_id, assignment =
+      // nearest centroid by cosine (ties -> smallest cid), probes = top-4
+      // centroids per query, exact rescore within probed lists. The
+      // row_number tiebreaks mirror the kernel's ascending-id strict-max
+      // scan exactly.
+      "ext_ann_ivf" ->
+        """WITH cent AS (
+          |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 100 = 0
+          |), assign AS (
+          |  SELECT e.vec_id, e.embedding, c.cid,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
+          |  FROM embeddings e CROSS JOIN cent c
+          |), lists AS (
+          |  SELECT vec_id, embedding, cid FROM assign WHERE rn = 1
+          |), qp AS (
+          |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid,
+          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
+          |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+          |), probes AS (SELECT query_id, qe, cid FROM qp WHERE rn <= 8)
+          |SELECT query_id, neighbor_id, rnk FROM (
+          |  SELECT p.query_id, l.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(CAST(p.qe AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])) DESC, l.vec_id) AS rnk
+          |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id != p.query_id
+          |) WHERE rnk <= 5""".stripMargin,
       "ext_lang_id" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents

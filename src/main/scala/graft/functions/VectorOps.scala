@@ -126,6 +126,108 @@ object SignProjections {
       signs.flatten.toArray))
 }
 
+/** Nearest-centroid id by cosine similarity — the IVF assignment step as
+  * ONE codegen'd scalar kernel: a row's list assignment is a pure function
+  * of (embedding, centroid matrix), so it needs no join, no aggregation,
+  * and no shuffle — just a per-row O(C·dim) loop over a broadcast-style
+  * literal matrix. Per-centroid similarity is computed EXACTLY like
+  * [[CosineSimilarity.compute]] (same fold order, same
+  * `dot / sqrt / sqrt` sequence), so assignment and rescoring can never
+  * disagree about a similarity value; ties break toward the smallest
+  * centroid id (`ids` must be ascending; strict `>` keeps the first max),
+  * mirroring the oracle's `ORDER BY sim DESC, cid ASC`.
+  */
+final case class NearestCentroid(child: Expression, ids: Array[Long],
+    cents: Array[Double], dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.compute(
+      input.asInstanceOf[ArrayData], ids, cents, dim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NearestCentroid.compute(
+         |  $c, $idsRef, $centsRef, $dim, $isFloat);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid = copy(child = newChild)
+
+  override def equals(other: Any): Boolean = other match {
+    case n: NearestCentroid =>
+      n.child == child && n.dim == dim &&
+        java.util.Arrays.equals(n.ids, ids) &&
+        java.util.Arrays.equals(n.cents, cents)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(dim),
+      Integer.valueOf(java.util.Arrays.hashCode(ids)),
+      Integer.valueOf(java.util.Arrays.hashCode(cents)))
+}
+
+object NearestCentroid {
+
+  /** Scan centroids in ascending-id order keeping the strictly-best
+    * cosine — identical arithmetic to [[CosineSimilarity.compute]]. */
+  def compute(arr: ArrayData, ids: Array[Long], cents: Array[Double],
+      dim: Int, isFloat: Boolean): Long = {
+    val n = math.min(arr.numElements(), dim)
+    var best = 0L
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < ids.length) {
+      val off = c * dim
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val y = cents(off + i)
+        dot += x * y
+        na += x * x
+        nb += y * y
+        i += 1
+      }
+      val sim = dot / Math.sqrt(na) / Math.sqrt(nb)
+      if (sim > bestSim) { bestSim = sim; best = ids(c) }
+      c += 1
+    }
+    best
+  }
+
+  /** Column-level entry point; `centroids` as (id, vector) in ascending
+    * id order, padded/truncated to `dim` components. */
+  def apply(emb: Column, centroids: Seq[(Long, Array[Double])],
+      dim: Int): Column = {
+    require(centroids.map(_._1) == centroids.map(_._1).sorted,
+      "centroid ids must be ascending (tiebreak contract)")
+    val flat = new Array[Double](centroids.length * dim)
+    centroids.zipWithIndex.foreach { case ((_, v), c) =>
+      System.arraycopy(v, 0, flat, c * dim, math.min(v.length, dim))
+    }
+    GraftColumn(NearestCentroid(GraftColumn.expr(emb),
+      centroids.map(_._1).toArray, flat, dim))
+  }
+}
+
 /** Cosine similarity of two embeddings as one fused loop: dot product and
   * both norms accumulate together (three doubles per element), then
   * `dot / sqrt(na) / sqrt(nb)` — the identical operation/order sequence as

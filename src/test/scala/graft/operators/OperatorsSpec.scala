@@ -158,6 +158,38 @@ class OperatorsSpec extends SparkSuite {
     assert(recall >= 0.90, f"recall $recall%.2f below floor")
   }
 
+  test("IVF recalls the exact top-k and plans without an assignment " +
+      "shuffle (sf0.1)") {
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, k))
+    val ivf = Similarity.ivfTopK(q, e, k)
+    val recall = exact.intersect(pairs(ivf)).size.toDouble / exact.size
+    info(f"IVF recall@$k, 20 lists x 8 probes: $recall%.2f")
+    assert(recall >= 0.60, f"recall $recall%.2f below floor")
+    // every result rank chain is complete: rnk 1..n per query
+    val byQ = ivf.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    // plan shape: assignment is a scalar kernel + static IN filter —
+    // exactly ONE exchange end-to-end (the rank window's); a join- or
+    // aggregate-based assignment would show a second one
+    // the AQE string repeats the plan under "== Initial Plan ==" — count
+    // exchanges in the final section only
+    val plan = ivf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("graft_nearest_centroid"),
+      s"expected NearestCentroid kernel in plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected 1 exchange (rank window), got $exchanges:\n$plan")
+  }
+
   test("physical l=/bucket= layout probe matches the logical plan and " +
       "prunes partitions") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
