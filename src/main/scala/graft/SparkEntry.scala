@@ -184,12 +184,41 @@ object SparkEntry {
     * Built in a temp dir and atomically renamed into place, so a
     * concurrent builder can never expose (or probe) a half-written
     * layout: exactly one rename wins, the loser discards its copy. */
-  private def annLayoutDir(s: SparkSession, dir: String): String = {
-    val path = annLayoutPath(dir)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val tmp = path + ".tmp-" + java.util.UUID.randomUUID()
+  private def annLayoutDir(s: SparkSession, dir: String): String =
+    buildLayoutOnce(annLayoutPath(dir)) { tmp =>
       graft.operators.Similarity.writeBucketedLayout(
         s.read.parquet(s"$dir/embeddings.parquet"), tmp)
+    }
+
+  /** Like [[AnnLayoutVersion]] but for the IVF `list=` layout. */
+  private val IvfLayoutVersion = 1
+
+  /** Cache location of the physical IVF layout for `dir` — fingerprinted
+    * like [[annLayoutPath]] (source snapshot + geometry + format
+    * version). Package-visible for the staleness spec. */
+  private[graft] def ivfLayoutPath(dir: String): String = {
+    import graft.operators.Similarity._
+    val fp = sourceFingerprint(s"$dir/embeddings.parquet")
+    s"/tmp/graft_ivf_v${IvfLayoutVersion}_" +
+      s"${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp) +
+      s"_s${DefaultIvfStride}d$DefaultDim"
+  }
+
+  private def ivfLayoutDir(s: SparkSession, dir: String): String =
+    buildLayoutOnce(ivfLayoutPath(dir)) { tmp =>
+      graft.operators.Similarity.writeIvfLayout(
+        s.read.parquet(s"$dir/embeddings.parquet"), tmp)
+    }
+
+  /** Build a derived layout exactly once per cache path: build into a
+    * temp dir, atomically rename into place — a concurrent builder can
+    * never expose (or probe) a half-written layout: exactly one rename
+    * wins, the loser discards its copy. */
+  private def buildLayoutOnce(path: String)(build: String => Unit): String = {
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val tmp = path + ".tmp-" + java.util.UUID.randomUUID()
+      build(tmp)
       if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
         // the rename only legitimately fails when a concurrent builder won
         // it — verify the destination really is a complete layout before
@@ -197,7 +226,7 @@ object SparkEntry {
         // stray leftovers) surfaces here instead of as an opaque read
         // error on every later probe
         require(new java.io.File(path, "_SUCCESS").exists(),
-          s"ANN layout rename $tmp -> $path failed but the destination " +
+          s"layout rename $tmp -> $path failed but the destination " +
             "is not a complete layout (no _SUCCESS)")
         import scala.jdk.CollectionConverters._
         val st = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
@@ -482,6 +511,15 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), e, k = 5)
     }),
 
+    // ---- the same IVF probe against the PHYSICAL `list=` layout:
+    //      assignment ran once at build; the probe reads only its probed
+    //      list partitions, planned from the committed manifest ---------
+    "eng_ann_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.ivfTopKFromLayout(
+        ivfLayoutDir(s, dir), e.filter(col("vec_id") < 10), k = 5)
+    }),
+
     // ---- language ID (stopword-lexicon heuristic) --------------------
     "ext_lang_id" -> ((s, dir) => graft.operators.TextAnalysis.langId(
       s.read.parquet(s"$dir/documents.parquet"))),
@@ -612,6 +650,34 @@ object SparkEntry {
       |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
       |            JOIN embeddings c ON c.vec_id = cand.neighbor_id
       |) WHERE rnk <= 3""".stripMargin
+
+  /** Shared oracle for `ext_ann_ivf` (logical) AND `eng_ann_ivf`
+    * (physical `list=` layout) — both must produce the identical result:
+    * centroids = every [[graft.operators.Similarity.DefaultIvfStride]]-th
+    * vec_id, assignment = nearest centroid by cosine (ties -> smallest
+    * cid, mirroring the kernel's ascending-id strict-max scan), probes =
+    * top-[[graft.operators.Similarity.DefaultIvfProbes]] centroids per
+    * query, exact rescore within probed lists.
+    */
+  private val annIvfSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 100 = 0
+      |), assign AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
+      |  FROM embeddings e CROSS JOIN cent c
+      |), lists AS (
+      |  SELECT vec_id, embedding, cid FROM assign WHERE rn = 1
+      |), qp AS (
+      |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
+      |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+      |), probes AS (SELECT query_id, qe, cid FROM qp WHERE rn <= 8)
+      |SELECT query_id, neighbor_id, rnk FROM (
+      |  SELECT p.query_id, l.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(CAST(p.qe AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])) DESC, l.vec_id) AS rnk
+      |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id != p.query_id
+      |) WHERE rnk <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val oc = OrderCellsSql
@@ -782,30 +848,8 @@ object SparkEntry {
           |  WHERE q.vec_id < 10
           |) WHERE rnk <= 5""".stripMargin,
       "ext_ann_bucketed" -> annBucketedSql,
-      // IVF: centroids = every (DefaultIvfStride)-th vec_id, assignment =
-      // nearest centroid by cosine (ties -> smallest cid), probes = top-4
-      // centroids per query, exact rescore within probed lists. The
-      // row_number tiebreaks mirror the kernel's ascending-id strict-max
-      // scan exactly.
-      "ext_ann_ivf" ->
-        """WITH cent AS (
-          |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 100 = 0
-          |), assign AS (
-          |  SELECT e.vec_id, e.embedding, c.cid,
-          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
-          |  FROM embeddings e CROSS JOIN cent c
-          |), lists AS (
-          |  SELECT vec_id, embedding, cid FROM assign WHERE rn = 1
-          |), qp AS (
-          |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid,
-          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
-          |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
-          |), probes AS (SELECT query_id, qe, cid FROM qp WHERE rn <= 8)
-          |SELECT query_id, neighbor_id, rnk FROM (
-          |  SELECT p.query_id, l.vec_id AS neighbor_id,
-          |    row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(CAST(p.qe AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])) DESC, l.vec_id) AS rnk
-          |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id != p.query_id
-          |) WHERE rnk <= 5""".stripMargin,
+      "ext_ann_ivf" -> annIvfSql,
+      "eng_ann_ivf" -> annIvfSql,
       "ext_lang_id" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents

@@ -284,8 +284,13 @@ object Similarity {
     * filesystem listing — plan cost independent of `tables × 2^planes`
     * directory count), falling back to a directory read for pre-manifest
     * layouts. */
+  private val LshPartitionSchema = types.StructType(Seq(
+    types.StructField("l", types.IntegerType),
+    types.StructField("bucket", types.IntegerType)))
+
   private def layoutFrame(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String,
+      partitionSchema: types.StructType = LshPartitionSchema): DataFrame = {
     val mf = Paths.get(dir, LayoutManifestName)
     if (!Files.exists(mf)) spark.read.parquet(dir)
     else {
@@ -305,11 +310,7 @@ object Similarity {
         }
       require(dataSchema != null, s"layout manifest $mf has no schema line")
       org.apache.spark.sql.graft.ManifestFileIndex.frame(
-        spark, dir, files.result(),
-        types.StructType(Seq(
-          types.StructField("l", types.IntegerType),
-          types.StructField("bucket", types.IntegerType))),
-        dataSchema)
+        spark, dir, files.result(), partitionSchema, dataSchema)
     }
   }
 
@@ -454,16 +455,34 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       stride: Int = DefaultIvfStride, nprobe: Int = DefaultIvfProbes,
       dim: Int = DefaultDim): DataFrame = {
-    val spark = queries.sparkSession
-    val cents: Seq[(Long, Array[Double])] = candidates
-      .filter(col("vec_id") % stride === 0)
+    val cents = collectCentroids(candidates, stride)
+    val (probes, probedCids) = ivfProbeFrame(queries, cents, nprobe)
+    val assigned = candidates.select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        graft.functions.NearestCentroid(col("embedding"), cents, dim)
+          .as("cid"))
+      .filter(col("cid").isin(probedCids: _*))
+    ivfRescore(probes, assigned, k)
+  }
+
+  /** Deterministic centroid sample: every `stride`-th vec_id, ascending
+    * (the [[graft.functions.NearestCentroid]] tiebreak contract). */
+  private def collectCentroids(candidates: DataFrame,
+      stride: Int): Seq[(Long, Array[Double])] = {
+    val cents = candidates.filter(col("vec_id") % stride === 0)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Any](1).map(toD).toArray))
       .sortBy(_._1).toSeq
     require(cents.nonEmpty, s"no centroids: corpus has no vec_id % $stride == 0")
+    cents
+  }
 
-    // probe selection, driver-side like the LSH layout path: top-nprobe
-    // centroids per collected query row (sim desc, cid asc)
+  /** Probe selection, driver-side like the LSH layout path: top-nprobe
+    * centroids per collected query row (sim desc, cid asc). Returns the
+    * local probe relation and the distinct probed list ids. */
+  private def ivfProbeFrame(queries: DataFrame,
+      cents: Seq[(Long, Array[Double])],
+      nprobe: Int): (DataFrame, Seq[Long]) = {
     val q = queries.select(col("vec_id"), col("embedding"))
     val probeRows = q.collect().flatMap { r =>
       val emb = r.getSeq[Any](1).map(toD).toIndexedSeq
@@ -474,19 +493,21 @@ object Similarity {
           org.apache.spark.sql.Row(r.get(0), r.getSeq[Any](1), cid)
         }
     }
-    val probedCids = probeRows.map(_.getLong(2)).distinct
-    val probes = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*),
+    val probes = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probeRows.toSeq: _*),
       types.StructType(Seq(
         q.schema.fields(0).copy(name = "query_id"),
         q.schema.fields(1).copy(name = "qe"),
         types.StructField("cid", types.LongType, nullable = false))))
+    (probes, probeRows.map(_.getLong(2)).distinct.toSeq)
+  }
 
-    val assigned = candidates.select(
-        col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-        graft.functions.NearestCentroid(col("embedding"), cents, dim)
-          .as("cid"))
-      .filter(col("cid").isin(probedCids: _*))
+  /** Exact rescore within probed lists: broadcast the probe batch, join
+    * on list id, rank. No pair dedup needed — IVF assigns each candidate
+    * to exactly one list — so the rank window's exchange is the plan's
+    * only one. */
+  private def ivfRescore(probes: DataFrame, assigned: DataFrame,
+      k: Int): DataFrame = {
     val scored = broadcast(probes).join(assigned, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -496,6 +517,62 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** Name of the centroid sidecar written by [[writeIvfLayout]]: the
+    * exact centroid matrix the layout was assigned with, so probes rank
+    * against identical doubles without re-deriving them from the source
+    * (`Double.toString` round-trips exactly). */
+  val IvfCentroidsName = "_graft_centroids"
+
+  /** Persist candidates physically partitioned by IVF list
+    * (`list=<cid>` directories): the 100 TB IVF path — assignment runs
+    * once at build (the same zero-shuffle [[graft.functions.NearestCentroid]]
+    * scan as the logical operator, feeding a partitioned write), and a
+    * probe then reads ONLY its probed `list=` partitions, planned from
+    * the committed manifest like [[writeBucketedLayout]]. */
+  def writeIvfLayout(candidates: DataFrame, dir: String,
+      stride: Int = DefaultIvfStride, dim: Int = DefaultDim): Unit = {
+    val cents = collectCentroids(candidates, stride)
+    val frame = candidates.select(col("vec_id"), col("embedding"),
+      graft.functions.NearestCentroid(col("embedding"), cents, dim)
+        .as("list"))
+    frame.write.mode("overwrite").partitionBy("list").parquet(dir)
+    writeLayoutManifest(dir,
+      types.StructType(frame.schema.fields.filterNot(_.name == "list")))
+    val lines = cents.map { case (cid, v) =>
+      s"$cid\t${v.map(_.toString).mkString(",")}"
+    }
+    val tmp = Paths.get(dir, IvfCentroidsName + ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, IvfCentroidsName),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readCentroids(dir: String): Seq[(Long, Array[Double])] =
+    Files.readAllLines(Paths.get(dir, IvfCentroidsName),
+        StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(cid, vec) = line.split("\t", 2)
+        (cid.toLong, vec.split(",").map(_.toDouble))
+      }
+
+  /** Probe a [[writeIvfLayout]] directory: centroids from the sidecar,
+    * probe lists chosen driver-side, candidate scan planned from the
+    * manifest with a static `list IN (...)` partition filter — only the
+    * probed `list=` directories are read. Results are identical to
+    * [[ivfTopK]] on the same parameters. */
+  def ivfTopKFromLayout(dir: String, queries: DataFrame, k: Int,
+      nprobe: Int = DefaultIvfProbes): DataFrame = {
+    val cents = readCentroids(dir)
+    val (probes, probedCids) = ivfProbeFrame(queries, cents, nprobe)
+    val pruned = layoutFrame(queries.sparkSession, dir,
+        types.StructType(Seq(
+          types.StructField("list", types.LongType))))
+      .filter(col("list").isin(probedCids: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("list").as("cid"))
+    ivfRescore(probes, pruned, k)
   }
 
   /** Cosine near-duplicate flags for explicit pairs (id1, id2). */

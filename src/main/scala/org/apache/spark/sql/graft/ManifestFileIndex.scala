@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** A [[FileIndex]] built entirely from a table manifest's committed
@@ -55,6 +55,7 @@ final class ManifestFileIndex(
       f.dataType match {
         case StringType  => UTF8String.fromString(v)
         case IntegerType => v.toInt
+        case LongType    => v.toLong
         case other =>
           throw new IllegalStateException(s"unsupported partition type $other")
       }

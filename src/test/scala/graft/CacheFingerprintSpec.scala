@@ -49,4 +49,16 @@ class CacheFingerprintSpec extends AnyFunSuite {
     assert(SparkEntry.annLayoutPath(dir) != p1,
       "touched source must move the layout path")
   }
+
+  test("ivf layout path fingerprints the source and the IVF geometry") {
+    val (dir, f) = tempSource("embeddings.parquet")
+    val p1 = SparkEntry.ivfLayoutPath(dir)
+    assert(SparkEntry.ivfLayoutPath(dir) == p1)
+    import graft.operators.Similarity._
+    assert(p1.contains(s"s${DefaultIvfStride}d$DefaultDim"))
+    assert(p1.contains("graft_ivf_v"))
+    assert(f.setLastModified(f.lastModified() + 5000))
+    assert(SparkEntry.ivfLayoutPath(dir) != p1,
+      "touched source must move the layout path")
+  }
 }

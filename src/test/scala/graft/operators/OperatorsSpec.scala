@@ -223,6 +223,44 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("physical list= IVF layout probe matches the logical plan and " +
+      "prunes partitions") {
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    // stride 400 -> 5 lists, nprobe 2: a probe that genuinely excludes
+    // lists, so the pruning assertion below has something to prune
+    val (stride, nprobe, k) = (400, 2, 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_layout")
+      .toString
+    try {
+      Similarity.writeIvfLayout(e, dir, stride = stride)
+      assert(new java.io.File(dir, Similarity.LayoutManifestName).exists,
+        "layout must commit a planning manifest")
+      assert(new java.io.File(dir, Similarity.IvfCentroidsName).exists,
+        "layout must commit the centroid sidecar")
+      val fromLayout = Similarity.ivfTopKFromLayout(dir, q, k,
+        nprobe = nprobe)
+      val logical = Similarity.ivfTopK(q, e, k, stride = stride,
+        nprobe = nprobe)
+      def tuples(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      assert(tuples(fromLayout) == tuples(logical),
+        "layout probe must equal the logical IVF result")
+      val plan = fromLayout.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan)
+          .isDefined,
+        s"expected static list IN (...) PartitionFilters in scan:\n$plan")
+      assert(plan.contains("ManifestFileIndex"),
+        s"expected manifest-planned scan location:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("quality features and token counts") {
     val q = TextAnalysis.qualityFeatures(docs).filter(col("doc_id") === 1)
       .collect().head
