@@ -508,7 +508,7 @@ object SparkEntry {
     "ext_ann_ivf" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.ivfTopK(
-        e.filter(col("vec_id") < 10), e, k = 5)
+        e.filter(col("vec_id") < 10), e, k = AnnIvfK)
     }),
 
     // ---- the same IVF probe against the PHYSICAL `list=` layout:
@@ -517,7 +517,7 @@ object SparkEntry {
     "eng_ann_ivf" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.ivfTopKFromLayout(
-        ivfLayoutDir(s, dir), e.filter(col("vec_id") < 10), k = 5)
+        ivfLayoutDir(s, dir), e.filter(col("vec_id") < 10), k = AnnIvfK)
     }),
 
     // ---- language ID (stopword-lexicon heuristic) --------------------
@@ -659,9 +659,14 @@ object SparkEntry {
     * top-[[graft.operators.Similarity.DefaultIvfProbes]] centroids per
     * query, exact rescore within probed lists.
     */
+  /** The k the IVF query entries rank to — interpolated into
+    * [[annIvfSql]] alongside the stride/nprobe defaults so the oracle
+    * and the engine can never drift on a constant change. */
+  private val AnnIvfK = 5
+
   private val annIvfSql: String =
-    """WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 100 = 0
+    s"""WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % ${graft.operators.Similarity.DefaultIvfStride} = 0
       |), assign AS (
       |  SELECT e.vec_id, e.embedding, c.cid,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
@@ -672,12 +677,12 @@ object SparkEntry {
       |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid,
       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
-      |), probes AS (SELECT query_id, qe, cid FROM qp WHERE rn <= 8)
+      |), probes AS (SELECT query_id, qe, cid FROM qp WHERE rn <= ${graft.operators.Similarity.DefaultIvfProbes})
       |SELECT query_id, neighbor_id, rnk FROM (
       |  SELECT p.query_id, l.vec_id AS neighbor_id,
       |    row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(CAST(p.qe AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])) DESC, l.vec_id) AS rnk
       |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id != p.query_id
-      |) WHERE rnk <= 5""".stripMargin
+      |) WHERE rnk <= $AnnIvfK""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val oc = OrderCellsSql

@@ -340,6 +340,9 @@ object Similarity {
       fp(d) = graft.functions.VectorOps.fixedPoint(emb(d) match {
         case f: Float => f.toDouble
         case x: Double => x
+        // a null ELEMENT reads as 0.0 through the columnar ArrayData the
+        // distributed kernel sees — mirror that here, not a MatchError
+        case null => 0.0
         case other => throw new IllegalArgumentException(
           s"embedding element of type ${other.getClass}")
       })
@@ -376,7 +379,12 @@ object Similarity {
     // array_sort through a second Spark job just to read back
     // |Q|·tables·5 rows. The collected rows become the local probe
     // relation, so the main job never re-reads the query side.
+    // a null embedding produced NO probes on the previous distributed
+    // path (SignProjections is null-safe, so the row's bucket was null
+    // and joined nothing) — filter before the flatMap to keep that
+    // drop-malformed-rows behavior instead of an NPE
     val q = queries.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
     val qRows = q.collect()
     val probeRows = qRows.flatMap { r =>
       val emb = r.getSeq[Any](1)
@@ -410,9 +418,42 @@ object Similarity {
   val DefaultIvfStride = 100
   val DefaultIvfProbes = 8
 
+  /** Cap on the adaptive list count: 65 536 lists × 64 dims ≈ 32 MB of
+    * centroid doubles — comfortably driver-collectable and
+    * broadcast-able, while √n stays under the cap until n ≈ 4·10⁹
+    * vectors (≈ 1 PB of raw fp32 at dim 64). */
+  val DefaultMaxIvfLists = 65536
+
+  /** Centroid count above which [[ivfTopKAdaptive]] stops embedding the
+    * matrix in the [[graft.functions.NearestCentroid]] kernel (a
+    * reference object serialized with every task) and switches to a
+    * broadcast-join + min-reduce assignment: same O(|C|·dim) per-row
+    * arithmetic, but the matrix ships once per executor via the
+    * broadcast torrent instead of riding the expression tree. */
+  val MaxKernelCentroids = 4096
+
+  /** Centroid stride targeting ~√n lists, capped at `maxLists` — the
+    * classic IVF balance (probe cost |C| + n·nprobe/|C| is minimized at
+    * |C| = √(n·nprobe)). A FIXED stride makes |C| grow linearly with the
+    * corpus — the driver-memory/per-row-cost scale-killer this replaces.
+    * Centroids stay the `vec_id % stride == 0` deterministic sample, so
+    * list count tracks the target only for reasonably dense id spaces
+    * (the testdata contract; a sparse id space just yields fewer lists,
+    * never more). */
+  def adaptiveIvfStride(corpusCount: Long,
+      maxLists: Int = DefaultMaxIvfLists): Int = {
+    require(maxLists > 0, "maxLists must be positive")
+    val lists = math.max(1L, math.min(
+      math.ceil(math.sqrt(math.max(0L, corpusCount).toDouble)).toLong,
+      maxLists.toLong))
+    math.max(1L, math.ceil(corpusCount.toDouble / lists).toLong).toInt
+  }
+
   private def toD(x: Any): Double = x match {
     case f: Float => f.toDouble
     case d: Double => d
+    // null element ≡ 0.0, the columnar-ArrayData read the kernels see
+    case null => 0.0
     case other => throw new IllegalArgumentException(
       s"embedding element of type ${other.getClass}")
   }
@@ -455,7 +496,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       stride: Int = DefaultIvfStride, nprobe: Int = DefaultIvfProbes,
       dim: Int = DefaultDim): DataFrame = {
-    val cents = collectCentroids(candidates, stride)
+    val cents = collectCentroids(candidates, stride, dim)
     val (probes, probedCids) = ivfProbeFrame(queries, cents, nprobe)
     val assigned = candidates.select(
         col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
@@ -465,15 +506,103 @@ object Similarity {
     ivfRescore(probes, assigned, k)
   }
 
+  /** Corpus-adaptive IVF: derives the stride from the corpus count so the
+    * list count tracks ~√n (capped — [[adaptiveIvfStride]]) instead of
+    * growing linearly, then picks the assignment strategy by centroid
+    * count: the embedded-matrix kernel while |C| is small
+    * (`maxKernelCentroids`), the broadcast-join path beyond it. Results
+    * are identical between the two strategies by construction (same
+    * cosine kernel, same smallest-cid tiebreak) — pinned by the spec's
+    * kernel≡distributed differential. One extra count() job over
+    * [[ivfTopK]] — the price of not knowing n up front; at scale the
+    * count comes free from table metadata ([[writeIvfLayout]] callers
+    * already have it). */
+  def ivfTopKAdaptive(queries: DataFrame, candidates: DataFrame, k: Int,
+      nprobe: Int = DefaultIvfProbes, dim: Int = DefaultDim,
+      maxLists: Int = DefaultMaxIvfLists,
+      maxKernelCentroids: Int = MaxKernelCentroids): DataFrame = {
+    val n = candidates.count()
+    val stride = adaptiveIvfStride(n, maxLists)
+    // dense-id upper bound on |C|; the actual sample can only be smaller
+    val lists = (n + stride - 1) / stride
+    if (lists <= maxKernelCentroids) ivfTopK(queries, candidates, k,
+      stride, nprobe, dim)
+    else ivfTopKDistributed(queries, candidates, k, stride, nprobe)
+  }
+
+  /** IVF with fully distributed probe selection AND assignment — the
+    * large-|C| path: the centroid frame never lands on the driver.
+    *
+    *  - Probe selection: the query batch (small by the ANN contract)
+    *    broadcasts against the distributed centroid frame; top-nprobe per
+    *    query via the rank window.
+    *  - Assignment: candidates × broadcast(centroids) scored by the same
+    *    [[CosineSimilarity]] kernel as everywhere else, then a min-reduce
+    *    `max(struct(sim, -cid))` — map-side partial aggregation collapses
+    *    each partition to one row per candidate BEFORE the exchange, so
+    *    the shuffle carries n rows, not n·|C|. The struct ordering
+    *    reproduces the kernel's tiebreak exactly: sim first, then larger
+    *    `-cid` = smallest cid on equal sim. (Divergence corner: a
+    *    zero-norm embedding scores NaN, which the kernel never accepts
+    *    but struct-max ranks above any number — embeddings are unit-free
+    *    random floats by schema contract, so a zero norm means corrupt
+    *    input.)
+    *
+    * Per-row arithmetic is O(|C|·dim) either way — inherent to flat IVF;
+    * what changes is that the matrix ships once per executor (broadcast)
+    * instead of per task (expression reference object), and no structure
+    * scales with |C| on the driver. */
+  def ivfTopKDistributed(queries: DataFrame, candidates: DataFrame,
+      k: Int, stride: Int, nprobe: Int = DefaultIvfProbes): DataFrame = {
+    val centDf = candidates.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val probeScored = broadcast(queries
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      .crossJoin(centDf)
+      .select(col("query_id"), col("qe"), col("cid"),
+        cosine(col("qe"), col("cemb")).as("sim"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cid").asc)
+    val probes = probeScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cid"))
+    // |Q|·nprobe distinct list ids — driver-safe; becomes the static
+    // pushdown filter on the assignment output (and, on a persisted
+    // layout, the partition filter)
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val assigned = candidates
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(centDf))
+      .select(col("neighbor_id"), col("ce"), col("cid"),
+        cosine(col("ce"), col("cemb")).as("sim"))
+      .groupBy(col("neighbor_id"))
+      .agg(first(col("ce")).as("ce"),
+        max(struct(col("sim").as("sim"), (-col("cid")).as("ncid")))
+          .as("best"))
+      .select(col("neighbor_id"), col("ce"),
+        (-col("best.ncid")).as("cid"))
+      .filter(col("cid").isin(probedCids: _*))
+    ivfRescore(probes, assigned, k)
+  }
+
   /** Deterministic centroid sample: every `stride`-th vec_id, ascending
-    * (the [[graft.functions.NearestCentroid]] tiebreak contract). */
+    * (the [[graft.functions.NearestCentroid]] tiebreak contract). Each
+    * centroid must be exactly `dim` components: the kernel truncates to
+    * `dim` while the driver-side probe ranking ([[cosineLocal]]) uses the
+    * raw length, so a short/long centroid could rank differently in the
+    * two stages — asserting the width here makes them provably agree. */
   private def collectCentroids(candidates: DataFrame,
-      stride: Int): Seq[(Long, Array[Double])] = {
+      stride: Int, dim: Int): Seq[(Long, Array[Double])] = {
     val cents = candidates.filter(col("vec_id") % stride === 0)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Any](1).map(toD).toArray))
       .sortBy(_._1).toSeq
     require(cents.nonEmpty, s"no centroids: corpus has no vec_id % $stride == 0")
+    cents.foreach { case (cid, v) =>
+      require(v.length == dim,
+        s"centroid $cid has ${v.length} components, expected $dim")
+    }
     cents
   }
 
@@ -483,7 +612,10 @@ object Similarity {
   private def ivfProbeFrame(queries: DataFrame,
       cents: Seq[(Long, Array[Double])],
       nprobe: Int): (DataFrame, Seq[Long]) = {
+    // null embeddings probe nothing (same drop-malformed contract as
+    // [[bucketedTopKFromLayout]])
     val q = queries.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
     val probeRows = q.collect().flatMap { r =>
       val emb = r.getSeq[Any](1).map(toD).toIndexedSeq
       cents.map { case (cid, cv) => (cosineLocal(emb, cv), cid) }
@@ -533,7 +665,7 @@ object Similarity {
     * the committed manifest like [[writeBucketedLayout]]. */
   def writeIvfLayout(candidates: DataFrame, dir: String,
       stride: Int = DefaultIvfStride, dim: Int = DefaultDim): Unit = {
-    val cents = collectCentroids(candidates, stride)
+    val cents = collectCentroids(candidates, stride, dim)
     val frame = candidates.select(col("vec_id"), col("embedding"),
       graft.functions.NearestCentroid(col("embedding"), cents, dim)
         .as("list"))

@@ -190,6 +190,38 @@ class OperatorsSpec extends SparkSuite {
       s"expected 1 exchange (rank window), got $exchanges:\n$plan")
   }
 
+  test("adaptive IVF: stride bounds the centroid count at any corpus " +
+      "size and the distributed assignment matches the kernel path") {
+    import Similarity._
+    // √n targeting: list count tracks √n until the cap, then stays flat —
+    // never the linear growth of a fixed stride
+    def lists(n: Long, stride: Int): Long = (n + stride - 1) / stride
+    assert(lists(2000L, adaptiveIvfStride(2000L)) <= 45 + 1)
+    assert(lists(1000000000L, adaptiveIvfStride(1000000000L)) <= 31623 + 1)
+    // 10^13 vectors (≈ 2.5 PB fp32 @ dim 64): capped, driver-safe
+    assert(lists(10000000000000L, adaptiveIvfStride(10000000000000L)) <=
+      DefaultMaxIvfLists)
+    assert(adaptiveIvfStride(0L) == 1 && adaptiveIvfStride(1L) == 1)
+
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val derived = adaptiveIvfStride(e.count())
+    // kernel strategy (|C| under the threshold) ≡ explicit-stride ivfTopK
+    val viaKernel = ivfTopKAdaptive(q, e, 5)
+    assert(tuples(viaKernel) == tuples(ivfTopK(q, e, 5, stride = derived)))
+    // forced distributed strategy must produce the identical result with
+    // NO centroid matrix in the plan (no embedded kernel reference)
+    val viaDistributed = ivfTopKAdaptive(q, e, 5, maxKernelCentroids = 0)
+    assert(tuples(viaDistributed) == tuples(viaKernel),
+      "broadcast-join assignment must equal the embedded-matrix kernel")
+    val plan = viaDistributed.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_nearest_centroid"),
+      s"distributed path must not embed the centroid matrix:\n$plan")
+  }
+
   test("physical l=/bucket= layout probe matches the logical plan and " +
       "prunes partitions") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
