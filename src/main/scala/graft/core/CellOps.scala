@@ -526,21 +526,25 @@ object CellOps {
     * engine's typed struct and test fixtures can use it.
     */
   def assembleRows(
-      cells: DataFrame, valueCol: Column
+      cells: DataFrame, valueCol: Column, extraKeys: Seq[String] = Nil
   ): DataFrame = {
     // struct ordering: sort_array on (ts desc) via descending sort on struct
     // whose first field is ts.
     // Only version arrays need ordering (newest first, = ts desc since the
     // struct's first field dominates sort_array). Map levels are unordered
     // by nature — and sort_array cannot order structs containing maps.
+    // `extraKeys` ride through every grouping level (e.g. `bucket` for the
+    // co-located join, which joins assembled rows on (bucket, row_key));
+    // they must be functionally dependent on row_key or they split rows.
     val cellStruct = struct(col("ts").as("ts"), valueCol.as("v"))
+    val keys = extraKeys :+ "row_key"
     cells
-      .groupBy("row_key", "family", "qualifier")
+      .groupBy((keys ++ Seq("family", "qualifier")).map(col): _*)
       .agg(sort_array(collect_list(cellStruct), asc = false).as("cells"))
-      .groupBy("row_key", "family")
+      .groupBy((keys :+ "family").map(col): _*)
       .agg(map_from_entries(collect_list(struct(col("qualifier"), col("cells"))))
         .as("columns"))
-      .groupBy("row_key")
+      .groupBy(keys.map(col): _*)
       .agg(map_from_entries(collect_list(struct(col("family"), col("columns"))))
         .as("families"))
   }

@@ -515,13 +515,18 @@ final class Smoltable private (
     * (each branch still gets static `bucket=` partition pruning). */
   private def bucketedBase(m: TableManifest): DataFrame = snapshotRead(m)
 
-  /** Co-located row join with another table bucketed with the SAME count —
-    * the bucket-wise join pattern: a union of per-bucket joins, each branch
-    * statically pruned to ONE `bucket=` directory per side. No shuffle
-    * crosses buckets (each branch's exchange holds 1/n of each table) and
-    * AQE sizes each branch independently (small buckets broadcast). Output:
-    * `row_key, left_families, right_families` nested maps, inner-joined on
-    * keys present in both tables.
+  /** Co-located row join with another table bucketed with the SAME count:
+    * ONE join keyed on `(bucket, row_key)`. Both tables hash row keys with
+    * the same function and count, so a row key lives in the same bucket on
+    * both sides and the bucket-augmented join is exactly the row_key join —
+    * but including `bucket` in the key keeps the shuffle aligned with the
+    * physical `bucket=` clustering (each shuffle partition draws from few
+    * bucket directories per side) and gives AQE a skew handle. Plan size
+    * is O(1) in the bucket count — the previous union-of-joins-per-bucket
+    * built an n-branch plan whose analysis/codegen time dominated past a
+    * few hundred buckets (`BucketedLayoutSpec` pins a 256-bucket plan
+    * build under 2 s). Output: `row_key, left_families, right_families`
+    * nested maps, inner-joined on keys present in both tables.
     */
   def joinRows(other: Smoltable): DataFrame = {
     val m = manifest
@@ -529,19 +534,16 @@ final class Smoltable private (
     val n = m.buckets
     require(n > 0 && om.buckets == n,
       s"co-located join needs equal bucket counts ($n vs ${om.buckets})")
-    val lBase = bucketedBase(m)
-    val rBase = other.bucketedBase(om)
-    def lww(df: DataFrame, mm: TableManifest) =
-      if (mm.batchesSinceRewrite > 1) CellOps.lastWriteWins(df) else df
-    (0 until n).map { b =>
-      val l = CellOps.assembleRows(
-          lww(lBase.filter(col("bucket") === b), m), col("value"))
-        .withColumnRenamed("families", "left_families")
-      val r = CellOps.assembleRows(
-          lww(rBase.filter(col("bucket") === b), om), col("value"))
-        .withColumnRenamed("families", "right_families")
-      l.join(r, "row_key")
-    }.reduce(_ unionAll _)
+    def side(t: Smoltable, mm: TableManifest, out: String): DataFrame = {
+      val base = t.bucketedBase(mm)
+      val resolved =
+        if (mm.batchesSinceRewrite > 1) CellOps.lastWriteWins(base) else base
+      CellOps.assembleRows(resolved, col("value"), extraKeys = Seq("bucket"))
+        .withColumnRenamed("families", out)
+    }
+    side(this, m, "left_families")
+      .join(side(other, om, "right_families"), Seq("bucket", "row_key"))
+      .select(col("row_key"), col("left_families"), col("right_families"))
   }
 
   /** Scale path: scan as a distributed nested-row DataFrame

@@ -129,7 +129,7 @@ class BucketedLayoutSpec extends SparkSuite {
     }
   }
 
-  test("co-located join of two equal-bucket tables, bucket-pruned per branch") {
+  test("co-located join of two equal-bucket tables: one (bucket,row_key) join") {
     withTempDir { dir =>
       val cat = new Catalog(dir.toString)
       val left = Smoltable.open(spark, cat, "left")
@@ -145,11 +145,16 @@ class BucketedLayoutSpec extends SparkSuite {
         ColumnWriteItem(ColumnKey.of("v:r"), Some(0L), CellValue.S(s"R$i"))))))
 
       val joined = left.joinRows(right)
-      // every branch's parquet scans carry a bucket partition filter
+      // ONE join node keyed on (bucket, row_key) — plan size must be O(1)
+      // in the bucket count, not a union of per-bucket branches
       val plan = joined.queryExecution.executedPlan.toString
-      val bucketFilters = "\\(bucket#\\d+ = \\d\\)".r.findAllIn(plan).size
-      assert(bucketFilters >= 8, s"expected per-branch bucket pruning, " +
-        s"found $bucketFilters filters")
+        .split("== Initial Plan ==").head
+      val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+        .findAllIn(plan).size
+      assert(joins == 1, s"expected exactly one join node, got $joins:\n$plan")
+      assert("\\[bucket#\\d+L?, row_key#\\d+\\]".r.findFirstIn(plan).isDefined
+          || plan.contains("bucket"),
+        s"join must key on (bucket, row_key):\n$plan")
 
       val rows = joined.select("row_key").collect().map(_.getString(0)).sorted
       assert(rows.toSeq == (0 until 20 by 2).map(i => f"k$i%02d"))
@@ -161,6 +166,31 @@ class BucketedLayoutSpec extends SparkSuite {
       val unbucketed = Smoltable.open(spark, cat, "plainx")
       unbucketed.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
       intercept[IllegalArgumentException](left.joinRows(unbucketed))
+    }
+  }
+
+  test("256-bucket co-located join plans in bounded time") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val l = Smoltable.open(spark, cat, "wide_l")
+      val r = Smoltable.open(spark, cat, "wide_r")
+      Seq(l, r).foreach { t =>
+        t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+        t.setBucketCount(256)
+      }
+      l.write(Seq(RowWriteItem("k1", Seq(
+        ColumnWriteItem(ColumnKey.of("v:l"), Some(0L), CellValue.S("L"))))))
+      r.write(Seq(RowWriteItem("k1", Seq(
+        ColumnWriteItem(ColumnKey.of("v:r"), Some(0L), CellValue.S("R"))))))
+      // a realistic production bucket count: analysis + physical planning
+      // must stay flat (the per-bucket union plan took O(buckets) here)
+      val t0 = System.nanoTime()
+      val joined = l.joinRows(r)
+      joined.queryExecution.executedPlan // force analysis + planning
+      val dt = (System.nanoTime() - t0) / 1e9
+      assert(dt < 2.0, f"256-bucket join planned in $dt%.2fs (budget 2s)")
+      assert(joined.select("row_key").collect().map(_.getString(0)).toSeq
+        == Seq("k1"))
     }
   }
 
