@@ -32,13 +32,17 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
 
   import graft.core.MetricsTable
 
-  /** Fire-and-forget latency points, one write batch; failures are
+  /** Fire-and-forget latency points, coalesced: points buffer in-process
+    * and land as one parquet append per
+    * [[graft.core.MetricsTable.DefaultFlushEvery]] points (the 60 s
+    * system sweep flushes stragglers), so a busy server's per-call
+    * recording doesn't churn one tiny segment per API call. Failures are
     * swallowed like the reference's `.ok()` — a metrics write must never
     * fail the verb that produced it. System tables don't self-report. */
   private def recordLat(tableName: String, points: (String, Double)*): Unit =
     if (recordLatencies && !tableName.startsWith("_"))
       try MetricsTable.open(spark, catalog, Some(tableName))
-        .dataPoints(points)
+        .dataPointsBuffered(points)
       catch { case _: Exception => () }
 
   /** Identifier + system-prefix rules per `server/src/identifier.rs` and the

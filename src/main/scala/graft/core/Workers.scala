@@ -55,8 +55,11 @@ final class Workers(spark: SparkSession, catalog: Catalog) {
     m.dataPoint("stats#cell_cnt", cells.toDouble)
   }
 
-  /** One system-metrics pass (`worker/metrics.rs:14-50`) + FIFO cap. */
+  /** One system-metrics pass (`worker/metrics.rs:14-50`) + FIFO cap.
+    * Also the visibility bound for coalesced per-call latency points:
+    * every buffered metrics point lands within one sweep period. */
   def systemSweep(): Unit = {
+    MetricsTable.flushAll(spark, catalog)
     userTables.foreach { name =>
       val t = Smoltable.open(spark, catalog, name)
       val m = metricsFor(name)

@@ -20,6 +20,33 @@ class MaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("buffered metrics coalesce appends: 500 recorded calls stay under " +
+      "a handful of segments") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val m = MetricsTable.open(spark, cat, Some("busy"))
+      // the per-API-call recording shape, 500 times (what a busy server
+      // does between FIFO-cap rewrites): with per-call appends this wrote
+      // 500 tiny segments + manifest lines
+      for (i <- 1 to 500)
+        m.dataPointsBuffered(Seq("lat#read#row" -> i.toDouble),
+          tsNanos = Some(i.toLong))
+      val expectedFlushes = 500 / MetricsTable.DefaultFlushEvery
+      assert(m.table.dataFileCount <= expectedFlushes + 1,
+        s"expected <= ${expectedFlushes + 1} coalesced segments, " +
+          s"got ${m.table.dataFileCount}")
+      // the tail below the threshold is still buffered; an explicit
+      // flush (what the 60 s system sweep does) lands it
+      val buffered = 500 - expectedFlushes * MetricsTable.DefaultFlushEvery
+      m.flushBuffered()
+      val (_, cells) = m.table.count()
+      assert(cells == 500L, s"all 500 points visible after flush, got $cells")
+      assert(buffered > 0) // the scenario really exercised the tail flush
+      // newest-first read still works and sees the latest point
+      assert(m.latest("lat#read#row", limit = 1).map(_._2) == Seq(500.0))
+    }
+  }
+
   test("metrics FIFO cap trims old versions when over budget, in ONE job") {
     withTempDir { dir =>
       val cat = new Catalog(dir.toString)
