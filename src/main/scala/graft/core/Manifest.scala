@@ -11,12 +11,17 @@ import graft.model.{ColumnFamilyDefinition, GcSettings}
   */
 final case class LocalityGroup(id: String, families: Seq[String])
 
-/** One committed Parquet segment: table-dir-relative path + byte size.
-  * The size rides in the manifest so reads can build their file index
-  * without a single filesystem stat ([[org.apache.spark.sql.graft.ManifestFileIndex]])
-  * — `size = -1` marks an entry from an older manifest version that
-  * predates sizes (stat once on use). */
-final case class DataFile(path: String, size: Long) {
+/** One committed Parquet segment: table-dir-relative path + byte size +
+  * row (cell) count. The size rides in the manifest so reads can build
+  * their file index without a single filesystem stat
+  * ([[org.apache.spark.sql.graft.ManifestFileIndex]]); the row count —
+  * known for free at commit time from the file's own footer — makes
+  * `approximateCount` a pure manifest sum (zero Spark jobs, zero file
+  * reads), the analog of the reference's O(1) `approximate_len`
+  * (`smoltable/src/table/mod.rs:299-320`). `-1` marks an entry from an
+  * older manifest version that predates the field (size: stat once on
+  * use; rows: fall back to a footer-bounded count job). */
+final case class DataFile(path: String, size: Long, rows: Long = -1L) {
   def sizeOrStat(tableDir: Path): Long =
     if (size >= 0) size else Files.size(tableDir.resolve(path))
 }
@@ -86,7 +91,7 @@ final case class TableManifest(
       s"lg\t${g.id}\t${g.families.mkString(",")}"
     }
     val files = s"files\t${dataFiles.size}" +:
-      dataFiles.map(f => s"file\t${f.path}\t${f.size}")
+      dataFiles.map(f => s"file\t${f.path}\t${f.size}\t${f.rows}")
     (fb ++ lb ++ Seq(s"seq\t$nextSeq",
       s"batches\t$batchesSinceRewrite") ++
       (if (buckets > 0) Seq(s"buckets\t$buckets") else Nil) ++
@@ -119,6 +124,9 @@ object TableManifest {
         case "batches" :: n :: Nil => batches = n.toLong
         case "buckets" :: n :: Nil => buckets = n.toInt
         case "files" :: _ :: Nil => hasList = true
+        case "file" :: p :: s :: r :: Nil =>
+          files :+= DataFile(p, s.toLong, r.toLong)
+        // pre-rowcount manifest version: no footer count recorded
         case "file" :: p :: s :: Nil => files :+= DataFile(p, s.toLong)
         // pre-size manifest version: path only, stat lazily on use
         case "file" :: p :: Nil => files :+= DataFile(p, -1L)

@@ -185,7 +185,20 @@ final class Smoltable private (
     val retired = Smoltable.readGuard(catalog, name).retiredSet
     listDataFilesRel().filterNot(f =>
         live(f) || retired(tableDir.resolve(f)))
-      .map(f => DataFile(f, Files.size(tableDir.resolve(f))))
+      .map { f =>
+        val p = tableDir.resolve(f)
+        DataFile(f, Files.size(p), parquetRowCount(p))
+      }
+  }
+
+  /** Cell count from ONE local footer read — commit-time metadata (like
+    * the size stat beside it), so [[approximateCount]] never needs a job. */
+  private def parquetRowCount(p: java.nio.file.Path): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        spark.sessionState.newHadoopConf()))
+    try r.getRecordCount finally r.close()
   }
 
   /** All parquet files under `data/`, as table-dir-relative paths. */
@@ -624,13 +637,20 @@ final class Smoltable private (
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Approximate count: exact cell count from Parquet metadata (the analog
-    * of `approximate_len`), rows estimated as cells / family count.
-    * Reference: `smoltable/src/table/mod.rs:299-320`.
+  /** Approximate count: cell count summed from the manifest's per-file
+    * row counts (recorded from each segment's own footer at commit) —
+    * zero Spark jobs, zero file reads, a true O(manifest) driver sum
+    * like the reference's `approximate_len`
+    * (`smoltable/src/table/mod.rs:299-320`). Rows estimated as cells /
+    * family count. Falls back to a footer-bounded count job only for a
+    * manifest written before row counts existed.
     */
   def approximateCount(): (Long, Long) = withReadPin {
     val m = manifest
-    val cellCount = if (m.dataFiles.isEmpty) 0L else snapshotRead(m).count()
+    val cellCount =
+      if (m.dataFiles.isEmpty) 0L
+      else if (m.dataFiles.forall(_.rows >= 0)) m.dataFiles.map(_.rows).sum
+      else snapshotRead(m).count()
     val cfCount = m.families.size
     if (cfCount == 0) (0L, 0L) else (cellCount / cfCount, cellCount)
   }
@@ -727,10 +747,11 @@ final class Smoltable private (
       val moved = PathIO.walkFiles(tmp)(
           _.getFileName.toString.endsWith(".parquet")).map { f =>
         val size = Files.size(f)
+        val rows = parquetRowCount(f)
         val target = dataDir.resolve(tmp.relativize(f))
         Files.createDirectories(target.getParent)
         Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
-        DataFile(tableDir.relativize(target).toString, size)
+        DataFile(tableDir.relativize(target).toString, size, rows)
       }
       PathIO.deleteRecursively(tmp)
       // rewritten data is physically LWW-resolved; reads can skip the

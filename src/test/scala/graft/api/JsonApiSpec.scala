@@ -120,6 +120,9 @@ class JsonApiSpec extends SparkSuite {
       result(api.deleteRow("wt", """{"row_key":"r1"}"""))
 
       val m = graft.core.MetricsTable.open(spark, cat, Some("wt"))
+      // per-call points coalesce in-process; the 60 s system sweep (or an
+      // explicit flush) lands them — visibility is bounded, not immediate
+      m.flushBuffered()
       for (metric <- Seq("lat#write#batch", "lat#write#cell", "lat#read#row",
           "lat#read#pfx", "lat#del#row", "lat#del#cell")) {
         val pts = m.latest(metric)

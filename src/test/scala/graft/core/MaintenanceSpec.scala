@@ -20,6 +20,50 @@ class MaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("approximateCount is a manifest sum: zero Spark jobs, no file reads") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val t = Smoltable.open(spark, cat, "apx")
+      t.createColumnFamilies(
+        Seq(ColumnFamilyDefinition("a"), ColumnFamilyDefinition("b")))
+      // several batches -> several manifest entries to sum
+      for (batch <- 0 until 3)
+        t.write((0 until 10).map(i => RowWriteItem(s"k$batch-$i", Seq(
+          ColumnWriteItem(ColumnKey.of("a:x"), Some(1L), CellValue.I64(i)),
+          ColumnWriteItem(ColumnKey.of("b:y"), Some(1L), CellValue.S("v"))))))
+      val (rows, cells) = t.approximateCount()
+      assert(cells == 60L && rows == 30L, s"got ($rows, $cells)")
+      assert(t.count() == (30L, 60L)) // exact agrees on a no-overwrite table
+
+      // zero jobs: any approximateCount job event would reach the
+      // listener bus BEFORE the marker job's (FIFO), so jobs == 1 after
+      // the marker proves the count ran none
+      @volatile var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(t.approximateCount() == ((30L, 60L)))
+        // RDD marker = exactly ONE job (no AQE sub-jobs)
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        val deadline = System.nanoTime() + 10000000000L
+        while (jobs < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+        assert(jobs == 1, s"approximateCount ran ${jobs - 1} Spark job(s)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+      // belt and braces: with the data files physically unreachable the
+      // manifest sum still answers — impossible for any file-reading path
+      val dataDir = cat.tablePath("apx").resolve("data")
+      val hidden = cat.tablePath("apx").resolve("data_hidden")
+      java.nio.file.Files.move(dataDir, hidden)
+      try assert(t.approximateCount() == ((30L, 60L)))
+      finally java.nio.file.Files.move(hidden, dataDir)
+    }
+  }
+
   test("buffered metrics coalesce appends: 500 recorded calls stay under " +
       "a handful of segments") {
     withTempDir { dir =>
