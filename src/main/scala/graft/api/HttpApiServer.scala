@@ -22,7 +22,13 @@ import graft.json.JsonValue
   *   DELETE /v1/table/{name}/row            filtered row delete
   *   GET    /v1/table/{name}/metrics        registered; unimplemented upstream
   *   GET    /  or  /index.html              metrics dashboard (HTML)
+  *   GET    <any ./dist asset path>         static file (actix_files layer)
+  *   *      <anything else>                 dashboard (default_service)
   * }}}
+  *
+  * JSON bodies on the API routes are capped at 10 MiB, the reference's
+  * `JsonConfig::limit` (`server/src/main.rs:124-126`) — an oversized
+  * payload gets a plain 413 without ever being buffered in full.
   *
   * (`GET /v1/table/{name}/metrics` is `unimplemented!()` upstream past its
   * table-existence check — `server/src/api/metrics.rs:29-44` — so the route
@@ -40,6 +46,9 @@ import graft.json.JsonValue
   */
 final class HttpApiServer(api: JsonApi, port: Int = 9876) {
 
+  /** `server/src/main.rs:124-126`: `JsonConfig::default().limit(10 MiB)`. */
+  private val MaxJsonBody = 10 * 1024 * 1024
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/", new Router)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
@@ -53,29 +62,87 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876) {
   private final class Router extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       try {
-        val body =
-          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val path = ex.getRequestURI.getPath
-        if (ex.getRequestMethod == "GET" &&
-            (path == "/" || path == "/index.html")) {
+        val method = ex.getRequestMethod
+        if (method == "GET" && (path == "/" || path == "/index.html")) {
           // reference routes `/` and `/index.html` to the dashboard
           // (`server/src/main.rs:133-134`)
           respond(ex, 200, "text/html", api.dashboardHtml())
           return
         }
-        route(ex.getRequestMethod, path, body) match {
-          case Some(envelope) =>
-            val status = JsonValue.parse(envelope).get("status")
-              .map(_.asLong.toInt).getOrElse(200)
-            respond(ex, status, "application/json", envelope)
+        route(method, path) match {
+          case Some(handler) =>
+            // the reference's JSON extractor rejects payloads over
+            // 10 MiB (`server/src/main.rs:124-126` `JsonConfig::limit`);
+            // the capped read stops BEFORE buffering an oversized body —
+            // an unbounded readAllBytes was the DoS divergence
+            readCapped(ex) match {
+              case None =>
+                respond(ex, 413, "text/plain",
+                  s"JSON payload is larger than allowed (limit: $MaxJsonBody bytes)")
+              case Some(body) =>
+                val envelope = handler(body)
+                val status = JsonValue.parse(envelope).get("status")
+                  .map(_.asLong.toInt).getOrElse(200)
+                respond(ex, status, "application/json", envelope)
+            }
           case None =>
-            respond(ex, 404, "text/plain", "Not Found")
+            // reference fallthrough (`server/src/main.rs:145-146`):
+            // `actix_files` serves `./dist` assets, then ANY still
+            // unmatched request routes to the dashboard — a deep link
+            // renders the app instead of a 404
+            staticFile(method, path) match {
+              case Some((bytes, contentType)) =>
+                ex.getResponseHeaders.set("Content-Type", contentType)
+                ex.sendResponseHeaders(200, bytes.length.toLong)
+                ex.getResponseBody.write(bytes)
+              case None =>
+                respond(ex, 200, "text/html", api.dashboardHtml())
+            }
         }
       } catch {
         case _: Throwable =>
           // reference: ResponseError -> plain 500 (`server/src/error.rs`)
           respond(ex, 500, "text/plain", "Internal Server Error")
       } finally ex.close()
+    }
+
+    /** Request body up to [[MaxJsonBody]]; `None` = over the cap (the
+      * stream is abandoned there — never fully buffered). */
+    private def readCapped(ex: HttpExchange): Option[String] = {
+      val in = ex.getRequestBody
+      val out = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) {
+        if (out.size() + n > MaxJsonBody) return None
+        out.write(chunk, 0, n)
+        n = in.read(chunk)
+      }
+      Some(new String(out.toByteArray, StandardCharsets.UTF_8))
+    }
+
+    /** `./dist` asset for a GET, if present — the `actix_files` layer.
+      * Normalized path must stay inside dist (no traversal). */
+    private def staticFile(method: String,
+        path: String): Option[(Array[Byte], String)] = {
+      if (method != "GET") return None
+      val dist = java.nio.file.Paths.get("dist").toAbsolutePath.normalize
+      val target = dist.resolve(path.stripPrefix("/")).normalize
+      if (!target.startsWith(dist) ||
+          !java.nio.file.Files.isRegularFile(target)) None
+      else {
+        val ct = path.substring(path.lastIndexOf('.') + 1) match {
+          case "html" => "text/html"
+          case "js" => "application/javascript"
+          case "css" => "text/css"
+          case "svg" => "image/svg+xml"
+          case "png" => "image/png"
+          case "json" => "application/json"
+          case _ => "application/octet-stream"
+        }
+        Some((java.nio.file.Files.readAllBytes(target), ct))
+      }
     }
 
     private def respond(ex: HttpExchange, status: Int, contentType: String,
@@ -86,27 +153,30 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876) {
       ex.getResponseBody.write(bytes)
     }
 
-    private def route(method: String, path: String,
-        body: String): Option[String] = {
+    private def route(method: String,
+        path: String): Option[String => String] = {
       val segs = path.split("/").filter(_.nonEmpty)
       (method, segs) match {
-        case ("GET", Array("v1", "table"))            => Some(api.listTables())
-        case ("PUT", Array("v1", "table", name))      => Some(api.createTable(name))
-        case ("DELETE", Array("v1", "table", name))   => Some(api.deleteTable(name))
+        case ("GET", Array("v1", "table")) =>
+          Some(_ => api.listTables())
+        case ("PUT", Array("v1", "table", name)) =>
+          Some(_ => api.createTable(name))
+        case ("DELETE", Array("v1", "table", name)) =>
+          Some(_ => api.deleteTable(name))
         case ("DELETE", Array("v1", "table", name, "row")) =>
-          Some(api.deleteRow(name, body))
+          Some(body => api.deleteRow(name, body))
         case ("POST", Array("v1", "table", name, "write")) =>
-          Some(api.write(name, body))
+          Some(body => api.write(name, body))
         case ("POST", Array("v1", "table", name, "rows")) =>
-          Some(api.getRows(name, body))
+          Some(body => api.getRows(name, body))
         case ("POST", Array("v1", "table", name, "scan")) =>
-          Some(api.scan(name, body))
+          Some(body => api.scan(name, body))
         case ("POST", Array("v1", "table", name, "count")) =>
-          Some(api.count(name, body))
+          Some(body => api.count(name, body))
         case ("POST", Array("v1", "table", name, "column-family")) =>
-          Some(api.createColumnFamilies(name, body))
+          Some(body => api.createColumnFamilies(name, body))
         case ("GET", Array("v1", "table", name, "metrics")) =>
-          Some(api.tableMetrics(name))
+          Some(_ => api.tableMetrics(name))
         case _ => None
       }
     }

@@ -104,6 +104,47 @@ class HttpApiSpec extends SparkSuite {
     }
   }
 
+  test("unmatched paths fall through to the dashboard (default_service) " +
+      "and oversized JSON bodies get a plain 413") {
+    withTempDir { dir =>
+      val api = new JsonApi(new Catalog(dir.toString), spark)
+      val srv = new HttpApiServer(api, port = 0)
+      val port = srv.start()
+      val base = s"http://localhost:$port"
+      try {
+        // reference main.rs:146: default_service routes ANY unmatched
+        // request to the dashboard — a browser deep link renders the app
+        for (path <- Seq("/tables/webtable", "/deep/link", "/v1/unknown")) {
+          val req = HttpRequest.newBuilder(
+            URI.create(s"$base$path")).GET().build()
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+          assert(resp.statusCode == 200, s"$path -> ${resp.statusCode}")
+          assert(resp.headers.firstValue("Content-Type")
+            .orElse("") == "text/html", s"$path must render the dashboard")
+          assert(resp.body.contains("<html"), s"$path body is the dashboard")
+        }
+        // a POST to an unmatched path falls through too (any method)
+        val (ps, pb) = send("POST", s"$base/not/a/route", "{}")
+        assert(ps == 200 && pb.asString.contains("<html"))
+
+        // reference main.rs:124-126: JsonConfig limit 10 MiB — an
+        // oversized write body is rejected with a plain 4xx, never
+        // buffered or parsed
+        send("PUT", s"$base/v1/table/cap")
+        send("POST", s"$base/v1/table/cap/column-family",
+          """{"column_families":[{"name":"v"}]}""")
+        val big = "x" * (10 * 1024 * 1024 + 16)
+        val (bs, bbody) = send("POST", s"$base/v1/table/cap/write", big)
+        assert(bs == 413, s"oversized body -> $bs")
+        assert(bbody.asString.contains("larger than allowed"))
+        // an at-limit body still reaches the JSON parser (400, not 413)
+        val okSize = "x" * (1024 * 1024)
+        val (as, _) = send("POST", s"$base/v1/table/cap/write", okSize)
+        assert(as == 400, s"under-limit malformed body -> $as (JSON error)")
+      } finally srv.stop()
+    }
+  }
+
   test("reference routes over real HTTP: lifecycle + doc-example bodies") {
     withTempDir { dir =>
       val api = new JsonApi(new Catalog(dir.toString), spark)
@@ -179,9 +220,10 @@ class HttpApiSpec extends SparkSuite {
         // system table name → 400
         val (ts, _) = send("PUT", s"$base/_secret")
         assert(ts == 400)
-        // unknown route → 404
-        val (xs, _) = send("POST", s"$base/webtable/nope", "{}")
-        assert(xs == 404)
+        // unknown route → default_service dashboard (main.rs:146), the
+        // reference's catch-all — NOT a 404
+        val (xs, xb) = send("POST", s"$base/webtable/nope", "{}")
+        assert(xs == 200 && xb.asString.contains("<html"))
 
         // GET metrics: registered upstream but unimplemented!() past the
         // table-existence check (server/src/api/metrics.rs:29-44) —
