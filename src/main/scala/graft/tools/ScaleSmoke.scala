@@ -26,25 +26,53 @@ import org.apache.spark.sql.functions._
   * one-time engine-table / ANN-layout builds on the scaled dir are timed
   * separately (they are ingest, not query, cost).
   *
-  * Usage: `runMain graft.tools.ScaleSmoke [sfDir] [factor]`.
+  * Usage: `runMain graft.tools.ScaleSmoke [sfDir] [factor] [runs] [slice]`
+  * — `slice` is `all` (default) or `ann` (the ANN query family only, for
+  * high-factor layout-manifest probes where the full slice would mostly
+  * measure linear full-pass cost).
   */
 object ScaleSmoke {
 
   /** The measured slice: every §2 operator class (point get, prefix/range
     * scan, limits, sampling, counts, engine-backed reads) plus the
-    * LLM-pipeline operators that shuffle (dedup family, ANN both paths). */
+    * LLM-pipeline operators that shuffle (dedup family, ANN all three
+    * paths, sessionization) and the streaming window in its append/file
+    * -sink scale shape. */
   private val Names = Seq(
     "op03_scan_prefix", "op04_scan_range", "op11_row_limit",
     "op16_sampling", "op17_scan_count", "op18_full_count",
     "eng_get_row", "eng_scan_prefix", "eng_locality_scan",
     "ext_dedup_exact", "ext_dedup_minhash", "ext_dedup_simhash",
     "ext_fingerprint", "ext_lang_id",
-    "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed")
+    "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
+    "ext_ann_ivf", "eng_ann_ivf",
+    "ext_sessionize", "ext_stream_window_append")
+
+  private val AnnNames = Seq(
+    "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
+    "ext_ann_ivf", "eng_ann_ivf")
+
+  /** Scale-shape runners that are not driver-contract `queries` entries:
+    * the streaming window's append-mode file sink (the 100 TB shape —
+    * the contract entry's complete-mode memory sink re-collects the full
+    * result per trigger, which is the oracle harness's cost, not the
+    * operator's). Fresh sink/checkpoint dirs per run: a reused
+    * checkpoint would replay nothing and time an empty batch. */
+  private val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_stream_window_append" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("sw_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("sw_ck").toString
+      graft.streaming.StreamOps.hourlyWindowAggToFiles(s, dir, out, ck)
+    }))
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val runs = args.lift(2).map(_.toInt).getOrElse(2)
+    val slice = args.lift(3).getOrElse("all") match {
+      case "ann" => AnnNames
+      case _ => Names
+    }
     val spark = SparkSession.builder()
       .appName("graft-scale-smoke").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -55,30 +83,39 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
 
     val scaled = scaledDir(spark, base, factor)
-    println(s"base=$base scaled=$scaled factor=${factor}x runs=$runs")
+    println(s"base=$base scaled=$scaled factor=${factor}x runs=$runs " +
+      s"slice=${if (slice eq AnnNames) "ann" else "all"}")
 
     def sink(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
     // warm-up pass builds the one-time scaled artifacts (engine table,
-    // ANN layout) — ingest cost, reported separately from query time
-    for (dir <- Seq(base, scaled); n <- Seq("eng_get_row", "eng_ann_bucketed")) {
+    // ANN + IVF layouts) — ingest cost, reported separately from query
+    // time
+    val warmBuilds =
+      if (slice eq AnnNames) Seq("eng_ann_bucketed", "eng_ann_ivf")
+      else Seq("eng_get_row", "eng_ann_bucketed", "eng_ann_ivf")
+    for (dir <- Seq(base, scaled); n <- warmBuilds) {
       val t0 = System.nanoTime()
       sink(graft.SparkEntry.queries(n)(spark, dir))
       val dt = (System.nanoTime() - t0) / 1e9
       if (dt > 2.0) println(f"  [build+warm] $n @ $dir: $dt%.1fs")
     }
 
-    val rows = Names.map { n =>
-      val fn = graft.SparkEntry.queries(n)
+    val rows = slice.map { n =>
+      val fn = graft.SparkEntry.queries.getOrElse(n, Extra(n))
       def best(dir: String): Double =
         (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           sink(fn(spark, dir))
           (System.nanoTime() - t0) / 1e9
         }.min
-      val wb = best(base) // first call on base doubles as per-query warm
+      // identical warm-then-measure protocol on BOTH sides: a discarded
+      // warm pass per dir, so neither side's min includes cold-cache /
+      // first-touch cost
+      val wb = best(base)
       val tb = best(base)
+      best(scaled) // discarded warm on the scaled dir
       val ts = best(scaled)
       val ratio = ts / tb
       println(f"$n%-24s base=$tb%7.3fs  ${factor}x=$ts%7.3fs  ratio=$ratio%5.2f")
@@ -92,15 +129,24 @@ object ScaleSmoke {
       s"RESULT: no super-linear query at ${factor}x (all ratios <= ${factor}*1.3)"
     else s"RESULT: SUPER-LINEAR: ${superLinear.map(_._1).mkString(", ")}")
 
-    // ANN layout manifest footprint at factor× — the one driver-side
-    // planning artifact whose size grows with the corpus layout
-    val mf = java.nio.file.Paths.get(
-      graft.SparkEntry.annLayoutPath(scaled),
-      graft.operators.Similarity.LayoutManifestName)
-    if (java.nio.file.Files.exists(mf))
-      println(s"ann layout manifest @${factor}x: " +
-        s"${java.nio.file.Files.size(mf)} bytes, " +
-        s"${java.nio.file.Files.readAllLines(mf).size} lines")
+    // layout manifest footprint + read/planning cost at factor× — the
+    // driver-side planning artifacts whose size grows with the corpus
+    // file count (the 100× sharding question: flat read time = no shard
+    // needed)
+    for ((label, path) <- Seq(
+        ("ann", graft.SparkEntry.annLayoutPath(scaled)),
+        ("ivf", graft.SparkEntry.ivfLayoutPath(scaled)))) {
+      val mf = java.nio.file.Paths.get(path,
+        graft.operators.Similarity.LayoutManifestName)
+      if (java.nio.file.Files.exists(mf)) {
+        val t0 = System.nanoTime()
+        val lines = java.nio.file.Files.readAllLines(mf).size
+        val readMs = (System.nanoTime() - t0) / 1e6
+        println(f"$label layout manifest @${factor}x: " +
+          f"${java.nio.file.Files.size(mf)} bytes, $lines lines, " +
+          f"read $readMs%.1f ms")
+      }
+    }
     spark.stop()
   }
 
@@ -109,10 +155,13 @@ object ScaleSmoke {
     * key forms never collide) and perturbs document text with a per-copy
     * suffix, so near-dup structure is preserved instead of multiplied —
     * copy 0 is bit-identical to the base, keeping every key-targeted
-    * query (prefix scans, point gets) aimed at real rows. */
+    * query (prefix scans, point gets) aimed at real rows. Events shift
+    * user/event ids (per-user session structure repeats per copy) and
+    * land as ONE file named `events.parquet`, because the streaming
+    * source filters on that exact leaf name (`pathGlobFilter`). */
   private def scaledDir(spark: SparkSession, base: String,
       factor: Int): String = {
-    val dir = s"/tmp/graft_scale_${factor}x_" +
+    val dir = s"/tmp/graft_scale_v2_${factor}x_" +
       Integer.toHexString(base.hashCode)
     val ready = java.nio.file.Paths.get(dir, "_READY")
     if (java.nio.file.Files.exists(ready)) return dir
@@ -133,6 +182,36 @@ object ScaleSmoke {
     copies("embeddings") { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))
     }
+    // events: single-file output (streaming pathGlobFilter contract);
+    // nanosAsLong so the ns timestamps read/write as raw longs — the
+    // explicit eventSchema consumers accept either physical form
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val tmpEv = s"$dir/_events_build"
+    (0 until factor).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 100000000L))
+    }.reduce(_.unionAll(_)).coalesce(1)
+      .write.mode("overwrite").parquet(tmpEv)
+    val part = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(tmpEv))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+      } finally s.close()
+    }
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    locally {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(tmpEv))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally s.close()
+    }
+
     java.nio.file.Files.write(ready, Array.emptyByteArray)
     dir
   }
