@@ -571,20 +571,31 @@ object Similarity {
     // layout, the partition filter)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val assigned = candidates
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-      .crossJoin(broadcast(centDf))
-      .select(col("neighbor_id"), col("ce"), col("cid"),
-        cosine(col("ce"), col("cemb")).as("sim"))
-      .groupBy(col("neighbor_id"))
-      .agg(first(col("ce")).as("ce"),
-        max(struct(col("sim").as("sim"), (-col("cid")).as("ncid")))
-          .as("best"))
-      .select(col("neighbor_id"), col("ce"),
-        (-col("best.ncid")).as("cid"))
+    val assigned = distributedAssign(candidates, centDf)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("cid"))
       .filter(col("cid").isin(probedCids: _*))
     ivfRescore(probes, assigned, k)
   }
+
+  /** Broadcast-join + min-reduce list assignment: `(vec_id, embedding,
+    * cid)` for every candidate, without the centroid matrix ever riding
+    * an expression tree. Map-side partial aggregation collapses each
+    * partition to one row per candidate before the exchange (the shuffle
+    * carries n rows, not n·|C|); `max(struct(sim, -cid))` reproduces the
+    * kernel's tiebreak — sim first, larger `-cid` = smallest cid on
+    * equal sim. */
+  private def distributedAssign(candidates: DataFrame,
+      centDf: DataFrame): DataFrame =
+    candidates.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("cemb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("sim").as("sim"), (-col("cid")).as("ncid")))
+          .as("best"))
+      .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cid"))
 
   /** Deterministic centroid sample: every `stride`-th vec_id, ascending
     * (the [[graft.functions.NearestCentroid]] tiebreak contract). Each
@@ -664,11 +675,22 @@ object Similarity {
     * probe then reads ONLY its probed `list=` partitions, planned from
     * the committed manifest like [[writeBucketedLayout]]. */
   def writeIvfLayout(candidates: DataFrame, dir: String,
-      stride: Int = DefaultIvfStride, dim: Int = DefaultDim): Unit = {
+      stride: Int = DefaultIvfStride, dim: Int = DefaultDim,
+      maxKernelCentroids: Int = MaxKernelCentroids): Unit = {
     val cents = collectCentroids(candidates, stride, dim)
-    val frame = candidates.select(col("vec_id"), col("embedding"),
-      graft.functions.NearestCentroid(col("embedding"), cents, dim)
-        .as("list"))
+    // same strategy switch as [[ivfTopKAdaptive]]: past the threshold the
+    // build-time assignment broadcasts the centroid frame instead of
+    // embedding the matrix in every task's expression tree (identical
+    // lists by construction — spec-pinned)
+    val frame =
+      if (cents.size <= maxKernelCentroids)
+        candidates.select(col("vec_id"), col("embedding"),
+          graft.functions.NearestCentroid(col("embedding"), cents, dim)
+            .as("list"))
+      else distributedAssign(candidates,
+          candidates.filter(col("vec_id") % stride === 0)
+            .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+        .withColumnRenamed("cid", "list")
     frame.write.mode("overwrite").partitionBy("list").parquet(dir)
     writeLayoutManifest(dir,
       types.StructType(frame.schema.fields.filterNot(_.name == "list")))

@@ -220,6 +220,27 @@ class OperatorsSpec extends SparkSuite {
     val plan = viaDistributed.queryExecution.executedPlan.toString
     assert(!plan.contains("graft_nearest_centroid"),
       s"distributed path must not embed the centroid matrix:\n$plan")
+
+    // the layout BUILD has the same strategy switch: forced-distributed
+    // assignment writes identical lists, so probes agree exactly
+    val small = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = small.filter(col("vec_id") < 5)
+    def tmp() = java.nio.file.Files.createTempDirectory("ivf_b").toString
+    val (dk, dd) = (tmp(), tmp())
+    try {
+      ivfTopKAdaptive(qs, small, 3) // warms nothing; sanity that it runs
+      Similarity.writeIvfLayout(small, dk, stride = 50)
+      Similarity.writeIvfLayout(small, dd, stride = 50,
+        maxKernelCentroids = 0)
+      assert(tuples(ivfTopKFromLayout(dk, qs, 3, nprobe = 2)) ==
+        tuples(ivfTopKFromLayout(dd, qs, 3, nprobe = 2)),
+        "distributed-assignment layout must probe identically")
+    } finally Seq(dk, dd).foreach { d =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("physical l=/bucket= layout probe matches the logical plan and " +
