@@ -332,10 +332,25 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     (404, "Table not found", "null")
   }
 
-  /** `DELETE /v1/table/{name}`. */
+  /** `DELETE /v1/table/{name}` — `server/src/api/delete_table.rs`:
+    * system/invalid names → 400, unknown table → 404 envelope, success →
+    * 202 `{"micros": ...}`; the table's metrics partitions are deleted
+    * WITH it (`delete_table.rs:50-58`), including any still-buffered
+    * latency points (so a later coalesced flush can't resurrect the
+    * dropped `_mtx_` table). */
   def deleteTable(name: String): String = timed {
-    catalog.dropTable(name)
-    (200, "Table deleted successfully", "null")
+    val t0 = System.nanoTime()
+    validateTableName(name) match {
+      case Some(msg) => (400, msg, "null")
+      case None if !catalog.listTables().contains(name) =>
+        (404, "Table not found", "null")
+      case None =>
+        catalog.dropTable(name)
+        MetricsTable.discardBuffer(catalog, Some(name))
+        catalog.dropTable(MetricsTable.nameFor(Some(name)))
+        (202, "Deletion completed successfully",
+          s"""{"micros":${(System.nanoTime() - t0) / 1000L}}""")
+    }
   }
 
   /** `GET /` — server-rendered metrics dashboard ([[Dashboard]]), the

@@ -236,9 +236,16 @@ class HttpApiSpec extends SparkSuite {
         assert(ab.get("message").map(_.asString) == Some("Table not found"))
         assert(ab.asObject.get("result") == Some(JsonValue.JNull))
 
-        // DELETE table
-        val (es, _) = send("DELETE", s"$base/webtable")
-        assert(es == 200)
+        // DELETE table: 202 + micros (delete_table.rs:74-81); a second
+        // delete of the now-absent table → 404 envelope (:83-89); system
+        // names → 400 (:22-28)
+        val (es, eb) = send("DELETE", s"$base/webtable")
+        assert(es == 202)
+        assert(eb.get("result").flatMap(_.get("micros")).isDefined)
+        val (es2, _) = send("DELETE", s"$base/webtable")
+        assert(es2 == 404)
+        val (es3, _) = send("DELETE", s"$base/_metrics")
+        assert(es3 == 400)
       } finally srv.stop()
     }
   }
