@@ -210,8 +210,15 @@ class OperatorsSpec extends SparkSuite {
         .toSet
     val derived = adaptiveIvfStride(e.count())
     // kernel strategy (|C| under the threshold) ≡ explicit-stride ivfTopK
+    // (autoNprobe(45 lists) = max(8, ceil(√45)) = 8 = the pinned default)
     val viaKernel = ivfTopKAdaptive(q, e, 5)
     assert(tuples(viaKernel) == tuples(ivfTopK(q, e, 5, stride = derived)))
+    // adaptive geometry keeps useful recall (√n lists + √lists probes)
+    val exact = tuples(bruteForceTopK(q, e, 5)).map(t => (t._1, t._2))
+    val approx = tuples(viaKernel).map(t => (t._1, t._2))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"adaptive IVF recall@5 (45 lists, 8 probes): $recall%.2f")
+    assert(recall >= 0.40, f"adaptive recall $recall%.2f below floor")
     // forced distributed strategy must produce the identical result with
     // NO centroid matrix in the plan (no embedded kernel reference)
     val viaDistributed = ivfTopKAdaptive(q, e, 5, maxKernelCentroids = 0)
