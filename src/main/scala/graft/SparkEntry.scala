@@ -520,6 +520,16 @@ object SparkEntry {
         ivfLayoutDir(s, dir), e.filter(col("vec_id") < 10), k = AnnIvfK)
     }),
 
+    // ---- corpus-adaptive IVF: ~√n lists (capped), √lists probes, and
+    //      an assignment strategy picked by centroid count — the
+    //      geometry is pure arithmetic on count(*), so the oracle
+    //      computes the identical stride/nprobe in SQL ------------------
+    "ext_ann_ivf_adaptive" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.ivfTopKAdaptive(
+        e.filter(col("vec_id") < 10), e, k = AnnIvfK)
+    }),
+
     // ---- language ID (stopword-lexicon heuristic) --------------------
     "ext_lang_id" -> ((s, dir) => graft.operators.TextAnalysis.langId(
       s.read.parquet(s"$dir/documents.parquet"))),
@@ -683,6 +693,45 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(CAST(p.qe AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])) DESC, l.vec_id) AS rnk
       |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id != p.query_id
       |) WHERE rnk <= $AnnIvfK""".stripMargin
+
+  /** Oracle for `ext_ann_ivf_adaptive`: the SAME derivation as
+    * [[graft.operators.Similarity.adaptiveIvfStride]] /
+    * [[graft.operators.Similarity.autoNprobe]] in SQL — lists =
+    * max(1, min(ceil(√n), cap)), stride = max(1, ceil(n/lists)),
+    * nprobe = max(default, ceil(√(ceil(n/stride)))) — then the pinned
+    * IVF semantics (nearest-centroid assignment with smallest-cid ties,
+    * driver-identical probe ranking, exact rescore within probed
+    * lists). Both engines compute ceil/sqrt on IEEE doubles, so the
+    * derived geometry is bit-identical. */
+  private val annIvfAdaptiveSql: String = {
+    import graft.operators.Similarity.{DefaultIvfProbes, DefaultMaxIvfLists}
+    s"""WITH p AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+      |), geo AS (
+      |  SELECT n, greatest(1, CAST(ceil(CAST(n AS DOUBLE) / CAST(greatest(1, least(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), $DefaultMaxIvfLists)) AS DOUBLE)) AS BIGINT)) AS stride
+      |  FROM p
+      |), geo2 AS (
+      |  SELECT stride, greatest($DefaultIvfProbes, CAST(ceil(sqrt(CAST((n + stride - 1) // stride AS DOUBLE))) AS BIGINT)) AS nprobe
+      |  FROM geo
+      |), cent AS (
+      |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % (SELECT stride FROM geo2) = 0
+      |), assign AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
+      |  FROM embeddings e CROSS JOIN cent c
+      |), lists AS (
+      |  SELECT vec_id, embedding, cid FROM assign WHERE rn = 1
+      |), qp AS (
+      |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
+      |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+      |), probes AS (SELECT query_id, qe, cid FROM qp WHERE rn <= (SELECT nprobe FROM geo2))
+      |SELECT query_id, neighbor_id, rnk FROM (
+      |  SELECT pr.query_id, l.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY pr.query_id ORDER BY list_cosine_similarity(CAST(pr.qe AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])) DESC, l.vec_id) AS rnk
+      |  FROM probes pr JOIN lists l ON l.cid = pr.cid AND l.vec_id != pr.query_id
+      |) WHERE rnk <= $AnnIvfK""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     val oc = OrderCellsSql
@@ -855,6 +904,7 @@ object SparkEntry {
       "ext_ann_bucketed" -> annBucketedSql,
       "ext_ann_ivf" -> annIvfSql,
       "eng_ann_ivf" -> annIvfSql,
+      "ext_ann_ivf_adaptive" -> annIvfAdaptiveSql,
       "ext_lang_id" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents

@@ -45,12 +45,12 @@ object ScaleSmoke {
     "ext_dedup_exact", "ext_dedup_minhash", "ext_dedup_simhash",
     "ext_fingerprint", "ext_lang_id",
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
-    "ext_ann_ivf", "eng_ann_ivf",
+    "ext_ann_ivf", "ext_ann_ivf_adaptive", "eng_ann_ivf",
     "ext_sessionize", "ext_stream_window_append")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
-    "ext_ann_ivf", "eng_ann_ivf")
+    "ext_ann_ivf", "ext_ann_ivf_adaptive", "eng_ann_ivf")
 
   /** Scale-shape runners that are not driver-contract `queries` entries:
     * the streaming window's append-mode file sink (the 100 TB shape —
