@@ -152,17 +152,38 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
 
   // ------------------------------------------------------------- handlers
 
-  /** `PUT /v1/table/{name}` — create table. */
+  /** Shared guard sequence of every per-table verb (`write.rs:34-52`,
+    * `get_rows.rs:31-47`, `scan.rs:25-41`, `count.rs:22-40`,
+    * `delete_row.rs:33-50`, `create_column_family.rs:46-62`): system
+    * prefix → `sysStatus` (400 everywhere except the column-family
+    * route's 403), invalid identifier → 400, unknown table → the 404
+    * envelope. Verbs never auto-create: the reference routes through its
+    * table registry and a miss is a miss. */
+  private def withExistingTable(name: String, sysStatus: Int = 400)(
+      body: Smoltable => (Int, String, String)): (Int, String, String) =
+    if (name.startsWith("_")) (sysStatus, "Invalid table name", "null")
+    else if (!ColumnKey.isValidIdentifier(name))
+      (400, "Invalid table name", "null")
+    else if (!catalog.listTables().contains(name))
+      (404, "Table not found", "null")
+    else body(table(name))
+
+  /** `PUT /v1/table/{name}` — create table (`create_table.rs`): 400
+    * invalid/system name, 409 "Conflict" if it exists, 201 on success. */
   def createTable(name: String): String = timed {
     validateTableName(name) match {
       case Some(err) => (400, err, "null")
+      case None if catalog.listTables().contains(name) =>
+        (409, "Conflict", "null")
       case None =>
         table(name)
-        (200, "Table created successfully", "null")
+        (201, "Table created successfully", "null")
     }
   }
 
-  /** `POST /v1/table/{name}/column-family` — create column families. */
+  /** `POST /v1/table/{name}/column-family` — create column families
+    * (`create_column_family.rs`): system name → 403, invalid → 400,
+    * unknown table → 404, existing family → 409, success → 201. */
   def createColumnFamilies(name: String, body: String): String = timed {
     val json = JsonValue.parse(body)
     val fams = json.get("column_families").map(_.asArray).getOrElse(Nil).map { f =>
@@ -175,43 +196,46 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     }
     if (fams.exists(f => !ColumnKey.isValidIdentifier(f.name)))
       (400, "Invalid column family name", "null")
-    else {
-      table(name).createColumnFamilies(fams,
-        localityGroup = json.get("locality_group").exists(_.asBoolean))
-      (200, "Column families created successfully", "null")
+    else withExistingTable(name, sysStatus = 403) { t =>
+      val existing = t.listColumnFamilies.map(_.name).toSet
+      fams.find(f => existing(f.name)) match {
+        case Some(f) =>
+          (409, s"Column family ${f.name} already exists", "null")
+        case None =>
+          t.createColumnFamilies(fams,
+            localityGroup = json.get("locality_group").exists(_.asBoolean))
+          (201, "Column families created successfully", "null")
+      }
     }
   }
 
-  /** `POST /v1/table/{name}/write`. */
+  /** `POST /v1/table/{name}/write` — empty items rejected BEFORE name
+    * validation (`write.rs:30-32`, the JSON extractor order). */
   def write(name: String, body: String): String = timed {
-    validateTableName(name) match {
-      case Some(err) => (400, err, "null")
-      case None =>
-        val t0 = System.nanoTime()
-        val json = JsonValue.parse(body)
-        val items = json.get("items").map(_.asArray).getOrElse(Nil).map { item =>
-          RowWriteItem(
-            rowKey = item.get("row_key").map(_.asString).getOrElse(""),
-            cells = item.get("cells").map(_.asArray).getOrElse(Nil).map { c =>
-              ColumnWriteItem(
-                column = ColumnKey.of(
-                  c.get("column_key").map(_.asString).getOrElse("")),
-                ts = c.get("time").map(_.asLong),
-                value = parseCellValue(c))
-            })
-        }
-        if (items.isEmpty) (400, "Invalid write body", "null")
-        else {
-          table(name).write(items)
-          val cellCount = items.map(_.cells.size).sum
-          val microsTotal = (System.nanoTime() - t0) / 1000L
-          val microsPerCell =
-            if (cellCount == 0) 0L else microsTotal / cellCount
-          recordLat(name, "lat#write#cell" -> microsPerCell.toDouble,
-            "lat#write#batch" -> microsTotal.toDouble)
-          (200, "Data ingestion successful",
-            s"""{"micros_per_cell":$microsPerCell,"items":{"row_count":${items.size},"cell_count":$cellCount}}""")
-        }
+    val t0 = System.nanoTime()
+    val json = JsonValue.parse(body)
+    val items = json.get("items").map(_.asArray).getOrElse(Nil).map { item =>
+      RowWriteItem(
+        rowKey = item.get("row_key").map(_.asString).getOrElse(""),
+        cells = item.get("cells").map(_.asArray).getOrElse(Nil).map { c =>
+          ColumnWriteItem(
+            column = ColumnKey.of(
+              c.get("column_key").map(_.asString).getOrElse("")),
+            ts = c.get("time").map(_.asLong),
+            value = parseCellValue(c))
+        })
+    }
+    if (items.isEmpty) (400, "Items array should not be empty", "null")
+    else withExistingTable(name) { t =>
+      t.write(items)
+      val cellCount = items.map(_.cells.size).sum
+      val microsTotal = (System.nanoTime() - t0) / 1000L
+      val microsPerCell =
+        if (cellCount == 0) 0L else microsTotal / cellCount
+      recordLat(name, "lat#write#cell" -> microsPerCell.toDouble,
+        "lat#write#batch" -> microsTotal.toDouble)
+      (200, "Data ingestion successful",
+        s"""{"micros_per_cell":$microsPerCell,"items":{"row_count":${items.size},"cell_count":$cellCount}}""")
     }
   }
 
@@ -221,33 +245,41 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     val json = JsonValue.parse(body)
     val items = json.get("items").map(_.asArray).getOrElse(Nil)
       .map(parseRowInput)
-    val out = table(name).multiGet(items)
-    val microsPerRow = if (out.rows.isEmpty) 0L
-      else (System.nanoTime() - t0) / 1000L / out.rows.size
-    recordLat(name, "lat#read#row" -> microsPerRow.toDouble)
-    (200, "Query successful",
-      s"""{"rows":${renderRows(out.rows)},"affected_locality_groups":${out.metrics.affectedLocalityGroups},"cells_scanned_count":${out.metrics.cellsScanned},"rows_scanned_count":${out.metrics.rowsScanned},"bytes_scanned_count":${out.metrics.bytesScanned}}""")
+    withExistingTable(name) { t =>
+      val out = t.multiGet(items)
+      val microsPerRow = if (out.rows.isEmpty) 0L
+        else (System.nanoTime() - t0) / 1000L / out.rows.size
+      recordLat(name, "lat#read#row" -> microsPerRow.toDouble)
+      (200, "Query successful",
+        s"""{"rows":${renderRows(out.rows)},"affected_locality_groups":${out.metrics.affectedLocalityGroups},"cells_scanned_count":${out.metrics.cellsScanned},"rows_scanned_count":${out.metrics.rowsScanned},"bytes_scanned_count":${out.metrics.bytesScanned}}""")
+    }
   }
 
   /** `POST /v1/table/{name}/scan`. */
   def scan(name: String, body: String): String = timed {
     val t0 = System.nanoTime()
-    val out = table(name).scan(parseScanInput(JsonValue.parse(body)))
-    recordLat(name,
-      "lat#read#pfx" -> ((System.nanoTime() - t0) / 1000L).toDouble)
-    (200, "Query successful",
-      s"""{"rows":${renderRows(out.rows)},"affected_locality_groups":${out.metrics.affectedLocalityGroups},"cells_scanned_count":${out.metrics.cellsScanned},"rows_scanned_count":${out.metrics.rowsScanned},"bytes_scanned_count":${out.metrics.bytesScanned}}""")
+    val in = parseScanInput(JsonValue.parse(body))
+    withExistingTable(name) { t =>
+      val out = t.scan(in)
+      recordLat(name,
+        "lat#read#pfx" -> ((System.nanoTime() - t0) / 1000L).toDouble)
+      (200, "Query successful",
+        s"""{"rows":${renderRows(out.rows)},"affected_locality_groups":${out.metrics.affectedLocalityGroups},"cells_scanned_count":${out.metrics.cellsScanned},"rows_scanned_count":${out.metrics.rowsScanned},"bytes_scanned_count":${out.metrics.bytesScanned}}""")
+    }
   }
 
   /** `POST /v1/table/{name}/count`. */
   def count(name: String, body: String): String = timed {
     val json = JsonValue.parse(body)
     val row = json.get("row").getOrElse(JObject(Map.empty))
-    val out = table(name).scanCount(CountInput(
+    val in = CountInput(
       mode = parseScanMode(row),
-      filter = json.get("column").flatMap(parseFilter)))
-    (200, "Query successful",
-      s"""{"affected_locality_groups":${out.affectedLocalityGroups},"cell_count":${out.cellCount},"row_count":${out.rowCount},"bytes_scanned_count":${out.bytesScanned}}""")
+      filter = json.get("column").flatMap(parseFilter))
+    withExistingTable(name) { t =>
+      val out = t.scanCount(in)
+      (200, "Query successful",
+        s"""{"affected_locality_groups":${out.affectedLocalityGroups},"cell_count":${out.cellCount},"row_count":${out.rowCount},"bytes_scanned_count":${out.bytesScanned}}""")
+    }
   }
 
   /** `DELETE /v1/table/{name}/row`. */
@@ -256,13 +288,15 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     val json = JsonValue.parse(body)
     val rowKey = json.get("row_key").map(_.asString).getOrElse("")
     val filter = json.get("column_filter").flatMap(parseFilter)
-    val deleted = table(name).deleteRow(rowKey, filter)
-    val microsTotal = (System.nanoTime() - t0) / 1000L
-    val microsPerItem = if (deleted == 0) 0L else microsTotal / deleted
-    recordLat(name, "lat#del#row" -> microsTotal.toDouble,
-      "lat#del#cell" -> microsPerItem.toDouble)
-    (202, "Deletion completed successfully",
-      s"""{"micros_per_item":$microsPerItem,"deleted_cells_count":$deleted}""")
+    withExistingTable(name) { t =>
+      val deleted = t.deleteRow(rowKey, filter)
+      val microsTotal = (System.nanoTime() - t0) / 1000L
+      val microsPerItem = if (deleted == 0) 0L else microsTotal / deleted
+      recordLat(name, "lat#del#row" -> microsTotal.toDouble,
+        "lat#del#cell" -> microsPerItem.toDouble)
+      (202, "Deletion completed successfully",
+        s"""{"micros_per_item":$microsPerItem,"deleted_cells_count":$deleted}""")
+    }
   }
 
   /** `GET /v1/table` — list tables with the reference's full detail
@@ -274,7 +308,9 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     */
   def listTables(): String = timed {
     import graft.core.TableManifest
-    val tables = catalog.listTables().map { name =>
+    // user tables only: the reference's registry never holds the `_`
+    // system tables (its metrics live in partitions, not the registry)
+    val tables = catalog.listTables().filterNot(_.startsWith("_")).map { name =>
       val t = table(name)
       val m = t.manifest
       val fams = m.families.map { f =>

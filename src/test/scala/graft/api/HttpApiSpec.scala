@@ -154,13 +154,39 @@ class HttpApiSpec extends SparkSuite {
       try {
         // PUT create table
         val (cs, cb) = send("PUT", s"$base/webtable")
-        assert(cs == 200 && cb.get("status").map(_.asLong) == Some(200L))
+        // create_table.rs:56: 201 CREATED; create again → 409 Conflict
+        assert(cs == 201 && cb.get("status").map(_.asLong) == Some(201L))
+        val (cs2, cb2) = send("PUT", s"$base/webtable")
+        assert(cs2 == 409 &&
+          cb2.get("message").map(_.asString) == Some("Conflict"))
 
         // POST column-family (docs create-column-families.md body)
         val (fs, _) = send("POST", s"$base/webtable/column-family",
           """{"column_families":[{"name":"language"},{"name":"title"},
             |{"name":"anchor"},{"name":"meta"}]}""".stripMargin)
-        assert(fs == 200)
+        // create_column_family.rs:98: 201 CREATED; re-create → 409 with
+        // the family named; unknown table → 404; system name → 403
+        assert(fs == 201)
+        val (fs2, fb2) = send("POST", s"$base/webtable/column-family",
+          """{"column_families":[{"name":"title"}]}""")
+        assert(fs2 == 409 && fb2.get("message").map(_.asString) ==
+          Some("Column family title already exists"))
+        val (fs3, _) = send("POST", s"$base/absent/column-family",
+          """{"column_families":[{"name":"x"}]}""")
+        assert(fs3 == 404)
+        val (fs4, _) = send("POST", s"$base/_metrics/column-family",
+          """{"column_families":[{"name":"x"}]}""")
+        assert(fs4 == 403)
+        // per-table verbs on an unknown table → 404 envelope, never
+        // auto-create (write.rs:127, scan.rs:100, get_rows.rs:96,
+        // count.rs:78, delete_row.rs:97)
+        for ((m, p, b) <- Seq(
+          ("POST", "absent/write", """{"items":[{"row_key":"r","cells":[{"column_key":"v:","type":"string","value":"x"}]}]}"""),
+          ("POST", "absent/rows", """{"items":[{"row":{"key":"r"}}]}"""),
+          ("POST", "absent/scan", """{"row":{"prefix":""}}"""),
+          ("POST", "absent/count", """{"row":{"prefix":""}}"""),
+          ("DELETE", "absent/row", """{"row_key":"r"}""")))
+          assert(send(m, s"$base/$p", b)._1 == 404, s"$p must 404")
 
         // POST write (docs ingest-data.md body)
         val (ws, wb) = send("POST", s"$base/webtable/write",
