@@ -461,7 +461,7 @@ object Similarity {
   /** Driver-side cosine, replicating [[CosineSimilarity.compute]]'s fold
     * order and `dot/sqrt/sqrt` sequence exactly (bit-identical ranking
     * between the driver's probe selection and the executors' kernels). */
-  private def cosineLocal(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+  private def cosineLocal(a: IndexedSeq[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
