@@ -164,7 +164,7 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     if (name.startsWith("_")) (sysStatus, "Invalid table name", "null")
     else if (!ColumnKey.isValidIdentifier(name))
       (400, "Invalid table name", "null")
-    else if (!catalog.listTables().contains(name))
+    else if (!catalog.tableExists(name))
       (404, "Table not found", "null")
     else body(table(name))
 
@@ -173,7 +173,7 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
   def createTable(name: String): String = timed {
     validateTableName(name) match {
       case Some(err) => (400, err, "null")
-      case None if catalog.listTables().contains(name) =>
+      case None if catalog.tableExists(name) =>
         (409, "Conflict", "null")
       case None =>
         table(name)
@@ -362,7 +362,7 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     * `_mtx_*` system tables ([[graft.core.MetricsTable]]).
     */
   def tableMetrics(name: String): String = timed {
-    if (catalog.listTables().contains(name))
+    if (catalog.tableExists(name))
       throw new IllegalStateException(
         "not implemented: metrics route is unimplemented!() upstream")
     (404, "Table not found", "null")
@@ -378,7 +378,7 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     val t0 = System.nanoTime()
     validateTableName(name) match {
       case Some(msg) => (400, msg, "null")
-      case None if !catalog.listTables().contains(name) =>
+      case None if !catalog.tableExists(name) =>
         (404, "Table not found", "null")
       case None =>
         catalog.dropTable(name)

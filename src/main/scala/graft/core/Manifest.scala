@@ -201,6 +201,12 @@ final class Catalog(val baseDir: String) {
   def listTables(): Seq[String] =
     PathIO.listDirNames(tablesDir).sorted
 
+  /** O(1) existence check (one stat) — the per-request guard path; a
+    * full [[listTables]] listing per API call would scale with table
+    * count. */
+  def tableExists(name: String): Boolean =
+    Files.isDirectory(tablePath(name))
+
   def dropTable(name: String): Unit =
     PathIO.deleteRecursively(tablePath(name))
 
