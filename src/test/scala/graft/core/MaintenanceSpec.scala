@@ -88,6 +88,15 @@ class MaintenanceSpec extends SparkSuite {
       assert(buffered > 0) // the scenario really exercised the tail flush
       // newest-first read still works and sees the latest point
       assert(m.latest("lat#read#row", limit = 1).map(_._2) == Seq(500.0))
+
+      // discarding a table's buffer really drops its pending points (the
+      // table-drop path): buffer some, discard, flush -> nothing lands
+      m.dataPointsBuffered(Seq("lat#read#row" -> 999.0),
+        tsNanos = Some(9999L))
+      MetricsTable.discardBuffer(cat, Some("busy"))
+      m.flushBuffered()
+      assert(m.latest("lat#read#row", limit = 1).map(_._2) == Seq(500.0),
+        "discarded buffered points must never land")
     }
   }
 
