@@ -46,7 +46,7 @@ object ScaleSmoke {
     "ext_fingerprint", "ext_lang_id",
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
     "ext_ann_ivf", "ext_ann_ivf_adaptive", "eng_ann_ivf",
-    "ext_sessionize", "ext_stream_window_append")
+    "ext_sessionize", "ext_sessionize_stream", "ext_stream_window_append")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
@@ -63,7 +63,11 @@ object ScaleSmoke {
       val out = java.nio.file.Files.createTempDirectory("sw_out").toString
       val ck = java.nio.file.Files.createTempDirectory("sw_ck").toString
       graft.streaming.StreamOps.hourlyWindowAggToFiles(s, dir, out, ck)
-    }))
+    }),
+    // true stateful streaming (flatMapGroupsWithState + event-time
+    // timeouts) — the keyed-state family's scale row
+    "ext_sessionize_stream" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamingSessionize(s, dir)))
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
