@@ -107,9 +107,15 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876) {
       } finally ex.close()
     }
 
-    /** Request body up to [[MaxJsonBody]]; `None` = over the cap (the
-      * stream is abandoned there — never fully buffered). */
+    /** Request body up to [[MaxJsonBody]]; `None` = over the cap. A
+      * declared-oversized Content-Length rejects BEFORE reading a single
+      * byte (actix's extractor checks the declared length first); an
+      * undeclared/chunked body stops at the cap — never fully buffered
+      * either way. */
     private def readCapped(ex: HttpExchange): Option[String] = {
+      val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+        .flatMap(_.toLongOption)
+      if (declared.exists(_ > MaxJsonBody)) return None
       val in = ex.getRequestBody
       val out = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](64 * 1024)

@@ -168,16 +168,24 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
       (404, "Table not found", "null")
     else body(table(name))
 
+  /** Serializes create/delete DDL — the analog of the reference's
+    * `tables.write().await` registry lock: without it two concurrent
+    * creates could both see "absent" and both return 201. Reads don't
+    * take it (the reference's read verbs hold only the read lock). */
+  private val ddlLock = new Object
+
   /** `PUT /v1/table/{name}` — create table (`create_table.rs`): 400
     * invalid/system name, 409 "Conflict" if it exists, 201 on success. */
   def createTable(name: String): String = timed {
     validateTableName(name) match {
       case Some(err) => (400, err, "null")
-      case None if catalog.tableExists(name) =>
-        (409, "Conflict", "null")
-      case None =>
-        table(name)
-        (201, "Table created successfully", "null")
+      case None => ddlLock.synchronized {
+        if (catalog.tableExists(name)) (409, "Conflict", "null")
+        else {
+          table(name)
+          (201, "Table created successfully", "null")
+        }
+      }
     }
   }
 
@@ -362,7 +370,10 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     * `_mtx_*` system tables ([[graft.core.MetricsTable]]).
     */
   def tableMetrics(name: String): String = timed {
-    if (catalog.tableExists(name))
+    // identifier check BEFORE the filesystem probe: "." or ".." resolve
+    // to real directories but are never registry entries in the
+    // reference — they must get the 404 envelope, not the 500
+    if (validateTableName(name).isEmpty && catalog.tableExists(name))
       throw new IllegalStateException(
         "not implemented: metrics route is unimplemented!() upstream")
     (404, "Table not found", "null")
@@ -378,14 +389,16 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     val t0 = System.nanoTime()
     validateTableName(name) match {
       case Some(msg) => (400, msg, "null")
-      case None if !catalog.tableExists(name) =>
-        (404, "Table not found", "null")
-      case None =>
-        catalog.dropTable(name)
-        MetricsTable.discardBuffer(catalog, Some(name))
-        catalog.dropTable(MetricsTable.nameFor(Some(name)))
-        (202, "Deletion completed successfully",
-          s"""{"micros":${(System.nanoTime() - t0) / 1000L}}""")
+      case None => ddlLock.synchronized {
+        if (!catalog.tableExists(name)) (404, "Table not found", "null")
+        else {
+          catalog.dropTable(name)
+          MetricsTable.discardBuffer(catalog, Some(name))
+          catalog.dropTable(MetricsTable.nameFor(Some(name)))
+          (202, "Deletion completed successfully",
+            s"""{"micros":${(System.nanoTime() - t0) / 1000L}}""")
+        }
+      }
     }
   }
 

@@ -69,7 +69,7 @@ final class MetricsTable private (val table: Smoltable) {
   /** One write batch preserving each point's buffer-time version. The
     * write is OUTSIDE the buffer lock: a Spark append under the lock
     * would serialize every concurrent recorder behind it. */
-  private def writeBuffered(pts: Vector[(String, Double, Long)]): Unit =
+  private[core] def writeBuffered(pts: Vector[(String, Double, Long)]): Unit =
     if (pts.nonEmpty)
       table.write(pts.map { case (metric, value, ts) =>
         RowWriteItem(metric, Seq(ColumnWriteItem(
@@ -130,25 +130,34 @@ object MetricsTable {
     buffers.computeIfAbsent(s"${t.catalog.baseDir}\t${t.name}",
       _ => scala.collection.mutable.ArrayBuffer.empty)
 
-  /** Drop any buffered-but-unflushed points of one metrics table (table
-    * deletion: the points' table is gone; flushing later would recreate
-    * it). */
+  /** Drop any buffered-but-unflushed points of one metrics table AND its
+    * map entry (table deletion: the points' table is gone; flushing later
+    * would recreate it, and dropped tables must not leak map entries).
+    * A point recorded by a concurrently in-flight verb into the removed
+    * buffer object is lost — the fire-and-forget contract. */
   def discardBuffer(catalog: Catalog, userTable: Option[String]): Unit = {
-    val buf = buffers.get(s"${catalog.baseDir}\t${nameFor(userTable)}")
+    val buf = buffers.remove(s"${catalog.baseDir}\t${nameFor(userTable)}")
     if (buf != null) buf.synchronized(buf.clear())
   }
 
   /** Flush every buffered metrics table of `catalog` (the 60 s system
-    * sweep's visibility bound). */
+    * sweep's visibility bound). Empty buffers are skipped WITHOUT opening
+    * the table — `open` creates the table directory, so flushing an
+    * empty stale entry would resurrect a just-dropped `_mtx_` table. */
   def flushAll(spark: SparkSession, catalog: Catalog): Unit = {
     val prefix = s"${catalog.baseDir}\t"
-    buffers.keySet.forEach { key =>
+    buffers.forEach { (key, buf) =>
       if (key.startsWith(prefix)) {
-        val table = key.substring(prefix.length)
-        val user =
-          if (table == nameFor(None)) None
-          else Some(table.stripPrefix("_mtx_"))
-        open(spark, catalog, user).flushBuffered()
+        val drained = buf.synchronized {
+          val d = buf.toVector; buf.clear(); d
+        }
+        if (drained.nonEmpty) {
+          val table = key.substring(prefix.length)
+          val user =
+            if (table == nameFor(None)) None
+            else Some(table.stripPrefix("_mtx_"))
+          open(spark, catalog, user).writeBuffered(drained)
+        }
       }
     }
   }

@@ -565,23 +565,30 @@ object Similarity {
     * scales with |C| on the driver. */
   def ivfTopKDistributed(queries: DataFrame, candidates: DataFrame,
       k: Int, stride: Int, nprobe: Int = DefaultIvfProbes): DataFrame = {
+    val spark = queries.sparkSession
     val centDf = candidates.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    val probeScored = broadcast(queries
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
-      .crossJoin(centDf)
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))
+      .filter(col("qe").isNotNull) // null embeddings probe nothing
+    val probeScored = broadcast(q).crossJoin(centDf)
       .select(col("query_id"), col("qe"), col("cid"),
         cosine(col("qe"), col("cemb")).as("sim"))
     val wq = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("cid").asc)
-    val probes = probeScored.withColumn("rn", row_number().over(wq))
+    // ONE probe-selection job: collect the |Q|·nprobe winners (small by
+    // the ANN probe contract) and rebuild them as a local relation, so
+    // the |Q|×|C| scoring subplan doesn't execute a second time inside
+    // the rescore's broadcast exchange
+    val probeRows = probeScored.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qe"), col("cid"))
-    // |Q|·nprobe distinct list ids — driver-safe; becomes the static
-    // pushdown filter on the assignment output (and, on a persisted
-    // layout, the partition filter)
-    val probedCids = probes.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .collect()
+    val probedCids = probeRows.map(_.getLong(2)).distinct.toSeq
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      types.StructType(Seq(q.schema.fields(0), q.schema.fields(1),
+        types.StructField("cid", types.LongType, nullable = false))))
     val assigned = distributedAssign(candidates, centDf)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("cid"))
@@ -598,7 +605,12 @@ object Similarity {
     * equal sim. */
   private def distributedAssign(candidates: DataFrame,
       centDf: DataFrame): DataFrame =
+    // null embeddings are never assigned — mirrors the kernel strategy's
+    // nullSafeEval (null list id → row joins no probe); without the
+    // filter, max(struct(null_sim, -cid)) would still produce a struct
+    // and park the row in the smallest-cid list
     candidates.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
       .crossJoin(broadcast(centDf))
       .select(col("vec_id"), col("embedding"), col("cid"),
         cosine(col("embedding"), col("cemb")).as("sim"))

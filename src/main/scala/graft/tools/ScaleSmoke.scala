@@ -205,8 +205,11 @@ object ScaleSmoke {
           .find(_.getFileName.toString.endsWith(".parquet")).get
       } finally s.close()
     }
+    // REPLACE_EXISTING: a crash between this move and the _READY marker
+    // must not wedge every later rebuild on FileAlreadyExists
     java.nio.file.Files.move(part,
-      java.nio.file.Paths.get(dir, "events.parquet"))
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     locally {
       val s = java.nio.file.Files.walk(java.nio.file.Paths.get(tmpEv))
       try {

@@ -100,6 +100,22 @@ class MaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("sweep flush never resurrects a dropped table's metrics") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val m = MetricsTable.open(spark, cat, Some("gone"))
+      m.dataPointsBuffered(Seq("lat#read#row" -> 1.0), tsNanos = Some(1L))
+      // the deleteTable sequence: discard pending points, drop the dir
+      MetricsTable.discardBuffer(cat, Some("gone"))
+      cat.dropTable("_mtx_gone")
+      // the 60 s sweep's flush must SKIP the dropped table entirely —
+      // opening it (even with an empty buffer) would recreate the dir
+      MetricsTable.flushAll(spark, cat)
+      assert(!java.nio.file.Files.exists(cat.tablePath("_mtx_gone")),
+        "flushAll must not recreate a dropped _mtx_ table")
+    }
+  }
+
   test("metrics FIFO cap trims old versions when over budget, in ONE job") {
     withTempDir { dir =>
       val cat = new Catalog(dir.toString)
