@@ -170,9 +170,11 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
 
   /** Serializes create/delete DDL — the analog of the reference's
     * `tables.write().await` registry lock: without it two concurrent
-    * creates could both see "absent" and both return 201. Reads don't
+    * creates could both see "absent" and both return 201. The lock is
+    * the CATALOG's ([[Catalog.ddlLock]]) so the metrics sweep's
+    * existence-checked flush serializes with deletes too. Reads don't
     * take it (the reference's read verbs hold only the read lock). */
-  private val ddlLock = new Object
+  private def ddlLock = catalog.ddlLock
 
   /** `PUT /v1/table/{name}` — create table (`create_table.rs`): 400
     * invalid/system name, 409 "Conflict" if it exists, 201 on success. */
@@ -370,10 +372,12 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     * `_mtx_*` system tables ([[graft.core.MetricsTable]]).
     */
   def tableMetrics(name: String): String = timed {
-    // identifier check BEFORE the filesystem probe: "." or ".." resolve
-    // to real directories but are never registry entries in the
-    // reference — they must get the 404 envelope, not the 500
-    if (validateTableName(name).isEmpty && catalog.tableExists(name))
+    // plain existence check, INCLUDING system tables: the reference
+    // persists `_metrics` as a registry entry (`main.rs:64`
+    // `persist_user_table("_metrics")`), so a registry hit on a system
+    // table reaches the unimplemented!() 500 too. `tableExists` itself
+    // rejects "." / ".." / nested paths (never registry entries).
+    if (catalog.tableExists(name))
       throw new IllegalStateException(
         "not implemented: metrics route is unimplemented!() upstream")
     (404, "Table not found", "null")

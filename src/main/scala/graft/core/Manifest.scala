@@ -193,6 +193,13 @@ private[core] object PathIO {
 /** Server-level catalog of tables (the `app_state.rs:21-48` registry):
   * one directory per table under `baseDir/tables/`.
   */
+object Catalog {
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(baseDir: String): Object =
+    locks.computeIfAbsent(baseDir, _ => new Object)
+}
+
 final class Catalog(val baseDir: String) {
   private def tablesDir: Path = Paths.get(baseDir, "tables")
 
@@ -203,9 +210,21 @@ final class Catalog(val baseDir: String) {
 
   /** O(1) existence check (one stat) — the per-request guard path; a
     * full [[listTables]] listing per API call would scale with table
-    * count. */
-  def tableExists(name: String): Boolean =
-    Files.isDirectory(tablePath(name))
+    * count. Robust against filesystem artifacts: "." / ".." / nested
+    * paths resolve OUTSIDE (or at) the tables dir and report absent —
+    * only a direct child directory is a table. */
+  def tableExists(name: String): Boolean = {
+    val base = tablesDir.toAbsolutePath.normalize
+    val p = base.resolve(name).normalize
+    p.getParent == base && Files.isDirectory(p)
+  }
+
+  /** Per-catalog DDL lock: serializes table create/delete with the
+    * metrics sweep's existence-checked flush
+    * ([[MetricsTable.flushAll]]) — the analog of the reference
+    * registry's write lock (`app_state.rs:34`). Process-wide per
+    * baseDir, like [[Smoltable]]'s per-table locks. */
+  def ddlLock: Object = Catalog.lockFor(baseDir)
 
   def dropTable(name: String): Unit =
     PathIO.deleteRecursively(tablePath(name))

@@ -141,24 +141,42 @@ object MetricsTable {
   }
 
   /** Flush every buffered metrics table of `catalog` (the 60 s system
-    * sweep's visibility bound). Empty buffers are skipped WITHOUT opening
-    * the table — `open` creates the table directory, so flushing an
-    * empty stale entry would resurrect a just-dropped `_mtx_` table. */
+    * sweep's visibility bound). Resurrect-proof by construction:
+    *  - empty buffers are skipped without opening the table (`open`
+    *    creates the directory);
+    *  - non-empty buffers flush UNDER the catalog's DDL lock with a
+    *    user-table existence check, so a concurrent (or already
+    *    completed) table delete can never interleave a recreate — a
+    *    buffer whose user table is gone is discarded instead (points an
+    *    in-flight verb managed to record after the drop die here, the
+    *    fire-and-forget contract);
+    *  - a failing table re-buffers its drained points and does not stop
+    *    the sweep for the remaining tables. */
   def flushAll(spark: SparkSession, catalog: Catalog): Unit = {
     val prefix = s"${catalog.baseDir}\t"
     buffers.forEach { (key, buf) =>
-      if (key.startsWith(prefix)) {
-        val drained = buf.synchronized {
-          val d = buf.toVector; buf.clear(); d
-        }
-        if (drained.nonEmpty) {
+      if (key.startsWith(prefix)) try {
+        if (buf.synchronized(buf.nonEmpty)) {
           val table = key.substring(prefix.length)
           val user =
             if (table == nameFor(None)) None
             else Some(table.stripPrefix("_mtx_"))
-          open(spark, catalog, user).writeBuffered(drained)
+          catalog.ddlLock.synchronized {
+            if (user.forall(catalog.tableExists)) {
+              val mt = open(spark, catalog, user) // open BEFORE draining
+              val drained = buf.synchronized {
+                val d = buf.toVector; buf.clear(); d
+              }
+              if (drained.nonEmpty)
+                try mt.writeBuffered(drained)
+                catch { case e: Exception =>
+                  buf.synchronized(drained.foreach(buf += _))
+                  throw e
+                }
+            } else buffers.remove(key)
+          }
         }
-      }
+      } catch { case _: Exception => () }
     }
   }
 }

@@ -566,7 +566,10 @@ object Similarity {
   def ivfTopKDistributed(queries: DataFrame, candidates: DataFrame,
       k: Int, stride: Int, nprobe: Int = DefaultIvfProbes): DataFrame = {
     val spark = queries.sparkSession
-    val centDf = candidates.filter(col("vec_id") % stride === 0)
+    // null-embedding sample rows are skipped exactly like the kernel
+    // strategy's collectCentroids
+    val centDf = candidates.filter(col("vec_id") % stride === 0 &&
+        col("embedding").isNotNull)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qe"))
@@ -628,7 +631,11 @@ object Similarity {
     * two stages — asserting the width here makes them provably agree. */
   private def collectCentroids(candidates: DataFrame,
       stride: Int, dim: Int): Seq[(Long, Array[Double])] = {
-    val cents = candidates.filter(col("vec_id") % stride === 0)
+    // a sampled row with a null embedding cannot seed a list (it would
+    // NPE here and be a dead all-null-cosine list on the distributed
+    // path — both strategies must skip it identically)
+    val cents = candidates.filter(col("vec_id") % stride === 0 &&
+        col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Any](1).map(toD).toArray))
       .sortBy(_._1).toSeq
@@ -711,7 +718,8 @@ object Similarity {
           graft.functions.NearestCentroid(col("embedding"), cents, dim)
             .as("list"))
       else distributedAssign(candidates,
-          candidates.filter(col("vec_id") % stride === 0)
+          candidates.filter(col("vec_id") % stride === 0 &&
+              col("embedding").isNotNull)
             .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
         .withColumnRenamed("cid", "list")
     frame.write.mode("overwrite").partitionBy("list").parquet(dir)

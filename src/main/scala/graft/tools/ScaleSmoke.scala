@@ -35,9 +35,10 @@ object ScaleSmoke {
 
   /** The measured slice: every §2 operator class (point get, prefix/range
     * scan, limits, sampling, counts, engine-backed reads) plus the
-    * LLM-pipeline operators that shuffle (dedup family, ANN all three
-    * paths, sessionization) and the streaming window in its append/file
-    * -sink scale shape. */
+    * LLM-pipeline operators that shuffle (dedup family, every ANN path —
+    * brute force, LSH logical + layout, IVF pinned/adaptive/layout —
+    * batch + stateful-streaming sessionization) and the streaming window
+    * in its append/file-sink scale shape. */
   private val Names = Seq(
     "op03_scan_prefix", "op04_scan_range", "op11_row_limit",
     "op16_sampling", "op17_scan_count", "op18_full_count",

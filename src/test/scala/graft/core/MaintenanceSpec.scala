@@ -113,6 +113,13 @@ class MaintenanceSpec extends SparkSuite {
       MetricsTable.flushAll(spark, cat)
       assert(!java.nio.file.Files.exists(cat.tablePath("_mtx_gone")),
         "flushAll must not recreate a dropped _mtx_ table")
+      // even when an in-flight verb re-buffers AFTER the discard (the
+      // concurrency window), the sweep discards instead of recreating:
+      // the user table is gone, so its points die with it
+      m.dataPointsBuffered(Seq("lat#read#row" -> 2.0), tsNanos = Some(2L))
+      MetricsTable.flushAll(spark, cat)
+      assert(!java.nio.file.Files.exists(cat.tablePath("_mtx_gone")),
+        "a post-discard buffered point must not resurrect the table")
     }
   }
 
