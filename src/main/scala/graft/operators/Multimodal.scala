@@ -129,4 +129,121 @@ object Multimodal {
     extractFeatures(docs.select(col("doc_id"),
       encode(col("text"), "utf-8").as("payload")))
   }
+
+  // ------------------------------------------------------------- resize
+
+  /** Output schema of [[resizeImages]] — the resized payload is reported
+    * as (size, md5) rather than raw bytes so results stay comparable
+    * across engines (blob hashing differs; hex strings don't). */
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_bytes_out", LongType, nullable = false),
+    StructField("resized_md5", StringType, nullable = false)))
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** REAL image resize for payloads a JRE reader claims: full pixel
+    * decode (`ImageIO.read`), bilinear `Graphics2D` scale to
+    * (width × height), PNG re-encode — all JRE-only, headless-safe.
+    * Returns the re-encoded bytes. */
+  private def resizeReal(payload: Array[Byte], width: Int,
+      height: Int): Option[Array[Byte]] = {
+    if (!looksLikeImage(payload)) return None
+    try {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, width, height, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Some(out.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB resize for payloads no reader claims (non-image media — the
+    * real codec is not in this container): the "resized payload" is the
+    * UTF-8 bytes of `md5hex(payload ++ "_{W}x{H}")` — deterministic,
+    * total, and reproducible in ANSI SQL (`md5(text || '_WxH')`), so the
+    * Spark-side plumbing (schema, batching, per-row contract) stays
+    * oracle-testable end-to-end on synthetic corpora. */
+  private def resizeStub(payload: Array[Byte], width: Int,
+      height: Int): Array[Byte] =
+    md5Hex(payload ++ s"_${width}x$height"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Batched image resize over (doc_id, payload binary) rows: real
+    * decode+scale+re-encode for claimable images, [[resizeStub]]
+    * otherwise. Same `mapPartitions` production shape as
+    * [[extractFeatures]] — lazy iterator, bounded memory, schema
+    * declared up front. */
+  def resizeImages(binaryDocs: DataFrame, width: Int,
+      height: Int): DataFrame = {
+    implicit val enc = RowEncoder.encoderFor(resizeSchema)
+    binaryDocs.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val out = resizeReal(payload, width, height)
+            .getOrElse(resizeStub(payload, width, height))
+          Row(id, width.toLong, height.toLong, out.length.toLong,
+            md5Hex(out))
+        }
+      }
+  }
+
+  // ------------------------------------------------------- frame sample
+
+  /** Output schema of [[sampleFrames]]: one row per sampled frame. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("frame_md5", StringType, nullable = false)))
+
+  /** Every-`every`-th-frame sampling over (doc_id, payload binary) video
+    * rows — the one-row-in / many-rows-out batch shape of a frame
+    * extractor. The DECODE IS A STUB (video codecs are not in this
+    * container): the payload is treated as `ceil(len / frameBytes)`
+    * fixed-size pseudo-frames at 25 fps, and each sampled frame's
+    * content hash is derived deterministically as
+    * `md5hex(md5hex(payload) + "#" + idx)` — SQL-reproducible
+    * (`md5(md5(text) || '#' || idx)`), so the fan-out plumbing
+    * (flatMap batch shape, schema, ordering) is pinned by the oracle
+    * while a real codec can drop in behind the same signature. */
+  def sampleFrames(binaryDocs: DataFrame, frameBytes: Int = 4096,
+      every: Int = 10): DataFrame = {
+    require(frameBytes > 0 && every > 0,
+      "frameBytes and every must be positive")
+    implicit val enc = RowEncoder.encoderFor(frameSchema)
+    binaryDocs.select(col("doc_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val frames = (payload.length + frameBytes - 1) / frameBytes
+          val base = md5Hex(payload)
+          (0 until frames by every).iterator.map { idx =>
+            Row(id, idx.toLong, idx * 40L,
+              md5Hex(s"$base#$idx".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        }
+      }
+  }
 }

@@ -439,6 +439,50 @@ class OperatorsSpec extends SparkSuite {
     assert(f(4L).getAs[Long]("n_bytes") == 12L)
   }
 
+  test("multimodal resize really rescales claimable images and stubs " +
+      "the rest deterministically") {
+    import java.awt.image.BufferedImage
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out), "no png writer")
+      out.toByteArray
+    }
+    val d = Seq((1L, pngBytes(8, 8)),
+        (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(d, 4, 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the real path re-encodes an actual 4x4 PNG (bigger than the
+    // 32-byte stub hash and itself a decodable PNG-sized payload)
+    assert(out(1L).getAs[Long]("width") == 4L)
+    assert(out(1L).getAs[Long]("n_bytes_out") > 32L)
+    // real resize is deterministic: same input -> same output hash
+    val again = Multimodal.resizeImages(d, 4, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("resized_md5")).toMap
+    assert(again(1L) == out(1L).getAs[String]("resized_md5"))
+    // stub path: exactly the SQL-reproducible 32-byte hash payload
+    assert(out(2L).getAs[Long]("n_bytes_out") == 32L)
+    assert(again(2L) == out(2L).getAs[String]("resized_md5"))
+  }
+
+  test("frame sampling fans one video row out to every Nth pseudo-frame") {
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val d = Seq((7L, payload)).toDF("doc_id", "payload")
+    // 1000 bytes / 256 -> 4 pseudo-frames; every 2nd -> idx 0 and 2
+    val rows = Multimodal.sampleFrames(d, frameBytes = 256, every = 2)
+      .collect().sortBy(_.getLong(1))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 80L)) // 25 fps
+    assert(rows.map(_.getAs[String]("frame_md5")).distinct.length == 2)
+    // empty payload -> zero frames, the iterator shape stays total
+    val empty = Multimodal.sampleFrames(
+      Seq((8L, Array.emptyByteArray)).toDF("doc_id", "payload"))
+    assert(empty.count() == 0L)
+  }
+
   test("sessionize splits on gaps and counts events") {
     import graft.streaming.StreamOps
     val ns = 1000000000L
