@@ -533,21 +533,17 @@ object SparkEntry {
     // ---- multimodal resize: REAL decode+scale+PNG-re-encode for
     //      claimable images, deterministic SQL-reproducible stub for
     //      other media (codecs absent in this container) ---------------
-    "ext_multimodal_resize" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+    "ext_multimodal_resize" -> ((s, dir) =>
       graft.operators.Multimodal.resizeImages(
-        docs.select(col("doc_id"), encode(col("text"), "utf-8")
-          .as("payload")), width = 16, height = 16)
-    }),
+        graft.operators.Multimodal.textPayloads(s, dir),
+        width = 16, height = 16)),
 
     // ---- multimodal frame sampling: one-row-in/many-out fan-out with a
     //      clearly-marked stub decode (pseudo-frames at 25 fps) --------
-    "ext_multimodal_frames" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+    "ext_multimodal_frames" -> ((s, dir) =>
       graft.operators.Multimodal.sampleFrames(
-        docs.select(col("doc_id"), encode(col("text"), "utf-8")
-          .as("payload")), frameBytes = 256, every = 2)
-    }),
+        graft.operators.Multimodal.textPayloads(s, dir),
+        frameBytes = 256, every = 2)),
 
     // ---- language ID (stopword-lexicon heuristic) --------------------
     "ext_lang_id" -> ((s, dir) => graft.operators.TextAnalysis.langId(
@@ -962,7 +958,7 @@ object SparkEntry {
           |  CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1024 AS width,
           |  CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1024 AS height,
           |  CAST(3 AS BIGINT) AS channels
-          |FROM documents""".stripMargin,
+          |FROM documents WHERE text IS NOT NULL""".stripMargin,
       // text payloads are never claimable images, so every row takes the
       // deterministic stub path: resized payload = utf8(md5(text||'_WxH'))
       // (32 ascii bytes), reported as its own md5 — both reproducible in
@@ -972,14 +968,14 @@ object SparkEntry {
           |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
           |  CAST(32 AS BIGINT) AS n_bytes_out,
           |  md5(md5(text || '_16x16')) AS resized_md5
-          |FROM documents""".stripMargin,
+          |FROM documents WHERE text IS NOT NULL""".stripMargin,
       // stub frame decode: ceil(bytes/256) pseudo-frames at 25 fps,
       // every 2nd sampled; frame hash = md5(md5(payload) || '#' || idx)
       "ext_multimodal_frames" ->
         """WITH f AS (
           |  SELECT doc_id, md5(text) AS base,
           |    unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 2)) AS frame_idx
-          |  FROM documents
+          |  FROM documents WHERE text IS NOT NULL
           |)
           |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
           |  CAST(frame_idx * 40 AS BIGINT) AS ts_ms,

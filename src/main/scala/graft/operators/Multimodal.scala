@@ -96,8 +96,7 @@ object Multimodal {
     * corpora.
     */
   private def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val hex = md5Hex(payload)
     val width = java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1024
     val height = java.lang.Long.parseLong(hex.substring(4, 8), 16) % 1024
     (width, height, 3L)
@@ -112,6 +111,7 @@ object Multimodal {
     val spark = binaryDocs.sparkSession
     implicit val enc = RowEncoder.encoderFor(featureSchema)
     binaryDocs.select(col("doc_id").cast("long"), col("payload"))
+      .filter(col("payload").isNotNull) // null payloads have no features
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -122,13 +122,17 @@ object Multimodal {
       }
   }
 
+  /** The documents table's text as a binary payload column (standing in
+    * for an image/audio/video blob) — the ONE place the text→payload
+    * convention lives; every multimodal query entry derives from it. */
+  def textPayloads(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+
   /** Demo pipeline over the documents table: text → utf-8 binary payload
-    * (standing in for an image blob) → batched decode → features. */
-  def documentFeatures(s: SparkSession, dir: String): DataFrame = {
-    val docs = s.read.parquet(s"$dir/documents.parquet")
-    extractFeatures(docs.select(col("doc_id"),
-      encode(col("text"), "utf-8").as("payload")))
-  }
+    * → batched decode → features. */
+  def documentFeatures(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(textPayloads(s, dir))
 
   // ------------------------------------------------------------- resize
 
@@ -142,9 +146,21 @@ object Multimodal {
     StructField("n_bytes_out", LongType, nullable = false),
     StructField("resized_md5", StringType, nullable = false)))
 
-  private def md5Hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(bytes)
-      .map("%02x".format(_)).mkString
+  /** Lowercase md5 hex over the concatenation of `parts` — streamed
+    * through one digest (no concatenated copy of a large payload just to
+    * append a small suffix) and a manual hex loop (no per-byte
+    * formatter). */
+  private def md5Hex(parts: Array[Byte]*): String = {
+    val md = MessageDigest.getInstance("MD5")
+    parts.foreach(md.update)
+    val digest = md.digest()
+    val sb = new java.lang.StringBuilder(32)
+    digest.foreach { b =>
+      sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(b & 0xf, 16))
+    }
+    sb.toString
+  }
 
   /** REAL image resize for payloads a JRE reader claims: full pixel
     * decode (`ImageIO.read`), bilinear `Graphics2D` scale to
@@ -154,8 +170,16 @@ object Multimodal {
       height: Int): Option[Array[Byte]] = {
     if (!looksLikeImage(payload)) return None
     try {
+      // explicit memory-cached stream: ImageIO.read(InputStream) would
+      // spool every payload through a disk temp file by default — the
+      // same pitfall decodeHeader documents. (A 'GIF87a'-prefixed TEXT
+      // payload can reach here — GIF magic is printable ASCII — but
+      // random trailing bytes never form a complete decodable frame, so
+      // read() throws/returns null and the row falls back to the stub,
+      // keeping the SQL oracle's all-stub premise for text corpora.)
       val src = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
       if (src == null) None
       else {
         val dst = new java.awt.image.BufferedImage(width, height,
@@ -182,7 +206,7 @@ object Multimodal {
     * oracle-testable end-to-end on synthetic corpora. */
   private def resizeStub(payload: Array[Byte], width: Int,
       height: Int): Array[Byte] =
-    md5Hex(payload ++ s"_${width}x$height"
+    md5Hex(payload, s"_${width}x$height"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
@@ -195,6 +219,7 @@ object Multimodal {
       height: Int): DataFrame = {
     implicit val enc = RowEncoder.encoderFor(resizeSchema)
     binaryDocs.select(col("doc_id").cast("long"), col("payload"))
+      .filter(col("payload").isNotNull) // dropped, like the other decoders
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -232,6 +257,7 @@ object Multimodal {
       "frameBytes and every must be positive")
     implicit val enc = RowEncoder.encoderFor(frameSchema)
     binaryDocs.select(col("doc_id").cast("long"), col("payload"))
+      .filter(col("payload").isNotNull) // dropped, like the other decoders
       .mapPartitions { it =>
         it.flatMap { r =>
           val id = r.getLong(0)
