@@ -160,13 +160,15 @@ object StreamOps {
     * the inherent streaming/batch boundary difference
     * (StreamingSessionSpec pins both halves down).
     */
-  def streamingSessionize(s: SparkSession, dir: String,
-      gapNs: Long = 30L * 60 * 1000000000L): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+  /** The stateful session stream: file source → watermark →
+    * `flatMapGroupsWithState` ([[sessionFold]]) — shared by the
+    * memory-sink oracle harness and the file-sink scale shape. */
+  private def sessionStream(s: SparkSession, dir: String,
+      gapNs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tableName = s"stream_sess_${System.nanoTime()}"
-    val stream = s.readStream
+    s.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -175,13 +177,17 @@ object StreamOps {
       // keep the watermark column through to the stateful operator
       .select(col("user_id"), col("ts"), col("event_id"), col("event_ts"))
       .as[(Long, Long, Long, java.sql.Timestamp)]
-    val sessions = stream
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         sessionFold(gapNs))
       .toDF()
-    val q = sessions.writeStream
+  }
+
+  def streamingSessionize(s: SparkSession, dir: String,
+      gapNs: Long = 30L * 60 * 1000000000L): DataFrame = {
+    val tableName = s"stream_sess_${System.nanoTime()}"
+    val q = sessionStream(s, dir, gapNs).writeStream
       .outputMode("append")
       .format("memory")
       .queryName(tableName)
@@ -189,6 +195,26 @@ object StreamOps {
     try q.processAllAvailable()
     finally q.stop()
     s.table(tableName)
+  }
+
+  /** Scale variant of [[streamingSessionize]]: the same stateful stream
+    * into a parquet FILE sink — the 100 TB shape (the memory sink above
+    * collects every emitted session to the driver, which is the oracle
+    * harness's cost and OOMs long before the operator's keyed state
+    * does). Same append semantics: sessions the watermark has not yet
+    * closed remain in state, unemitted. */
+  def streamingSessionizeToFiles(s: SparkSession, dir: String,
+      outDir: String, checkpointDir: String,
+      gapNs: Long = 30L * 60 * 1000000000L): DataFrame = {
+    val q = sessionStream(s, dir, gapNs).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(outDir)
   }
 
   /** The per-user session fold driven by `flatMapGroupsWithState`: events

@@ -66,9 +66,15 @@ object ScaleSmoke {
       graft.streaming.StreamOps.hourlyWindowAggToFiles(s, dir, out, ck)
     }),
     // true stateful streaming (flatMapGroupsWithState + event-time
-    // timeouts) — the keyed-state family's scale row
-    "ext_sessionize_stream" -> ((s, dir) =>
-      graft.streaming.StreamOps.streamingSessionize(s, dir)))
+    // timeouts) — the keyed-state family's scale row, in its file-sink
+    // scale shape (the memory-sink oracle harness collects every emitted
+    // session to the driver and OOMs at high factors — harness cost, not
+    // operator cost)
+    "ext_sessionize_stream" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("ss_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("ss_ck").toString
+      graft.streaming.StreamOps.streamingSessionizeToFiles(s, dir, out, ck)
+    }))
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -157,19 +163,31 @@ object ScaleSmoke {
 
   /** Build (or reuse) the `factor`× corpus: each copy `i` shifts every
     * integer key by `i * span` (span chosen per table so padded/string
-    * key forms never collide) and perturbs document text with a per-copy
-    * suffix, so near-dup structure is preserved instead of multiplied —
-    * copy 0 is bit-identical to the base, keeping every key-targeted
-    * query (prefix scans, point gets) aimed at real rows. Events shift
-    * user/event ids (per-user session structure repeats per copy) and
-    * land as ONE file named `events.parquet`, because the streaming
-    * source filters on that exact leaf name (`pathGlobFilter`). */
+    * key forms never collide) and applies a PER-COPY CHARACTER BIJECTION
+    * to document text (three disjoint letter sets, each rotated by a
+    * different digit of `i`). A bijective char map preserves pairwise
+    * Jaccard EXACTLY within a copy — near-dup clusters and density stay
+    * identical to the base — while any two copies differ in at least one
+    * rotation, so nearly every shingle changes and cross-copy Jaccard
+    * collapses: near-dup density is CONSTANT as the corpus grows, which
+    * is what a scale (not density) measurement needs. Two earlier
+    * constructions failed measurably and are kept in SCALE.md as stress
+    * data: a suffix-only perturbation left cross-copy J ≈ 1 (cluster
+    * size grew with the factor → minhash 558× at 100×), and a
+    * copy-constant woven tag made all docs WITHIN a copy share tag
+    * shingles (inflated intra-copy collisions → 411× at 100×). Copy 0
+    * is bit-identical to the base, keeping every key-targeted query
+    * aimed at real rows. Events shift user/event ids (per-user session
+    * structure repeats per copy) and land as ONE file named
+    * `events.parquet`, because the streaming source filters on that
+    * exact leaf name (`pathGlobFilter`). */
   private def scaledDir(spark: SparkSession, base: String,
       factor: Int): String = {
-    val dir = s"/tmp/graft_scale_v2_${factor}x_" +
+    val dir = s"/tmp/graft_scale_v4_${factor}x_" +
       Integer.toHexString(base.hashCode)
     val ready = java.nio.file.Paths.get(dir, "_READY")
     if (java.nio.file.Files.exists(ready)) return dir
+    require(factor <= 216, "per-copy cipher space is 6^3 = 216 copies")
 
     def copies(table: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val src = spark.read.parquet(s"$base/$table.parquet")
@@ -179,10 +197,15 @@ object ScaleSmoke {
     copies("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
     }
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    val (c1, c2, c3) = ("etaoin", "shrdlu", "bcfgmp")
     copies("documents") { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
         .withColumn("text",
-          if (i == 0) col("text") else concat(col("text"), lit(s" c$i")))
+          if (i == 0) col("text")
+          else translate(translate(translate(col("text"),
+            c1, rot(c1, i % 6)), c2, rot(c2, (i / 6) % 6)),
+            c3, rot(c3, (i / 36) % 6)))
     }
     copies("embeddings") { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))

@@ -123,4 +123,22 @@ class StreamingSessionSpec extends SparkSuite {
     // the stream may additionally have closed some tails via timeout; both
     // closed-only and closed+tail outcomes are covered by the two asserts
   }
+
+  test("file-sink sessionize emits exactly the memory-sink sessions") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_id", "n_events", "session_start",
+        "session_end")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    val viaMemory = rows(StreamOps.streamingSessionize(spark, dir))
+    val out = java.nio.file.Files.createTempDirectory("ss_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("ss_ck").toString
+    val viaFiles = rows(
+      StreamOps.streamingSessionizeToFiles(spark, dir, out, ck))
+    assert(viaFiles == viaMemory,
+      "the scale-shape sink must emit the identical session set")
+  }
 }
