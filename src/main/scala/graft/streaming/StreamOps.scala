@@ -148,18 +148,6 @@ object StreamOps {
       user_id: Long, session_id: Long, n_events: Long,
       session_start: Long, session_end: Long)
 
-  /** TRUE stateful sessionization: `flatMapGroupsWithState` keyed by user
-    * with event-time timeout. A session CLOSES (and is emitted, append
-    * mode) when a later event of the same user arrives more than `gapNs`
-    * after it, or when the watermark passes the gap with no new events
-    * (timeout path — idle users don't hold state forever). The in-flight
-    * session lives in [[OpenSession]] state.
-    *
-    * Semantics match the batch-equivalent [[sessionize]] exactly, except
-    * that each user's final session stays open until the timeout fires —
-    * the inherent streaming/batch boundary difference
-    * (StreamingSessionSpec pins both halves down).
-    */
   /** The stateful session stream: file source → watermark →
     * `flatMapGroupsWithState` ([[sessionFold]]) — shared by the
     * memory-sink oracle harness and the file-sink scale shape. */
@@ -184,6 +172,20 @@ object StreamOps {
       .toDF()
   }
 
+  /** TRUE stateful sessionization: `flatMapGroupsWithState` keyed by user
+    * with event-time timeout. A session CLOSES (and is emitted, append
+    * mode) when a later event of the same user arrives more than `gapNs`
+    * after it, or when the watermark passes the gap with no new events
+    * (timeout path — idle users don't hold state forever). The in-flight
+    * session lives in [[OpenSession]] state.
+    *
+    * Semantics match the batch-equivalent [[sessionize]] exactly, except
+    * that each user's final session stays open until the timeout fires —
+    * the inherent streaming/batch boundary difference
+    * (StreamingSessionSpec pins both halves down). The memory sink
+    * collects every emitted session to the driver — the oracle-harness
+    * shape; [[streamingSessionizeToFiles]] is the scale shape.
+    */
   def streamingSessionize(s: SparkSession, dir: String,
       gapNs: Long = 30L * 60 * 1000000000L): DataFrame = {
     val tableName = s"stream_sess_${System.nanoTime()}"

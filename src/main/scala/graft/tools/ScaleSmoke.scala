@@ -53,28 +53,47 @@ object ScaleSmoke {
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
     "ext_ann_ivf", "ext_ann_ivf_adaptive", "eng_ann_ivf")
 
+  /** Streaming sink/checkpoint dirs created by the [[Extra]] runners —
+    * fresh per run (a reused checkpoint would replay nothing and time an
+    * empty batch), deleted at the end of main: at factor 100 each
+    * session-sink dir holds the full 100× emitted output, and 8 runs per
+    * campaign would otherwise accumulate gigabytes in /tmp. */
+  private val scratchDirs =
+    scala.collection.mutable.ArrayBuffer.empty[String]
+  private def scratch(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    scratchDirs.synchronized(scratchDirs += d)
+    d
+  }
+  private def dropScratch(): Unit = scratchDirs.synchronized {
+    scratchDirs.foreach { d =>
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally s.close()
+    }
+    scratchDirs.clear()
+  }
+
   /** Scale-shape runners that are not driver-contract `queries` entries:
     * the streaming window's append-mode file sink (the 100 TB shape —
     * the contract entry's complete-mode memory sink re-collects the full
     * result per trigger, which is the oracle harness's cost, not the
-    * operator's). Fresh sink/checkpoint dirs per run: a reused
-    * checkpoint would replay nothing and time an empty batch. */
+    * operator's). */
   private val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ext_stream_window_append" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("sw_out").toString
-      val ck = java.nio.file.Files.createTempDirectory("sw_ck").toString
-      graft.streaming.StreamOps.hourlyWindowAggToFiles(s, dir, out, ck)
-    }),
+    "ext_stream_window_append" -> ((s, dir) =>
+      graft.streaming.StreamOps.hourlyWindowAggToFiles(s, dir,
+        scratch("sw_out"), scratch("sw_ck"))),
     // true stateful streaming (flatMapGroupsWithState + event-time
     // timeouts) — the keyed-state family's scale row, in its file-sink
     // scale shape (the memory-sink oracle harness collects every emitted
     // session to the driver and OOMs at high factors — harness cost, not
     // operator cost)
-    "ext_sessionize_stream" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("ss_out").toString
-      val ck = java.nio.file.Files.createTempDirectory("ss_ck").toString
-      graft.streaming.StreamOps.streamingSessionizeToFiles(s, dir, out, ck)
-    }))
+    "ext_sessionize_stream" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamingSessionizeToFiles(s, dir,
+        scratch("ss_out"), scratch("ss_ck"))))
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -158,6 +177,7 @@ object ScaleSmoke {
           f"read $readMs%.1f ms")
       }
     }
+    dropScratch()
     spark.stop()
   }
 
