@@ -15,6 +15,39 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
+  /** The disk-backed state store for the stateful operators' scale shape.
+    *
+    * Spark's default `HDFSBackedStateStoreProvider` keeps EVERY key's state
+    * in executor heap; at 100 TB the distinct-key cardinality (billions of
+    * users / content hashes) outgrows memory long before the event volume
+    * does. RocksDB spills keyed state to local disk with a bounded block
+    * cache, so state size is a disk problem, not a heap problem. The
+    * file-sink scale variants below run on it by default; the memory-sink
+    * oracle harnesses keep the default provider (their state is test-sized
+    * by construction and the harness itself is the driver-collect shape).
+    */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Runs `f` with the RocksDB state store provider set in the session conf
+    * (the provider is captured at query START, so set-run-restore is safe
+    * for the synchronous processAllAvailable harness shape used here).
+    */
+  private def withRocksDB[T](s: SparkSession, enabled: Boolean)(f: => T): T = {
+    if (!enabled) f
+    else {
+      val prev = s.conf.getOption(ProviderKey)
+      s.conf.set(ProviderKey, RocksDBProvider)
+      try f
+      finally prev match {
+        case Some(v) => s.conf.set(ProviderKey, v)
+        case None    => s.conf.unset(ProviderKey)
+      }
+    }
+  }
+
   /** Schema of events.parquet with ts as raw epoch-ns (nanosAsLong). */
   private val eventSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -99,6 +132,40 @@ object StreamOps {
     * training-data ingest pipeline uses for online dedup.
     */
   def streamingDedup(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val tableName = s"stream_dedup_${System.nanoTime()}"
+    val q = dedupStream(s, dir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(tableName)
+  }
+
+  /** Scale variant of [[streamingDedup]]: append mode into a parquet FILE
+    * sink, on the RocksDB state store by default (see [[RocksDBProvider]]).
+    * The seen-hash state is the scale hazard here — one entry per DISTINCT
+    * content hash, forever (NoTimeout) — which is exactly the shape that
+    * outgrows executor heap on the default provider at 100 TB. */
+  def streamingDedupToFiles(s: SparkSession, dir: String, outDir: String,
+      checkpointDir: String, rocksDB: Boolean = true): DataFrame = {
+    withRocksDB(s, rocksDB) {
+      val q = dedupStream(s, dir).writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.read.parquet(outDir)
+  }
+
+  /** The stateful dedup stream shared by both sinks: file source →
+    * md5(text) → seen-flag per hash via `flatMapGroupsWithState`. */
+  private def dedupStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
     val docSchema = StructType(Seq(
@@ -107,15 +174,13 @@ object StreamOps {
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val tableName = s"stream_dedup_${System.nanoTime()}"
-    val stream = s.readStream
+    s.readStream
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .select(col("doc_id"),
         org.apache.spark.sql.functions.md5(col("text")).as("h"))
       .as[(Long, String)]
-    val deduped = stream
       .groupByKey(_._2)
       .flatMapGroupsWithState[Boolean, (String, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -129,14 +194,6 @@ object StreamOps {
           }
       }
       .toDF("h", "keep_id")
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(tableName)
   }
 
   /** Open session carried across micro-batches per user. */
@@ -204,18 +261,25 @@ object StreamOps {
     * collects every emitted session to the driver, which is the oracle
     * harness's cost and OOMs long before the operator's keyed state
     * does). Same append semantics: sessions the watermark has not yet
-    * closed remain in state, unemitted. */
+    * closed remain in state, unemitted.
+    *
+    * Runs on the RocksDB state store by default (see [[RocksDBProvider]]):
+    * per-user session state lives on executor-local disk, so distinct-user
+    * cardinality scales with disk, not heap. */
   def streamingSessionizeToFiles(s: SparkSession, dir: String,
       outDir: String, checkpointDir: String,
-      gapNs: Long = 30L * 60 * 1000000000L): DataFrame = {
-    val q = sessionStream(s, dir, gapNs).writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      gapNs: Long = 30L * 60 * 1000000000L,
+      rocksDB: Boolean = true): DataFrame = {
+    withRocksDB(s, rocksDB) {
+      val q = sessionStream(s, dir, gapNs).writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.read.parquet(outDir)
   }
 

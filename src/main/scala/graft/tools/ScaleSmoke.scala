@@ -47,7 +47,8 @@ object ScaleSmoke {
     "ext_fingerprint", "ext_lang_id",
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
     "ext_ann_ivf", "ext_ann_ivf_adaptive", "eng_ann_ivf",
-    "ext_sessionize", "ext_sessionize_stream", "ext_stream_window_append")
+    "ext_sessionize", "ext_sessionize_stream", "ext_dedup_stream",
+    "ext_stream_window_append")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
@@ -93,7 +94,14 @@ object ScaleSmoke {
     // operator cost)
     "ext_sessionize_stream" -> ((s, dir) =>
       graft.streaming.StreamOps.streamingSessionizeToFiles(s, dir,
-        scratch("ss_out"), scratch("ss_ck"))))
+        scratch("ss_out"), scratch("ss_ck"))),
+    // stateful streaming dedup: one NoTimeout state entry per DISTINCT
+    // content hash (the corpus scales distinct hashes ~factor via the
+    // per-copy bijection) — with sessionize-stream this puts both keyed
+    // state shapes on the RocksDB provider in the measured slice
+    "ext_dedup_stream" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamingDedupToFiles(s, dir,
+        scratch("sd_out"), scratch("sd_ck"))))
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

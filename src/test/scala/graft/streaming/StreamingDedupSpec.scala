@@ -20,4 +20,20 @@ class StreamingDedupSpec extends SparkSuite {
       .agg(min(col("doc_id")).as("keep_id"))
     assert(out.except(expectedKeep).count() == 0)
   }
+
+  test("file-sink dedup on RocksDB state matches the memory-sink result") {
+    val dir = "/root/testdata/sf0.001"
+    val viaMemory = StreamOps.streamingDedup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val out = java.nio.file.Files.createTempDirectory("sd_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("sd_ck").toString
+    val viaFiles = StreamOps.streamingDedupToFiles(spark, dir, out, ck)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaFiles == viaMemory)
+    val stateFiles = StreamingSessionSpec.stateFileNames(ck)
+    assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"no RocksDB-format state files under $ck/state: $stateFiles")
+    assert(!stateFiles.exists(_.endsWith(".delta")),
+      "default-provider .delta files present — RocksDB was not in effect")
+  }
 }

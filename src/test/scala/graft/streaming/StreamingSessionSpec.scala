@@ -124,7 +124,7 @@ class StreamingSessionSpec extends SparkSuite {
     // closed-only and closed+tail outcomes are covered by the two asserts
   }
 
-  test("file-sink sessionize emits exactly the memory-sink sessions") {
+  test("file-sink sessionize emits exactly the memory-sink sessions, on RocksDB state") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("user_id", "session_id", "n_events", "session_start",
@@ -140,5 +140,28 @@ class StreamingSessionSpec extends SparkSuite {
       StreamOps.streamingSessionizeToFiles(spark, dir, out, ck))
     assert(viaFiles == viaMemory,
       "the scale-shape sink must emit the identical session set")
+    // prove the RocksDB provider actually ran: its checkpoints are .zip
+    // snapshots (+ .changelog), never the HDFSBacked provider's .delta
+    val stateFiles = StreamingSessionSpec.stateFileNames(ck)
+    assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"no RocksDB-format state files under $ck/state: $stateFiles")
+    assert(!stateFiles.exists(_.endsWith(".delta")),
+      "default-provider .delta files present — RocksDB was not in effect")
+    // and the provider conf was restored after the run (getOption yields
+    // the SQLConf DEFAULT once unset, so assert we're off RocksDB, not None)
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .contains(StreamOps.RocksDBProvider))
+  }
+}
+
+object StreamingSessionSpec {
+  /** All file names under a streaming checkpoint's state/ directory. */
+  def stateFileNames(checkpointDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val state = java.nio.file.Paths.get(checkpointDir, "state")
+    java.nio.file.Files.walk(state).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(_.getFileName.toString).toSeq
   }
 }
