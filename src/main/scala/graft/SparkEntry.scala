@@ -190,6 +190,28 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), tmp)
     }
 
+  /** Cache location of the APPEND-BUILT LSH layout (`eng_ann_append`):
+    * same fingerprint inputs as [[annLayoutPath]], distinct prefix — the
+    * two layouts are bit-different on disk (file split) while probing
+    * identically. */
+  private[graft] def annAppendLayoutPath(dir: String): String =
+    annLayoutPath(dir).replace("/graft_ann_v", "/graft_annapp_v")
+
+  /** Build (once) the LSH layout INCREMENTALLY: half the corpus as the
+    * initial [[graft.operators.Similarity.writeBucketedLayout]] build,
+    * the other half via
+    * [[graft.operators.Similarity.appendBucketedLayout]] — the
+    * continuous-ingest path, oracle-gated by probing it with the same
+    * SQL as the one-shot layout. */
+  private def annAppendLayoutDir(s: SparkSession, dir: String): String =
+    buildLayoutOnce(annAppendLayoutPath(dir)) { tmp =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.writeBucketedLayout(
+        e.filter(col("vec_id") % 2 === 0), tmp)
+      graft.operators.Similarity.appendBucketedLayout(
+        e.filter(col("vec_id") % 2 =!= 0), tmp)
+    }
+
   /** Like [[AnnLayoutVersion]] but for the IVF `list=` layout. */
   private val IvfLayoutVersion = 1
 
@@ -499,6 +521,16 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.bucketedTopKFromLayout(
         annLayoutDir(s, dir), e.filter(col("vec_id") < 10), k = 3)
+    }),
+
+    // ---- the same probe against an INCREMENTALLY-built layout (half
+    //      one-shot build, half appended): continuous ingest must not
+    //      change a single probe result — same oracle SQL as the
+    //      one-shot layout --------------------------------------------
+    "eng_ann_append" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.bucketedTopKFromLayout(
+        annAppendLayoutDir(s, dir), e.filter(col("vec_id") < 10), k = 3)
     }),
 
     // ---- IVF ANN: deterministic data-sampled centroids (vec_id %
@@ -860,6 +892,7 @@ object SparkEntry {
            |  FROM cells c JOIN lim USING (row_key)
            |) SELECT row_key, family, qualifier, ts, vs, vd FROM ranked WHERE rn <= 3""".stripMargin,
       "eng_ann_bucketed" -> annBucketedSql,
+      "eng_ann_append" -> annBucketedSql,
       "eng_locality_scan" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE family = 'm'",
       "ext_dedup_exact" ->

@@ -258,6 +258,87 @@ object Similarity {
         f.name == "l" || f.name == "bucket")))
   }
 
+  /** Incrementally add vectors to an existing [[writeBucketedLayout]]
+    * directory: only the NEW vectors are hashed and written (a distributed
+    * job over the batch, not the corpus), their part files move into the
+    * live `l=/bucket=` partitions, and the layout manifest extends by the
+    * new entries — the continuous-ingest path. A full rebuild of an
+    * L×-replicated 100 TB layout per arriving batch is the alternative
+    * this exists to avoid; probe results after (build + append) are
+    * identical to a one-shot build on the union corpus (`OperatorsSpec`
+    * differential), because bucket assignment is per-row and
+    * order-independent.
+    *
+    * Crash contract (same as [[graft.core.TableManifest]] ingest): the
+    * manifest extension is the atomic commit point. A crash mid-move
+    * leaves part files that no manifest line references — invisible to
+    * manifest-planned probes, reclaimed by the next full rebuild — and
+    * the append can simply be re-run in full.
+    */
+  def appendBucketedLayout(newCandidates: DataFrame, dir: String,
+      planes: Int = DefaultPlanes, dim: Int = DefaultDim,
+      seed: String = DefaultSeed, tables: Int = DefaultTables): Unit = {
+    val frame = candidateFrame(newCandidates, planes, dim, seed, tables)
+      .select(col("neighbor_id").as("vec_id"), col("ce").as("embedding"),
+        col("l"), col("bucket").cast("int").as("bucket"))
+    appendPartitioned(frame, dir, Seq("l", "bucket"))
+  }
+
+  /** Stage-move-commit shared by the append entry points: write the
+    * batch's partitioned output into a fresh `_append_*` staging dir
+    * UNDER the layout root (same filesystem — the per-file moves are
+    * renames), move each part file into its live partition directory
+    * (Spark part-file names carry a task-attempt UUID, so names never
+    * collide with committed files), then extend the manifest atomically.
+    * The staging dir's leading underscore keeps any non-manifest
+    * directory read from picking up in-flight files. */
+  private def appendPartitioned(frame: DataFrame, dir: String,
+      partitionCols: Seq[String]): Unit = {
+    val root = Paths.get(dir)
+    require(Files.exists(root.resolve(LayoutManifestName)),
+      s"$dir has no $LayoutManifestName — build the layout first")
+    val staging = Files.createTempDirectory(root, "_append_")
+    try {
+      val out = staging.resolve("out")
+      frame.write.mode("overwrite")
+        .partitionBy(partitionCols: _*).parquet(out.toString)
+      val moved = Vector.newBuilder[(String, Long)]
+      val walk = Files.walk(out)
+      try {
+        walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .foreach { p =>
+            val rel = out.relativize(p)
+            val dest = root.resolve(rel)
+            Files.createDirectories(dest.getParent)
+            Files.move(p, dest)
+            moved += ((rel.toString, Files.size(dest)))
+          }
+      } finally walk.close()
+      extendLayoutManifest(root, moved.result())
+    } finally {
+      val s = Files.walk(staging)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+
+  /** Append `file` lines to the committed manifest — read, extend, write
+    * to temp, atomic move; the schema line and existing entries are kept
+    * verbatim. O(manifest) per append, never a directory walk. */
+  private def extendLayoutManifest(root: java.nio.file.Path,
+      newFiles: Seq[(String, Long)]): Unit = {
+    val mf = root.resolve(LayoutManifestName)
+    val lines = Files.readAllLines(mf, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty) ++
+      newFiles.map { case (rel, size) => s"file\t$rel\t$size" }
+    val tmp = root.resolve(LayoutManifestName + ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, mf,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Commit the layout's `(relative path, size)` file list + data schema
     * as a single manifest file, so a probe plans with zero listing/stat
     * calls — the same Delta/Iceberg planning model as
@@ -614,10 +695,15 @@ object Similarity {
     // and park the row in the smallest-cid list
     candidates.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull)
+      // per-row identity BEFORE the cross join: grouping back on
+      // (vec_id, _rid) keeps every input row, so a corpus with repeated
+      // vec_ids assigns row-for-row like the embedded-kernel strategy
+      // (a plain vec_id groupBy would collapse the duplicates)
+      .withColumn("_rid", monotonically_increasing_id())
       .crossJoin(broadcast(centDf))
-      .select(col("vec_id"), col("embedding"), col("cid"),
+      .select(col("vec_id"), col("_rid"), col("embedding"), col("cid"),
         cosine(col("embedding"), col("cemb")).as("sim"))
-      .groupBy(col("vec_id"))
+      .groupBy(col("vec_id"), col("_rid"))
       .agg(first(col("embedding")).as("embedding"),
         max(struct(col("sim").as("sim"), (-col("cid")).as("ncid")))
           .as("best"))
@@ -714,9 +800,15 @@ object Similarity {
     // lists by construction — spec-pinned)
     val frame =
       if (cents.size <= maxKernelCentroids)
-        candidates.select(col("vec_id"), col("embedding"),
-          graft.functions.NearestCentroid(col("embedding"), cents, dim)
-            .as("list"))
+        // same null-embedding disposition as distributedAssign: drop the
+        // row entirely, so both strategies persist the IDENTICAL row set
+        // (the kernel's null list id would otherwise land such rows in
+        // the list=null default partition — never probed, but a layout
+        // divergence across the strategy threshold)
+        candidates.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding"),
+            graft.functions.NearestCentroid(col("embedding"), cents, dim)
+              .as("list"))
       else distributedAssign(candidates,
           candidates.filter(col("vec_id") % stride === 0 &&
               col("embedding").isNotNull)
@@ -732,6 +824,49 @@ object Similarity {
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(dir, IvfCentroidsName),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Incrementally add vectors to an existing [[writeIvfLayout]]
+    * directory. Assignment runs against the FROZEN centroid sidecar —
+    * the list geometry is fixed at build time, so appended vectors land
+    * in existing `list=` partitions and a probe of (build + append)
+    * equals a probe of a one-shot build on the union corpus
+    * (`OperatorsSpec` differential; holds because [[writeIvfLayout]]'s
+    * own assignment uses the same centroids either way). Same
+    * stage-move-extend commit and crash contract as
+    * [[appendBucketedLayout]]. Re-centroiding after heavy drift is a
+    * rebuild, by design — identical to every production IVF index.
+    *
+    * Strategy switch mirrors [[writeIvfLayout]]: the kernel embeds the
+    * sidecar matrix while it is small; past `maxKernelCentroids` the
+    * centroids become a broadcast frame (rebuilt FROM the sidecar — the
+    * doubles the layout was assigned with, not re-derived from source).
+    */
+  def appendIvfLayout(newCandidates: DataFrame, dir: String,
+      dim: Int = DefaultDim,
+      maxKernelCentroids: Int = MaxKernelCentroids): Unit = {
+    val cents = readCentroids(dir)
+    val frame =
+      if (cents.size <= maxKernelCentroids)
+        newCandidates.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding"),
+            graft.functions.NearestCentroid(col("embedding"), cents, dim)
+              .as("list"))
+      else {
+        val spark = newCandidates.sparkSession
+        val centDf = spark.createDataFrame(
+          java.util.Arrays.asList(cents.map { case (cid, v) =>
+            org.apache.spark.sql.Row(cid, v.toSeq)
+          }: _*),
+          types.StructType(Seq(
+            types.StructField("cid", types.LongType, nullable = false),
+            types.StructField("cemb",
+              types.ArrayType(types.DoubleType, containsNull = false),
+              nullable = false))))
+        distributedAssign(newCandidates, centDf)
+          .withColumnRenamed("cid", "list")
+      }
+    appendPartitioned(frame, dir, Seq("list"))
   }
 
   private def readCentroids(dir: String): Seq[(Long, Array[Double])] =

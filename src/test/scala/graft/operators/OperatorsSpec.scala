@@ -283,6 +283,63 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("incremental layout append probes identically to a one-shot build") {
+    import scala.jdk.CollectionConverters._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    // centroid seeds (vec_id % stride == 0) are all even, so the odd half
+    // adds rows but no new IVF centroids — the frozen-geometry contract
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val extra = e.filter(col("vec_id") % 2 =!= 0)
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val dirs = Seq.fill(5)(tmp("ann_append"))
+    val Seq(lshOne, lshApp, ivfOne, ivfApp, ivfAppD) = dirs
+    try {
+      // LSH: one-shot union build vs build(base) + append(extra)
+      Similarity.writeBucketedLayout(e, lshOne)
+      Similarity.writeBucketedLayout(base, lshApp)
+      val before = java.nio.file.Files.readAllLines(java.nio.file.Paths
+        .get(lshApp, Similarity.LayoutManifestName)).size
+      Similarity.appendBucketedLayout(extra, lshApp)
+      val mfLines = java.nio.file.Files.readAllLines(java.nio.file.Paths
+        .get(lshApp, Similarity.LayoutManifestName))
+      assert(mfLines.size > before, "append must extend the manifest")
+      assert(mfLines.size == mfLines.asScala.toSet.size,
+        "append must not duplicate manifest lines")
+      // every manifest file must exist on disk (the commit moved them in)
+      mfLines.asScala.filter(_.startsWith("file\t")).foreach { l =>
+        val rel = l.split("\t")(1)
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(lshApp, rel)), s"missing $rel")
+      }
+      val probeApp = Similarity.bucketedTopKFromLayout(lshApp, q, 3)
+      assert(tuples(probeApp) ==
+        tuples(Similarity.bucketedTopKFromLayout(lshOne, q, 3)),
+        "LSH append+build must probe identically to the one-shot build")
+      // appended layout still plans from the manifest with static pruning
+      val plan = probeApp.queryExecution.executedPlan.toString
+      assert(plan.contains("ManifestFileIndex"))
+
+      // IVF: same differential, both assignment strategies for the append
+      Similarity.writeIvfLayout(e, ivfOne, stride = 50)
+      for ((d, maxKernel) <- Seq((ivfApp, 4096), (ivfAppD, 0))) {
+        Similarity.writeIvfLayout(base, d, stride = 50)
+        Similarity.appendIvfLayout(extra, d, maxKernelCentroids = maxKernel)
+        assert(tuples(Similarity.ivfTopKFromLayout(d, q, 3, nprobe = 2)) ==
+          tuples(Similarity.ivfTopKFromLayout(ivfOne, q, 3, nprobe = 2)),
+          s"IVF append (maxKernelCentroids=$maxKernel) diverged from " +
+            "the one-shot build")
+      }
+    } finally dirs.foreach { d =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("physical list= IVF layout probe matches the logical plan and " +
       "prunes partitions") {
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
