@@ -44,7 +44,15 @@ import graft.json.JsonValue
   * `port = 0` binds an ephemeral port (tests); the reference defaults to
   * 9876 (`server/src/main.rs:53`).
   */
-final class HttpApiServer(api: JsonApi, port: Int = 9876) {
+final class HttpApiServer(api: JsonApi, port: Int = 9876,
+    /** One line per completed request, the reference's
+      * `Logger::new("%r %s - %{User-Agent}i")` (`server/src/main.rs:129`):
+      * request line, status, user agent — plus the duration actix's `%T`
+      * family would add. Injectable so specs can capture it. */
+    accessLog: String => Unit = line => System.err.println(line),
+    /** Root of the static-asset layer (`actix_files::Files::new("/",
+      * "./dist")`) — explicit rather than implicitly the process CWD. */
+    distDir: String = "dist") {
 
   /** `server/src/main.rs:124-126`: `JsonConfig::default().limit(10 MiB)`. */
   private val MaxJsonBody = 10 * 1024 * 1024
@@ -61,9 +69,25 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876) {
 
   private final class Router extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      val t0 = System.nanoTime()
       try {
         val path = ex.getRequestURI.getPath
         val method = ex.getRequestMethod
+        // permissive CORS on every response, mirroring the reference's
+        // `actix_cors::Cors::default().send_wildcard().allow_any_origin()
+        // .allowed_methods(["*"]).allowed_headers(["*"]).max_age(3600)`
+        // (`server/src/main.rs:114-120`) — the browser-SPA-on-another-
+        // origin deployment shape the reference's app/ assumes
+        ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+        if (method == "OPTIONS" && ex.getRequestHeaders
+            .containsKey("Access-Control-Request-Method")) {
+          val h = ex.getResponseHeaders
+          h.set("Access-Control-Allow-Methods", "*")
+          h.set("Access-Control-Allow-Headers", "*")
+          h.set("Access-Control-Max-Age", "3600")
+          ex.sendResponseHeaders(200, -1L) // preflight: headers, no body
+          return
+        }
         if (method == "GET" && (path == "/" || path == "/index.html")) {
           // reference routes `/` and `/index.html` to the dashboard
           // (`server/src/main.rs:133-134`)
@@ -78,6 +102,10 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876) {
             // an unbounded readAllBytes was the DoS divergence
             readCapped(ex) match {
               case None =>
+                // the unread body tail makes the connection unusable for
+                // keep-alive (the JDK server would misparse it as the
+                // next request) — tell the client we're closing it
+                ex.getResponseHeaders.set("Connection", "close")
                 respond(ex, 413, "text/plain",
                   s"JSON payload is larger than allowed (limit: $MaxJsonBody bytes)")
               case Some(body) =>
@@ -104,7 +132,17 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876) {
         case _: Throwable =>
           // reference: ResponseError -> plain 500 (`server/src/error.rs`)
           respond(ex, 500, "text/plain", "Internal Server Error")
-      } finally ex.close()
+      } finally {
+        // `%r %s - %{User-Agent}i` + duration; getResponseCode is the
+        // code actually sent (-1 only if the handler died pre-headers)
+        val ua = Option(ex.getRequestHeaders.getFirst("User-Agent"))
+          .getOrElse("-")
+        val ms = (System.nanoTime() - t0) / 1e6
+        try accessLog(f""""${ex.getRequestMethod} ${ex.getRequestURI} ${ex
+            .getProtocol}" ${ex.getResponseCode} $ms%.1fms - $ua""")
+        catch { case _: Throwable => () } // a broken sink must not leak the exchange
+        ex.close()
+      }
     }
 
     /** Request body up to [[MaxJsonBody]]; `None` = over the cap. A
@@ -128,15 +166,19 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876) {
       Some(new String(out.toByteArray, StandardCharsets.UTF_8))
     }
 
-    /** `./dist` asset for a GET, if present — the `actix_files` layer.
-      * Normalized path must stay inside dist (no traversal). */
+    /** `dist` asset for a GET, if present — the `actix_files` layer.
+      * The served file's REAL path (symlinks resolved) must stay inside
+      * the real dist root: a normalize()-only check passes a symlink
+      * planted inside dist that points outside it. */
     private def staticFile(method: String,
         path: String): Option[(Array[Byte], String)] = {
       if (method != "GET") return None
-      val dist = java.nio.file.Paths.get("dist").toAbsolutePath.normalize
-      val target = dist.resolve(path.stripPrefix("/")).normalize
-      if (!target.startsWith(dist) ||
-          !java.nio.file.Files.isRegularFile(target)) None
+      val target = try {
+        val dist = java.nio.file.Paths.get(distDir).toRealPath()
+        val t = dist.resolve(path.stripPrefix("/")).toRealPath()
+        if (t.startsWith(dist)) t else return None
+      } catch { case _: java.io.IOException => return None } // incl. missing
+      if (!java.nio.file.Files.isRegularFile(target)) None
       else {
         val ct = path.substring(path.lastIndexOf('.') + 1) match {
           case "html" => "text/html"

@@ -115,6 +115,19 @@ object MetricsTable {
   /** Segment-coalescing threshold for [[MetricsTable.dataPointsBuffered]]. */
   val DefaultFlushEvery = 64
 
+  /** FIFO byte cap for metrics tables, from `SMOLTABLE_METRICS_CAP_MB`
+    * (reference `server/src/env.rs:26-31`): default 1 MB, parsed as the
+    * reference's u16 — an invalid or out-of-range value rejects at
+    * startup (its `expect`) rather than silently running uncapped. */
+  def envCapBytes(env: Map[String, String] = sys.env): Long = {
+    val mb = env.getOrElse("SMOLTABLE_METRICS_CAP_MB", "1")
+    mb.toIntOption.filter(m => m >= 0 && m <= 65535) match {
+      case Some(m) => m.toLong * 1024 * 1024
+      case None => throw new IllegalArgumentException(
+        s"invalid metrics cap MB setting, can be up to 65536: $mb")
+    }
+  }
+
   private[core] def nowNanos: Long = {
     val i = java.time.Instant.now()
     i.getEpochSecond * 1000000000L + i.getNano

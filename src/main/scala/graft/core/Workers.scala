@@ -24,7 +24,11 @@ import org.apache.spark.sql.SparkSession
   * (`worker/mod.rs:20-44`). Sweeps also run synchronously via the public
   * methods so tests and embedders can drive them deterministically.
   */
-final class Workers(spark: SparkSession, catalog: Catalog) {
+final class Workers(spark: SparkSession, catalog: Catalog,
+    /** FIFO byte cap per metrics table — read ONCE from
+      * `SMOLTABLE_METRICS_CAP_MB` by default ([[MetricsTable.envCapBytes]],
+      * the reference's `env::metrics_cap_mb`); injectable for tests. */
+    metricsCapBytes: Long = MetricsTable.envCapBytes()) {
 
   private val pool = Executors.newScheduledThreadPool(1, new ThreadFactory {
     override def newThread(r: Runnable): Thread = {
@@ -65,14 +69,14 @@ final class Workers(spark: SparkSession, catalog: Catalog) {
       val m = metricsFor(name)
       m.dataPoint("stats#seg_cnt", t.dataFileCount.toDouble)
       m.dataPoint("stats#du", catalog.diskSpaceUsage(name).toDouble)
-      m.enforceCap()
+      m.enforceCap(metricsCapBytes)
     }
     val global = MetricsTable.open(spark, catalog, None)
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val rt = Runtime.getRuntime
     global.dataPoint("sys#cpu", os.getSystemLoadAverage)
     global.dataPoint("sys#mem", (rt.totalMemory - rt.freeMemory).toDouble)
-    global.enforceCap()
+    global.enforceCap(metricsCapBytes)
   }
 
   private def safely(f: () => Unit): Runnable = new Runnable {

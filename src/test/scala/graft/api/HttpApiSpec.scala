@@ -275,4 +275,96 @@ class HttpApiSpec extends SparkSuite {
       } finally srv.stop()
     }
   }
+
+  test("CORS parity (actix_cors wildcards + preflight) and the access log") {
+    withTempDir { dir =>
+      val api = new JsonApi(new Catalog(dir.toString), spark)
+      val logs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val srv = new HttpApiServer(api, port = 0, accessLog = l => logs.add(l))
+      val port = srv.start()
+      val base = s"http://localhost:$port"
+      try {
+        // every response carries the wildcard origin (send_wildcard +
+        // allow_any_origin, main.rs:114-120)
+        val req = HttpRequest.newBuilder(URI.create(s"$base/v1/table"))
+          .header("Origin", "http://elsewhere.example").GET().build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode == 200)
+        assert(resp.headers.firstValue("Access-Control-Allow-Origin")
+          .orElse("") == "*")
+
+        // browser preflight: OPTIONS + Access-Control-Request-Method →
+        // wildcard methods/headers, max-age 3600, empty body
+        val pre = HttpRequest.newBuilder(URI.create(s"$base/v1/table/t/scan"))
+          .method("OPTIONS", HttpRequest.BodyPublishers.noBody())
+          .header("Origin", "http://elsewhere.example")
+          .header("Access-Control-Request-Method", "POST").build()
+        val presp = client.send(pre, HttpResponse.BodyHandlers.ofString())
+        assert(presp.statusCode == 200, s"preflight -> ${presp.statusCode}")
+        assert(presp.headers.firstValue("Access-Control-Allow-Origin")
+          .orElse("") == "*")
+        assert(presp.headers.firstValue("Access-Control-Allow-Methods")
+          .orElse("") == "*")
+        assert(presp.headers.firstValue("Access-Control-Allow-Headers")
+          .orElse("") == "*")
+        assert(presp.headers.firstValue("Access-Control-Max-Age")
+          .orElse("") == "3600")
+        assert(presp.body.isEmpty, "preflight must have no body")
+
+        // the access log captured both requests: request line, status, UA
+        // (`%r %s - %{User-Agent}i`); the log write races the client's
+        // return by a hair, so poll briefly
+        import scala.jdk.CollectionConverters._
+        val deadline = System.nanoTime() + 5000000000L
+        def logged(p: String => Boolean): Boolean = {
+          while (!logs.asScala.exists(p) && System.nanoTime() < deadline)
+            Thread.sleep(10)
+          logs.asScala.exists(p)
+        }
+        assert(logged(l => l.contains("\"GET /v1/table HTTP/1.1\" 200") &&
+          l.contains("Java-http-client")), s"missing GET log line in $logs")
+        assert(logged(l => l.contains("\"OPTIONS /v1/table/t/scan") &&
+          l.contains(" 200 ")), s"missing preflight log line in $logs")
+      } finally srv.stop()
+    }
+  }
+
+  test("static layer resolves symlinks before the dist containment check " +
+      "and an oversized body closes the connection") {
+    withTempDir { dir =>
+      val secret = dir.resolve("secret.txt")
+      java.nio.file.Files.writeString(secret, "TOP-SECRET")
+      val dist = java.nio.file.Files.createDirectory(dir.resolve("dist"))
+      java.nio.file.Files.writeString(dist.resolve("ok.js"), "let x = 1")
+      java.nio.file.Files.createSymbolicLink(dist.resolve("evil.js"), secret)
+      val api = new JsonApi(new Catalog(dir.resolve("data").toString), spark)
+      val srv = new HttpApiServer(api, port = 0, distDir = dist.toString)
+      val port = srv.start()
+      val base = s"http://localhost:$port"
+      try {
+        // a real dist asset is served with its content type
+        val (os, ob) = send("GET", s"$base/ok.js")
+        assert(os == 200 && ob.asString == "let x = 1")
+        // the symlink inside dist points OUTSIDE it: toRealPath fails the
+        // containment check → falls through to the dashboard, never the
+        // linked file's bytes
+        val req = HttpRequest.newBuilder(URI.create(s"$base/evil.js"))
+          .GET().build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode == 200)
+        assert(!resp.body.contains("TOP-SECRET"),
+          "symlink escaped the dist root")
+        assert(resp.body.contains("<html"), "expected dashboard fallthrough")
+
+        // 413 tells the client the connection is done: the unread body
+        // tail makes it unusable for keep-alive
+        val big = "x" * (10 * 1024 * 1024 + 16)
+        val breq = HttpRequest.newBuilder(URI.create(s"$base/v1/table/c/write"))
+          .POST(HttpRequest.BodyPublishers.ofString(big)).build()
+        val bresp = client.send(breq, HttpResponse.BodyHandlers.ofString())
+        assert(bresp.statusCode == 413)
+        assert(bresp.headers.firstValue("Connection").orElse("") == "close")
+      } finally srv.stop()
+    }
+  }
 }

@@ -67,6 +67,42 @@ class WorkersSpec extends SparkSuite {
     }
   }
 
+  test("SMOLTABLE_METRICS_CAP_MB wires to the FIFO cap and a tiny cap " +
+      "forces an eviction in the system sweep") {
+    // env parsing mirrors the reference (env.rs:26-31): default 1 MB,
+    // u16 range, invalid input rejects at startup
+    assert(MetricsTable.envCapBytes(Map.empty) == 1024L * 1024)
+    assert(MetricsTable.envCapBytes(
+      Map("SMOLTABLE_METRICS_CAP_MB" -> "16")) == 16L * 1024 * 1024)
+    intercept[IllegalArgumentException] {
+      MetricsTable.envCapBytes(Map("SMOLTABLE_METRICS_CAP_MB" -> "woof"))
+    }
+    intercept[IllegalArgumentException] {
+      MetricsTable.envCapBytes(Map("SMOLTABLE_METRICS_CAP_MB" -> "70000"))
+    }
+
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val t = Smoltable.open(spark, cat, "capped")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      t.write(Seq(RowWriteItem("a", Seq(
+        ColumnWriteItem(ColumnKey.of("v:"), Some(0L), str("x"))))))
+      val m = MetricsTable.open(spark, cat, Some("capped"))
+      // more versions of one metric than the FIFO keep window (720), in
+      // ONE write batch with explicit version timestamps; any on-disk
+      // footprint exceeds a 0-byte cap, so the sweep's enforceCap must
+      // trim the version list to the window
+      m.table.write((1 to 750).map(i => RowWriteItem("probe#n", Seq(
+        ColumnWriteItem(ColumnKey.of("value:"), Some(i.toLong),
+          CellValue.F64(i.toDouble))))))
+      assert(m.latest("probe#n", limit = 800).size == 750)
+      new Workers(spark, cat, metricsCapBytes = 0L).systemSweep()
+      val after = MetricsTable.open(spark, cat, Some("capped"))
+        .latest("probe#n", limit = 800).size
+      assert(after == 720, s"cap 0 must evict down to 720, got $after")
+    }
+  }
+
   test("start/stop schedule without throwing") {
     withTempDir { dir =>
       val w = new Workers(spark, new Catalog(dir.toString))
