@@ -164,9 +164,12 @@ final class JsonApi(catalog: Catalog, spark: org.apache.spark.sql.SparkSession,
     if (name.startsWith("_")) (sysStatus, "Invalid table name", "null")
     else if (!ColumnKey.isValidIdentifier(name))
       (400, "Invalid table name", "null")
-    else if (!catalog.tableExists(name))
-      (404, "Table not found", "null")
-    else body(table(name))
+    else Smoltable.openExisting(spark, catalog, name) match {
+      // non-creating open: a delete racing this verb can no longer be
+      // resurrected by open's createDirectories ([[Smoltable.openExisting]])
+      case None => (404, "Table not found", "null")
+      case Some(t) => body(t)
+    }
 
   /** Serializes create/delete DDL — the analog of the reference's
     * `tables.write().await` registry lock: without it two concurrent

@@ -1122,4 +1122,20 @@ object Smoltable {
     if (recovered.add(s"${catalog.baseDir}/$name")) t.recoverRewrite()
     t
   }
+
+  /** Non-creating [[open]] for paths that must treat "absent" as absent —
+    * the API verb path. [[open]]'s `createDirectories` makes the classic
+    * check-then-open race destructive: a delete landing between an API
+    * verb's existence check and its open would be silently undone by an
+    * empty resurrected directory (visible to listTables). The reference
+    * cannot hit this because verbs hold its registry read lock
+    * (`app_state.rs:34`); here the verb path simply never creates. */
+  def openExisting(spark: SparkSession, catalog: Catalog,
+      name: String): Option[Smoltable] =
+    if (!catalog.tableExists(name)) None
+    else {
+      val t = new Smoltable(spark, catalog, name)
+      if (recovered.add(s"${catalog.baseDir}/$name")) t.recoverRewrite()
+      Some(t)
+    }
 }

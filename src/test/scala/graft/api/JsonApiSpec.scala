@@ -169,4 +169,23 @@ class JsonApiSpec extends SparkSuite {
       assert(cell("u").get("value").map(_.asLong) == Some(255L))
     }
   }
+
+  test("verbs never resurrect a deleted table (non-creating open)") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val api = new JsonApi(cat, spark)
+      // the verb path's open treats absent as absent: no directory made
+      assert(graft.core.Smoltable.openExisting(spark, cat, "ghost").isEmpty)
+      assert(!cat.tableExists("ghost"))
+      // a delete-then-verb sequence (the TOCTOU interleaving, serialized):
+      // the verb must 404 and must NOT leave an empty directory behind
+      api.createTable("zombie")
+      api.deleteTable("zombie")
+      val resp = graft.json.JsonValue.parse(
+        api.scan("zombie", """{"row":{"prefix":""}}"""))
+      assert(resp.get("status").map(_.asLong) == Some(404L))
+      assert(!cat.tableExists("zombie"), "verb resurrected a deleted table")
+      assert(!cat.listTables().contains("zombie"))
+    }
+  }
 }
