@@ -476,6 +476,20 @@ object SparkEntry {
     "ext_dedup_minhash" -> ((s, dir) =>
       graft.operators.Dedup.minhashCandidates(plantedDocs(s, dir))),
 
+    // ---- near-dup CLUSTERS: minhash pairs -> connected components ----
+    // (large-star/small-star; every doc mapped to its cluster's min id,
+    // singletons to themselves). The step that turns pairwise evidence
+    // into keep-one-per-cluster dedup.
+    "ext_dedup_cluster" -> ((s, dir) => {
+      val docs = plantedDocs(s, dir)
+      val pairs = graft.operators.Dedup.minhashCandidates(docs)
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }),
+
     // ---- SimHash (16-bit) fingerprints -------------------------------
     "ext_dedup_simhash" -> ((s, dir) => graft.operators.Dedup.simhash(
       s.read.parquet(s"$dir/documents.parquet"), nBits = 16)),
@@ -497,10 +511,36 @@ object SparkEntry {
       graft.operators.Similarity.nearDupPairs(e, pairs, 0.5)
     }),
 
+    // ---- stratified sampling: exact per-language quota (one window
+    // shuffle) vs the shuffle-free hash-threshold scale path ----------
+    "ext_stratified_sample" -> ((s, dir) =>
+      graft.operators.Corpus.stratifiedSampleExact(
+        s.read.parquet(s"$dir/documents.parquet"), "lang", 0.2)),
+    "ext_sample_threshold" -> ((s, dir) =>
+      graft.operators.Corpus.thresholdSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang")), 0.25)),
+
+    // ---- test-set decontamination: word-trigram overlap vs a
+    // broadcast holdout n-gram set (holdout = doc_id % 100 == 7) ------
+    "ext_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Corpus.decontaminate(
+        docs.filter(col("doc_id") % 100 =!= 7),
+        docs.filter(col("doc_id") % 100 === 7))
+    }),
+
     // ---- brute-force cosine top-k ANN --------------------------------
     "ext_ann_bruteforce" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+
+    // ---- int8 scalar-quantized top-k: the 4x-smaller rescore kernel --
+    "ext_ann_quantized" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.quantizedTopK(
         e.filter(col("vec_id") < 10), e, k = 5)
     }),
 
@@ -914,6 +954,39 @@ object SparkEntry {
            |  UNION ALL SELECT doc_id, concat('1_', CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM sig
            |) SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id1, CAST(b.doc_id AS BIGINT) AS id2
            |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
+      // Transitive closure via WITH RECURSIVE: reach(id, r) = "r reaches
+      // id"; component = min reaching id. Same minhash pair derivation as
+      // ext_dedup_minhash, then closure — the oracle for the alternating
+      // star algorithm is the DEFINITION it must match, not the algorithm.
+      "ext_dedup_cluster" ->
+        s"""${plantedSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, pos AS (
+           |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM docs2
+           |), hashed AS (
+           |  SELECT doc_id, ($minhashH0Sql) % 2147483647 AS h0 FROM pos
+           |), sig AS (
+           |  SELECT doc_id,
+           |    min(xor(h0, 0)) AS m1,
+           |    min(xor(h0, 25214903917)) AS m2,
+           |    min(xor(h0, 173961102589770)) AS m3,
+           |    min(xor(h0, 2685821657736338717)) AS m4
+           |  FROM hashed GROUP BY doc_id
+           |), bands AS (
+           |  SELECT doc_id, concat('0_', CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM sig
+           |  UNION ALL SELECT doc_id, concat('1_', CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+           |), sym AS (
+           |  SELECT id1 AS u, id2 AS v FROM pairs UNION SELECT id2, id1 FROM pairs
+           |), reach AS (
+           |  SELECT u AS id, u AS r FROM sym
+           |  UNION
+           |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id
+           |), comp AS (
+           |  SELECT id, min(r) AS component FROM reach GROUP BY id
+           |) SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+           |FROM docs2 d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
       "ext_dedup_simhash" ->
         s"""WITH toks AS (
            |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -942,6 +1015,59 @@ object SparkEntry {
         """SELECT a.vec_id AS id1, b.vec_id AS id2,
           |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.5 AS near_dup
           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin,
+      // The 60-bit md5 sampling coin, same formula as Corpus.sampleHash.
+      "ext_stratified_sample" ->
+        """WITH s AS (
+          |  SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY lang) AS n
+          |  FROM documents
+          |) SELECT doc_id, lang FROM s WHERE rn <= ceil(n * 0.2)""".stripMargin,
+      // Threshold computed driver-side and interpolated as an exact
+      // BIGINT literal: Scala's .toLong truncates, DuckDB's CAST rounds
+      // — interpolation removes the engine-specific double->int step.
+      "ext_sample_threshold" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.25 * 1152921504606846976.0d).toLong}""".stripMargin,
+      "ext_decontaminate" ->
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |), hn AS (
+          |  SELECT DISTINCT array_to_string(list_slice(t, i, i + 2), ' ') AS ngram
+          |  FROM (SELECT t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM tok WHERE doc_id % 100 = 7)
+          |), cg AS (
+          |  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS ngram
+          |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM tok WHERE doc_id % 100 != 7)
+          |), m AS (
+          |  SELECT cg.doc_id, count(DISTINCT cg.ngram) AS n_matched
+          |  FROM cg JOIN hn USING (ngram) GROUP BY cg.doc_id
+          |) SELECT d.doc_id, CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+          |  coalesce(m.n_matched, 0) > 0 AS contaminated
+          |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+          |WHERE d.doc_id % 100 != 7""".stripMargin,
+      // int8 quantization in SQL: identical floor(x*127/max|x| + 0.5)
+      // form; integer dot/norms exact, one final double sqrt/divide.
+      "ext_ann_quantized" ->
+        """WITH base AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE embedding IS NOT NULL
+          |), mx AS (
+          |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM base
+          |), qv AS (
+          |  SELECT vec_id,
+          |    CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+          |         ELSE list_transform(e, x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) END AS q
+          |  FROM mx
+          |), nrm AS (
+          |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nn FROM qv
+          |) SELECT query_id, neighbor_id, rnk FROM (
+          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+          |      CASE WHEN a.nn * b.nn = 0 THEN 0.0
+          |           ELSE list_dot_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[])) / sqrt(CAST(a.nn * b.nn AS DOUBLE)) END DESC,
+          |      b.vec_id) AS rnk
+          |  FROM nrm a JOIN nrm b ON b.vec_id != a.vec_id
+          |  WHERE a.vec_id < 10
+          |) WHERE rnk <= 5""".stripMargin,
       "ext_ann_bruteforce" ->
         """SELECT query_id, neighbor_id, rnk FROM (
           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling (stratified exact-quota and shuffle-free threshold) and
+  * test-set decontamination. Like the rest of the extension surface,
+  * every randomized-looking choice is an md5-derived deterministic
+  * function of the data, so results are reproducible run-over-run and
+  * oracle-verifiable cross-engine.
+  */
+object Corpus {
+
+  /** 60-bit md5 hash of a column's string form — the shared sampling
+    * coin. One definition for both sampling variants so a doc's "coin"
+    * is identical whichever sampler inspects it. */
+  def sampleHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** EXACT-quota stratified sample: per stratum, keep
+    * `ceil(fraction * stratum_size)` docs, chosen by ascending md5
+    * hash (id tiebreak). Guarantees per-stratum proportions exactly —
+    * the property threshold sampling trades away — at the cost of ONE
+    * shuffle on the stratum key plus a per-stratum sort (the
+    * `row_number`/`count` windows share a single window partitioning,
+    * so Catalyst plans one exchange, two window functions).
+    *
+    * At 100 TB: the shuffle carries only (id, stratum) width (callers
+    * re-join payload columns after selection); skewed strata (one
+    * language is half the corpus) make the per-stratum sort the
+    * bottleneck — that is when to switch to [[thresholdSample]], whose
+    * quota is approximate but whose plan is a pure narrow filter.
+    */
+  def stratifiedSampleExact(df: DataFrame, strataCol: String,
+      fraction: Double, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+    val ordered = w.orderBy(sampleHash(col(idCol)), col(idCol))
+    df.select(col(idCol), col(strataCol))
+      .withColumn("_rn", row_number().over(ordered))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_rn") <= ceil(col("_n") * fraction))
+      .select(col(idCol), col(strataCol))
+  }
+
+  /** Shuffle-FREE deterministic sample: keep a doc iff its 60-bit md5
+    * coin falls under `fraction * 2^60`. No shuffle, no window, no
+    * per-stratum state — a narrow filter that pushes into the scan and
+    * scales to any corpus size with zero coordination; the quota is
+    * approximate (binomial around `fraction`, exact in expectation per
+    * stratum too since the coin is independent of any stratum column).
+    * The production default at 100 TB; [[stratifiedSampleExact]] is
+    * for when per-stratum counts must be exact.
+    */
+  def thresholdSample(df: DataFrame, fraction: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    // 2^60 is IEEE-exact; the product rounds identically in any engine.
+    val threshold = (fraction * 1152921504606846976.0d).toLong
+    df.filter(sampleHash(col(idCol)) < threshold)
+  }
+
+  /** Word n-grams of `textCol` (space-tokenized), one row per position:
+    * `(id, ngram)`. Docs shorter than `n` tokens yield no rows. */
+  private def wordNgrams(df: DataFrame, n: Int, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), toks.as("_t"))
+      .select(col(idCol),
+        explode(when(size(col("_t")) >= n,
+            sequence(lit(1), size(col("_t")) - (n - 1)))
+          .otherwise(array())).as("_i"),
+        col("_t"))
+      .select(col(idCol),
+        concat_ws(" ", slice(col("_t"), col("_i"), lit(n))).as("ngram"))
+  }
+
+  /** Test-set decontamination: flag every corpus doc sharing at least
+    * one word `n`-gram with the holdout set (the membership test that
+    * keeps eval data out of training corpora). Output: one row per
+    * corpus doc — `(id, n_matched, contaminated)` where `n_matched`
+    * counts DISTINCT holdout n-grams found in the doc.
+    *
+    * Plan shape: the holdout's distinct n-gram set is BROADCAST (test
+    * sets are MB-scale against a 100 TB corpus), so the corpus side is
+    * a single narrow pass — explode n-grams, hash-join against the
+    * broadcast set, re-aggregate per doc. One shuffle (the per-doc
+    * aggregate), nothing driver-side, corpus never re-read.
+    */
+  def decontaminate(corpus: DataFrame, holdout: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val holdoutNgrams = wordNgrams(holdout, n, idCol, textCol)
+      .select(col("ngram")).distinct()
+    val matched = wordNgrams(corpus, n, idCol, textCol)
+      .join(broadcast(holdoutNgrams), "ngram")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("ngram")).as("n_matched"))
+    corpus.select(col(idCol))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+  }
+}

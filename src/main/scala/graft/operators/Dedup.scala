@@ -212,6 +212,154 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over an undirected candidate-pair graph —
+    * turns pairwise near-dup evidence ([[lshCandidates]], SimHash
+    * hamming matches, embedding near-dup pairs) into CLUSTERS, so a
+    * dedup pipeline can keep one canonical document per cluster instead
+    * of only collapsing direct pairs (A~B, B~C must collapse A,B,C even
+    * when A~C was never a candidate pair).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14) — each
+    * round is two shuffle-on-node aggregations + joins, and the edge
+    * set converges to stars `(component-min, node)` in O(log² n)
+    * rounds REGARDLESS of component diameter. That bound is the scale
+    * reason to prefer it over naive min-label propagation, whose round
+    * count is the graph diameter (a 1M-doc chain of overlapping
+    * template revisions would need 1M rounds; this needs ~20).
+    *
+    * Iteration discipline (scale-critical): each round's edge set is
+    * checkpointed — reliably if `spark.sparkContext.setCheckpointDir`
+    * is configured (the cluster deployment: lineage truncated AND
+    * fault-tolerant), else `localCheckpoint` (executor-local blocks;
+    * right for local mode) — so the plan does not grow by two
+    * joins per round and convergence checks don't recompute the whole
+    * history. Convergence = unchanged (count, hash-xor) fingerprint of
+    * the distinct edge set, one tiny aggregate per round; at the true
+    * fixpoint large∘small maps the edge set to itself, so equality is
+    * exact (a premature stop would need a 64-bit hash-xor collision
+    * between consecutive DIFFERENT edge sets).
+    *
+    * Input: `(id1, id2)` pairs (any orientation, self-pairs ignored).
+    * Output: `(doc_id, component)` for every node that appears in a
+    * pair, `component` = least doc_id in the node's component (roots
+    * included, mapped to themselves). Nodes with no pairs don't appear
+    * — left-join the corpus and `coalesce(component, doc_id)` for
+    * total coverage.
+    *
+    * Strategy threshold (same pattern as the IVF assignment kernel): a
+    * candidate-pair graph at or under `driverEdgeLimit` edges runs
+    * union-find on the driver — one bounded collect, microseconds of
+    * CPU, ZERO iterative jobs — because a dozen distributed rounds
+    * over a graph that fits in one task is pure scheduler overhead.
+    * Past the limit (the 100 TB regime: billions of pairs), the
+    * alternating-star loop runs fully distributed. Both paths are
+    * pinned identical by `ConnectedComponentsSpec`'s differential
+    * test; the edge count that picks the path is one aggregate over
+    * the already-checkpointed edge set.
+    */
+  def connectedComponents(pairs: DataFrame,
+      maxIterations: Int = 50,
+      driverEdgeLimit: Long = DefaultDriverEdgeLimit): DataFrame = {
+    val spark = pairs.sparkSession
+
+    // Canonical undirected edge set: (u < v), distinct, no self-loops.
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    // Large-star: per node u over BOTH edge directions, m = min(N(u) ∪
+    // {u}); emit (m, v) for every strictly larger neighbor v.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      canon(sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")))
+    }
+
+    // Small-star: orient (big, small); per big node, m = min smaller
+    // neighbor; emit (m, big) and (m, v) for the other small neighbors.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(col("v").as("big"), col("u").as("small"))
+      val mins = oriented.groupBy("big").agg(min(col("small")).as("m"))
+      val joined = oriented.join(mins, "big")
+      canon(
+        joined.select(col("m").as("u"), col("small").as("v"))
+          .unionAll(mins.select(col("m").as("u"), col("big").as("v"))))
+    }
+
+    def truncate(e: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) e.checkpoint()
+      else e.localCheckpoint()
+
+    // bit_xor, not sum: order-independent over the DISTINCT edge set and
+    // immune to ANSI-mode long overflow (xxhash64 spans the full range).
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = truncate(canon(
+      pairs.select(col("id1").as("u"), col("id2").as("v"))))
+    var fp = fingerprint(edges)
+    if (fp._1 <= driverEdgeLimit) return driverUnionFind(spark, edges, fp._1)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val next = truncate(smallStar(largeStar(edges)))
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next; fp = nfp; iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIterations rounds " +
+        "(expected O(log^2 n)); raise maxIterations")
+    // Fixpoint edges are stars (u = component min, v = member).
+    edges.select(col("v").as("doc_id"), col("u").as("component"))
+      .unionAll(edges.select(col("u").as("doc_id"), col("u").as("component")))
+      .distinct()
+  }
+
+  /** [[connectedComponents]] runs union-find driver-side at or below
+    * this many candidate edges (~32 MB of (long, long) rows — well
+    * under any driver heap; the collect is bounded by the count check
+    * BEFORE it happens). */
+  val DefaultDriverEdgeLimit: Long = 1000000L
+
+  /** Driver union-find with path compression over a KNOWN-BOUNDED edge
+    * set (`n` already counted ≤ the caller's limit). Labels are
+    * re-rooted to the component MINIMUM so the output contract is
+    * byte-identical to the star loop's. */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame, n: Long): DataFrame = {
+    val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) {
+        val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      }
+      r
+    }
+    collected.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { // union by min root: labels converge to the min
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    val nodes = collected.iterator.flatMap(e => Iterator(e._1, e._2))
+      .toArray.distinct
+    import spark.implicits._
+    nodes.map(x => (x, find(x))).toSeq.toDF("doc_id", "component")
+  }
+
   /** Token-set Jaccard for candidate pairs `(id1, id2)`: integer
     * intersection/union counts (exact, no floating point). Used to verify
     * LSH candidates; the pair list bounds the work.

@@ -66,6 +66,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** Symmetric per-vector int8 scalar quantization: `q[i] =
+    * floor(x[i] * 127 / max|x| + 0.5)` (zero vectors quantize to
+    * zeros). 4x smaller than float32 — the memory story that lets a
+    * 100 TB corpus's rescore set live in a quarter of the executor
+    * RAM, at a recall cost the spec measures instead of assumes.
+    * `floor(x + 0.5)` rather than `round()` deliberately: round-half
+    * behavior differs across engines (Spark HALF_UP, others
+    * HALF_EVEN); the floor form is IEEE-deterministic everywhere, so
+    * quantized vectors are bit-identical cross-engine. */
+  def scalarQuantize(embedding: Column): Column = {
+    val maxabs = array_max(transform(embedding, x => abs(x.cast("double"))))
+    when(maxabs.isNull || maxabs === 0d,
+        transform(embedding, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(embedding,
+        x => floor(x.cast("double") * 127.0d / maxabs + 0.5d)
+          .cast("tinyint")))
+  }
+
+  /** Top-k cosine over QUANTIZED vectors ([[scalarQuantize]]) — the
+    * int8 rescore kernel: integer dot products and squared norms are
+    * exact (64-dim int8: |dot| ≤ 64·127² < 2^53), the only floating
+    * step is the final `dot / sqrt(n1·n2)`, so scores are deterministic
+    * cross-engine. Brute-force pair shape here (the quantization is
+    * what's under test); at scale the pair list comes from the LSH /
+    * IVF layouts and this kernel replaces the float32 rescore at a
+    * quarter of the memory traffic.
+    */
+  def quantizedTopK(queries: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
+    def prep(df: DataFrame, idAs: String, qAs: String, nAs: String) = df
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id").as(idAs),
+        scalarQuantize(col("embedding")).as(qAs))
+      .withColumn(nAs, aggregate(
+        transform(col(qAs), x => x.cast("long") * x.cast("long")),
+        lit(0L), (acc, x) => acc + x))
+    val q = prep(queries, "query_id", "qq", "qn")
+    val c = prep(candidates, "neighbor_id", "cq", "cn")
+    val dot = aggregate(
+      zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = q.join(c, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qn") * col("cn") === 0L, lit(0.0d))
+          .otherwise(dot / sqrt((col("qn") * col("cn")).cast("double")))
+          .as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** Rademacher weights of one plane, computed driver-side (the md5 chain
     * is constant per (seed, plane, dim) — embedding it as a literal array
     * keeps the per-row work to one integer fold per plane). Must stay
@@ -573,6 +626,13 @@ object Similarity {
     * the partition key of a persisted layout (same `ManifestFileIndex`
     * pattern as [[writeBucketedLayout]]) and probes prune to ~nprobe/C
     * of the corpus.
+    *
+    * '''Prefer [[ivfTopKAdaptive]] unless you have a reason''': the
+    * default `stride` here is a PINNED linear constant (kept for oracle
+    * stability and as the measured scale anti-thesis — see SCALE.md),
+    * which degenerates to too-few, too-fat lists as the corpus grows.
+    * The adaptive entry derives √n lists / √lists probes from the
+    * corpus size and is the production API.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       stride: Int = DefaultIvfStride, nprobe: Int = DefaultIvfProbes,

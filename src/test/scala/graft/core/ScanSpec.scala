@@ -225,8 +225,12 @@ class ScanSpec extends SparkSuite {
   test("F10: TTL GC drops ancient cells, keeps fresh ones") {
     withTempDir { dir =>
       val t = Smoltable.open(spark, new Catalog(dir.toString), "test")
+      // TTL must outlive any suite-scheduling pause between the fresh
+      // write and the GC run (a 5s TTL flaked on a loaded sandbox when
+      // >5s elapsed in between); 1h keeps the semantics — the ts=1..5ns
+      // cells are ~56 years past TTL either way.
       t.createColumnFamilies(Seq(
-        ColumnFamilyDefinition("value", GcSettings(ttlSecs = Some(5L)))))
+        ColumnFamilyDefinition("value", GcSettings(ttlSecs = Some(3600L)))))
       val now = java.time.Instant.now()
       val nowNs = now.getEpochSecond * 1000000000L + now.getNano
       for (ts <- 1L to 5L)

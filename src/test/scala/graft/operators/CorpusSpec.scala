@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** [[Corpus]] — deterministic sampling and decontamination, plus the
+  * int8 quantized ANN kernel ([[Similarity.scalarQuantize]]).
+  */
+class CorpusSpec extends SparkSuite {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("stratified exact sample hits ceil(fraction * n) per stratum") {
+    val quota = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> math.ceil(r.getLong(1) * 0.2).toLong)
+      .toMap
+    val got = Corpus.stratifiedSampleExact(docs, "lang", 0.2)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == quota)
+  }
+
+  test("stratified sample is deterministic and a subset of the corpus") {
+    val a = Corpus.stratifiedSampleExact(docs, "lang", 0.1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Corpus.stratifiedSampleExact(docs, "lang", 0.1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(ids))
+  }
+
+  test("threshold sample is shuffle-free (no Exchange in the plan)") {
+    val df = Corpus.thresholdSample(docs.select(col("doc_id")), 0.25)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("threshold sample quota is near the fraction and deterministic") {
+    val n = docs.count().toDouble
+    val kept = Corpus.thresholdSample(docs, 0.25).count().toDouble
+    // binomial(n, 0.25): allow 5 sigma
+    val sigma = math.sqrt(n * 0.25 * 0.75)
+    assert(math.abs(kept - n * 0.25) <= 5 * sigma,
+      s"kept $kept of $n at fraction 0.25")
+  }
+
+  test("threshold and stratified samplers share the same per-doc coin") {
+    // A doc kept by thresholdSample at f has hash < f*2^60; the
+    // stratified sampler ranks by the SAME hash, so the lowest-hash doc
+    // per stratum is always in both samples at any shared fraction.
+    import spark.implicits._
+    val d = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"))
+      .toDF("doc_id", "lang")
+    val strat = Corpus.stratifiedSampleExact(d, "lang", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byHash = d.withColumn("h", Corpus.sampleHash(col("doc_id")))
+      .collect().map(r => r.getString(1) -> (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (_, rs) => rs.map(_._2).minBy(_._2)._1 }
+    assert(byHash.toSet == strat)
+  }
+
+  test("decontaminate flags docs sharing a word trigram with the holdout") {
+    import spark.implicits._
+    val holdout = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx the quick brown yy"),     // shares "the quick brown"
+      (2L, "quick brown dog"),           // bigram overlap only -> clean
+      (3L, "brown fox jumps high and the quick brown too"), // two matches
+      (4L, "totally unrelated words here"),
+      (5L, "ab cd")                      // shorter than the n-gram
+    ).toDF("doc_id", "text")
+    val got = Corpus.decontaminate(corpus, holdout)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, true)), 2L -> ((0L, false)), 3L -> ((2L, true)),
+      4L -> ((0L, false)), 5L -> ((0L, false))))
+  }
+
+  test("decontaminate broadcasts the holdout n-gram set") {
+    val df = Corpus.decontaminate(
+      docs.filter(col("doc_id") % 100 =!= 7),
+      docs.filter(col("doc_id") % 100 === 7))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"holdout not broadcast:\n$plan")
+  }
+
+  test("int8 quantization stays in [-127, 127] and hits the extremes") {
+    import spark.implicits._
+    val e = Seq((0L, Array(0.5f, -1.0f, 0.25f, 1.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = e.select(col("vec_id"),
+        Similarity.scalarQuantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(q(0L) == Seq[Byte](64, -127, 32, 127))
+    assert(q(1L) == Seq[Byte](0, 0, 0, 0)) // zero vector guard
+  }
+
+  test("quantized top-k recall vs float brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
+    val quant = pairs(Similarity.quantizedTopK(q, e, 5))
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    info(f"int8 recall@5: $recall%.2f")
+    assert(recall >= 0.90, f"recall $recall%.2f below floor")
+  }
+}
