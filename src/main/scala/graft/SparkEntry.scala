@@ -490,6 +490,14 @@ object SparkEntry {
           coalesce(col("component"), col("doc_id")).as("component"))
     }),
 
+    // ---- TRUE stateful-streaming exact dedup (flatMapGroupsWithState
+    // seen-flag per content hash, memory-sink oracle harness; the
+    // file-sink + RocksDB scale shape is measured in SCALE.md). One
+    // source file -> one micro-batch, so keep_id = min doc_id per hash
+    // deterministically.
+    "ext_dedup_stream" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamingDedup(s, dir)),
+
     // ---- SimHash (16-bit) fingerprints -------------------------------
     "ext_dedup_simhash" -> ((s, dir) => graft.operators.Dedup.simhash(
       s.read.parquet(s"$dir/documents.parquet"), nBits = 16)),
@@ -526,6 +534,15 @@ object SparkEntry {
     "ext_decontaminate" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.operators.Corpus.decontaminate(
+        docs.filter(col("doc_id") % 100 =!= 7),
+        docs.filter(col("doc_id") % 100 === 7))
+    }),
+
+    // ---- the WHOLE curation pass composed: cluster-keeper dedup +
+    // token-count quality gate + decontamination in one query ---------
+    "ext_curation_pipeline" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Corpus.curate(
         docs.filter(col("doc_id") % 100 =!= 7),
         docs.filter(col("doc_id") % 100 === 7))
     }),
@@ -987,6 +1004,11 @@ object SparkEntry {
            |) SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
            |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
            |FROM docs2 d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+      // The streaming dedup's single-batch emission = batch group-by:
+      // first (and only) micro-batch sees every row of the one source
+      // file, so the emitted keeper is the global min per hash.
+      "ext_dedup_stream" ->
+        "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id FROM documents GROUP BY md5(text)",
       "ext_dedup_simhash" ->
         s"""WITH toks AS (
            |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1045,6 +1067,57 @@ object SparkEntry {
           |  coalesce(m.n_matched, 0) > 0 AS contaminated
           |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
           |WHERE d.doc_id % 100 != 7""".stripMargin,
+      // The composed curation pass: the ext_dedup_cluster closure (over
+      // the corpus half only), a 30-token quality gate, and the
+      // ext_decontaminate trigram membership test, intersected.
+      "ext_curation_pipeline" ->
+        s"""WITH RECURSIVE docs2 AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 100 != 7
+           |), pos AS (
+           |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM docs2
+           |), hashed AS (
+           |  SELECT doc_id, ($minhashH0Sql) % 2147483647 AS h0 FROM pos
+           |), sig AS (
+           |  SELECT doc_id,
+           |    min(xor(h0, 0)) AS m1,
+           |    min(xor(h0, 25214903917)) AS m2,
+           |    min(xor(h0, 173961102589770)) AS m3,
+           |    min(xor(h0, 2685821657736338717)) AS m4
+           |  FROM hashed GROUP BY doc_id
+           |), bands AS (
+           |  SELECT doc_id, concat('0_', CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM sig
+           |  UNION ALL SELECT doc_id, concat('1_', CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM sig
+           |), prs AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+           |), sym AS (
+           |  SELECT id1 AS u, id2 AS v FROM prs UNION SELECT id2, id1 FROM prs
+           |), reach AS (
+           |  SELECT u AS id, u AS r FROM sym
+           |  UNION
+           |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id
+           |), comp AS (
+           |  SELECT id, min(r) AS component FROM reach GROUP BY id
+           |), tok AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           |), hn AS (
+           |  SELECT DISTINCT array_to_string(list_slice(t, i, i + 2), ' ') AS ngram
+           |  FROM (SELECT t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM tok WHERE doc_id % 100 = 7)
+           |), cg AS (
+           |  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS ngram
+           |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM tok WHERE doc_id % 100 != 7)
+           |), m AS (
+           |  SELECT cg.doc_id, count(DISTINCT cg.ngram) AS n_matched
+           |  FROM cg JOIN hn USING (ngram) GROUP BY cg.doc_id
+           |) SELECT d.doc_id, d.lang,
+           |  CAST(length(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+           |FROM documents d
+           |LEFT JOIN comp c ON c.id = d.doc_id
+           |LEFT JOIN m ON m.doc_id = d.doc_id
+           |WHERE d.doc_id % 100 != 7
+           |  AND coalesce(c.component, d.doc_id) = d.doc_id
+           |  AND length(string_split(d.text, ' ')) >= 30
+           |  AND coalesce(m.n_matched, 0) = 0""".stripMargin,
       // int8 quantization in SQL: identical floor(x*127/max|x| + 0.5)
       // form; integer dot/norms exact, one final double sqrt/divide.
       "ext_ann_quantized" ->

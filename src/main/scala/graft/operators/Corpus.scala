@@ -101,4 +101,35 @@ object Corpus {
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),
         (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** The whole curation pass as ONE composed query — what a user of
+    * this library actually runs over a raw crawl: near-dup clustering
+    * keeps one canonical doc per cluster ([[Dedup.connectedComponents]]
+    * over minhash LSH pairs), a token-count quality gate drops
+    * fragments, and [[decontaminate]] removes anything sharing a word
+    * n-gram with the holdout. Output: `(doc_id, lang, n_tokens)` of
+    * surviving docs.
+    *
+    * Every stage is itself scale-shaped (banded pair join, star-loop /
+    * union-find CC, broadcast holdout), so the composition inherits the
+    * parts' bounds; the per-doc gates commute, so the planner is free
+    * to reorder the cheap narrow filters below the joins.
+    */
+  def curate(corpus: DataFrame, holdout: DataFrame, minTokens: Int = 30,
+      ngramN: Int = 3): DataFrame = {
+    val pairs = Dedup.minhashCandidates(
+      corpus.select(col("doc_id"), col("text")))
+    val comps = Dedup.connectedComponents(pairs)
+    val keepers = corpus
+      .join(comps, Seq("doc_id"), "left")
+      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .drop("component")
+    val qualified = keepers
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+    qualified
+      .join(decontaminate(qualified, holdout, ngramN), Seq("doc_id"))
+      .filter(!col("contaminated"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
 }

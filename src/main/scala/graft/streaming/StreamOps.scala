@@ -56,6 +56,24 @@ object StreamOps {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** Streaming file source for one sf table, layout-robust: the source
+    * path MUST be a directory (the file source watches directories), but
+    * `<table>.parquet` is a single FILE in driver-generated sf dirs and
+    * a DIRECTORY of part files in Spark-written corpora (e.g. the
+    * ScaleSmoke scaled dirs). Directory layout → the table path itself
+    * is the watched dir; single-file layout → watch the parent with a
+    * name glob. (A glob alone cannot cover both: `pathGlobFilter`
+    * matches leaf-file basenames, and in the directory layout the
+    * leaves are `part-*.parquet` — the table name never matches, which
+    * silently yields an EMPTY stream.) */
+  private def streamSource(s: SparkSession, dir: String, table: String,
+      schema: StructType): DataFrame = {
+    val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+    val rs = s.readStream.schema(schema)
+    if (java.nio.file.Files.isDirectory(p)) rs.parquet(p.toString)
+    else rs.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** Tumbling 1-hour window aggregation driven through a REAL streaming
     * query: file-source readStream → watermark → groupBy(window) → memory
     * sink, drained synchronously with processAllAvailable. Returns the
@@ -64,10 +82,7 @@ object StreamOps {
   def hourlyWindowAgg(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tableName = s"stream_window_${System.nanoTime()}"
-    val stream = s.readStream
-      .schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = streamSource(s, dir, "events", eventSchema)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .withWatermark("event_ts", "1 hour")
@@ -101,10 +116,7 @@ object StreamOps {
   def hourlyWindowAggToFiles(s: SparkSession, dir: String, outDir: String,
       checkpointDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream
-      .schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = streamSource(s, dir, "events", eventSchema)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .withWatermark("event_ts", "1 hour")
@@ -174,10 +186,7 @@ object StreamOps {
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    s.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    streamSource(s, dir, "documents", docSchema)
       .select(col("doc_id"),
         org.apache.spark.sql.functions.md5(col("text")).as("h"))
       .as[(Long, String)]
@@ -213,10 +222,7 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    streamSource(s, dir, "events", eventSchema)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", "1 hour")
       // keep the watermark column through to the stateful operator

@@ -47,8 +47,11 @@ object ScaleSmoke {
     "ext_fingerprint", "ext_lang_id",
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
     "ext_ann_ivf", "ext_ann_ivf_adaptive", "eng_ann_ivf",
-    "ext_sessionize", "ext_sessionize_stream", "ext_dedup_stream",
-    "ext_stream_window_append")
+    "ext_sessionize", "ext_sessionize_stream", "ext_dedup_stream_files",
+    "ext_stream_window_append",
+    "ext_dedup_cluster", "ext_dedup_cluster_dist",
+    "ext_stratified_sample", "ext_sample_threshold",
+    "ext_decontaminate", "ext_ann_quantized", "ext_curation_pipeline")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
@@ -99,9 +102,31 @@ object ScaleSmoke {
     // content hash (the corpus scales distinct hashes ~factor via the
     // per-copy bijection) — with sessionize-stream this puts both keyed
     // state shapes on the RocksDB provider in the measured slice
-    "ext_dedup_stream" -> ((s, dir) =>
+    // "_files" suffix: distinct from the SparkEntry contract entry
+    // ext_dedup_stream (memory-sink oracle harness) — this is the
+    // file-sink + RocksDB scale shape
+    "ext_dedup_stream_files" -> ((s, dir) =>
       graft.streaming.StreamOps.streamingDedupToFiles(s, dir,
-        scratch("sd_out"), scratch("sd_ck"))))
+        scratch("sd_out"), scratch("sd_ck"))),
+    // connected components with the driver union-find path DISABLED —
+    // the contract entry auto-picks the driver path at every test SF
+    // (the bijection corpus keeps pair counts far under the 1M-edge
+    // threshold even at 100×), so this row is the scale evidence for
+    // the distributed alternating-star loop, the path the 100 TB
+    // regime (billions of pairs) actually runs
+    "ext_dedup_cluster_dist" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.unionAll(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val pairs = graft.operators.Dedup.minhashCandidates(planted)
+      val comps = graft.operators.Dedup.connectedComponents(pairs,
+        driverEdgeLimit = 0L)
+      planted.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }))
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

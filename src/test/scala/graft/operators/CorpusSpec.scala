@@ -87,6 +87,26 @@ class CorpusSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), s"holdout not broadcast:\n$plan")
   }
 
+  test("curate composes keeper-dedup, quality gate and decontamination") {
+    import spark.implicits._
+    // 35 distinct words -> passes the 30-token gate, no repeated trigram
+    def longText(seed: String) =
+      (1 to 35).map(i => s"$seed$i").mkString(" ")
+    val contaminating = "alpha beta gamma"
+    val corpus = Seq(
+      (1L, longText("dup"), "en"),            // exact dup of 2 -> keeper
+      (2L, longText("dup"), "en"),            // dropped (cluster member)
+      (3L, "too short", "en"),                // dropped (quality gate)
+      (4L, longText("cln") + " " + contaminating, "de"), // contaminated
+      (5L, longText("uniq"), "fr")            // clean survivor
+    ).toDF("doc_id", "text", "lang")
+    val holdout = Seq((100L, s"zz $contaminating yy"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = Corpus.curate(corpus, holdout)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "en"), (5L, "fr")))
+  }
+
   test("int8 quantization stays in [-127, 127] and hits the extremes") {
     import spark.implicits._
     val e = Seq((0L, Array(0.5f, -1.0f, 0.25f, 1.0f)),
