@@ -643,6 +643,11 @@ object SparkEntry {
       graft.operators.TextAnalysis.qualityFeatures(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // ---- repetition / boilerplate signals ----------------------------
+    "ext_repetition" -> ((s, dir) =>
+      graft.operators.TextAnalysis.repetition(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     // ---- token counting (whitespace + BPE-ish regex) -----------------
     "ext_token_count" -> ((s, dir) =>
       graft.operators.TextAnalysis.tokenCounts(
@@ -1175,6 +1180,22 @@ object SparkEntry {
           |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
           |  CAST(length(text) AS DOUBLE) / CAST(length(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
           |FROM documents""".stripMargin,
+      "ext_repetition" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |), grams AS (
+          |  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS g
+          |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM toks)
+          |), tri AS (
+          |  SELECT doc_id, max(c) AS max_trigram_count
+          |  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g) GROUP BY doc_id
+          |), ts AS (
+          |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+          |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id
+          |) SELECT ts.doc_id, CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(ts.n_distinct AS DOUBLE) / CAST(ts.n_tokens AS DOUBLE) AS distinct_ratio,
+          |  CAST(coalesce(tri.max_trigram_count, 0) AS BIGINT) AS max_trigram_count
+          |FROM ts LEFT JOIN tri ON tri.doc_id = ts.doc_id""".stripMargin,
       "ext_token_count" ->
         """SELECT doc_id,
           |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,

@@ -102,12 +102,18 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876,
             // an unbounded readAllBytes was the DoS divergence
             readCapped(ex) match {
               case None =>
-                // the unread body tail makes the connection unusable for
-                // keep-alive (the JDK server would misparse it as the
-                // next request) — tell the client we're closing it
+                // drain the remaining body (bounded) BEFORE responding:
+                // answering while the client is still mid-upload races a
+                // TCP reset against the 413 — the client may never see
+                // the status. A fully-drained request gets a clean
+                // response; past the drain bound we stop reading and the
+                // unread tail makes the connection unusable for
+                // keep-alive either way, so always advertise close.
+                val drained = drainBounded(ex)
                 ex.getResponseHeaders.set("Connection", "close")
                 respond(ex, 413, "text/plain",
                   s"JSON payload is larger than allowed (limit: $MaxJsonBody bytes)")
+                if (!drained) ex.close()
               case Some(body) =>
                 val envelope = handler(body)
                 val status = JsonValue.parse(envelope).get("status")
@@ -143,6 +149,19 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876,
         catch { case _: Throwable => () } // a broken sink must not leak the exchange
         ex.close()
       }
+    }
+
+    /** Discard the rest of a rejected request body, up to 4× the JSON
+      * cap (an attacker streaming forever must not hold the worker);
+      * returns true if EOF was reached — i.e. the upload completed and
+      * the 413 can be delivered race-free. */
+    private def drainBounded(ex: HttpExchange): Boolean = {
+      val in = ex.getRequestBody
+      val chunk = new Array[Byte](64 * 1024)
+      var left = 4L * MaxJsonBody
+      var n = in.read(chunk)
+      while (n >= 0 && left > 0) { left -= n; n = in.read(chunk) }
+      n < 0
     }
 
     /** Request body up to [[MaxJsonBody]]; `None` = over the cap. A

@@ -68,4 +68,42 @@ object TextAnalysis {
       Dedup.md5Hash60(
         regexp_replace(lower(col(textCol)), "\\s+", " "))
         .as("fingerprint"))
+
+  /** Repetition / boilerplate signals — the standard heuristics for
+    * spotting templated or machine-generated text: the distinct-token
+    * ratio (low → heavy word reuse) and the count of the most repeated
+    * word trigram (high → boilerplate blocks). One explode + one
+    * per-(doc, trigram) aggregate + one per-doc aggregate — two
+    * shuffles on doc-sized keys, nothing pairwise, nothing global.
+    * Ratios are exact-integer divisions done once in double, so the
+    * values are cross-engine deterministic.
+    */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("t"))
+    val grams = toks
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= 3,
+            sequence(lit(1), size(col("t")) - 2))
+          .otherwise(array())).as("i"),
+        col("t"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("t"), col("i"), lit(3))).as("g"))
+    val triStats = grams.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_trigram_count"))
+    val tokStats = toks
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("tok")).as("n_distinct"))
+    tokStats.join(triStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_ratio"),
+        coalesce(col("max_trigram_count"), lit(0L))
+          .as("max_trigram_count"))
+  }
 }

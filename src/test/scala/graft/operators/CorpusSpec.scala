@@ -107,6 +107,24 @@ class CorpusSpec extends SparkSuite {
     assert(got == Set((1L, "en"), (5L, "fr")))
   }
 
+  test("repetition signals: boilerplate scores low ratio, high trigram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now click here buy now click here buy now click here"),
+      (2L, "a quick brown fox jumps over the lazy sleeping dog today"),
+      (3L, "xy")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // doc 1: 12 tokens, 4 distinct, "buy now click"/"now click here" x3
+    assert(got(1L)._1 == 12L && got(1L)._2 == 4.0 / 12.0 && got(1L)._3 == 3L)
+    // doc 2: 11 distinct tokens out of 11, every trigram unique
+    assert(got(2L) == ((11L, 1.0, 1L)))
+    // doc 3: shorter than a trigram -> max_trigram_count 0
+    assert(got(3L) == ((1L, 1.0, 0L)))
+  }
+
   test("int8 quantization stays in [-127, 127] and hits the extremes") {
     import spark.implicits._
     val e = Seq((0L, Array(0.5f, -1.0f, 0.25f, 1.0f)),
