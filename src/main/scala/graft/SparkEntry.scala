@@ -561,6 +561,14 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), e, k = 5)
     }),
 
+    // ---- IVF pruning + int8 rescore: the quantized kernel in its
+    // production placement behind the list-pruned probe ---------------
+    "ext_ann_ivf_quantized" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.ivfTopKQuantized(
+        e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+
     // ---- LSH-bucketed ANN: 4 seeded ±1 random-hyperplane tables (16
     //      buckets each), 5 query-directed probes per table (smallest
     //      |projection|-margin flips) — the scale path vs the baseline ----
@@ -1123,6 +1131,47 @@ object SparkEntry {
            |  AND coalesce(c.component, d.doc_id) = d.doc_id
            |  AND length(string_split(d.text, ' ')) >= 30
            |  AND coalesce(m.n_matched, 0) = 0""".stripMargin,
+      // IVF pruning (float assignment/probes, as annIvfSql) + int8
+      // rescore: rank ORDER BY the quantized score instead of float
+      // cosine. Null embeddings are excluded on BOTH sides up front
+      // (the Spark variant filters candidates and queries identically).
+      "ext_ann_ivf_quantized" ->
+        s"""WITH nn0 AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+           |), cent AS (
+           |  SELECT vec_id AS cid, embedding AS cemb FROM nn0 WHERE vec_id % ${graft.operators.Similarity.DefaultIvfStride} = 0
+           |), assign AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
+           |  FROM nn0 e CROSS JOIN cent c
+           |), lists AS (
+           |  SELECT vec_id, embedding, cid FROM assign WHERE rn = 1
+           |), qp AS (
+           |  SELECT q.vec_id AS query_id, c.cid,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
+           |  FROM nn0 q CROSS JOIN cent c WHERE q.vec_id < 10
+           |), probes AS (SELECT query_id, cid FROM qp WHERE rn <= ${graft.operators.Similarity.DefaultIvfProbes}),
+           |mx AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS ma
+           |  FROM nn0
+           |), qv AS (
+           |  SELECT vec_id,
+           |    CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+           |         ELSE list_transform(e, x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) END AS q
+           |  FROM mx
+           |), nrm AS (
+           |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nn FROM qv
+           |) SELECT query_id, neighbor_id, rnk FROM (
+           |  SELECT p.query_id, l.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+           |      CASE WHEN qa.nn * qb.nn = 0 THEN 0.0
+           |           ELSE list_dot_product(CAST(qa.q AS DOUBLE[]), CAST(qb.q AS DOUBLE[])) / sqrt(CAST(qa.nn * qb.nn AS DOUBLE)) END DESC,
+           |      l.vec_id) AS rnk
+           |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id != p.query_id
+           |  JOIN nrm qa ON qa.vec_id = p.query_id
+           |  JOIN nrm qb ON qb.vec_id = l.vec_id
+           |) WHERE rnk <= $AnnIvfK""".stripMargin,
       // int8 quantization in SQL: identical floor(x*127/max|x| + 0.5)
       // form; integer dot/norms exact, one final double sqrt/divide.
       "ext_ann_quantized" ->

@@ -119,6 +119,56 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** int8 quantized cosine of two raw embedding columns: quantize both
+    * sides ([[scalarQuantize]]), integer dot and squared norms (exact),
+    * one final double sqrt/divide; zero-norm pairs score 0. Used where
+    * the pair set is already pruned (IVF probe rescore) — for bulk
+    * scoring precompute the quantized vectors + norms once, as
+    * [[quantizedTopK]] does. */
+  def quantizedSim(a: Column, b: Column): Column = {
+    val qa = scalarQuantize(a); val qb = scalarQuantize(b)
+    def norm(q: Column) = aggregate(
+      transform(q, x => x.cast("long") * x.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val dot = aggregate(
+      zip_with(qa, qb, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nn = norm(qa) * norm(qb)
+    when(nn === 0L, lit(0.0d))
+      .otherwise(dot / sqrt(nn.cast("double")))
+  }
+
+  /** IVF probe with the INT8 rescore kernel — the production placement
+    * of [[scalarQuantize]]: candidate pruning comes from the IVF lists
+    * (float-cosine centroid assignment and probe selection, identical
+    * to [[ivfTopK]]), and only the ~nprobe/lists fraction that survives
+    * pruning is rescored, against vectors at a quarter of the float32
+    * memory traffic. Same plan shape as [[ivfTopK]]: zero-shuffle
+    * assignment kernel, static `cid IN` pushdown, broadcast probe join,
+    * ONE exchange (the rank window's).
+    */
+  def ivfTopKQuantized(queries: DataFrame, candidates: DataFrame, k: Int,
+      stride: Int = DefaultIvfStride, nprobe: Int = DefaultIvfProbes,
+      dim: Int = DefaultDim): DataFrame = {
+    val cands = candidates.filter(col("embedding").isNotNull)
+    val cents = collectCentroids(cands, stride, dim)
+    val (probes, probedCids) = ivfProbeFrame(queries, cents, nprobe)
+    val assigned = cands.select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        graft.functions.NearestCentroid(col("embedding"), cents, dim)
+          .as("cid"))
+      .filter(col("cid").isin(probedCids: _*))
+    val scored = broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedSim(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** Rademacher weights of one plane, computed driver-side (the md5 chain
     * is constant per (seed, plane, dim) — embedding it as a literal array
     * keeps the per-row work to one integer fold per plane). Must stay

@@ -137,6 +137,18 @@ class CorpusSpec extends SparkSuite {
     assert(q(1L) == Seq[Byte](0, 0, 0, 0)) // zero vector guard
   }
 
+  test("IVF + int8 rescore recalls the quantized brute-force top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.quantizedTopK(q, e, 5))
+    val ivf = pairs(Similarity.ivfTopKQuantized(q, e, 5))
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(f"IVF+int8 recall@5 vs quantized brute force: $recall%.2f")
+    assert(recall >= 0.80, f"recall $recall%.2f below floor")
+  }
+
   test("quantized top-k recall vs float brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
