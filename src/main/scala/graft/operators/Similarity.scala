@@ -153,15 +153,33 @@ object Similarity {
     val cands = candidates.filter(col("embedding").isNotNull)
     val cents = collectCentroids(cands, stride, dim)
     val (probes, probedCids) = ivfProbeFrame(queries, cents, nprobe)
+    def sqNorm(q: Column) = aggregate(
+      transform(q, x => x.cast("long") * x.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    // quantize ONCE per side as materialized columns: inlining
+    // quantizedSim would replicate the whole quantization subtree into
+    // the dot and both norms (~8 copies) — correct, but the expression
+    // tree alone takes seconds of driver analysis time
+    val qProbes = broadcast(probes
+      .withColumn("qq", scalarQuantize(col("qe")))
+      .withColumn("qn", sqNorm(col("qq")))
+      .drop("qe"))
     val assigned = cands.select(
-        col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("vec_id").as("neighbor_id"),
+        scalarQuantize(col("embedding")).as("cq"),
         graft.functions.NearestCentroid(col("embedding"), cents, dim)
           .as("cid"))
       .filter(col("cid").isin(probedCids: _*))
-    val scored = broadcast(probes).join(assigned, Seq("cid"))
+      .withColumn("cn", sqNorm(col("cq")))
+    val dot = aggregate(
+      zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = qProbes.join(assigned, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        quantizedSim(col("qe"), col("ce")).as("sim"))
+        when(col("qn") * col("cn") === 0L, lit(0.0d))
+          .otherwise(dot / sqrt((col("qn") * col("cn")).cast("double")))
+          .as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
