@@ -74,6 +74,35 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(driver.nonEmpty)
   }
 
+  test("driver union-find matches a reference BFS on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (_ <- 1 to 12) {
+      val n = 2 + rnd.nextInt(40)
+      val edges = Seq.fill(1 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // reference: BFS transitive closure, component = min reachable id
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      def bfsMin(start: Long): Long = {
+        var seen = Set(start); var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        seen.min
+      }
+      val selfOnly = edges.filter(e => e._1 == e._2).map(_._1)
+        .filterNot(e => edges.exists(x => x._1 != x._2 && (x._1 == e || x._2 == e)))
+      val expected = (edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .filterNot(selfOnly.contains))
+        .map(v => v -> bfsMin(v)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"graph with ${edges.size} edges over $n ids")
+    }
+  }
+
   test("clusters found over real minhash candidate pairs") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
