@@ -498,6 +498,13 @@ object SparkEntry {
     "ext_dedup_stream" -> ((s, dir) =>
       graft.streaming.StreamOps.streamingDedup(s, dir)),
 
+    // ---- horizon-BOUNDED streaming dedup (dropDuplicatesWithinWatermark
+    // — state expires 1h past each key's event time; re-occurrences
+    // beyond the horizon re-emit, so the deterministic relation is the
+    // key set) ---------------------------------------------------------
+    "ext_dedup_stream_bounded" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamingDedupBounded(s, dir).distinct()),
+
     // ---- SimHash (16-bit) fingerprints -------------------------------
     "ext_dedup_simhash" -> ((s, dir) => graft.operators.Dedup.simhash(
       s.read.parquet(s"$dir/documents.parquet"), nBits = 16)),
@@ -1022,6 +1029,12 @@ object SparkEntry {
       // file, so the emitted keeper is the global min per hash.
       "ext_dedup_stream" ->
         "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id FROM documents GROUP BY md5(text)",
+      // Horizon dedup emits >=1 row per key (re-occurrences beyond the
+      // horizon re-emit; in-horizon duplicates are dropped), and never a
+      // key that doesn't exist — the deterministic cross-engine relation
+      // is the DISTINCT key set.
+      "ext_dedup_stream_bounded" ->
+        "SELECT DISTINCT user_id, event_type FROM events",
       "ext_dedup_simhash" ->
         s"""WITH toks AS (
            |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -155,6 +155,62 @@ object StreamOps {
     s.table(tableName)
   }
 
+  /** Horizon-BOUNDED streaming dedup — the bounded-state answer to
+    * [[streamingDedup]]'s forever-growing seen-hash state: built on
+    * Spark's `dropDuplicatesWithinWatermark` (built-in before custom
+    * state, always), so a key's state is dropped as soon as the
+    * watermark passes its event time + `horizon`, and a reoccurrence
+    * beyond the horizon is — by design — treated as new and re-emitted.
+    * State is bounded by keys-per-horizon instead of distinct-keys-ever:
+    * at a 100 TB/day ingest rate that is the difference between a
+    * working set that fits a RocksDB instance and one that only grows.
+    * Emits `(user_id, event_type)` key rows; which duplicate row inside
+    * one micro-batch survives is engine-chosen, so callers wanting a
+    * deterministic relation project/distinct the keys (the contract
+    * entry does; the horizon semantics are pinned by
+    * `StreamingDedupSpec`'s multi-batch test).
+    */
+  def streamingDedupBounded(s: SparkSession, dir: String,
+      horizon: String = "1 hour"): DataFrame = {
+    val tableName = s"stream_dedup_b_${System.nanoTime()}"
+    val q = boundedDedupStream(s, dir, horizon).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(tableName)
+  }
+
+  /** [[streamingDedupBounded]] into a parquet FILE sink on the RocksDB
+    * state store — the scale shape (see [[streamingDedupToFiles]]). */
+  def streamingDedupBoundedToFiles(s: SparkSession, dir: String,
+      outDir: String, checkpointDir: String,
+      horizon: String = "1 hour", rocksDB: Boolean = true): DataFrame = {
+    withRocksDB(s, rocksDB) {
+      val q = boundedDedupStream(s, dir, horizon).writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.read.parquet(outDir)
+  }
+
+  private def boundedDedupStream(s: SparkSession, dir: String,
+      horizon: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    streamSource(s, dir, "events", eventSchema)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", horizon)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+  }
+
   /** Scale variant of [[streamingDedup]]: append mode into a parquet FILE
     * sink, on the RocksDB state store by default (see [[RocksDBProvider]]).
     * The seen-hash state is the scale hazard here — one entry per DISTINCT

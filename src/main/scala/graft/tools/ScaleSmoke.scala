@@ -48,7 +48,7 @@ object ScaleSmoke {
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
     "ext_ann_ivf", "ext_ann_ivf_adaptive", "eng_ann_ivf",
     "ext_sessionize", "ext_sessionize_stream", "ext_dedup_stream_files",
-    "ext_stream_window_append",
+    "ext_dedup_stream_bounded_files", "ext_stream_window_append",
     "ext_dedup_cluster", "ext_dedup_cluster_dist",
     "ext_stratified_sample", "ext_sample_threshold",
     "ext_decontaminate", "ext_ann_quantized", "ext_curation_pipeline")
@@ -109,6 +109,12 @@ object ScaleSmoke {
     "ext_dedup_stream_files" -> ((s, dir) =>
       graft.streaming.StreamOps.streamingDedupToFiles(s, dir,
         scratch("sd_out"), scratch("sd_ck"))),
+    // horizon-bounded dedup (dropDuplicatesWithinWatermark) in its
+    // file-sink RocksDB shape: state is keys-per-horizon, the BOUNDED
+    // contrast to ext_dedup_stream_files' distinct-keys-ever state
+    "ext_dedup_stream_bounded_files" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamingDedupBoundedToFiles(s, dir,
+        scratch("sb_out"), scratch("sb_ck"))),
     // connected components with the driver union-find path DISABLED —
     // the contract entry auto-picks the driver path at every test SF
     // (the bijection corpus keeps pair counts far under the 1M-edge

@@ -21,6 +21,72 @@ class StreamingDedupSpec extends SparkSuite {
     assert(out.except(expectedKeep).count() == 0)
   }
 
+  test("bounded dedup emits every key and collapses in-batch duplicates") {
+    val out = StreamOps.streamingDedupBounded(spark, "/root/testdata/sf0.001")
+    val keys = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    import org.apache.spark.sql.functions._
+    val expected = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keys == expected) // >=1 emission per key, no invented keys
+  }
+
+  test("bounded dedup state EXPIRES at the horizon: a key recurring " +
+      "beyond it re-emits, within it stays deduped") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val H = 3600L * 1000000000L // 1h in ns
+    val t0 = 1700000000L * 1000000000L
+    withTempDir { tmp =>
+      def writeBatch(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+        val rdd = spark.sparkContext.parallelize(rows.map { case (id, ts, u, et) =>
+          org.apache.spark.sql.Row(id, ts, u, et, 0.0d) }, 1)
+        spark.createDataFrame(rdd, schema).write.parquet(s"$tmp/in/$name")
+        Thread.sleep(5) // distinct mod times => deterministic batch order
+      }
+      // batch 0: key (1,a) twice within the horizon + key (2,b)
+      writeBatch("part0", Seq((1L, t0, 1L, "a"), (2L, t0 + H / 6, 1L, "a"),
+        (3L, t0, 2L, "b")))
+      // batch 1: watermark pusher — after it, watermark = t0+3h-1h = t0+2h,
+      // which is past (1,a)'s t0+1h expiry
+      writeBatch("part1", Seq((4L, t0 + 3 * H, 9L, "z")))
+      // batch 2: another key at the same time — a full batch at the
+      // advanced watermark, so the expired (1,a) state's eviction is
+      // committed (eviction is applied at state commit, AFTER the
+      // batch's dedup checks — a re-occurrence in THIS batch would
+      // still see the stale row)
+      writeBatch("part2", Seq((5L, t0 + 3 * H, 10L, "y")))
+      // batch 3: (1,a) again — state gone, must RE-emit
+      writeBatch("part3", Seq((6L, t0 + 3 * H, 1L, "a")))
+
+      import org.apache.spark.sql.functions._
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in/*")
+        .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("event_ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      val name = s"bdedup_${System.nanoTime()}"
+      val q = src.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val emitted = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).groupBy(identity)
+        .view.mapValues(_.length).toMap
+      assert(emitted == Map(
+        (1L, "a") -> 2, // once per horizon window — state expired between
+        (2L, "b") -> 1,
+        (9L, "z") -> 1,
+        (10L, "y") -> 1))
+    }
+  }
+
   test("file-sink dedup on RocksDB state matches the memory-sink result") {
     val dir = "/root/testdata/sf0.001"
     val viaMemory = StreamOps.streamingDedup(spark, dir)
