@@ -536,6 +536,14 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("lang")), 0.25)),
 
+    // ---- best-k per group: top 20 docs per language by length -------
+    // (WindowGroupLimit: map-side top-k before the shuffle)
+    "ext_topk_per_group" -> ((s, dir) =>
+      graft.operators.Corpus.topKPerGroup(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", 20)),
+
     // ---- test-set decontamination: word-trigram overlap vs a
     // broadcast holdout n-gram set (holdout = doc_id % 100 == 7) ------
     "ext_decontaminate" -> ((s, dir) => {
@@ -1077,6 +1085,12 @@ object SparkEntry {
       "ext_sample_threshold" ->
         s"""SELECT doc_id, lang FROM documents
            |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.25 * 1152921504606846976.0d).toLong}""".stripMargin,
+      "ext_topk_per_group" ->
+        """SELECT doc_id, lang, n_chars FROM (
+          |  SELECT doc_id, lang, n_chars,
+          |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM documents
+          |) WHERE rk <= 20""".stripMargin,
       "ext_decontaminate" ->
         """WITH tok AS (
           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -102,6 +102,23 @@ object Corpus {
         (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Keep the best `k` docs per group by a score column (ties broken by
+    * id): "top-20 per source by quality" — the bounded-output curation
+    * shape, complementing fraction-based sampling. Compiles to
+    * `rank <= k` over a grouped window, which Spark turns into
+    * `WindowGroupLimit` — each map task pre-truncates its partition to
+    * k rows per group BEFORE the shuffle, so the exchange carries
+    * O(groups × k) rows, not the corpus (asserted by the spec).
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      k: Int, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** The whole curation pass as ONE composed query — what a user of
     * this library actually runs over a raw crawl: near-dup clustering
     * keeps one canonical doc per cluster ([[Dedup.connectedComponents]]

@@ -107,6 +107,27 @@ class CorpusSpec extends SparkSuite {
     assert(got == Set((1L, "en"), (5L, "fr")))
   }
 
+  test("topKPerGroup keeps exactly k best per group, map-side limited") {
+    val got = Corpus.topKPerGroup(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "n_chars", 5)
+    val counts = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 5L))
+    // per group: exactly the 5 largest n_chars (doc_id tiebreak)
+    val expect = docs.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).view.mapValues(
+        _.sortBy(t => (-t._3, t._1)).take(5).map(_._1).toSet).toMap
+    val gotIds = got.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(gotIds == expect.toMap)
+    // the plan must pre-truncate per map task BEFORE the exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side WindowGroupLimit:\n$plan")
+  }
+
   test("repetition signals: boilerplate scores low ratio, high trigram") {
     import spark.implicits._
     val docs = Seq(
