@@ -131,6 +131,13 @@ object Corpus {
     * union-find CC, broadcast holdout), so the composition inherits the
     * parts' bounds; the per-doc gates commute, so the planner is free
     * to reorder the cheap narrow filters below the joins.
+    *
+    * The corpus parquet is scanned once per stage (pair generation,
+    * keeper join, decontamination n-grams) — lazy composition, no
+    * caching, correct at any size. At 100 TB, scans dominating the
+    * joins is the signal to persist the post-quality projection
+    * (`doc_id, lang, text`) once and feed the stages from it — a
+    * caller-side `.persist`/write, deliberately not baked in here.
     */
   def curate(corpus: DataFrame, holdout: DataFrame, minTokens: Int = 30,
       ngramN: Int = 3): DataFrame = {
