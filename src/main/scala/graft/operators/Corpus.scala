@@ -82,10 +82,11 @@ object Corpus {
     * counts DISTINCT holdout n-grams found in the doc.
     *
     * Plan shape: the holdout's distinct n-gram set is BROADCAST (test
-    * sets are MB-scale against a 100 TB corpus), so the corpus side is
-    * a single narrow pass — explode n-grams, hash-join against the
-    * broadcast set, re-aggregate per doc. One shuffle (the per-doc
-    * aggregate), nothing driver-side, corpus never re-read.
+    * sets are MB-scale against a 100 TB corpus), so the TEXT column is
+    * read in a single narrow pass — explode n-grams, hash-join against
+    * the broadcast set, re-aggregate per doc. One shuffle (the per-doc
+    * aggregate), nothing driver-side; the output left-join re-reads
+    * only the id column (column-pruned scan).
     */
   def decontaminate(corpus: DataFrame, holdout: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
