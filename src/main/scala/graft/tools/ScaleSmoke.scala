@@ -51,7 +51,8 @@ object ScaleSmoke {
     "ext_dedup_stream_bounded_files", "ext_stream_window_append",
     "ext_dedup_cluster", "ext_dedup_cluster_dist",
     "ext_stratified_sample", "ext_sample_threshold",
-    "ext_decontaminate", "ext_ann_quantized", "ext_curation_pipeline")
+    "ext_decontaminate", "ext_ann_quantized", "ext_curation_pipeline",
+    "ext_repetition", "ext_topk_per_group")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
