@@ -584,6 +584,14 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), e, k = 5)
     }),
 
+    // ---- adaptive geometry + int8 rescore: the two production
+    // choices composed (√n lists, √lists probes, quantized kernel) ----
+    "ext_ann_ivf_quantized_adaptive" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.ivfTopKQuantizedAdaptive(
+        e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+
     // ---- LSH-bucketed ANN: 4 seeded ±1 random-hyperplane tables (16
     //      buckets each), 5 query-directed probes per table (smallest
     //      |projection|-margin flips) — the scale path vs the baseline ----
@@ -1199,6 +1207,57 @@ object SparkEntry {
            |  JOIN nrm qa ON qa.vec_id = p.query_id
            |  JOIN nrm qb ON qb.vec_id = l.vec_id
            |) WHERE rnk <= $AnnIvfK""".stripMargin,
+      // Adaptive geometry (same derivation as annIvfAdaptiveSql: n =
+      // unfiltered count, √n lists capped, √lists probes) + the int8
+      // rescore; cent/assign over non-null embeddings like the Spark
+      // kernel path.
+      "ext_ann_ivf_quantized_adaptive" -> {
+        import graft.operators.Similarity.{DefaultIvfProbes, DefaultMaxIvfLists}
+        s"""WITH p AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+           |), geo AS (
+           |  SELECT n, greatest(1, CAST(ceil(CAST(n AS DOUBLE) / CAST(greatest(1, least(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), $DefaultMaxIvfLists)) AS DOUBLE)) AS BIGINT)) AS stride
+           |  FROM p
+           |), geo2 AS (
+           |  SELECT stride, greatest($DefaultIvfProbes, CAST(ceil(sqrt(CAST((n + stride - 1) // stride AS DOUBLE))) AS BIGINT)) AS nprobe
+           |  FROM geo
+           |), nn0 AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+           |), cent AS (
+           |  SELECT vec_id AS cid, embedding AS cemb FROM nn0 WHERE vec_id % (SELECT stride FROM geo2) = 0
+           |), assign AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
+           |  FROM nn0 e CROSS JOIN cent c
+           |), lists AS (
+           |  SELECT vec_id, embedding, cid FROM assign WHERE rn = 1
+           |), qp AS (
+           |  SELECT q.vec_id AS query_id, c.cid,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.cemb AS DOUBLE[])) DESC, c.cid) AS rn
+           |  FROM nn0 q CROSS JOIN cent c WHERE q.vec_id < 10
+           |), probes AS (SELECT query_id, cid FROM qp WHERE rn <= (SELECT nprobe FROM geo2)),
+           |mx AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS ma
+           |  FROM nn0
+           |), qv AS (
+           |  SELECT vec_id,
+           |    CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+           |         ELSE list_transform(e, x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) END AS q
+           |  FROM mx
+           |), nrm AS (
+           |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nn FROM qv
+           |) SELECT query_id, neighbor_id, rnk FROM (
+           |  SELECT pr.query_id, l.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY pr.query_id ORDER BY
+           |      CASE WHEN qa.nn * qb.nn = 0 THEN 0.0
+           |           ELSE list_dot_product(CAST(qa.q AS DOUBLE[]), CAST(qb.q AS DOUBLE[])) / sqrt(CAST(qa.nn * qb.nn AS DOUBLE)) END DESC,
+           |      l.vec_id) AS rnk
+           |  FROM probes pr JOIN lists l ON l.cid = pr.cid AND l.vec_id != pr.query_id
+           |  JOIN nrm qa ON qa.vec_id = pr.query_id
+           |  JOIN nrm qb ON qb.vec_id = l.vec_id
+           |) WHERE rnk <= $AnnIvfK""".stripMargin
+      },
       // int8 quantization in SQL: identical floor(x*127/max|x| + 0.5)
       // form; integer dot/norms exact, one final double sqrt/divide.
       "ext_ann_quantized" ->

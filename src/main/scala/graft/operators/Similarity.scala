@@ -153,28 +153,63 @@ object Similarity {
     val cands = candidates.filter(col("embedding").isNotNull)
     val cents = collectCentroids(cands, stride, dim)
     val (probes, probedCids) = ivfProbeFrame(queries, cents, nprobe)
+    val assigned = cands.select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        graft.functions.NearestCentroid(col("embedding"), cents, dim)
+          .as("cid"))
+      .filter(col("cid").isin(probedCids: _*))
+    quantizedRescore(probes, assigned, k)
+  }
+
+  /** Corpus-adaptive IVF with the int8 rescore — adaptive geometry
+    * ([[adaptiveIvfStride]]/[[autoNprobe]], the production list sizing)
+    * paired with the quantized kernel (the production rescore). The
+    * strategy threshold mirrors [[ivfTopKAdaptive]]: embedded-matrix
+    * assignment while |C| fits the kernel, the broadcast-join path
+    * beyond it — both rescored by the SAME quantized stage, pinned
+    * identical by the spec differential. */
+  def ivfTopKQuantizedAdaptive(queries: DataFrame, candidates: DataFrame,
+      k: Int, nprobe: Int = 0, dim: Int = DefaultDim,
+      maxLists: Int = DefaultMaxIvfLists,
+      maxKernelCentroids: Int = MaxKernelCentroids): DataFrame = {
+    val n = candidates.count()
+    val stride = adaptiveIvfStride(n, maxLists)
+    val lists = (n + stride - 1) / stride
+    val np = if (nprobe > 0) nprobe else autoNprobe(lists)
+    if (lists <= maxKernelCentroids)
+      ivfTopKQuantized(queries, candidates, k, stride, np, dim)
+    else {
+      val (probes, assigned) =
+        distributedProbeAssign(queries, candidates, stride, np)
+      quantizedRescore(probes, assigned, k)
+    }
+  }
+
+  /** Int8 rescore stage shared by every quantized IVF path: takes the
+    * float probe/assignment relations (`probes(query_id, qe, cid)`,
+    * `assigned(neighbor_id, ce, cid)`) and ranks by quantized cosine.
+    * Quantized vectors + squared norms are materialized ONCE per side
+    * as columns — inlining [[quantizedSim]] into the rank ordering
+    * would replicate the whole quantization subtree into the dot and
+    * both norms (~8 copies), which costs seconds of driver analysis
+    * time alone. */
+  private def quantizedRescore(probes: DataFrame, assigned: DataFrame,
+      k: Int): DataFrame = {
     def sqNorm(q: Column) = aggregate(
       transform(q, x => x.cast("long") * x.cast("long")),
       lit(0L), (acc, x) => acc + x)
-    // quantize ONCE per side as materialized columns: inlining
-    // quantizedSim would replicate the whole quantization subtree into
-    // the dot and both norms (~8 copies) — correct, but the expression
-    // tree alone takes seconds of driver analysis time
     val qProbes = broadcast(probes
       .withColumn("qq", scalarQuantize(col("qe")))
       .withColumn("qn", sqNorm(col("qq")))
       .drop("qe"))
-    val assigned = cands.select(
-        col("vec_id").as("neighbor_id"),
-        scalarQuantize(col("embedding")).as("cq"),
-        graft.functions.NearestCentroid(col("embedding"), cents, dim)
-          .as("cid"))
-      .filter(col("cid").isin(probedCids: _*))
+    val qAssigned = assigned
+      .withColumn("cq", scalarQuantize(col("ce")))
       .withColumn("cn", sqNorm(col("cq")))
+      .drop("ce")
     val dot = aggregate(
       zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b.cast("long")),
       lit(0L), (acc, x) => acc + x)
-    val scored = qProbes.join(assigned, Seq("cid"))
+    val scored = qProbes.join(qAssigned, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(col("qn") * col("cn") === 0L, lit(0.0d))
@@ -774,6 +809,17 @@ object Similarity {
     * scales with |C| on the driver. */
   def ivfTopKDistributed(queries: DataFrame, candidates: DataFrame,
       k: Int, stride: Int, nprobe: Int = DefaultIvfProbes): DataFrame = {
+    val (probes, assigned) =
+      distributedProbeAssign(queries, candidates, stride, nprobe)
+    ivfRescore(probes, assigned, k)
+  }
+
+  /** The large-|C| probe/assignment stage shared by the float and
+    * quantized distributed IVF paths: returns `(probes(query_id, qe,
+    * cid), assigned(neighbor_id, ce, cid))`, both rescore-ready. */
+  private def distributedProbeAssign(queries: DataFrame,
+      candidates: DataFrame, stride: Int,
+      nprobe: Int): (DataFrame, DataFrame) = {
     val spark = queries.sparkSession
     // null-embedding sample rows are skipped exactly like the kernel
     // strategy's collectCentroids
@@ -805,7 +851,7 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("cid"))
       .filter(col("cid").isin(probedCids: _*))
-    ivfRescore(probes, assigned, k)
+    (probes, assigned)
   }
 
   /** Broadcast-join + min-reduce list assignment: `(vec_id, embedding,

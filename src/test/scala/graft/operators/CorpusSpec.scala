@@ -170,6 +170,19 @@ class CorpusSpec extends SparkSuite {
     assert(recall >= 0.80, f"recall $recall%.2f below floor")
   }
 
+  test("adaptive quantized IVF: kernel and distributed strategies are " +
+      "identical (strategy differential)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val kernel = pairs(Similarity.ivfTopKQuantizedAdaptive(q, e, 5))
+    val dist = pairs(Similarity.ivfTopKQuantizedAdaptive(q, e, 5,
+      maxKernelCentroids = 0)) // force the broadcast-join path
+    assert(kernel == dist)
+    assert(kernel.nonEmpty)
+  }
+
   test("quantized top-k recall vs float brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
