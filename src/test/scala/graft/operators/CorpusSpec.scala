@@ -183,6 +183,19 @@ class CorpusSpec extends SparkSuite {
     assert(kernel.nonEmpty)
   }
 
+  test("quantizedSim scalar matches the hand-computed int8 cosine") {
+    import spark.implicits._
+    // a=(0.5,-1,0.25,1) -> q=(64,-127,32,127); b=(1,0,0,0) -> q=(127,0,0,0)
+    // dot = 64*127, norms: 37378 and 16129
+    val df = Seq((Array(0.5f, -1.0f, 0.25f, 1.0f), Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(Similarity.quantizedSim(col("a"), col("b")).as("s"),
+        Similarity.quantizedSim(col("a"), col("a")).as("self"))
+    val r = df.head()
+    assert(r.getDouble(0) == 64.0 * 127.0 / math.sqrt(37378.0 * 16129.0))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12) // self-sim ~ 1
+  }
+
   test("quantized top-k recall vs float brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
