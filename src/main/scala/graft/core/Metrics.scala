@@ -124,7 +124,7 @@ object MetricsTable {
     mb.toIntOption.filter(m => m >= 0 && m <= 65535) match {
       case Some(m) => m.toLong * 1024 * 1024
       case None => throw new IllegalArgumentException(
-        s"invalid metrics cap MB setting, can be up to 65536: $mb")
+        s"invalid metrics cap MB setting, can be up to 65535: $mb")
     }
   }
 

@@ -17,7 +17,7 @@ object Corpus {
     * coin. One definition for both sampling variants so a doc's "coin"
     * is identical whichever sampler inspects it. */
   def sampleHash(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    Dedup.md5Hash60(c.cast("string"))
 
   /** EXACT-quota stratified sample: per stratum, keep
     * `ceil(fraction * stratum_size)` docs, chosen by ascending md5
@@ -62,7 +62,7 @@ object Corpus {
 
   /** Word n-grams of `textCol` (space-tokenized), one row per position:
     * `(id, ngram)`. Docs shorter than `n` tokens yield no rows. */
-  private def wordNgrams(df: DataFrame, n: Int, idCol: String,
+  private[operators] def wordNgrams(df: DataFrame, n: Int, idCol: String,
       textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
     df.select(col(idCol), toks.as("_t"))

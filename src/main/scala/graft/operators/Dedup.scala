@@ -338,6 +338,8 @@ object Dedup {
   private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
       edges: DataFrame, n: Long): DataFrame = {
     val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(collected.length == n, // the checkpointed set the count saw
+      s"edge set changed between count ($n) and collect (${collected.length})")
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

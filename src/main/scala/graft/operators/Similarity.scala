@@ -95,19 +95,40 @@ object Similarity {
     */
   def quantizedTopK(queries: DataFrame, candidates: DataFrame,
       k: Int): DataFrame = {
-    def prep(df: DataFrame, idAs: String, qAs: String, nAs: String) = df
-      .filter(col("embedding").isNotNull)
-      .select(col("vec_id").as(idAs),
-        scalarQuantize(col("embedding")).as(qAs))
+    def prep(df: DataFrame, idAs: String, qAs: String, nAs: String) =
+      withQuantizedCols(df
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id").as(idAs), col("embedding")),
+        "embedding", qAs, nAs)
+    val q = prep(queries, "query_id", "qq", "qn")
+    val c = prep(candidates, "neighbor_id", "cq", "cn")
+    rankQuantizedPairs(q.join(c, col("neighbor_id") =!= col("query_id")), k)
+  }
+
+  /** Adds the int8 vector (`qAs`) and its squared norm (`nAs`) for
+    * `srcCol`, dropping the float source — quantize ONCE as
+    * materialized columns (inlining the quantization subtree into a
+    * downstream ordering replicates it ~8x and costs seconds of driver
+    * analysis alone). */
+  private def withQuantizedCols(df: DataFrame, srcCol: String,
+      qAs: String, nAs: String): DataFrame =
+    df.withColumn(qAs, scalarQuantize(col(srcCol)))
       .withColumn(nAs, aggregate(
         transform(col(qAs), x => x.cast("long") * x.cast("long")),
         lit(0L), (acc, x) => acc + x))
-    val q = prep(queries, "query_id", "qq", "qn")
-    val c = prep(candidates, "neighbor_id", "cq", "cn")
+      .drop(srcCol)
+
+  /** THE int8 scoring+ranking contract, shared by every quantized path
+    * (brute-force, pinned IVF, adaptive IVF kernel AND distributed):
+    * input carries `query_id, neighbor_id, qq, qn, cq, cn`; integer
+    * dot, zero-norm pairs score 0, rank sim-desc with neighbor-id
+    * tiebreak. One definition, so the cross-path spec differentials
+    * can never drift on a scoring change. */
+  private def rankQuantizedPairs(pairs: DataFrame, k: Int): DataFrame = {
     val dot = aggregate(
       zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b.cast("long")),
       lit(0L), (acc, x) => acc + x)
-    val scored = q.join(c, col("neighbor_id") =!= col("query_id"))
+    val scored = pairs
       .select(col("query_id"), col("neighbor_id"),
         when(col("qn") * col("cn") === 0L, lit(0.0d))
           .otherwise(dot / sqrt((col("qn") * col("cn")).cast("double")))
@@ -187,39 +208,16 @@ object Similarity {
 
   /** Int8 rescore stage shared by every quantized IVF path: takes the
     * float probe/assignment relations (`probes(query_id, qe, cid)`,
-    * `assigned(neighbor_id, ce, cid)`) and ranks by quantized cosine.
-    * Quantized vectors + squared norms are materialized ONCE per side
-    * as columns — inlining [[quantizedSim]] into the rank ordering
-    * would replicate the whole quantization subtree into the dot and
-    * both norms (~8 copies), which costs seconds of driver analysis
-    * time alone. */
+    * `assigned(neighbor_id, ce, cid)`), quantizes each side once
+    * ([[withQuantizedCols]]), broadcast-joins on list id, and scores
+    * through the shared [[rankQuantizedPairs]] contract. */
   private def quantizedRescore(probes: DataFrame, assigned: DataFrame,
       k: Int): DataFrame = {
-    def sqNorm(q: Column) = aggregate(
-      transform(q, x => x.cast("long") * x.cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    val qProbes = broadcast(probes
-      .withColumn("qq", scalarQuantize(col("qe")))
-      .withColumn("qn", sqNorm(col("qq")))
-      .drop("qe"))
-    val qAssigned = assigned
-      .withColumn("cq", scalarQuantize(col("ce")))
-      .withColumn("cn", sqNorm(col("cq")))
-      .drop("ce")
-    val dot = aggregate(
-      zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b.cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    val scored = qProbes.join(qAssigned, Seq("cid"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        when(col("qn") * col("cn") === 0L, lit(0.0d))
-          .otherwise(dot / sqrt((col("qn") * col("cn")).cast("double")))
-          .as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val qProbes = broadcast(withQuantizedCols(probes, "qe", "qq", "qn"))
+    val qAssigned = withQuantizedCols(assigned, "ce", "cq", "cn")
+    rankQuantizedPairs(
+      qProbes.join(qAssigned, Seq("cid"))
+        .filter(col("neighbor_id") =!= col("query_id")), k)
   }
 
   /** Rademacher weights of one plane, computed driver-side (the md5 chain
@@ -412,6 +410,26 @@ object Similarity {
     writeLayoutManifest(dir,
       types.StructType(frame.schema.fields.filterNot(f =>
         f.name == "l" || f.name == "bucket")))
+    writeGeometrySidecar(dir, planes, dim, seed, tables)
+  }
+
+  /** Name of the geometry sidecar written next to the layout manifest:
+    * the exact LSH parameters the layout was hashed with, so incremental
+    * appends can refuse mismatched geometry instead of silently writing
+    * vectors into wrong buckets. */
+  val LayoutGeometryName = "_graft_geometry"
+
+  private def geometryLine(planes: Int, dim: Int, seed: String,
+      tables: Int): String =
+    s"planes=$planes;dim=$dim;seed=$seed;tables=$tables"
+
+  private def writeGeometrySidecar(dir: String, planes: Int, dim: Int,
+      seed: String, tables: Int): Unit = {
+    val tmp = Paths.get(dir, LayoutGeometryName + ".tmp")
+    Files.writeString(tmp, geometryLine(planes, dim, seed, tables))
+    Files.move(tmp, Paths.get(dir, LayoutGeometryName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Incrementally add vectors to an existing [[writeBucketedLayout]]
@@ -434,6 +452,20 @@ object Similarity {
   def appendBucketedLayout(newCandidates: DataFrame, dir: String,
       planes: Int = DefaultPlanes, dim: Int = DefaultDim,
       seed: String = DefaultSeed, tables: Int = DefaultTables): Unit = {
+    // the IVF append self-validates by re-reading the frozen centroid
+    // sidecar; the LSH analog is the geometry sidecar — an append with
+    // different planes/seed/tables/dim would hash vectors into wrong
+    // buckets and commit them, so a mismatch (or a pre-sidecar layout
+    // that can't be checked) refuses instead
+    val geomPath = Paths.get(dir, LayoutGeometryName)
+    require(Files.exists(geomPath),
+      s"$dir has no $LayoutGeometryName — rebuild the layout once with " +
+        "writeBucketedLayout to record its geometry before appending")
+    val recorded = Files.readString(geomPath).trim
+    val requested = geometryLine(planes, dim, seed, tables)
+    require(recorded == requested,
+      s"append geometry ($requested) differs from the layout's " +
+        s"($recorded); appending would bucket vectors inconsistently")
     val frame = candidateFrame(newCandidates, planes, dim, seed, tables)
       .select(col("neighbor_id").as("vec_id"), col("ce").as("embedding"),
         col("l"), col("bucket").cast("int").as("bucket"))

@@ -80,22 +80,18 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("t"))
-    val grams = toks
-      .select(col("doc_id"),
-        explode(when(size(col("t")) >= 3,
-            sequence(lit(1), size(col("t")) - 2))
-          .otherwise(array())).as("i"),
-        col("t"))
-      .select(col("doc_id"),
-        concat_ws(" ", slice(col("t"), col("i"), lit(3))).as("g"))
-    val triStats = grams.groupBy("doc_id", "g")
+    // ONE trigram construction for the whole library: Corpus.wordNgrams
+    // (same tokenization the decontamination oracle is pinned to)
+    val triStats = Corpus
+      .wordNgrams(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("text")), 3, "doc_id", "text")
+      .groupBy("doc_id", "ngram")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max(col("c")).as("max_trigram_count"))
-    val tokStats = toks
-      .select(col("doc_id"), explode(col("t")).as("tok"))
+    val tokStats = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         count_distinct(col("tok")).as("n_distinct"))

@@ -126,8 +126,11 @@ object ScaleSmoke {
     "ext_dedup_cluster_dist" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
+      // +50M, not the contract entry's +1M: planted ids must stay
+      // clear of every copy's real id range (copies shift by i*100M and
+      // hold < 1M real ids each) or two different texts share a doc_id
       val planted = docs.unionAll(docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 50000000L).as("doc_id"), col("text")))
       val pairs = graft.operators.Dedup.minhashCandidates(planted)
       val comps = graft.operators.Dedup.connectedComponents(pairs,
         driverEdgeLimit = 0L)

@@ -316,6 +316,11 @@ class OperatorsSpec extends SparkSuite {
         assert(java.nio.file.Files.exists(
           java.nio.file.Paths.get(lshApp, rel)), s"missing $rel")
       }
+      // mismatched geometry must refuse, not silently mis-bucket
+      val geomErr = intercept[IllegalArgumentException] {
+        Similarity.appendBucketedLayout(extra, lshApp, seed = "other")
+      }
+      assert(geomErr.getMessage.contains("geometry"))
       val probeApp = Similarity.bucketedTopKFromLayout(lshApp, q, 3)
       assert(tuples(probeApp) ==
         tuples(Similarity.bucketedTopKFromLayout(lshOne, q, 3)),
