@@ -29,6 +29,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the suite runs ~200 query executions in one JVM; the default
+      // status-store retention (1000 SQL executions, 100k tasks, ...)
+      // quietly accumulates hundreds of MB of driver heap over the run,
+      // and the resulting GC pressure lands on whatever query happens to
+      // sort LAST (r10: q3 officially 3.6 s vs 0.6 s isolated on
+      // identical code). The bench needs no UI history at all.
+      .config("spark.sql.ui.retainedExecutions", "5")
+      .config("spark.ui.retainedJobs", "20")
+      .config("spark.ui.retainedStages", "20")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.ui.retainedDeadExecutors", "5")
+      .config("spark.sql.streaming.forceDeleteTempCheckpointLocation",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -43,8 +56,24 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
+    // between-query hygiene, so a query's measurement never pays for the
+    // session state its PREDECESSORS left behind: cached plans/relations,
+    // the memory-sink temp tables the streaming oracle harness registers
+    // (each holds its last run's rows on the driver heap), and whatever
+    // garbage the previous query made collectable. The GC call is outside
+    // every timed window — it trades untimed wall-clock for stable timed
+    // numbers.
+    def resetSession(): Unit = {
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      System.gc()
+    }
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      resetSession()
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

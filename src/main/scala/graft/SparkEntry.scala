@@ -161,8 +161,9 @@ object SparkEntry {
   }
 
   /** Layout-format version: bump when the on-disk layout shape changes
-    * (v2 added the planning manifest), orphaning incompatible caches. */
-  private val AnnLayoutVersion = 2
+    * (v2 added the planning manifest, v3 the sharded manifest), orphaning
+    * incompatible caches. */
+  private val AnnLayoutVersion = 3
 
   /** Cache location of the physical ANN layout for `dir` — fingerprinted
     * on the source parquet (size + mtime) AND the LSH geometry + layout
@@ -212,8 +213,9 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 =!= 0), tmp)
     }
 
-  /** Like [[AnnLayoutVersion]] but for the IVF `list=` layout. */
-  private val IvfLayoutVersion = 1
+  /** Like [[AnnLayoutVersion]] but for the IVF `list=` layout (v2:
+    * sharded manifest). */
+  private val IvfLayoutVersion = 2
 
   /** Cache location of the physical IVF layout for `dir` — fingerprinted
     * like [[annLayoutPath]] (source snapshot + geometry + format
@@ -231,6 +233,27 @@ object SparkEntry {
     buildLayoutOnce(ivfLayoutPath(dir)) { tmp =>
       graft.operators.Similarity.writeIvfLayout(
         s.read.parquet(s"$dir/embeddings.parquet"), tmp)
+    }
+
+  /** Cache location of the APPEND-BUILT IVF layout (`eng_ann_ivf_append`):
+    * same fingerprint inputs as [[ivfLayoutPath]], distinct prefix. */
+  private[graft] def ivfAppendLayoutPath(dir: String): String =
+    ivfLayoutPath(dir).replace("/graft_ivf_v", "/graft_ivfapp_v")
+
+  /** Build (once) the IVF layout INCREMENTALLY: the even half as the
+    * initial [[graft.operators.Similarity.writeIvfLayout]] build, the odd
+    * half via [[graft.operators.Similarity.appendIvfLayout]] against the
+    * frozen centroid sidecar. Centroid seeds (`vec_id % stride == 0`,
+    * stride even) are all even, so the base build samples the SAME
+    * centroid set as a one-shot build on the union corpus — probe results
+    * are identical and the query shares [[annIvfSql]] verbatim. */
+  private def ivfAppendLayoutDir(s: SparkSession, dir: String): String =
+    buildLayoutOnce(ivfAppendLayoutPath(dir)) { tmp =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.writeIvfLayout(
+        e.filter(col("vec_id") % 2 === 0), tmp)
+      graft.operators.Similarity.appendIvfLayout(
+        e.filter(col("vec_id") % 2 =!= 0), tmp)
     }
 
   /** Build a derived layout exactly once per cache path: build into a
@@ -638,6 +661,17 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.ivfTopKFromLayout(
         ivfLayoutDir(s, dir), e.filter(col("vec_id") < 10), k = AnnIvfK)
+    }),
+
+    // ---- the same IVF probe against an INCREMENTALLY-built layout
+    //      (even half one-shot, odd half appended against the frozen
+    //      centroid sidecar): continuous IVF ingest must not change a
+    //      single probe result — same oracle SQL as the one-shot layout -
+    "eng_ann_ivf_append" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.ivfTopKFromLayout(
+        ivfAppendLayoutDir(s, dir), e.filter(col("vec_id") < 10),
+        k = AnnIvfK)
     }),
 
     // ---- corpus-adaptive IVF: ~√n lists (capped), √lists probes, and
@@ -1291,6 +1325,7 @@ object SparkEntry {
       "ext_ann_bucketed" -> annBucketedSql,
       "ext_ann_ivf" -> annIvfSql,
       "eng_ann_ivf" -> annIvfSql,
+      "eng_ann_ivf_append" -> annIvfSql,
       "ext_ann_ivf_adaptive" -> annIvfAdaptiveSql,
       "ext_lang_id" ->
         """WITH toks AS (

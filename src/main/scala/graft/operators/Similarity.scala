@@ -36,11 +36,41 @@ object Similarity {
   val DefaultSeed = "graft"
   val DefaultTables = 4
 
-  /** Name of the layout manifest written by [[writeBucketedLayout]]: the
-    * committed `(path, size)` file list + data schema, so probes plan from
-    * the manifest ([[org.apache.spark.sql.graft.ManifestFileIndex]])
-    * instead of listing `tables × 2^planes` directories per query. */
+  /** Name of the LEGACY single-file layout manifest (read-compatible; no
+    * longer written): the committed `(path, size)` file list + data
+    * schema, so probes plan from the manifest
+    * ([[org.apache.spark.sql.graft.ManifestFileIndex]]) instead of
+    * listing `tables × 2^planes` directories per query. New builds write
+    * the SHARDED manifest ([[LayoutManifestDirName]]) instead; appends to
+    * a legacy layout migrate it. */
   val LayoutManifestName = "_graft_layout_manifest"
+
+  /** Directory of the sharded layout manifest. Contains a tiny `CURRENT`
+    * pointer file (schema json + shard count + one line per live shard
+    * file) and gzip-compressed shard files, each holding the
+    * `file\trel\tsize` lines whose partition DIRECTORY hashes to that
+    * shard. Probe planning therefore reads `CURRENT` (O(shards) bytes)
+    * plus only the shards its probed `l=/bucket=` (or `list=`) dirs hash
+    * to — at a genuine 100 TB layout (10⁵–10⁶ files) the driver-side
+    * planning read drops from the full 10–100 MB manifest to a handful of
+    * compressed shards, and stays flat as the layout grows.
+    *
+    * Crash contract (unchanged from the legacy single file): the atomic
+    * `CURRENT` move is the ONLY commit point. An append writes NEW shard
+    * files (uuid-suffixed — never in place) and then swaps `CURRENT`; a
+    * crash before the swap leaves the old `CURRENT` intact, so the
+    * half-appended batch stays invisible and the append can re-run in
+    * full. Orphaned shard/part files are reclaimed by the next rebuild. */
+  val LayoutManifestDirName = "_graft_layout_manifest.d"
+
+  /** The commit-pointer file inside [[LayoutManifestDirName]]. */
+  val ManifestCurrentName = "CURRENT"
+
+  /** Default shard count. Recorded in `CURRENT`, so readers always use
+    * the count the layout was written with. 64 keeps `CURRENT` at ~64
+    * lines while a 10⁶-file layout averages ~16k lines (~a few hundred
+    * KB gzipped) per shard — one small read per probed partition dir. */
+  val DefaultManifestShards = 64
 
   /** Cosine similarity — fused native kernel, deterministic accumulation
     * order (reproducible across runs and engines). */
@@ -483,8 +513,8 @@ object Similarity {
   private def appendPartitioned(frame: DataFrame, dir: String,
       partitionCols: Seq[String]): Unit = {
     val root = Paths.get(dir)
-    require(Files.exists(root.resolve(LayoutManifestName)),
-      s"$dir has no $LayoutManifestName — build the layout first")
+    require(manifestCommitted(dir),
+      s"$dir has no committed layout manifest — build the layout first")
     val staging = Files.createTempDirectory(root, "_append_")
     try {
       val out = staging.resolve("out")
@@ -512,25 +542,152 @@ object Similarity {
     }
   }
 
-  /** Append `file` lines to the committed manifest — read, extend, write
-    * to temp, atomic move; the schema line and existing entries are kept
-    * verbatim. O(manifest) per append, never a directory walk. */
-  private def extendLayoutManifest(root: java.nio.file.Path,
-      newFiles: Seq[(String, Long)]): Unit = {
-    val mf = root.resolve(LayoutManifestName)
-    val lines = Files.readAllLines(mf, StandardCharsets.UTF_8).asScala
-      .filter(_.nonEmpty) ++
-      newFiles.map { case (rel, size) => s"file\t$rel\t$size" }
-    val tmp = root.resolve(LayoutManifestName + ".tmp")
+  /** Shard id of a partition DIRECTORY (`l=2/bucket=7`, `list=300`):
+    * portable md5 hash mod the recorded shard count. Probe planners and
+    * the writer both map through this, so a probe knows exactly which
+    * shards can contain its probed partitions' files. */
+  private def shardOfDir(dirPrefix: String, shards: Int): Int = {
+    val h = graft.model.PortableHash.md5Long60(dirPrefix) % shards
+    (if (h < 0) h + shards else h).toInt
+  }
+
+  /** Shard id of a manifest entry's RELATIVE file path: the shard of its
+    * partition directory prefix. */
+  private def shardOfRel(rel: String, shards: Int): Int = {
+    val cut = rel.lastIndexOf('/')
+    shardOfDir(if (cut < 0) "" else rel.substring(0, cut), shards)
+  }
+
+  private def gzipWriteLines(path: java.nio.file.Path,
+      lines: Seq[String]): Unit = {
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(path))
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def gzipReadLines(path: java.nio.file.Path): Vector[String] = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.util.zip.GZIPInputStream(Files.newInputStream(path)),
+      StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  /** Parse `CURRENT`: (data-schema json, shard count, shardId → shard
+    * file name). */
+  private def readCurrent(mdir: java.nio.file.Path)
+      : (String, Int, Map[Int, String]) = {
+    var schemaJson: String = null
+    var shards = 0
+    val shardFiles = Map.newBuilder[Int, String]
+    Files.readAllLines(mdir.resolve(ManifestCurrentName),
+        StandardCharsets.UTF_8).asScala.filter(_.nonEmpty).foreach { line =>
+      line.split("\t", -1).toList match {
+        case "schema" :: json :: Nil => schemaJson = json
+        case "shards" :: n :: Nil    => shards = n.toInt
+        case "shard" :: id :: name :: Nil => shardFiles += ((id.toInt, name))
+        case _ => throw new IllegalStateException(
+          s"bad manifest CURRENT line: $line")
+      }
+    }
+    require(schemaJson != null && shards > 0,
+      s"manifest $mdir/$ManifestCurrentName missing schema/shards line")
+    (schemaJson, shards, shardFiles.result())
+  }
+
+  private def parseFileLine(line: String): (String, Long) =
+    line.split("\t", -1) match {
+      case Array("file", rel, size) => (rel, size.toLong)
+      case _ => throw new IllegalStateException(s"bad manifest line: $line")
+    }
+
+  /** Write shard files + `CURRENT` for the full `files` list. The
+    * `CURRENT` atomic move is the commit point. */
+  private def writeShardedManifest(root: java.nio.file.Path,
+      schemaJson: String, files: Seq[(String, Long)],
+      shards: Int = DefaultManifestShards): Unit = {
+    val mdir = root.resolve(LayoutManifestDirName)
+    Files.createDirectories(mdir)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val entries = files.groupBy { case (rel, _) => shardOfRel(rel, shards) }
+      .toSeq.sortBy(_._1).map { case (sid, fs) =>
+        val name = f"shard-$sid%04d-$token.gz"
+        gzipWriteLines(mdir.resolve(name), fs.sortBy(_._1)
+          .map { case (rel, size) => s"file\t$rel\t$size" })
+        (sid, name)
+      }
+    commitCurrent(mdir, schemaJson, shards, entries)
+  }
+
+  private def commitCurrent(mdir: java.nio.file.Path, schemaJson: String,
+      shards: Int, entries: Seq[(Int, String)]): Unit = {
+    val lines = s"schema\t$schemaJson" +: s"shards\t$shards" +:
+      entries.sortBy(_._1).map { case (sid, n) => s"shard\t$sid\t$n" }
+    val tmp = mdir.resolve(ManifestCurrentName + ".tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, mf,
+    Files.move(tmp, mdir.resolve(ManifestCurrentName),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Append `file` lines to the committed manifest. Sharded layout: only
+    * the shards the new files hash to are rewritten (as NEW uuid-named
+    * files), then `CURRENT` swaps atomically — O(affected shards) work
+    * per append, never a directory walk, and the old `CURRENT` stays
+    * valid until the swap. Legacy single-file layout: migrated to the
+    * sharded format in the same commit. */
+  private def extendLayoutManifest(root: java.nio.file.Path,
+      newFiles: Seq[(String, Long)]): Unit = {
+    val mdir = root.resolve(LayoutManifestDirName)
+    if (Files.exists(mdir.resolve(ManifestCurrentName))) {
+      val (schemaJson, shards, shardFiles) = readCurrent(mdir)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val byShard = newFiles.groupBy { case (rel, _) =>
+        shardOfRel(rel, shards) }
+      val replaced = byShard.map { case (sid, fs) =>
+        val existing = shardFiles.get(sid)
+          .map(n => gzipReadLines(mdir.resolve(n))).getOrElse(Vector.empty)
+        val name = f"shard-$sid%04d-$token.gz"
+        gzipWriteLines(mdir.resolve(name),
+          existing ++ fs.map { case (rel, size) => s"file\t$rel\t$size" })
+        (sid, name)
+      }
+      commitCurrent(mdir, schemaJson, shards,
+        (shardFiles ++ replaced).toSeq)
+      // committed: the superseded shard files are garbage — best-effort
+      // reclaim (a crash here just leaves orphans for the next rebuild)
+      byShard.keys.foreach(sid => shardFiles.get(sid)
+        .foreach(n => Files.deleteIfExists(mdir.resolve(n))))
+    } else {
+      val legacy = root.resolve(LayoutManifestName)
+      val (schemaJson, files) = readLegacyManifest(legacy)
+      writeShardedManifest(root, schemaJson, files ++ newFiles)
+      Files.deleteIfExists(legacy) // sharded CURRENT now authoritative
+    }
+  }
+
+  private def readLegacyManifest(mf: java.nio.file.Path)
+      : (String, Vector[(String, Long)]) = {
+    var schemaJson: String = null
+    val files = Vector.newBuilder[(String, Long)]
+    Files.readAllLines(mf, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).foreach { line =>
+        line.split("\t", -1).toList match {
+          case "schema" :: json :: Nil => schemaJson = json
+          case "file" :: rel :: size :: Nil => files += ((rel, size.toLong))
+          case _ =>
+            throw new IllegalStateException(s"bad layout manifest: $line")
+        }
+      }
+    require(schemaJson != null, s"layout manifest $mf has no schema line")
+    (schemaJson, files.result())
+  }
+
   /** Commit the layout's `(relative path, size)` file list + data schema
-    * as a single manifest file, so a probe plans with zero listing/stat
-    * calls — the same Delta/Iceberg planning model as
-    * [[graft.core.TableManifest]] `dataFiles`. Written atomically (temp +
+    * as a sharded manifest ([[LayoutManifestDirName]]), so a probe plans
+    * with zero listing/stat calls — the same Delta/Iceberg planning model
+    * as [[graft.core.TableManifest]] `dataFiles` — and reads only its
+    * probed partitions' shards. Committed atomically (`CURRENT` temp +
     * move) after the parquet commit. */
   private def writeLayoutManifest(dir: String,
       dataSchema: types.StructType): Unit = {
@@ -541,12 +698,37 @@ object Similarity {
         p.getFileName.toString.endsWith(".parquet")).toVector
       finally s.close()
     }.sortBy(_.toString)
-    val lines = s"schema\t${dataSchema.json}" +:
-      files.map(f => s"file\t${root.relativize(f)}\t${Files.size(f)}")
-    val tmp = root.resolve(LayoutManifestName + ".tmp")
-    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, root.resolve(LayoutManifestName),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      .map(f => (root.relativize(f).toString, Files.size(f)))
+    writeShardedManifest(root, dataSchema.json, files)
+  }
+
+  /** True iff `dir` has a committed layout manifest (sharded or legacy). */
+  def manifestCommitted(dir: String): Boolean =
+    Files.exists(Paths.get(dir, LayoutManifestDirName, ManifestCurrentName)) ||
+      Files.exists(Paths.get(dir, LayoutManifestName))
+
+  /** The committed manifest of `dir` as (data-schema json, (relative
+    * path, size) entries). With `probedDirs` set, only the shards those
+    * partition directories hash to are read (plus nothing else) — the
+    * probe-planning read path; the returned entries are a superset of the
+    * probed dirs' files and a subset of the full manifest. Public for
+    * specs and the scale harness. */
+  def manifestFiles(dir: String, probedDirs: Option[Seq[String]] = None)
+      : (String, Vector[(String, Long)]) = {
+    val root = Paths.get(dir)
+    val mdir = root.resolve(LayoutManifestDirName)
+    if (Files.exists(mdir.resolve(ManifestCurrentName))) {
+      val (schemaJson, shards, shardFiles) = readCurrent(mdir)
+      val wanted: Set[Int] = probedDirs match {
+        case Some(dirs) => dirs.map(shardOfDir(_, shards)).toSet
+        case None       => shardFiles.keySet
+      }
+      val files = shardFiles.toVector.sortBy(_._1)
+        .filter { case (sid, _) => wanted.contains(sid) }
+        .flatMap { case (_, name) =>
+          gzipReadLines(mdir.resolve(name)).map(parseFileLine) }
+      (schemaJson, files)
+    } else readLegacyManifest(root.resolve(LayoutManifestName))
   }
 
   /** The layout frame, planned from the manifest when present (no
@@ -559,29 +741,22 @@ object Similarity {
 
   private def layoutFrame(spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      partitionSchema: types.StructType = LshPartitionSchema): DataFrame = {
-    val mf = Paths.get(dir, LayoutManifestName)
-    if (!Files.exists(mf)) spark.read.parquet(dir)
+      partitionSchema: types.StructType = LshPartitionSchema,
+      probedDirs: Option[Seq[String]] = None): DataFrame =
+    if (!manifestCommitted(dir)) spark.read.parquet(dir)
     else {
-      var dataSchema: types.StructType = null
-      val files = Vector.newBuilder[(String, Long)]
-      Files.readAllLines(mf, StandardCharsets.UTF_8).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          line.split("\t", -1).toList match {
-            case "schema" :: json :: Nil =>
-              dataSchema =
-                types.DataType.fromJson(json).asInstanceOf[types.StructType]
-            case "file" :: rel :: size :: Nil =>
-              files += ((s"$dir/$rel", size.toLong))
-            case other =>
-              throw new IllegalStateException(s"bad layout manifest: $line")
-          }
-        }
-      require(dataSchema != null, s"layout manifest $mf has no schema line")
+      // sharded manifest + probedDirs: only the probed partitions' shards
+      // are read — the static partition filter downstream prunes the rest
+      // of the selected shards' entries, so results are identical to a
+      // full-manifest plan while the driver-side read stays O(probes)
+      val (schemaJson, files) = manifestFiles(dir, probedDirs)
+      val dataSchema =
+        types.DataType.fromJson(schemaJson).asInstanceOf[types.StructType]
       org.apache.spark.sql.graft.ManifestFileIndex.frame(
-        spark, dir, files.result(), partitionSchema, dataSchema)
+        spark, dir,
+        files.map { case (rel, size) => (s"$dir/$rel", size) },
+        partitionSchema, dataSchema)
     }
-  }
 
   /** Probe a [[writeBucketedLayout]] directory. The probe set is computed
     * driver-side first (the query batch is small — that is the ANN
@@ -670,7 +845,9 @@ object Similarity {
         q.schema.fields(1).copy(name = "qe"),
         types.StructField("l", types.IntegerType, nullable = false),
         types.StructField("bucket", types.LongType, nullable = false))))
-    val pruned = layoutFrame(spark, dir)
+    val pruned = layoutFrame(spark, dir,
+        probedDirs = Some(probeSet.map { case (l, b) =>
+          s"l=$l/bucket=${b.toInt}" }.toSeq))
       .filter(probeSet.map { case (l, b) =>
         col("l") === lit(l) && col("bucket") === lit(b.toInt)
       }.reduceOption(_ || _).getOrElse(lit(false))) // empty query batch
@@ -1094,7 +1271,8 @@ object Similarity {
     val (probes, probedCids) = ivfProbeFrame(queries, cents, nprobe)
     val pruned = layoutFrame(queries.sparkSession, dir,
         types.StructType(Seq(
-          types.StructField("list", types.LongType))))
+          types.StructField("list", types.LongType))),
+        probedDirs = Some(probedCids.map(c => s"list=$c")))
       .filter(col("list").isin(probedCids: _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("list").as("cid"))

@@ -205,21 +205,36 @@ object ScaleSmoke {
     else s"RESULT: SUPER-LINEAR: ${superLinear.map(_._1).mkString(", ")}")
 
     // layout manifest footprint + read/planning cost at factor× — the
-    // driver-side planning artifacts whose size grows with the corpus
-    // file count (the 100× sharding question: flat read time = no shard
-    // needed)
-    for ((label, path) <- Seq(
-        ("ann", graft.SparkEntry.annLayoutPath(scaled)),
-        ("ivf", graft.SparkEntry.ivfLayoutPath(scaled)))) {
-      val mf = java.nio.file.Paths.get(path,
-        graft.operators.Similarity.LayoutManifestName)
-      if (java.nio.file.Files.exists(mf)) {
+    // driver-side planning artifact whose size grows with the corpus
+    // file count. The sharded manifest's claim: a probe reads CURRENT
+    // plus only its probed partitions' shards, so the probe-planning
+    // read stays flat while the full manifest grows with the layout.
+    for ((label, path, probe) <- Seq(
+        ("ann", graft.SparkEntry.annLayoutPath(scaled),
+          // a representative 20-dir LSH probe set (4 tables × 5 probes)
+          Seq.tabulate(20)(i => s"l=${i / 5}/bucket=${(i * 3) % 16}")),
+        ("ivf", graft.SparkEntry.ivfLayoutPath(scaled),
+          Seq.tabulate(8)(i => s"list=${i * 100}")))) {
+      if (graft.operators.Similarity.manifestCommitted(path)) {
         val t0 = System.nanoTime()
-        val lines = java.nio.file.Files.readAllLines(mf).size
-        val readMs = (System.nanoTime() - t0) / 1e6
-        println(f"$label layout manifest @${factor}x: " +
-          f"${java.nio.file.Files.size(mf)} bytes, $lines lines, " +
-          f"read $readMs%.1f ms")
+        val full = graft.operators.Similarity.manifestFiles(path)._2
+        val fullMs = (System.nanoTime() - t0) / 1e6
+        val t1 = System.nanoTime()
+        val probed =
+          graft.operators.Similarity.manifestFiles(path, Some(probe))._2
+        val probeMs = (System.nanoTime() - t1) / 1e6
+        val mdir = java.nio.file.Paths.get(path,
+          graft.operators.Similarity.LayoutManifestDirName)
+        val bytes = if (java.nio.file.Files.isDirectory(mdir)) {
+          val s = java.nio.file.Files.list(mdir)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(java.nio.file.Files.size).sum
+          } finally s.close()
+        } else 0L
+        println(f"$label layout manifest @${factor}x: $bytes bytes gz, " +
+          f"${full.size} entries, full read $fullMs%.1f ms; " +
+          f"probe-subset read ${probed.size} entries $probeMs%.1f ms")
       }
     }
     dropScratch()

@@ -250,6 +250,62 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("sharded layout manifest: probe-subset reads cover the probed " +
+      "dirs, skip others, and legacy manifests migrate on append") {
+    import java.nio.file.{Files, Paths}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft_mf_shard").toString
+    try {
+      Similarity.writeBucketedLayout(e, dir)
+      // new builds commit the sharded form only
+      assert(Files.exists(Paths.get(dir, Similarity.LayoutManifestDirName,
+        Similarity.ManifestCurrentName)), "sharded CURRENT must exist")
+      assert(!Files.exists(Paths.get(dir, Similarity.LayoutManifestName)),
+        "legacy single-file manifest must not be written")
+      val (schemaJson, full) = Similarity.manifestFiles(dir)
+      assert(full.nonEmpty)
+      // probe-subset read: every file of the probed dir is returned...
+      val probedDir = {
+        val rel = full.head._1
+        rel.substring(0, rel.lastIndexOf('/'))
+      }
+      val (_, sub) = Similarity.manifestFiles(dir, Some(Seq(probedDir)))
+      val inDir = full.filter(_._1.startsWith(probedDir + "/"))
+      assert(inDir.toSet.subsetOf(sub.toSet),
+        "probe-subset must contain every file of the probed dir")
+      // ...from a subset of the shards (flat planning read at scale)
+      assert(sub.toSet.subsetOf(full.toSet))
+      assert(sub.size < full.size,
+        s"probe-subset (${sub.size}) should skip unprobed shards " +
+          s"(full=${full.size})")
+      // legacy migration: rewrite the manifest in the legacy single-file
+      // form, then append — the append must migrate it to sharded and
+      // keep every entry
+      val mdir = Paths.get(dir, Similarity.LayoutManifestDirName)
+      import scala.jdk.CollectionConverters._
+      Files.walk(mdir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+      val legacyLines = s"schema\t$schemaJson" +:
+        full.map { case (rel, size) => s"file\t$rel\t$size" }
+      Files.write(Paths.get(dir, Similarity.LayoutManifestName),
+        legacyLines.mkString("\n").getBytes("UTF-8"))
+      assert(Similarity.manifestFiles(dir)._2.toSet == full.toSet,
+        "legacy manifest must read back identically")
+      Similarity.appendBucketedLayout(
+        e.limit(0), dir) // empty batch: pure manifest migration
+      assert(Files.exists(mdir.resolve(Similarity.ManifestCurrentName)),
+        "append must migrate a legacy manifest to the sharded form")
+      assert(!Files.exists(Paths.get(dir, Similarity.LayoutManifestName)),
+        "migrated legacy file must be removed after commit")
+      assert(Similarity.manifestFiles(dir)._2.toSet == full.toSet,
+        "migration must preserve every manifest entry")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("physical l=/bucket= layout probe matches the logical plan and " +
       "prunes partitions") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -258,7 +314,7 @@ class OperatorsSpec extends SparkSuite {
       .toString
     try {
       Similarity.writeBucketedLayout(e, dir)
-      assert(new java.io.File(dir, Similarity.LayoutManifestName).exists,
+      assert(Similarity.manifestCommitted(dir),
         "layout must commit a planning manifest")
       val fromLayout = Similarity.bucketedTopKFromLayout(dir, q, 3)
       val logical = Similarity.bucketedTopK(q, e, 3)
@@ -302,17 +358,14 @@ class OperatorsSpec extends SparkSuite {
       // LSH: one-shot union build vs build(base) + append(extra)
       Similarity.writeBucketedLayout(e, lshOne)
       Similarity.writeBucketedLayout(base, lshApp)
-      val before = java.nio.file.Files.readAllLines(java.nio.file.Paths
-        .get(lshApp, Similarity.LayoutManifestName)).size
+      val before = Similarity.manifestFiles(lshApp)._2.size
       Similarity.appendBucketedLayout(extra, lshApp)
-      val mfLines = java.nio.file.Files.readAllLines(java.nio.file.Paths
-        .get(lshApp, Similarity.LayoutManifestName))
-      assert(mfLines.size > before, "append must extend the manifest")
-      assert(mfLines.size == mfLines.asScala.toSet.size,
-        "append must not duplicate manifest lines")
+      val mfFiles = Similarity.manifestFiles(lshApp)._2
+      assert(mfFiles.size > before, "append must extend the manifest")
+      assert(mfFiles.size == mfFiles.toSet.size,
+        "append must not duplicate manifest entries")
       // every manifest file must exist on disk (the commit moved them in)
-      mfLines.asScala.filter(_.startsWith("file\t")).foreach { l =>
-        val rel = l.split("\t")(1)
+      mfFiles.foreach { case (rel, _) =>
         assert(java.nio.file.Files.exists(
           java.nio.file.Paths.get(lshApp, rel)), s"missing $rel")
       }
@@ -356,7 +409,7 @@ class OperatorsSpec extends SparkSuite {
       .toString
     try {
       Similarity.writeIvfLayout(e, dir, stride = stride)
-      assert(new java.io.File(dir, Similarity.LayoutManifestName).exists,
+      assert(Similarity.manifestCommitted(dir),
         "layout must commit a planning manifest")
       assert(new java.io.File(dir, Similarity.IvfCentroidsName).exists,
         "layout must commit the centroid sidecar")
