@@ -57,6 +57,9 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876,
   /** `server/src/main.rs:124-126`: `JsonConfig::default().limit(10 MiB)`. */
   private val MaxJsonBody = 10 * 1024 * 1024
 
+  /** Max wall-clock a rejected body drain may occupy a worker thread. */
+  private val DrainDeadlineNanos = 5L * 1000 * 1000 * 1000
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/", new Router)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
@@ -151,16 +154,27 @@ final class HttpApiServer(api: JsonApi, port: Int = 9876,
       }
     }
 
-    /** Discard the rest of a rejected request body, up to 4× the JSON
-      * cap (an attacker streaming forever must not hold the worker);
-      * returns true if EOF was reached — i.e. the upload completed and
-      * the 413 can be delivered race-free. */
+    /** Discard the rest of a rejected request body, bounded in BYTES (4×
+      * the JSON cap) and in TIME ([[DrainDeadlineNanos]]) — an attacker
+      * streaming forever OR trickling one byte per second must not hold
+      * one of the fixed worker threads; returns true if EOF was reached —
+      * i.e. the upload completed and the 413 can be delivered race-free.
+      * A Content-Length declared beyond the byte bound skips the drain
+      * entirely: EOF is unreachable within the bound, so reading first
+      * would only burn worker time before the same connection-close. */
     private def drainBounded(ex: HttpExchange): Boolean = {
+      val bound = 4L * MaxJsonBody
+      val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+        .flatMap(_.toLongOption)
+      if (declared.exists(_ > bound)) return false
       val in = ex.getRequestBody
       val chunk = new Array[Byte](64 * 1024)
-      var left = 4L * MaxJsonBody
+      val deadline = System.nanoTime() + DrainDeadlineNanos
+      var left = bound
       var n = in.read(chunk)
-      while (n >= 0 && left > 0) { left -= n; n = in.read(chunk) }
+      while (n >= 0 && left > 0 && System.nanoTime() < deadline) {
+        left -= n; n = in.read(chunk)
+      }
       n < 0
     }
 

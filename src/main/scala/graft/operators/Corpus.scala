@@ -134,8 +134,11 @@ object Corpus {
     * to reorder the cheap narrow filters below the joins.
     *
     * The corpus parquet is scanned once per stage (pair generation,
-    * keeper join, decontamination n-grams) — lazy composition, no
-    * caching, correct at any size. At 100 TB, scans dominating the
+    * keeper join, decontamination n-grams) — composed without caching,
+    * correct at any size. One stage is NOT lazy: building the returned
+    * frame already runs the [[Dedup.connectedComponents]] jobs
+    * (checkpoint + convergence aggregates per round); the other stages
+    * stay unevaluated until an action. At 100 TB, scans dominating the
     * joins is the signal to persist the post-quality projection
     * (`doc_id, lang, text`) once and feed the stages from it — a
     * caller-side `.persist`/write, deliberately not baked in here.

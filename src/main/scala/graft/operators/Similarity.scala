@@ -106,11 +106,16 @@ object Similarity {
     * HALF_EVEN); the floor form is IEEE-deterministic everywhere, so
     * quantized vectors are bit-identical cross-engine. */
   def scalarQuantize(embedding: Column): Column = {
-    val maxabs = array_max(transform(embedding, x => abs(x.cast("double"))))
+    // a null ELEMENT quantizes as 0.0 — the same contract as the float
+    // kernels' toD, so a malformed vector ranks identically through the
+    // quantized and float paths instead of carrying null components
+    // (null dot/norm) that sort last only by accident of null ordering
+    def toD(x: Column) = coalesce(x.cast("double"), lit(0.0d))
+    val maxabs = array_max(transform(embedding, x => abs(toD(x))))
     when(maxabs.isNull || maxabs === 0d,
         transform(embedding, _ => lit(0).cast("tinyint")))
       .otherwise(transform(embedding,
-        x => floor(x.cast("double") * 127.0d / maxabs + 0.5d)
+        x => floor(toD(x) * 127.0d / maxabs + 0.5d)
           .cast("tinyint")))
   }
 

@@ -65,12 +65,19 @@ object StreamOps {
     * name glob. (A glob alone cannot cover both: `pathGlobFilter`
     * matches leaf-file basenames, and in the directory layout the
     * leaves are `part-*.parquet` — the table name never matches, which
-    * silently yields an EMPTY stream.) */
+    * silently yields an EMPTY stream.) The directory check goes through
+    * Hadoop's FileSystem — the filesystem Spark actually reads — so an
+    * `hdfs://`/`s3a://` directory-layout table resolves correctly
+    * instead of silently falling into the glob branch (a local-only
+    * `java.nio.Files.isDirectory` returns false for any remote URI). */
   private def streamSource(s: SparkSession, dir: String, table: String,
       schema: StructType): DataFrame = {
-    val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+    val p = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val isDir = try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
     val rs = s.readStream.schema(schema)
-    if (java.nio.file.Files.isDirectory(p)) rs.parquet(p.toString)
+    if (isDir) rs.parquet(p.toString)
     else rs.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 

@@ -43,11 +43,22 @@ class StreamingDedupSpec extends SparkSuite {
     val H = 3600L * 1000000000L // 1h in ns
     val t0 = 1700000000L * 1000000000L
     withTempDir { tmp =>
+      // strictly-increasing EXPLICIT mtimes per batch: FileStreamSource
+      // orders files by modification time, and on coarse-granularity
+      // (1 s) filesystems sleep-separated writes can tie, making batch
+      // order — and the emission-count assertion — nondeterministic
+      var mtime = 1700000000000L
       def writeBatch(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
         val rdd = spark.sparkContext.parallelize(rows.map { case (id, ts, u, et) =>
           org.apache.spark.sql.Row(id, ts, u, et, 0.0d) }, 1)
         spark.createDataFrame(rdd, schema).write.parquet(s"$tmp/in/$name")
-        Thread.sleep(5) // distinct mod times => deterministic batch order
+        mtime += 10000
+        import scala.jdk.CollectionConverters._
+        val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/in/$name"))
+        try walked.iterator().asScala.foreach(p =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(mtime)))
+        finally walked.close()
       }
       // batch 0: key (1,a) twice within the horizon + key (2,b)
       writeBatch("part0", Seq((1L, t0, 1L, "a"), (2L, t0 + H / 6, 1L, "a"),
