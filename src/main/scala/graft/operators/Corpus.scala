@@ -75,6 +75,15 @@ object Corpus {
         concat_ws(" ", slice(col("_t"), col("_i"), lit(n))).as("ngram"))
   }
 
+  /** [[decontaminate]] broadcasts the holdout n-gram set at or below
+    * this many DISTINCT n-grams (~1M word trigrams ≈ tens of MB
+    * serialized — comfortably shippable to every executor). Past it,
+    * shipping the whole set everywhere costs more than shuffling the
+    * corpus n-grams that might match, so the join degrades to a
+    * shuffled hash join with the (still-smaller) holdout as the per-
+    * partition build side. */
+  val DefaultMaxBroadcastNgrams: Long = 1000000L
+
   /** Test-set decontamination: flag every corpus doc sharing at least
     * one word `n`-gram with the holdout set (the membership test that
     * keeps eval data out of training corpora). Output: one row per
@@ -87,13 +96,29 @@ object Corpus {
     * the broadcast set, re-aggregate per doc. One shuffle (the per-doc
     * aggregate), nothing driver-side; the output left-join re-reads
     * only the id column (column-pruned scan).
+    *
+    * Strategy gate (the [[Dedup.connectedComponents]] pattern: COUNT
+    * first, then pick): a holdout-only pre-count job runs at call time;
+    * past `maxBroadcastNgrams` distinct n-grams the broadcast becomes a
+    * shuffled HASH join (holdout as build side — it is the smaller
+    * relation by contract even when too big to broadcast). The two
+    * strategies are result-identical (spec differential); only the
+    * exchange placement moves.
     */
   def decontaminate(corpus: DataFrame, holdout: DataFrame, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBroadcastNgrams: Long = DefaultMaxBroadcastNgrams): DataFrame = {
     val holdoutNgrams = wordNgrams(holdout, n, idCol, textCol)
       .select(col("ngram")).distinct()
+    // Holdout-sized pre-count (never corpus-sized); the distinct is
+    // recomputed by the join job — a second holdout pass, deliberately
+    // traded against caching state the caller would have to manage.
+    val broadcastable = holdoutNgrams.count() <= maxBroadcastNgrams
+    val joinSide =
+      if (broadcastable) broadcast(holdoutNgrams)
+      else holdoutNgrams.hint("shuffle_hash")
     val matched = wordNgrams(corpus, n, idCol, textCol)
-      .join(broadcast(holdoutNgrams), "ngram")
+      .join(joinSide, "ngram")
       .groupBy(col(idCol))
       .agg(count_distinct(col("ngram")).as("n_matched"))
     corpus.select(col(idCol))

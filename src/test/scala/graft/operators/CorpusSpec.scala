@@ -87,6 +87,28 @@ class CorpusSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), s"holdout not broadcast:\n$plan")
   }
 
+  test("decontaminate strategy differential: shuffle join ≡ broadcast") {
+    val corpus = docs.filter(col("doc_id") % 100 =!= 7)
+    val holdout = docs.filter(col("doc_id") % 100 === 7)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val viaBroadcast = Corpus.decontaminate(corpus, holdout)
+    val viaShuffle = Corpus.decontaminate(corpus, holdout,
+      maxBroadcastNgrams = 0L) // force the oversized-holdout path
+    assert(rows(viaBroadcast) == rows(viaShuffle))
+    assert(rows(viaBroadcast).exists(_._3), "differential needs matches")
+  }
+
+  test("decontaminate picks a shuffled hash join for an oversized holdout") {
+    val df = Corpus.decontaminate(
+      docs.filter(col("doc_id") % 100 =!= 7),
+      docs.filter(col("doc_id") % 100 === 7),
+      maxBroadcastNgrams = 0L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"oversized holdout not shuffle-joined:\n$plan")
+  }
+
   test("curate composes keeper-dedup, quality gate and decontamination") {
     import spark.implicits._
     // 35 distinct words -> passes the 30-token gate, no repeated trigram
