@@ -140,12 +140,83 @@ object ScaleSmoke {
           coalesce(col("component"), col("doc_id")).as("component"))
     }))
 
+  /** Multi-version cell view for the maintenance rows: one cell per
+    * event, keyed by user, qualified by event type, real event-time ns
+    * timestamps — the only view where version-limit and TTL GC have
+    * genuine work to do. Key padded to 12 (not the contract view's 6):
+    * Spark `lpad` TRUNCATES overlong input, and the scaled copies shift
+    * user_id by i×100M — a 6-wide pad would collapse every shifted copy
+    * onto a handful of row keys, GC-ing 96% of cells instead of the
+    * base's 63% and measuring a different workload at factor× than at 1×. */
+  private def maintEventCells(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet").select(
+      lpad(col("user_id").cast("string"), 12, "0").as("row_key"),
+      lit("ev").as("family"),
+      col("event_type").as("qualifier"),
+      expr("(cast(ts as bigint) div 1000) * 1000").as("ts"),
+      col("value").cast("double").as("vd"))
+  }
+
+  /** Engine-backed events table for the maintenance-verb rows
+    * ([[maintEventCells]] bulk-loaded into a real
+    * [[graft.core.Smoltable]]). Built once per (dir, source fingerprint)
+    * like SparkEntry's engine caches; the maintenance rows clone it per
+    * run (the verbs mutate). */
+  private def engineEventsBase(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val fp = java.lang.Long.toHexString(31L * src.length + src.lastModified)
+    // v2: 12-wide row-key pad (v1 inherited the contract view's 6-wide
+    // pad, whose lpad truncation collapsed scaled-copy keys)
+    val base = s"/tmp/graft_scale_evt2_" +
+      s"${Integer.toHexString(dir.hashCode)}_$fp"
+    val t = graft.core.Smoltable.open(s, new graft.core.Catalog(base),
+      "events")
+    if (t.dataFileCount == 0) {
+      t.createColumnFamilies(Seq(graft.model.ColumnFamilyDefinition("ev")))
+      t.writeBulk(maintEventCells(s, dir).select(
+        col("row_key"), col("family"), col("qualifier"), col("ts"),
+        struct(
+          lit("f64").as("vtype"),
+          lit(null).cast("string").as("s"),
+          lit(null).cast("boolean").as("b"),
+          lit(null).cast("short").as("u8"),
+          lit(null).cast("int").as("i32"),
+          lit(null).cast("long").as("i64"),
+          lit(null).cast("float").as("f32"),
+          col("vd")).as("value")))
+    }
+    base
+  }
+
+  /** Recursive copy of an engine-table catalog dir into a fresh scratch
+    * dir — the maintenance verbs are copy-on-write MUTATIONS, so each
+    * timed run gets its own clone (clone cost excluded from the timing). */
+  private def cloneCatalog(src: String): String = {
+    val from = java.nio.file.Paths.get(src)
+    val to = java.nio.file.Paths.get(scratch("evt_clone"))
+    val s = java.nio.file.Files.walk(from)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.foreach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally s.close()
+    to.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val runs = args.lift(2).map(_.toInt).getOrElse(2)
-    val slice = args.lift(3).getOrElse("all") match {
+    val sliceArg = args.lift(3).getOrElse("all")
+    val slice = sliceArg match {
       case "ann" => AnnNames
+      case "maint" => Seq.empty[String] // maintenance verbs only
       case _ => Names
     }
     val spark = SparkSession.builder()
@@ -159,7 +230,7 @@ object ScaleSmoke {
 
     val scaled = scaledDir(spark, base, factor)
     println(s"base=$base scaled=$scaled factor=${factor}x runs=$runs " +
-      s"slice=${if (slice eq AnnNames) "ann" else "all"}")
+      s"slice=$sliceArg")
 
     def sink(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -169,6 +240,7 @@ object ScaleSmoke {
     // time
     val warmBuilds =
       if (slice eq AnnNames) Seq("eng_ann_bucketed", "eng_ann_ivf")
+      else if (sliceArg == "maint") Seq.empty
       else Seq("eng_get_row", "eng_ann_bucketed", "eng_ann_ivf")
     for (dir <- Seq(base, scaled); n <- warmBuilds) {
       val t0 = System.nanoTime()
@@ -197,9 +269,54 @@ object ScaleSmoke {
       (n, tb, ts, ratio, wb)
     }
 
-    val worst = rows.maxBy(_._4)
+    // maintenance verbs: version GC, TTL GC, compaction — the engine's
+    // copy-on-write rewrite surface. Each verb MUTATES the table, so each
+    // run opens a fresh clone of the prebuilt engine events table (clone
+    // cost excluded); protocol is warm-run-then-measure per dir, like the
+    // query slice. Cost model: one full table read + survivor rewrite —
+    // ratio should track the factor (a full pass), never exceed it.
+    val maintRows = if (sliceArg == "all" || sliceArg == "maint") {
+      println("\n-- maintenance verbs (fresh engine-table clone per run) --")
+      // TTL cut at the median event time: ~half the cells die, and the ts
+      // distribution is identical in base and scaled (copies shift ids,
+      // not timestamps), so both sides GC the same fraction.
+      val medianNs = maintEventCells(spark, base)
+        .agg(expr("approx_percentile(ts, 0.5d)")).head().getLong(0)
+      val ttlSecs = math.max(1L,
+        java.time.Instant.now().getEpochSecond - medianNs / 1000000000L)
+      val verbs: Seq[(String, graft.core.Smoltable => String)] = Seq(
+        ("eng_gc_version", t => "dead=" + t.runVersionGcWith(Map("ev" ->
+          graft.model.GcSettings(versionLimit = Some(5))))),
+        ("eng_gc_ttl", t => "dead=" + t.runVersionGcWith(Map("ev" ->
+          graft.model.GcSettings(ttlSecs = Some(ttlSecs))))),
+        ("eng_compact", t => { val (b, a) = t.compact()
+          s"files=$b->$a" }))
+      verbs.map { case (nm, run) =>
+        def timed(dir: String): (Double, String) = {
+          val srcBase = engineEventsBase(spark, dir)
+          def once(): (Double, String) = {
+            val t = graft.core.Smoltable.open(spark,
+              new graft.core.Catalog(cloneCatalog(srcBase)), "events")
+            val t0 = System.nanoTime()
+            val detail = run(t)
+            ((System.nanoTime() - t0) / 1e9, detail)
+          }
+          once() // discarded warm run on its own clone
+          once()
+        }
+        val (tb, db) = timed(base)
+        val (ts, dsc) = timed(scaled)
+        val ratio = ts / tb
+        println(f"$nm%-24s base=$tb%7.3fs  ${factor}x=$ts%7.3fs  " +
+          f"ratio=$ratio%5.2f  [base $db, ${factor}x $dsc]")
+        (nm, tb, ts, ratio, tb)
+      }
+    } else Seq.empty
+
+    val allRows = rows ++ maintRows
+    val worst = allRows.maxBy(_._4)
     println(f"\nworst ratio: ${worst._1} at ${worst._4}%.2f (factor=$factor)")
-    val superLinear = rows.filter(_._4 > factor * 1.3)
+    val superLinear = allRows.filter(_._4 > factor * 1.3)
     println(if (superLinear.isEmpty)
       s"RESULT: no super-linear query at ${factor}x (all ratios <= ${factor}*1.3)"
     else s"RESULT: SUPER-LINEAR: ${superLinear.map(_._1).mkString(", ")}")
