@@ -239,8 +239,11 @@ object StreamOps {
   }
 
   /** The stateful dedup stream shared by both sinks: file source →
-    * md5(text) → seen-flag per hash via `flatMapGroupsWithState`. */
-  private def dedupStream(s: SparkSession, dir: String): DataFrame = {
+    * md5(text) → seen-flag per hash via `flatMapGroupsWithState`.
+    * Package-visible so the crash-resume spec can drive the REAL operator
+    * pipeline under a test-controlled query lifecycle (kill + restart on
+    * one checkpoint). */
+  private[streaming] def dedupStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
     val docSchema = StructType(Seq(

@@ -98,6 +98,92 @@ class StreamingDedupSpec extends SparkSuite {
     }
   }
 
+  test("file-sink dedup survives kill + resume on one checkpoint: " +
+      "no duplicate, no lost keys (exactly-once landing)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    withTempDir { tmp =>
+      // directory-layout streaming table: streamSource watches this dir
+      val in = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/in/documents.parquet"))
+      var mtime = 1700000000000L // explicit, strictly increasing (see above)
+      def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+        val rdd = spark.sparkContext.parallelize(rows.map { case (id, t) =>
+          org.apache.spark.sql.Row(id, t, "en", "test", t.length.toLong) }, 1)
+        val stage = s"$tmp/stage/$name"
+        spark.createDataFrame(rdd, schema).write.parquet(stage)
+        import scala.jdk.CollectionConverters._
+        val part = {
+          val s = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          try s.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally s.close()
+        }
+        val dst = in.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      def text(i: Int) = s"document body number $i with some words"
+      val out = s"$tmp/out"
+      val ck = s"$tmp/ck"
+      val prev = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StreamOps.RocksDBProvider)
+      try {
+        def startQuery() = StreamOps.dedupStream(spark, s"$tmp/in")
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ck).start()
+
+        // ---- run 1: two batches land, then the query dies ----
+        writeBatch("b0", (1L to 10L).map(i => (i, text(i.toInt))))
+        writeBatch("b1", (11L to 15L).map(i => (i, text(i.toInt))) :+
+          ((16L, text(1)))) // in-run cross-batch duplicate
+        val q1 = startQuery()
+        q1.processAllAvailable()
+        // more input arrives, then the query is stopped WITHOUT draining —
+        // whether b2 was picked up, mid-batch, or untouched at stop time,
+        // the resumed query must converge to the same exactly-once output
+        writeBatch("b2", (21L to 25L).map(i => (i, text(i.toInt - 20))))
+        q1.stop()
+
+        // ---- run 2: resume from the same checkpoint ----
+        writeBatch("b3", (31L to 35L).map(i => (i, text(i.toInt - 15))))
+        val q2 = startQuery()
+        try q2.processAllAvailable() finally q2.stop()
+
+        // read through the sink's _spark_metadata commit log (exactly-once
+        // visibility: uncommitted files from the killed run are invisible)
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$out/_spark_metadata")))
+        val rows = spark.read.parquet(out).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        // no duplicate keys: state survived the restart (b2's texts 1..5
+        // were seen in b0 and must NOT re-emit), and the sink did not
+        // double-land any batch
+        assert(rows.map(_._1).distinct.length == rows.length,
+          s"duplicate hashes after resume: ${rows.groupBy(_._1)
+            .filter(_._2.length > 1).keys}")
+        // no lost keys, deterministic keeper: first-emission doc_id wins
+        val expected = ((1 to 15) ++ (31 to 35)).map { i =>
+          val t = if (i >= 31) text(i - 15) else text(i)
+          (org.apache.commons.codec.digest.DigestUtils.md5Hex(t), i.toLong)
+        }.toSet
+        assert(rows.toSet == expected)
+      } finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file-sink dedup on RocksDB state matches the memory-sink result") {
     val dir = "/root/testdata/sf0.001"
     val viaMemory = StreamOps.streamingDedup(spark, dir)
