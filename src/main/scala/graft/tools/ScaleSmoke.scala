@@ -50,6 +50,7 @@ object ScaleSmoke {
     "ext_sessionize", "ext_sessionize_stream", "ext_dedup_stream_files",
     "ext_dedup_stream_bounded_files", "ext_stream_window_append",
     "ext_dedup_cluster", "ext_dedup_cluster_dist",
+    "ext_dedup_cluster_fixedgraph",
     "ext_stratified_sample", "ext_sample_threshold",
     "ext_decontaminate", "ext_ann_quantized", "ext_curation_pipeline",
     "ext_repetition", "ext_topk_per_group")
@@ -123,6 +124,28 @@ object ScaleSmoke {
     // threshold even at 100×), so this row is the scale evidence for
     // the distributed alternating-star loop, the path the 100 TB
     // regime (billions of pairs) actually runs
+    // the DECOMPOSED cluster row: duplicates planted ONLY from copy 0's
+    // id range, so the planted pair graph is CONSTANT while the corpus
+    // scales with the factor — separating the driver union-find path's
+    // input-size scaling (minhash + banding over the whole corpus, then
+    // a fixed-size graph) from the contract entry's graph-size scaling
+    // (its planting rule replicates per copy, so ITS graph grows with
+    // the factor; at 100× that row measures both effects compounded)
+    "ext_dedup_cluster_fixedgraph" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      // copies shift doc_id by i*100M and hold < 1M real ids each, so
+      // < 100M selects exactly copy 0 and +50M is collision-free
+      val planted = docs.unionAll(docs
+        .filter(col("doc_id") % 50 === 0 && col("doc_id") < 100000000L)
+        .select((col("doc_id") + 50000000L).as("doc_id"), col("text")))
+      val pairs = graft.operators.Dedup.minhashCandidates(planted)
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      planted.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }),
     "ext_dedup_cluster_dist" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -217,7 +240,8 @@ object ScaleSmoke {
     val slice = sliceArg match {
       case "ann" => AnnNames
       case "maint" => Seq.empty[String] // maintenance verbs only
-      case _ => Names
+      case "all" => Names
+      case names => names.split(",").toSeq // explicit query-name list
     }
     val spark = SparkSession.builder()
       .appName("graft-scale-smoke").master("local[32]")
@@ -238,10 +262,13 @@ object ScaleSmoke {
     // warm-up pass builds the one-time scaled artifacts (engine table,
     // ANN + IVF layouts) — ingest cost, reported separately from query
     // time
+    // explicit-list slices skip the reported build section: any one-time
+    // build cost lands in (and is discarded with) the per-dir warm pass
     val warmBuilds =
       if (slice eq AnnNames) Seq("eng_ann_bucketed", "eng_ann_ivf")
-      else if (sliceArg == "maint") Seq.empty
-      else Seq("eng_get_row", "eng_ann_bucketed", "eng_ann_ivf")
+      else if (sliceArg == "all")
+        Seq("eng_get_row", "eng_ann_bucketed", "eng_ann_ivf")
+      else Seq.empty[String]
     for (dir <- Seq(base, scaled); n <- warmBuilds) {
       val t0 = System.nanoTime()
       sink(graft.SparkEntry.queries(n)(spark, dir))
