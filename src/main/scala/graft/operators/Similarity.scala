@@ -659,16 +659,63 @@ object Similarity {
       }
       commitCurrent(mdir, schemaJson, shards,
         (shardFiles ++ replaced).toSeq)
-      // committed: the superseded shard files are garbage — best-effort
-      // reclaim (a crash here just leaves orphans for the next rebuild)
-      byShard.keys.foreach(sid => shardFiles.get(sid)
-        .foreach(n => Files.deleteIfExists(mdir.resolve(n))))
+      // committed: the superseded shard files are garbage, but a probe
+      // that read the OLD `CURRENT` may still be about to open them —
+      // deleting here would fail that reader. Tombstone them instead and
+      // reclaim only tombstones older than the grace window (measured
+      // from supersession, not file mtime: a shard written at build time
+      // and superseded just now must survive the full window). A crash
+      // mid-GC just leaves orphans for a later append to reclaim.
+      tombstoneAndReclaim(mdir,
+        byShard.keys.flatMap(shardFiles.get).toSeq)
     } else {
       val legacy = root.resolve(LayoutManifestName)
       val (schemaJson, files) = readLegacyManifest(legacy)
       writeShardedManifest(root, schemaJson, files ++ newFiles)
       Files.deleteIfExists(legacy) // sharded CURRENT now authoritative
     }
+  }
+
+  /** Superseded-shard grace window. A probe plans in milliseconds
+    * (read `CURRENT`, read probed shards), so minutes of grace makes the
+    * swap-then-reclaim race unobservable in practice; [[manifestFiles]]
+    * additionally retries from a fresh `CURRENT` if a shard vanished
+    * under a pathologically stalled reader. Tunable for tests. */
+  private def manifestGcGraceMs: Long =
+    java.lang.Long.getLong("graft.ann.manifest.gc.grace.ms",
+      15L * 60L * 1000L)
+
+  private val ManifestTombstonesName = "TOMBSTONES"
+
+  /** Record `superseded` shard files as deletion candidates stamped now,
+    * then delete (and forget) any candidate past the grace window.
+    * Appends run one-at-a-time per layout (same contract as the parquet
+    * append itself), so the read-modify-write of the tombstone file is
+    * not racy with other writers; it is never read by probes. */
+  private def tombstoneAndReclaim(mdir: java.nio.file.Path,
+      superseded: Seq[String]): Unit = {
+    val tf = mdir.resolve(ManifestTombstonesName)
+    val now = System.currentTimeMillis()
+    val prior =
+      if (Files.exists(tf))
+        Files.readAllLines(tf, StandardCharsets.UTF_8).asScala.toVector
+          .filter(_.nonEmpty).map { line =>
+            line.split("\t", -1) match {
+              case Array(ts, name) => (ts.toLong, name)
+              case _ =>
+                throw new IllegalStateException(s"bad tombstone: $line")
+            }
+          }
+      else Vector.empty
+    val all = prior ++ superseded.map((now, _))
+    val (expired, kept) = all.partition(_._1 <= now - manifestGcGraceMs)
+    expired.foreach { case (_, name) =>
+      Files.deleteIfExists(mdir.resolve(name)) }
+    val tmp = mdir.resolve(ManifestTombstonesName + ".tmp")
+    Files.write(tmp, kept.map { case (ts, n) => s"$ts\t$n" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, tf, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def readLegacyManifest(mf: java.nio.file.Path)
