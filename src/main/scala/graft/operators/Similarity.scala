@@ -580,8 +580,9 @@ object Similarity {
   }
 
   /** Parse `CURRENT`: (data-schema json, shard count, shardId → shard
-    * file name). */
-  private def readCurrent(mdir: java.nio.file.Path)
+    * file name). Package-visible so the GC spec can capture a snapshot
+    * for [[manifestFilesFrom]]'s stale-snapshot retry path. */
+  private[graft] def readCurrent(mdir: java.nio.file.Path)
       : (String, Int, Map[Int, String]) = {
     var schemaJson: String = null
     var shards = 0
@@ -641,7 +642,45 @@ object Similarity {
     * per append, never a directory walk, and the old `CURRENT` stays
     * valid until the swap. Legacy single-file layout: migrated to the
     * sharded format in the same commit. */
+  private[graft] val ManifestLockName = "LOCK"
+
+  /** Fail-fast guard for the single-writer-per-layout append contract:
+    * the manifest read-modify-write (`CURRENT` shard map + `TOMBSTONES`)
+    * is only safe with one appender at a time, so a second concurrent
+    * appender must surface as an error rather than silently dropping the
+    * other's manifest entries. Best-effort, not a distributed lock: a
+    * crashed writer's stale lock (older than the GC grace window) is
+    * reclaimed so the layout does not wedge forever. */
+  private def withManifestWriterLock[A](mdir: java.nio.file.Path)
+      (body: => A): A = {
+    Files.createDirectories(mdir)
+    val lock = mdir.resolve(ManifestLockName)
+    def acquire(retryStale: Boolean): Unit =
+      try { Files.createFile(lock); () }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        val age = try System.currentTimeMillis() -
+          Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.nio.file.NoSuchFileException => Long.MinValue }
+        if (age == Long.MinValue) acquire(retryStale) // holder just freed it
+        else if (age > manifestGcGraceMs && retryStale) {
+          Files.deleteIfExists(lock) // crashed writer: reclaim once
+          acquire(retryStale = false)
+        } else throw new IllegalStateException(
+          s"concurrent manifest append detected: $lock exists " +
+            s"(age ${age} ms); the layout append contract is " +
+            "single-writer-per-layout")
+      }
+    acquire(retryStale = true)
+    try body finally Files.deleteIfExists(lock)
+  }
+
   private def extendLayoutManifest(root: java.nio.file.Path,
+      newFiles: Seq[(String, Long)]): Unit =
+    withManifestWriterLock(root.resolve(LayoutManifestDirName)) {
+      extendLayoutManifestLocked(root, newFiles)
+    }
+
+  private def extendLayoutManifestLocked(root: java.nio.file.Path,
       newFiles: Seq[(String, Long)]): Unit = {
     val mdir = root.resolve(LayoutManifestDirName)
     if (Files.exists(mdir.resolve(ManifestCurrentName))) {
@@ -685,13 +724,14 @@ object Similarity {
     java.lang.Long.getLong("graft.ann.manifest.gc.grace.ms",
       15L * 60L * 1000L)
 
-  private val ManifestTombstonesName = "TOMBSTONES"
+  private[graft] val ManifestTombstonesName = "TOMBSTONES"
 
   /** Record `superseded` shard files as deletion candidates stamped now,
     * then delete (and forget) any candidate past the grace window.
     * Appends run one-at-a-time per layout (same contract as the parquet
-    * append itself), so the read-modify-write of the tombstone file is
-    * not racy with other writers; it is never read by probes. */
+    * append itself) — enforced fail-fast by [[withManifestWriterLock]] —
+    * so the read-modify-write of the tombstone file is not racy with
+    * other writers; it is never read by probes. */
   private def tombstoneAndReclaim(mdir: java.nio.file.Path,
       superseded: Seq[String]): Unit = {
     val tf = mdir.resolve(ManifestTombstonesName)
@@ -769,8 +809,25 @@ object Similarity {
       : (String, Vector[(String, Long)]) = {
     val root = Paths.get(dir)
     val mdir = root.resolve(LayoutManifestDirName)
-    if (Files.exists(mdir.resolve(ManifestCurrentName))) {
-      val (schemaJson, shards, shardFiles) = readCurrent(mdir)
+    if (Files.exists(mdir.resolve(ManifestCurrentName)))
+      manifestFilesFrom(mdir, readCurrent(mdir), probedDirs)
+    else readLegacyManifest(root.resolve(LayoutManifestName))
+  }
+
+  /** Plan from an already-read `CURRENT` snapshot, retrying ONCE from a
+    * fresh `CURRENT` if a shard file vanished under the snapshot (i.e.
+    * tombstone GC reclaimed a superseded shard after the snapshot was
+    * taken but before its shards were opened — the committed `CURRENT`
+    * always names the live replacements). A second vanish is genuine
+    * corruption and propagates. Package-visible so the GC spec can drive
+    * the stale-snapshot path deterministically with a captured
+    * pre-append snapshot. */
+  private[graft] def manifestFilesFrom(mdir: java.nio.file.Path,
+      snapshot: (String, Int, Map[Int, String]),
+      probedDirs: Option[Seq[String]]): (String, Vector[(String, Long)]) = {
+    def plan(current: (String, Int, Map[Int, String]))
+        : (String, Vector[(String, Long)]) = {
+      val (schemaJson, shards, shardFiles) = current
       val wanted: Set[Int] = probedDirs match {
         case Some(dirs) => dirs.map(shardOfDir(_, shards)).toSet
         case None       => shardFiles.keySet
@@ -780,7 +837,11 @@ object Similarity {
         .flatMap { case (_, name) =>
           gzipReadLines(mdir.resolve(name)).map(parseFileLine) }
       (schemaJson, files)
-    } else readLegacyManifest(root.resolve(LayoutManifestName))
+    }
+    try plan(snapshot)
+    catch { case _: java.nio.file.NoSuchFileException =>
+      plan(readCurrent(mdir))
+    }
   }
 
   /** The layout frame, planned from the manifest when present (no

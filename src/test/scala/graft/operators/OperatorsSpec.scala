@@ -306,6 +306,96 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("tombstone GC with zero grace reclaims superseded shards, prunes " +
+      "the tombstone file, and a stale-snapshot reader recovers") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = e.filter(col("vec_id") % 3 === 0)
+    val extra1 = e.filter(col("vec_id") % 3 === 1)
+    val extra2 = e.filter(col("vec_id") % 3 === 2)
+    val dir = Files.createTempDirectory("graft_mf_gc").toString
+    val graceProp = "graft.ann.manifest.gc.grace.ms"
+    val priorGrace = System.getProperty(graceProp)
+    try {
+      Similarity.writeBucketedLayout(base, dir)
+      val mdir = Paths.get(dir, Similarity.LayoutManifestDirName)
+      val snap0 = Similarity.readCurrent(mdir)
+      System.setProperty(graceProp, "0")
+      Similarity.appendBucketedLayout(extra1, dir)
+      val snap1 = Similarity.readCurrent(mdir)
+      val superseded = snap0._3.collect {
+        case (sid, name) if snap1._3.get(sid).exists(_ != name) => name
+      }.toSeq
+      assert(superseded.nonEmpty,
+        "append must supersede at least one existing shard")
+      // grace=0: superseded shards reclaimed by the same append...
+      superseded.foreach { n =>
+        assert(!Files.exists(mdir.resolve(n)),
+          s"superseded shard $n must be reclaimed at zero grace")
+      }
+      // ...leaving the tombstone file pruned to zero kept entries
+      val tf = mdir.resolve(Similarity.ManifestTombstonesName)
+      assert(Files.exists(tf), "tombstone file must exist after GC")
+      assert(Files.readAllLines(tf).asScala.forall(_.isEmpty),
+        "tombstone file must be pruned after reclaim")
+      // second append over the already-GC'd state stays clean
+      Similarity.appendBucketedLayout(extra2, dir)
+      // a reader that planned from the PRE-append snapshot opens a
+      // reclaimed shard — manifestFilesFrom must recover by re-reading
+      // CURRENT (the retry the grace-window scaladoc promises)
+      val (schemaJson, recovered) =
+        Similarity.manifestFilesFrom(mdir, snap0, None)
+      val (liveSchema, live) = Similarity.manifestFiles(dir)
+      assert(recovered.toSet == live.toSet,
+        "stale-snapshot reader must recover to the live manifest")
+      assert(schemaJson == liveSchema)
+      // every live manifest entry is on disk and probes still work
+      live.foreach { case (rel, _) =>
+        assert(Files.exists(Paths.get(dir, rel)), s"missing $rel")
+      }
+      val q = e.filter(col("vec_id") < 10)
+      assert(Similarity.bucketedTopKFromLayout(dir, q, 3).count() > 0)
+    } finally {
+      if (priorGrace == null) System.clearProperty(graceProp)
+      else System.setProperty(graceProp, priorGrace)
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  test("manifest writer lock fails a concurrent append fast and " +
+      "reclaims a crashed writer's stale lock") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val extra = e.filter(col("vec_id") % 2 =!= 0)
+    val dir = Files.createTempDirectory("graft_mf_lock").toString
+    try {
+      Similarity.writeBucketedLayout(base, dir)
+      val mdir = Paths.get(dir, Similarity.LayoutManifestDirName)
+      val lock = mdir.resolve(Similarity.ManifestLockName)
+      Files.createFile(lock) // simulate a live concurrent appender
+      val err = intercept[IllegalStateException] {
+        Similarity.appendBucketedLayout(extra, dir)
+      }
+      assert(err.getMessage.contains("single-writer"))
+      // a crashed writer's lock (older than the grace window) is
+      // reclaimed instead of wedging the layout forever
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 16L * 60L * 1000L))
+      Similarity.appendBucketedLayout(extra, dir)
+      assert(!Files.exists(lock), "lock must be released after the append")
+      val q = e.filter(col("vec_id") < 10)
+      assert(Similarity.bucketedTopKFromLayout(dir, q, 3).count() > 0)
+    } finally {
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("physical l=/bucket= layout probe matches the logical plan and " +
       "prunes partitions") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
