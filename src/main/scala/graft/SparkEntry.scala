@@ -532,6 +532,15 @@ object SparkEntry {
     "ext_dedup_simhash" -> ((s, dir) => graft.operators.Dedup.simhash(
       s.read.parquet(s"$dir/documents.parquet"), nBits = 16)),
 
+    // ---- LINE-level dedup (C4/RefinedWeb boilerplate removal) --------
+    // multi-line docs built from 8-token chunks + two planted footer
+    // lines (in ~1/3 and ~1/4 of docs); lines in >20 distinct docs are
+    // dropped, naturally-repeated lines (DF 2..20) survive, and docs are
+    // reassembled from surviving lines in original order.
+    "ext_dedup_lines" -> ((s, dir) =>
+      graft.operators.Dedup.removeBoilerplateLines(
+        lineDocs(s, dir), maxDocFrequency = 20L)),
+
     // ---- n-gram (token) Jaccard between consecutive docs -------------
     "ext_dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -783,6 +792,27 @@ object SparkEntry {
       .select(col("doc_id"), col("text"))
     docs.unionAll(docs.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** Multi-line documents for the line-level dedup query: the corpus text
+    * re-wrapped into 8-token lines, plus two planted boilerplate footers
+    * ("subscribe…" in every 3rd doc, "all rights reserved…" in every
+    * 4th). Mirrored token-for-token by the `ldocs` CTE in the oracle SQL
+    * — both engines chunk the SAME token array with the SAME stride, so
+    * line text (and therefore line hashes) can never drift. */
+  private def lineDocs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val body = array_join(
+      transform(sequence(lit(1), size(toks), lit(8)),
+        i => array_join(slice(toks, i, lit(8)), " ")),
+      "\n")
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), concat(body,
+        when(col("doc_id") % 3 === 0,
+          lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\nall rights reserved by the site")).otherwise(lit("")))
+        .as("text"))
   }
 
   // --------------------------------------------------------------- oracle
@@ -1085,6 +1115,32 @@ object SparkEntry {
       // is the DISTINCT key set.
       "ext_dedup_stream_bounded" ->
         "SELECT DISTINCT user_id, event_type FROM events",
+      // Line-level dedup: the ldocs CTE mirrors lineDocs token-for-token
+      // (8-token chunks, same planted footers); drop set = normalized
+      // lines in >20 distinct docs; docs reassembled in line order.
+      "ext_dedup_lines" ->
+        """WITH ldocs AS (
+          |  SELECT doc_id, concat(
+          |    array_to_string(
+          |      [array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')
+          |       FOR i IN range(1, len(string_split(text, ' ')) + 1, 8)],
+          |      chr(10)),
+          |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END,
+          |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'all rights reserved by the site' ELSE '' END) AS text
+          |  FROM documents
+          |), ls AS (
+          |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+          |    generate_subscripts(string_split(text, chr(10)), 1) AS idx
+          |  FROM ldocs
+          |), hs AS (
+          |  SELECT doc_id, idx, line, md5(lower(trim(line))) AS h FROM ls
+          |), boiler AS (
+          |  SELECT h FROM hs GROUP BY h HAVING count(DISTINCT doc_id) > 20
+          |) SELECT doc_id,
+          |  string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+          |  CAST(count(*) AS BIGINT) AS kept_lines
+          |FROM hs WHERE h NOT IN (SELECT h FROM boiler)
+          |GROUP BY doc_id""".stripMargin,
       "ext_dedup_simhash" ->
         s"""WITH toks AS (
            |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

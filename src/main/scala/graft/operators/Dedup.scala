@@ -388,4 +388,43 @@ object Dedup {
         (col("n1") + col("n2") - coalesce(col("intersection"), lit(0L)))
           .as("union_size"))
   }
+
+  /** Line-level dedup (the C4/RefinedWeb boilerplate-removal stage):
+    * drop every LINE whose normalized form (`lower(trim(line))`) appears
+    * in more than `maxDocFrequency` distinct documents — navigation
+    * chrome, cookie banners, copyright footers — and reassemble each
+    * document from its surviving lines in original order.
+    *
+    * Returns one row per document that keeps at least one line:
+    * `(doc_id, clean_text, kept_lines)`. Documents made entirely of
+    * boilerplate drop out — the standard curation behavior (a page that
+    * is all chrome carries no content worth keeping).
+    *
+    * Scale shape: explode to (doc, idx, line), ONE groupBy on the line
+    * hash to get document frequencies, then a left-anti join of the
+    * lines against only the OVER-threshold hashes — that drop set is
+    * tiny (boilerplate is by definition a small set of distinct lines,
+    * however many copies exist), so AQE broadcasts it and the join adds
+    * no shuffle of the line table. Reassembly is one groupBy on doc_id.
+    * Never pairwise, never a driver collect; two shuffles of the line
+    * table total (`h` for the DF aggregate, `doc_id` for reassembly).
+    */
+  def removeBoilerplateLines(docs: DataFrame, maxDocFrequency: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("h", md5(lower(trim(col("line")))))
+    val boilerplate = lines.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") > maxDocFrequency)
+    lines.join(boilerplate, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("kept_lines"))
+  }
 }

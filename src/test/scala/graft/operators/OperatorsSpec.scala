@@ -39,6 +39,46 @@ class OperatorsSpec extends SparkSuite {
     assert(out.head.getAs[Long]("dup_count") == 2L)
   }
 
+  test("line-level dedup drops planted boilerplate lines, keeps unique " +
+      "content, reassembles in order, and drops all-boilerplate docs") {
+    import spark.implicits._
+    val footer = "Subscribe to our newsletter"
+    val ldocs = (1L to 30L).map { i =>
+      val body =
+        if (i <= 28L) s"unique content line $i\nsecond unique line $i"
+        else "" // docs 29/30: footer-only
+      val sep = if (body.isEmpty) "" else "\n"
+      // planted chrome: same footer in EVERY doc, case/space-jittered so
+      // the lower(trim()) normalization is what has to unify them
+      (i, s"$body$sep  ${if (i % 2 == 0) footer.toUpperCase else footer} ")
+    }.toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(ldocs, maxDocFrequency = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    // footer-only docs drop out entirely
+    assert(!out.contains(29L) && !out.contains(30L),
+      "all-boilerplate docs must be dropped")
+    assert(out.size == 28)
+    // surviving docs lose exactly the footer, keep order
+    assert(out(7L) == (("unique content line 7\nsecond unique line 7", 2L)))
+    assert(out(8L) == (("unique content line 8\nsecond unique line 8", 2L)))
+    // below-threshold repetition survives: rerun with a higher threshold
+    val loose = Dedup.removeBoilerplateLines(ldocs, maxDocFrequency = 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose(7L) == 3L, "footer must survive a loose DF threshold")
+    assert(loose(29L) == 1L)
+  }
+
+  test("line-level dedup plan: drop-set join is broadcast, no pairwise " +
+      "or driver-side work") {
+    val out = Dedup.removeBoilerplateLines(docs, maxDocFrequency = 2L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"expected broadcast left-anti drop-set join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no pairwise work:\n$plan")
+  }
+
   test("minhash LSH finds exact and near duplicates, skips unrelated docs") {
     val pairs = Dedup.minhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
