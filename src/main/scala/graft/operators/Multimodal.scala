@@ -102,6 +102,98 @@ object Multimodal {
     (width, height, 3L)
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Output schema of [[extractAudioFeatures]] (declared up front like
+    * [[featureSchema]]). `frames` is the container's frame count
+    * (`AudioFileFormat.getFrameLength`); duration follows as
+    * `frames / sample_rate` so it is deliberately not a column. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("bits_per_sample", LongType, nullable = false),
+    StructField("frames", LongType, nullable = false)))
+
+  /** Strong magic-number check gating the audio probe, mirroring
+    * [[looksLikeImage]]: the stock JRE's `javax.sound.sampled` providers
+    * parse WAV (`RIFF....WAVE`), AIFF/AIFF-C (`FORM....AIFF`/`AIFC`) and
+    * AU (`.snd`) containers. AU's 4-byte magic is left out for the same
+    * reason BMP's 2-byte one is in [[looksLikeImage]]: too weak to be
+    * unambiguous against arbitrary binary payloads. The 12-byte
+    * RIFF/FORM + format-tag pair is effectively collision-free. */
+  private def looksLikeAudio(p: Array[Byte]): Boolean = {
+    def at(i: Int, b: Int) = i < p.length && p(i) == b.toByte
+    // WAV: 'RIFF' <size u32le> 'WAVE'
+    (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+      at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) ||
+    // AIFF / AIFF-C: 'FORM' <size u32be> 'AIFF' | 'AIFC'
+    (at(0, 'F') && at(1, 'O') && at(2, 'R') && at(3, 'M') &&
+      at(8, 'A') && at(9, 'I') && at(10, 'F') &&
+      (at(11, 'F') || at(11, 'C')))
+  }
+
+  /** REAL audio-header decode via `javax.sound.sampled` — the audio
+    * analog of [[decodeHeader]]. `AudioSystem.getAudioFileFormat` parses
+    * only the container header (fmt/COMM chunk), never the sample data,
+    * so cost is header-proportional. Returns None when the payload lacks
+    * a strong audio magic ([[looksLikeAudio]]) or the header is
+    * truncated/corrupt (`UnsupportedAudioFileException`). Frame length
+    * can be `AudioSystem.NOT_SPECIFIED` (-1) for streams the provider
+    * cannot size; that is surfaced as 0 rather than a negative count. */
+  private def decodeAudioHeader(
+      payload: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (!looksLikeAudio(payload)) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload)) // supports mark/reset
+      val f = aff.getFormat
+      val frames = math.max(aff.getFrameLength.toLong, 0L)
+      Some((f.getSampleRate.toLong, f.getChannels.toLong,
+        f.getSampleSizeInBits.toLong, frames))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fallback audio decode for payloads [[decodeAudioHeader]] cannot
+    * claim: deterministic pseudo-parameters from the payload md5 (same
+    * convention as [[decodeStub]], each field SQL-reproducible), frames
+    * as the byte count (one pseudo-frame per byte). */
+  private def audioStub(payload: Array[Byte]): (Long, Long, Long, Long) = {
+    val hex = md5Hex(payload)
+    val rate = java.lang.Long.parseLong(hex.substring(0, 4), 16) % 44100
+    val channels = 1L + java.lang.Long.parseLong(hex.substring(4, 8), 16) % 2
+    val bits = 8L * (1 + java.lang.Long.parseLong(hex.substring(8, 12), 16) % 2)
+    (rate, channels, bits, payload.length.toLong)
+  }
+
+  /** Batched audio-header feature extraction over (doc_id, payload
+    * binary) rows: real WAV/AIFF container parse for claimable payloads,
+    * [[audioStub]] otherwise. Same `mapPartitions` production shape as
+    * [[extractFeatures]] — lazy iterator, bounded memory, schema
+    * declared up front. */
+  def extractAudioFeatures(binaryDocs: DataFrame): DataFrame = {
+    implicit val enc = RowEncoder.encoderFor(audioSchema)
+    binaryDocs.select(col("doc_id").cast("long"), col("payload"))
+      .filter(col("payload").isNotNull) // dropped, like the other decoders
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (rate, ch, bits, frames) =
+            decodeAudioHeader(payload).getOrElse(audioStub(payload))
+          Row(id, payload.length.toLong, rate, ch, bits, frames)
+        }
+      }
+  }
+
+  /** Demo pipeline over the documents table: text → utf-8 binary payload
+    * → batched audio-header decode → features (all-stub on a text
+    * corpus; the real parse is spec-covered with generated WAV/AIFF
+    * bytes). */
+  def documentAudioFeatures(s: SparkSession, dir: String): DataFrame =
+    extractAudioFeatures(textPayloads(s, dir))
+
   /** Binary-payload feature extraction over (doc_id, payload binary) rows.
     * Partition-level batched processing: no per-row UDF dispatch, the
     * iterator is consumed lazily so memory stays bounded by the Parquet
