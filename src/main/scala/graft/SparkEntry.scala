@@ -67,17 +67,16 @@ object SparkEntry {
     * so µs*1000 is lossless).
     */
   private def eventCells(s: SparkSession, dir: String): DataFrame = {
-    // events.ts is Parquet TIMESTAMP(NANOS), which Spark 4 only reads via
-    // the nanosAsLong legacy conf — conveniently yielding raw epoch-ns
-    // Longs, the engine's native timestamp representation.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet").select(
+    // schema-adaptive: events.ts has shipped as TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) across testdata generations; EventsSource
+    // normalizes either to the engine's native epoch-ns Longs
+    graft.sources.EventsSource.readEvents(s, dir).select(
       lpad(col("user_id").cast("string"), 6, "0").as("row_key"),
       lit("ev").as("family"),
       col("event_type").as("qualifier"),
       // truncate to µs-aligned ns: DuckDB's TIMESTAMP is µs-precision, so
-      // the oracle cannot observe the parquet's sub-µs nanos
-      expr("(cast(ts as bigint) div 1000) * 1000").as("ts"),
+      // the oracle cannot observe any sub-µs nanos
+      expr("(ts div 1000) * 1000").as("ts"),
       lit(null).cast("string").as("vs"),
       col("value").cast("double").as("vd"))
   }
@@ -747,10 +746,9 @@ object SparkEntry {
 
     // ---- gap-based sessionization (stateful-stream equivalent) -------
     "ext_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet").select(
+      val ev = graft.sources.EventsSource.readEvents(s, dir).select(
         col("user_id").cast("long").as("user_id"),
-        expr("(cast(ts as bigint) div 1000) * 1000").as("ts"),
+        expr("(ts div 1000) * 1000").as("ts"),
         col("event_id").cast("long").as("event_id"))
       graft.streaming.StreamOps.sessionize(ev)
     }),

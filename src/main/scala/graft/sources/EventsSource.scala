@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-adaptive reader for the `events` table — the ONE place that
+  * knows how `ts` is physically encoded.
+  *
+  * The driver-generated `events.parquet` has shipped with different
+  * physical encodings for `ts` across testdata generations:
+  *
+  *   - `INT64 TIMESTAMP(NANOS)`: Spark 4 reads it only with
+  *     `spark.sql.legacy.parquet.nanosAsLong`, loading as raw epoch-ns
+  *     `LongType`. Plain `INT64` columns (e.g. ScaleSmoke's scaled event
+  *     copies, which write the normalized Longs back out) load
+  *     identically, so one branch covers both.
+  *   - `INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false)`: loads as
+  *     `TIMESTAMP_NTZ` (naive micros since epoch).
+  *   - `INT64 TIMESTAMP(MICROS, isAdjustedToUTC=true)`: loads as
+  *     `TIMESTAMP` (instant micros).
+  *
+  * Everything downstream — CellOps version/TTL semantics, sessionization
+  * gaps, the DuckDB oracle's `epoch_us(ts) * 1000` — speaks the engine's
+  * native representation, epoch NANOSECOND Longs. Round 12 regression
+  * lesson: consumers that assumed one physical encoding lost 6 queries
+  * and 3 specs to a testdata regeneration; every events consumer now goes
+  * through here, and [[probeTsTypeChecked]] backs the streaming path with
+  * a loud range gate so a unit mismatch can never again emit silently
+  * wrong windows (`ext_stream_window` returned 10 quiet rows vs 3385).
+  */
+object EventsSource {
+
+  /** Epoch-ns normalization for a loaded `ts` column of type `dt`.
+    *
+    * TIMESTAMP_NTZ is a naive wall-clock; interpreting it as a UTC epoch
+    * (matching DuckDB, whose `TIMESTAMP` is naive and whose `epoch_us`
+    * assumes UTC) requires the session timezone to be UTC — which every
+    * graft session sets (`Verify`/`Bench`/`Serve`/`ScaleSmoke`/
+    * `SparkSuite`, plus `-Dspark.sql.session.timeZone=UTC` in build.sbt).
+    */
+  def tsToNanos(dt: DataType, c: Column): Column = dt match {
+    case LongType         => c
+    case TimestampType    => unix_micros(c) * 1000L
+    case TimestampNTZType => unix_micros(c.cast(TimestampType)) * 1000L
+    case other => throw new IllegalStateException(
+      s"events.ts loaded as unsupported type $other — " +
+        "extend graft.sources.EventsSource.tsToNanos for this encoding")
+  }
+
+  /** Batch read of `dir/events.parquet` with `ts` normalized to epoch-ns
+    * `LongType`, whatever the physical encoding. Column set is unchanged:
+    * event_id, ts, user_id, event_type, value.
+    */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    // must be set BEFORE the read so a TIMESTAMP(NANOS) footer loads as
+    // Long instead of erroring; a no-op for the µs encodings
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.withColumn("ts", tsToNanos(df.schema("ts").dataType, col("ts")))
+  }
+
+  // Plausibility bounds for normalized event timestamps: [1990, 2100) in
+  // epoch-ns. A unit mistake is always a ×1000 error: epoch-µs read as ns
+  // lands in 1970, epoch-ns read as µs lands in year ~57000 — both far
+  // outside this window, so the gate cannot false-positive on real data
+  // yet always catches a wrong branch.
+  private[graft] val MinPlausibleNs = 631152000000000000L   // 1990-01-01
+  private[graft] val MaxPlausibleNs = 4102444800000000000L  // 2100-01-01
+
+  // one probe job per distinct events path per JVM (bench runs the
+  // streaming queries repeatedly; the probe must not add a scan each time)
+  private val probeCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataType]
+
+  /** Loaded `ts` DataType for `dir/events.parquet`, verified: batch-reads
+    * the table once, normalizes through [[tsToNanos]], and requires the
+    * min/max to land inside the plausible window. The streaming path calls
+    * this before trusting a user-specified schema — the file source takes
+    * the schema on faith, so this is the only thing standing between a
+    * physical-encoding drift and silently time-compressed windows.
+    * Result cached per path for the life of the JVM.
+    */
+  def probeTsTypeChecked(s: SparkSession, dir: String): DataType =
+    probeCache.getOrElseUpdate(s"$dir/events.parquet", {
+      val ev = readEvents(s, dir)
+      val dt = {
+        // re-read the pre-normalization dtype for the caller's schema
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      }
+      val row = ev.agg(min(col("ts")), max(col("ts"))).head
+      if (row.isNullAt(0)) dt // empty table: nothing to mis-measure
+      else {
+        val (lo, hi) = (row.getLong(0), row.getLong(1))
+        require(lo >= MinPlausibleNs && hi < MaxPlausibleNs,
+          s"events.ts normalization sanity gate failed for $dir: " +
+            s"loaded dtype $dt normalized to epoch-ns range [$lo, $hi], " +
+            s"outside plausible [1990-01-01, 2100-01-01) — the physical " +
+            "encoding drifted again; fix EventsSource.tsToNanos")
+        dt
+      }
+    })
+
+  /** Streaming-source schema for the events table with `ts` as `dt` (the
+    * probed physical type); the stream then normalizes via [[tsToNanos]].
+    */
+  def streamSchema(dt: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", dt),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+}

@@ -48,13 +48,25 @@ object StreamOps {
     }
   }
 
-  /** Schema of events.parquet with ts as raw epoch-ns (nanosAsLong). */
-  private val eventSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType)))
+  /** Streaming events source with `ts` normalized to epoch-ns Long and an
+    * `event_ts` TimestampType column for watermarks — schema-adaptive.
+    *
+    * The file source takes a user-specified schema ON FAITH: feed it the
+    * wrong physical type and it coerces rather than errors (round 12:
+    * µs INT64 read as "raw ns" Longs compressed all of 2026 into ~1970 and
+    * `ext_stream_window` emitted 10 silently wrong windows instead of
+    * 3385). So the schema is PROBED from the actual footer and the
+    * normalization is range-gated before any streaming query trusts it
+    * ([[graft.sources.EventsSource.probeTsTypeChecked]], cached per path).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.EventsSource
+    val dt = EventsSource.probeTsTypeChecked(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    streamSource(s, dir, "events", EventsSource.streamSchema(dt))
+      .withColumn("ts", EventsSource.tsToNanos(dt, col("ts")))
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Streaming file source for one sf table, layout-robust: the source
     * path MUST be a directory (the file source watches directories), but
@@ -87,10 +99,8 @@ object StreamOps {
     * complete result as a DataFrame.
     */
   def hourlyWindowAgg(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tableName = s"stream_window_${System.nanoTime()}"
-    val stream = streamSource(s, dir, "events", eventSchema)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(s, dir)
     val agg = stream
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -122,9 +132,7 @@ object StreamOps {
     */
   def hourlyWindowAggToFiles(s: SparkSession, dir: String, outDir: String,
       checkpointDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = streamSource(s, dir, "events", eventSchema)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(s, dir)
     val agg = stream
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -210,9 +218,7 @@ object StreamOps {
 
   private def boundedDedupStream(s: SparkSession, dir: String,
       horizon: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    streamSource(s, dir, "events", eventSchema)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    eventsStream(s, dir)
       .withWatermark("event_ts", horizon)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
@@ -287,9 +293,7 @@ object StreamOps {
       gapNs: Long): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    streamSource(s, dir, "events", eventSchema)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    eventsStream(s, dir)
       .withWatermark("event_ts", "1 hour")
       // keep the watermark column through to the stateful operator
       .select(col("user_id"), col("ts"), col("event_id"), col("event_ts"))

@@ -172,12 +172,13 @@ object ScaleSmoke {
     * onto a handful of row keys, GC-ing 96% of cells instead of the
     * base's 63% and measuring a different workload at factor× than at 1×. */
   private def maintEventCells(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet").select(
+    // schema-adaptive epoch-ns normalization (TIMESTAMP NANOS/MICROS or
+    // raw INT64 — the scaled copies below write the normalized Longs back)
+    graft.sources.EventsSource.readEvents(s, dir).select(
       lpad(col("user_id").cast("string"), 12, "0").as("row_key"),
       lit("ev").as("family"),
       col("event_type").as("qualifier"),
-      expr("(cast(ts as bigint) div 1000) * 1000").as("ts"),
+      expr("(ts div 1000) * 1000").as("ts"),
       col("value").cast("double").as("vd"))
   }
 
@@ -435,10 +436,10 @@ object ScaleSmoke {
       df.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))
     }
     // events: single-file output (streaming pathGlobFilter contract);
-    // nanosAsLong so the ns timestamps read/write as raw longs — the
-    // explicit eventSchema consumers accept either physical form
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$base/events.parquet")
+    // read through the schema-adaptive EventsSource so ts lands as
+    // epoch-ns Longs whatever the source encoding — scaled dirs then
+    // always carry plain INT64-ns, the adapter's LongType branch
+    val ev = graft.sources.EventsSource.readEvents(spark, base)
     val tmpEv = s"$dir/_events_build"
     (0 until factor).map { i =>
       ev.withColumn("event_id", col("event_id") + lit(i * 100000000L))

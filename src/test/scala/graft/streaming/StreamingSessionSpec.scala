@@ -14,12 +14,12 @@ class StreamingSessionSpec extends SparkSuite {
 
   test("state survives micro-batch boundaries (3 files, 1 per trigger)") {
     val dir = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     withTempDir { tmp =>
       // split events into 3 time-ordered files so sessions SPAN batches:
       // a session open at a file boundary must continue, not restart
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"), col("ts").cast("long").as("ts"),
+      // (EventsSource normalizes ts to epoch-ns Long for any encoding)
+      val ev = graft.sources.EventsSource.readEvents(spark, dir)
+        .select(col("event_id"), col("ts"),
           col("user_id"), col("event_type"), col("value"))
         .orderBy("ts")
       val n = ev.count()
@@ -93,7 +93,6 @@ class StreamingSessionSpec extends SparkSuite {
 
   test("streaming sessions == batch sessions minus each user's open tail") {
     val dir = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val streamed = StreamOps.streamingSessionize(spark, dir)
       .select("user_id", "session_id", "n_events", "session_start", "session_end")
@@ -101,9 +100,9 @@ class StreamingSessionSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
 
-    val ev = spark.read.parquet(s"$dir/events.parquet").select(
+    val ev = graft.sources.EventsSource.readEvents(spark, dir).select(
       col("user_id").cast("long").as("user_id"),
-      col("ts").cast("long").as("ts"),
+      col("ts"),
       col("event_id").cast("long").as("event_id"))
     val batch = StreamOps.sessionize(ev)
       .select("user_id", "session_id", "n_events", "session_start", "session_end")

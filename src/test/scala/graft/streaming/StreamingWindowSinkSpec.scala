@@ -20,8 +20,7 @@ class StreamingWindowSinkSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getString(1)) ->
           (r.getLong(2), r.getLong(3))).toMap
 
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val ev = graft.sources.EventsSource.readEvents(spark, dir)
         .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       val batch = ev
         .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
