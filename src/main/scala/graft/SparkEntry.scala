@@ -159,6 +159,41 @@ object SparkEntry {
     t
   }
 
+  /** Engine-backed metrics self-table for `dir` (operator #27's REAL
+    * storage, reference `server/src/metrics.rs:10-38`): a `_mtx_events`
+    * [[graft.core.MetricsTable]] whose versioned F64 points under
+    * `value:` derive deterministically from the events table — metric
+    * row = event_type, version ts = µs-aligned event ns, value =
+    * max(value) over same-ts ties so the cell set is order-independent.
+    * Bulk-loaded DISTRIBUTED (writeBulk, no driver collect) once per
+    * source fingerprint; the per-call `data_point!` write path is
+    * spec/Demo-covered separately. */
+  private def engineMetrics(s: SparkSession,
+      dir: String): graft.core.MetricsTable = {
+    val fp = sourceFingerprint(s"$dir/events.parquet")
+    val base = s"/tmp/graft_mtx_${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp)
+    val mt = graft.core.MetricsTable.open(
+      s, new graft.core.Catalog(base), Some("events"))
+    if (mt.table.dataFileCount == 0) {
+      val pts = graft.sources.EventsSource.readEvents(s, dir)
+        .groupBy(col("event_type"), expr("(ts div 1000) * 1000").as("ts"))
+        .agg(max(col("value")).as("vd"))
+      mt.table.writeBulk(pts.select(
+        col("event_type").as("row_key"), lit("value").as("family"),
+        lit("").as("qualifier"), col("ts"),
+        struct(lit("f64").as("vtype"),
+          lit(null).cast("string").as("s"),
+          lit(null).cast("boolean").as("b"),
+          lit(null).cast("short").as("u8"),
+          lit(null).cast("int").as("i32"),
+          lit(null).cast("long").as("i64"),
+          lit(null).cast("float").as("f32"),
+          col("vd").as("f64")).as("value")))
+    }
+    mt
+  }
+
   /** Layout-format version: bump when the on-disk layout shape changes
     * (v2 added the planning manifest, v3 the sharded manifest), orphaning
     * incompatible caches. */
@@ -692,6 +727,17 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), e, k = AnnIvfK)
     }),
 
+    // metrics self-table dashboard read (operator #27): newest 720
+    // versions per metric column over the REAL `_mtx_events` storage —
+    // the reference dashboard's `cell_limit: 720` multi-get
+    // (`server/src/html.rs:72-193`), here as a distributed scan so the
+    // oracle sees every metric row at once
+    "eng_metrics_lastn" -> ((s, dir) => {
+      val mt = engineMetrics(s, dir)
+      engSel(CellOps.scanCells(mt.table.cellsFor(None),
+        ScanInput(ScanMode.Prefix(""), columnCellLimit = Some(720))))
+    }),
+
     // ---- multimodal resize: REAL decode+scale+PNG-re-encode for
     //      claimable images, deterministic SQL-reproducible stub for
     //      other media (codecs absent in this container) ---------------
@@ -734,6 +780,12 @@ object SparkEntry {
     // ---- multimodal: binary payload -> batched decode stub -> features
     "ext_multimodal_features" -> ((s, dir) =>
       graft.operators.Multimodal.documentFeatures(s, dir)),
+
+    // ---- multimodal audio: real WAV/AIFF header parse for claimable
+    //      payloads, SQL-reproducible stub otherwise (text corpus ->
+    //      all-stub; the real parse is pinned by OperatorsSpec) --------
+    "ext_multimodal_audio" -> ((s, dir) =>
+      graft.operators.Multimodal.documentAudioFeatures(s, dir)),
 
     // ---- structured streaming: real readStream -> watermark -> window
     "ext_stream_window" -> ((s, dir) => {
@@ -1046,6 +1098,20 @@ object SparkEntry {
            |  SELECT c.*, row_number() OVER (PARTITION BY c.row_key ORDER BY family, qualifier, ts DESC) AS rn
            |  FROM cells c JOIN lim USING (row_key)
            |) SELECT row_key, family, qualifier, ts, vs, vd FROM ranked WHERE rn <= 3""".stripMargin,
+      // metrics self-table: newest 720 versions per metric (= event_type
+      // row); points are max(value) per µs-aligned ts so ranking is
+      // tie-free and order-independent
+      "eng_metrics_lastn" ->
+        """WITH pts AS (
+          |  SELECT event_type, epoch_us(ts) * 1000 AS ts, max(value) AS vd
+          |  FROM events GROUP BY 1, 2
+          |), ranked AS (
+          |  SELECT event_type AS row_key, 'value' AS family,
+          |    '' AS qualifier, ts, CAST(NULL AS VARCHAR) AS vs, vd,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+          |  FROM pts
+          |) SELECT row_key, family, qualifier, ts, vs, vd
+          |FROM ranked WHERE rn <= 720""".stripMargin,
       "eng_ann_bucketed" -> annBucketedSql,
       "eng_ann_append" -> annBucketedSql,
       "eng_locality_scan" ->
@@ -1458,6 +1524,17 @@ object SparkEntry {
           |  CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
           |  md5(base || '#' || frame_idx) AS frame_md5
           |FROM f""".stripMargin,
+      // text payloads never carry a WAV/AIFF magic, so every row takes
+      // the audio stub: rate biased into [8000, 44100), 1-2 channels,
+      // 8/16 bits, one pseudo-frame per byte — all md5-derived
+      "ext_multimodal_audio" ->
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  8000 + CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 36100 AS sample_rate,
+          |  1 + CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 2 AS channels,
+          |  8 * (1 + CAST(concat('0x', substr(md5(text), 9, 4)) AS BIGINT) % 2) AS bits_per_sample,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS frames
+          |FROM documents WHERE text IS NOT NULL""".stripMargin,
       "ext_stream_window" ->
         """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start_epoch,
           |  event_type, CAST(count(*) AS BIGINT) AS n_events,

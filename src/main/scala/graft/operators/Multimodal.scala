@@ -149,19 +149,24 @@ object Multimodal {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(payload)) // supports mark/reset
       val f = aff.getFormat
-      val frames = math.max(aff.getFrameLength.toLong, 0L)
-      Some((f.getSampleRate.toLong, f.getChannels.toLong,
-        f.getSampleSizeInBits.toLong, frames))
+      // ANY of these can be AudioSystem.NOT_SPECIFIED (-1) — frame count
+      // for unsized streams, rate/bits for compressed AIFF-C payloads —
+      // and the schema documents them as counts: clamp all four to >= 0
+      def nn(v: Long) = math.max(v, 0L)
+      Some((nn(f.getSampleRate.toLong), nn(f.getChannels.toLong),
+        nn(f.getSampleSizeInBits.toLong), nn(aff.getFrameLength.toLong)))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Fallback audio decode for payloads [[decodeAudioHeader]] cannot
     * claim: deterministic pseudo-parameters from the payload md5 (same
     * convention as [[decodeStub]], each field SQL-reproducible), frames
-    * as the byte count (one pseudo-frame per byte). */
+    * as the byte count (one pseudo-frame per byte). The stub rate is
+    * biased into [8000, 44100) — a zero rate would make the documented
+    * `duration = frames / sample_rate` derivation divide by zero. */
   private def audioStub(payload: Array[Byte]): (Long, Long, Long, Long) = {
     val hex = md5Hex(payload)
-    val rate = java.lang.Long.parseLong(hex.substring(0, 4), 16) % 44100
+    val rate = 8000L + java.lang.Long.parseLong(hex.substring(0, 4), 16) % 36100
     val channels = 1L + java.lang.Long.parseLong(hex.substring(4, 8), 16) % 2
     val bits = 8L * (1 + java.lang.Long.parseLong(hex.substring(8, 12), 16) % 2)
     (rate, channels, bits, payload.length.toLong)
@@ -188,9 +193,10 @@ object Multimodal {
   }
 
   /** Demo pipeline over the documents table: text → utf-8 binary payload
-    * → batched audio-header decode → features (all-stub on a text
-    * corpus; the real parse is spec-covered with generated WAV/AIFF
-    * bytes). */
+    * → batched audio-header decode → features. All-stub on a text corpus
+    * — the `ext_multimodal_audio` oracle reproduces every stub field in
+    * SQL; the real parse is pinned by OperatorsSpec with
+    * `AudioSystem.write`-generated WAV/AIFF bytes. */
   def documentAudioFeatures(s: SparkSession, dir: String): DataFrame =
     extractAudioFeatures(textPayloads(s, dir))
 

@@ -684,6 +684,51 @@ class OperatorsSpec extends SparkSuite {
     assert(f(4L).getAs[Long]("n_bytes") == 12L)
   }
 
+  test("multimodal audio decode reads real WAV and AIFF headers and " +
+      "stubs unclaimable payloads SQL-reproducibly") {
+    import javax.sound.sampled._
+    def audioBytes(t: AudioFileFormat.Type, rate: Float, channels: Int,
+        bits: Int, nFrames: Int): Array[Byte] = {
+      // WAV is little-endian PCM, AIFF big-endian — match the container
+      val fmt = new AudioFormat(rate, bits, channels, true,
+        t == AudioFileFormat.Type.AIFF)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(
+          new Array[Byte](nFrames * fmt.getFrameSize)), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, t, out)
+      out.toByteArray
+    }
+    val wav = audioBytes(AudioFileFormat.Type.WAVE, 44100f, 2, 16, 100)
+    val aiff = audioBytes(AudioFileFormat.Type.AIFF, 8000f, 1, 8, 50)
+    val text = "not audio".getBytes("UTF-8")
+    val d = Seq((1L, wav), (2L, aiff), (3L, text)).toDF("doc_id", "payload")
+    val f = Multimodal.extractAudioFeatures(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getAs[Long]("sample_rate") == 44100L)
+    assert(f(1L).getAs[Long]("channels") == 2L)
+    assert(f(1L).getAs[Long]("bits_per_sample") == 16L)
+    assert(f(1L).getAs[Long]("frames") == 100L)
+    assert(f(1L).getAs[Long]("n_bytes") == wav.length.toLong)
+    assert(f(2L).getAs[Long]("sample_rate") == 8000L)
+    assert(f(2L).getAs[Long]("channels") == 1L)
+    assert(f(2L).getAs[Long]("bits_per_sample") == 8L)
+    assert(f(2L).getAs[Long]("frames") == 50L)
+    // unclaimable payload: the stub must match the oracle's md5
+    // derivation field-for-field (ext_multimodal_audio's SQL)
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(text)
+      .map("%02x".format(_)).mkString
+    def h(i: Int) = java.lang.Long.parseLong(hex.substring(i, i + 4), 16)
+    assert(f(3L).getAs[Long]("sample_rate") == 8000L + h(0) % 36100)
+    assert(f(3L).getAs[Long]("channels") == 1L + h(4) % 2)
+    assert(f(3L).getAs[Long]("bits_per_sample") == 8L * (1 + h(8) % 2))
+    assert(f(3L).getAs[Long]("frames") == text.length.toLong)
+    // deterministic across runs (stub and real parse alike)
+    val again = Multimodal.extractAudioFeatures(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("sample_rate")).toMap
+    assert(again == f.view.mapValues(_.getAs[Long]("sample_rate")).toMap)
+  }
+
   test("multimodal resize really rescales claimable images and stubs " +
       "the rest deterministically") {
     import java.awt.image.BufferedImage
