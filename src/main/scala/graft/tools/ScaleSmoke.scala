@@ -408,7 +408,10 @@ object ScaleSmoke {
     * exact leaf name (`pathGlobFilter`). */
   private def scaledDir(spark: SparkSession, base: String,
       factor: Int): String = {
-    val dir = s"/tmp/graft_scale_v4_${factor}x_" +
+    // v5: + lineitem/customer copies (q1/q3 analytics scale rows) with
+    // o_custkey shifted in lockstep with c_custkey so per-copy join
+    // selectivity matches the base
+    val dir = s"/tmp/graft_scale_v5_${factor}x_" +
       Integer.toHexString(base.hashCode)
     val ready = java.nio.file.Paths.get(dir, "_READY")
     if (java.nio.file.Files.exists(ready)) return dir
@@ -421,6 +424,13 @@ object ScaleSmoke {
     }
     copies("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000000L))
+    }
+    copies("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+    }
+    copies("customer") { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * 1000000000L))
     }
     def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
     val (c1, c2, c3) = ("etaoin", "shrdlu", "bcfgmp")
