@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must at least ANALYZE against the CURRENT
+  * driver-generated testdata — the cheap (no execution) canary for
+  * schema drift. Round 12 lost five queries to a testdata regeneration
+  * (`events.ts` TIMESTAMP(NANOS) → MICROS) that `sbt test` never saw
+  * because nothing resolved the contract queries against the real sf
+  * dirs; this spec makes the next drift a red test instead of a red
+  * round.
+  *
+  * Queries whose CONSTRUCTION already executes work (streaming harnesses
+  * drain a full query; engine-backed entries bulk-load tables on first
+  * touch) are excluded — their execution paths are covered by their own
+  * suites (Streaming*Spec, EngineSpec shapes) and by EventsSourceSpec's
+  * dual-encoding pins; analyzing them here would re-run, not re-check.
+  */
+class QueryContractSpec extends SparkSuite {
+
+  private val Dir = "/root/testdata/sf0.001"
+
+  /** Construction triggers real execution (streaming drain or engine /
+    * ANN layout build) — skipped here, exercised by dedicated suites. */
+  private def eager(name: String): Boolean =
+    name.startsWith("eng_") || name.contains("_stream") ||
+      name.startsWith("ext_ann") || name.startsWith("ext_dedup_cluster")
+
+  test("every lazy contract query analyzes against current testdata") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if eager(name) => None
+      case (name, fn) =>
+        try { fn(spark, Dir).queryExecution.analyzed; None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${Option(e.getMessage).getOrElse(e).toString.take(160)}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"queries no longer analyze against $Dir:\n${failures.mkString("\n")}")
+  }
+
+  test("flagship entry analyzes and keeps its contract shape") {
+    val df = SparkEntry.entry(spark)
+    assert(df.schema.nonEmpty)
+  }
+
+  test("every query has an oracle or is a documented rows-only check") {
+    // every oracle key must have a query; the reverse direction is
+    // allowed (rows-only checks) but kept visible here as a count so a
+    // silently dropped oracle shows up in review
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    val rowsOnly = q -- o
+    assert(rowsOnly.isEmpty,
+      s"queries without oracle SQL (should be none): $rowsOnly")
+  }
+}
