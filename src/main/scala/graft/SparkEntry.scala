@@ -821,12 +821,17 @@ object SparkEntry {
           org.apache.spark.sql.functions.count(lit(1)).as("count_order"))
     }),
     "q3_shipping_priority" -> ((s, dir) => {
+      // no broadcast() hint on the filtered customer side: AQE already
+      // picks broadcast when the BUILDING segment fits (verified in the
+      // sf0.1 plan, SCALE.md round 13) and flips to a shuffled join when
+      // it doesn't — at 100 TB the segment is billions of rows, and a
+      // hard-coded hint would force a driver OOM instead of a re-plan
       val c = s.read.parquet(s"$dir/customer.parquet")
         .filter(col("c_mktsegment") === "BUILDING")
       val o = s.read.parquet(s"$dir/orders.parquet")
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"))
         .agg(sum(expr(
           "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)"))
