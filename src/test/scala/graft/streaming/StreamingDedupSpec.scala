@@ -25,8 +25,10 @@ class StreamingDedupSpec extends SparkSuite {
     val out = StreamOps.streamingDedupBounded(spark, "/root/testdata/sf0.001")
     val keys = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
     import org.apache.spark.sql.functions._
-    val expected = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    // through the schema-adaptive reader: a NANOS-encoded ts would fail
+    // plain schema inference even though this test never selects it
+    val expected = graft.sources.EventsSource
+      .readEvents(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type")).distinct()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(keys == expected) // >=1 emission per key, no invented keys
