@@ -796,6 +796,23 @@ object SparkEntry {
         col("event_type"), col("n_events"), col("value_sum"))
     }),
 
+    // ---- sliding-window streaming agg (overlapping windows) ----------
+    "ext_stream_window_sliding" -> ((s, dir) => {
+      val t = graft.streaming.StreamOps.slidingWindowAgg(s, dir)
+      t.select(
+        (unix_micros(col("window_start")) / 1000000L).cast("long")
+          .as("window_start_epoch"),
+        col("event_type"), col("n_events"), col("value_sum"))
+    }),
+
+    // ---- gap sessionization via the NATIVE session_window operator ---
+    "ext_sessionize_native" -> ((s, dir) => {
+      val ev = graft.sources.EventsSource.readEvents(s, dir).select(
+        col("user_id").cast("long").as("user_id"),
+        expr("(ts div 1000) * 1000").as("ts"))
+      graft.streaming.StreamOps.sessionizeNative(ev)
+    }),
+
     // ---- gap-based sessionization (stateful-stream equivalent) -------
     "ext_sessionize" -> ((s, dir) => {
       val ev = graft.sources.EventsSource.readEvents(s, dir).select(
@@ -1545,6 +1562,37 @@ object SparkEntry {
           |  event_type, CAST(count(*) AS BIGINT) AS n_events,
           |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum
           |FROM events GROUP BY 1, 2""".stripMargin,
+      // sliding 2h/1h windows: each event lands in the hour-aligned
+      // window containing it and the one starting an hour earlier
+      "ext_stream_window_sliding" ->
+        """WITH e AS (
+          |  SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS h, event_type, value FROM events
+          |), w AS (
+          |  SELECT h AS w_start, event_type, value FROM e
+          |  UNION ALL
+          |  SELECT h - 3600 AS w_start, event_type, value FROM e
+          |)
+          |SELECT w_start AS window_start_epoch, event_type,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum
+          |FROM w GROUP BY 1, 2""".stripMargin,
+      // native session_window semantics: a gap EQUAL to 30 min starts a
+      // new session (>=), unlike ext_sessionize's strict >
+      "ext_sessionize_native" ->
+        """WITH ev AS (
+          |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) * 1000 AS ts FROM events
+          |), f AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= 1800000000000 THEN 1 ELSE 0 END AS ns
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          |), s AS (
+          |  SELECT user_id, ts,
+          |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM f
+          |)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |  min(ts) AS session_start, max(ts) AS session_end
+          |FROM s GROUP BY user_id, sid""".stripMargin,
       "ext_sessionize" ->
         """WITH ev AS (
           |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) * 1000 AS ts, CAST(event_id AS BIGINT) AS event_id FROM events

@@ -440,4 +440,61 @@ object StreamOps {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
   }
+
+  /** Gap sessionization via Spark's NATIVE `session_window` operator —
+    * the built-in Catalyst path (UpdatingSessions + session-merging
+    * aggregation) that [[sessionize]] hand-rolls with window functions.
+    * At scale this is the preferred shape: one shuffle on the group key,
+    * sessions merged inside the aggregation with no full per-user sort
+    * window, and the SAME call works unchanged over a streaming input.
+    *
+    * Boundary semantics differ from [[sessionize]] in exactly one case:
+    * `session_window` treats a gap EQUAL to `gap` as a new session
+    * (half-open windows: an event at `prev + gap` starts at the previous
+    * window's exclusive end), where [[sessionize]] keeps it (strict `>`).
+    * The oracle mirrors `>=`; sessions carry no ordinal (identity is the
+    * window itself), so output is (user, count, start, end).
+    *
+    * `events` needs epoch-ns `ts` (µs-aligned so the `event_ts`
+    * derivation loses nothing) and `user_id`.
+    */
+  def sessionizeNative(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"), session_window(col("event_ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start"), col("session_end"))
+
+  /** SLIDING 2-hour / 1-hour-slide window aggregation through a real
+    * streaming query (file source → watermark → overlapping windows →
+    * complete-mode memory sink, drained synchronously like
+    * [[hourlyWindowAgg]]). Every event lands in exactly window/slide = 2
+    * windows — the trend/alerting shape a tumbling window cannot
+    * express; Spark expands the window set per row before the same
+    * partial-aggregation shuffle, so cost scales with the overlap
+    * factor, not with state.
+    */
+  def slidingWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val tableName = s"stream_swindow_${System.nanoTime()}"
+    val agg = eventsStream(s, dir)
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "2 hours", "1 hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 1000000) as bigint)")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(tableName)
+  }
 }

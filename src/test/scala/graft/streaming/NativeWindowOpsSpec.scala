@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The native-operator variants must agree with their hand-rolled
+  * equivalents on real data:
+  *  - `sessionizeNative` (Spark `session_window`) vs `sessionize`
+  *    (window functions) — identical sessions except the documented
+  *    boundary case (gap EXACTLY == 30 min: native splits, window
+  *    functions keep), which the µs-granular testdata must not contain
+  *    for the sets to match;
+  *  - `slidingWindowAgg` (streaming, overlapping windows) vs the batch
+  *    window(2h, 1h) aggregation over the same events.
+  */
+class NativeWindowOpsSpec extends SparkSuite {
+
+  private val Dir = "/root/testdata/sf0.001"
+
+  private def events = graft.sources.EventsSource.readEvents(spark, Dir)
+    .select(col("user_id").cast("long").as("user_id"),
+      expr("(ts div 1000) * 1000").as("ts"),
+      col("event_id").cast("long").as("event_id"))
+
+  test("session_window sessions match the window-function sessionizer") {
+    val native = StreamOps.sessionizeNative(events)
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val handRolled = StreamOps.sessionize(events)
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(native.nonEmpty)
+    assert(native == handRolled,
+      s"native-only: ${(native -- handRolled).take(3)}, " +
+        s"hand-rolled-only: ${(handRolled -- native).take(3)}")
+  }
+
+  test("streaming sliding windows match the batch overlap expansion") {
+    val streamed = StreamOps.slidingWindowAgg(spark, Dir)
+      .select(unix_micros(col("window_start")).as("ws"), col("event_type"),
+        col("n_events"), col("value_sum"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = graft.sources.EventsSource.readEvents(spark, Dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 1000000) as bigint)")).as("value_sum"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+        col("n_events"), col("value_sum"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // every (hour-window, type) pair must appear in exactly two sliding
+    // windows' worth of coverage: total sliding events = 2x tumbling
+    val tumbling = StreamOps.hourlyWindowAgg(spark, Dir)
+      .agg(sum(col("n_events"))).head.getLong(0)
+    assert(streamed.values.map(_._1).sum == 2 * tumbling)
+  }
+}
