@@ -146,18 +146,26 @@ object SparkEntry {
       if (buckets > 0) t.setBucketCount(buckets)
       t.writeBulk(orderCells(s, dir).select(
         col("row_key"), col("family"), col("qualifier"), col("ts"),
-        struct(
-          when(col("vs").isNotNull, "string").otherwise("f64").as("vtype"),
-          col("vs").as("s"),
-          lit(null).cast("boolean").as("b"),
-          lit(null).cast("short").as("u8"),
-          lit(null).cast("int").as("i32"),
-          lit(null).cast("long").as("i64"),
-          lit(null).cast("float").as("f32"),
-          col("vd").as("f64")).as("value")))
+        cellValueStruct(
+          when(col("vs").isNotNull, "string").otherwise("f64"),
+          col("vs"), col("vd")).as("value")))
     }
     t
   }
+
+  /** The engine cell `value` struct for writeBulk ingestion — ONE place
+    * that knows the field layout, shared by every bulk loader (orders /
+    * metrics here, events in ScaleSmoke) so a schema change cannot drift
+    * between them. */
+  private[graft] def cellValueStruct(vtype: Column, s: Column,
+      f64: Column): Column =
+    struct(vtype.as("vtype"), s.as("s"),
+      lit(null).cast("boolean").as("b"),
+      lit(null).cast("short").as("u8"),
+      lit(null).cast("int").as("i32"),
+      lit(null).cast("long").as("i64"),
+      lit(null).cast("float").as("f32"),
+      f64.as("f64"))
 
   /** Engine-backed metrics self-table for `dir` (operator #27's REAL
     * storage, reference `server/src/metrics.rs:10-38`): a `_mtx_events`
@@ -182,14 +190,8 @@ object SparkEntry {
       mt.table.writeBulk(pts.select(
         col("event_type").as("row_key"), lit("value").as("family"),
         lit("").as("qualifier"), col("ts"),
-        struct(lit("f64").as("vtype"),
-          lit(null).cast("string").as("s"),
-          lit(null).cast("boolean").as("b"),
-          lit(null).cast("short").as("u8"),
-          lit(null).cast("int").as("i32"),
-          lit(null).cast("long").as("i64"),
-          lit(null).cast("float").as("f32"),
-          col("vd").as("f64")).as("value")))
+        cellValueStruct(lit("f64"), lit(null).cast("string"),
+          col("vd")).as("value")))
     }
     mt
   }

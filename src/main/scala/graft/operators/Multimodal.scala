@@ -149,12 +149,16 @@ object Multimodal {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(payload)) // supports mark/reset
       val f = aff.getFormat
-      // ANY of these can be AudioSystem.NOT_SPECIFIED (-1) — frame count
-      // for unsized streams, rate/bits for compressed AIFF-C payloads —
-      // and the schema documents them as counts: clamp all four to >= 0
-      def nn(v: Long) = math.max(v, 0L)
-      Some((nn(f.getSampleRate.toLong), nn(f.getChannels.toLong),
-        nn(f.getSampleSizeInBits.toLong), nn(aff.getFrameLength.toLong)))
+      // rate/channels can be AudioSystem.NOT_SPECIFIED (-1) for
+      // compressed AIFF-C payloads; a zero-or-negative rate would break
+      // the documented `duration = frames / sample_rate` derivation, so
+      // such headers fall back to the stub (whose rate is biased
+      // positive) instead of being claimed with degenerate parameters.
+      // frames/bits are counts that may legitimately be unsized → clamp.
+      if (f.getSampleRate <= 0f || f.getChannels <= 0) None
+      else Some((f.getSampleRate.toLong, f.getChannels.toLong,
+        math.max(f.getSampleSizeInBits.toLong, 0L),
+        math.max(aff.getFrameLength.toLong, 0L)))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

@@ -51,13 +51,33 @@ object EventsSource {
   /** Batch read of `dir/events.parquet` with `ts` normalized to epoch-ns
     * `LongType`, whatever the physical encoding. Column set is unchanged:
     * event_id, ts, user_id, event_type, value.
+    *
+    * EVERY read is range-gated (one cached min/max job per path per JVM):
+    * the LongType branch cannot distinguish plain-INT64 epoch-ns from a
+    * hypothetical plain-INT64 epoch-µs regeneration by dtype alone, so
+    * batch consumers would otherwise mis-normalize as silently as the
+    * round-12 streams did.
     */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
     // must be set BEFORE the read so a TIMESTAMP(NANOS) footer loads as
     // Long instead of erroring; a no-op for the µs encodings
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/events.parquet")
-    df.withColumn("ts", tsToNanos(df.schema("ts").dataType, col("ts")))
+    val dt = df.schema("ts").dataType
+    val out = df.withColumn("ts", tsToNanos(dt, col("ts")))
+    gateCache.getOrElseUpdate(s"$dir/events.parquet", {
+      val row = out.agg(min(col("ts")), max(col("ts"))).head
+      if (!row.isNullAt(0)) { // empty table: nothing to mis-measure
+        val (lo, hi) = (row.getLong(0), row.getLong(1))
+        require(lo >= MinPlausibleNs && hi < MaxPlausibleNs,
+          s"events.ts normalization sanity gate failed for $dir: " +
+            s"loaded dtype $dt normalized to epoch-ns range [$lo, $hi], " +
+            s"outside plausible [1990-01-01, 2100-01-01) — the physical " +
+            "encoding drifted again; fix EventsSource.tsToNanos")
+      }
+      dt
+    })
+    out
   }
 
   // Plausibility bounds for normalized event timestamps: [1990, 2100) in
@@ -68,39 +88,23 @@ object EventsSource {
   private[graft] val MinPlausibleNs = 631152000000000000L   // 1990-01-01
   private[graft] val MaxPlausibleNs = 4102444800000000000L  // 2100-01-01
 
-  // one probe job per distinct events path per JVM (bench runs the
-  // streaming queries repeatedly; the probe must not add a scan each time)
-  private val probeCache =
+  // one gate job per distinct events path per JVM (bench re-reads the
+  // same path constantly; the gate must not add a scan each time). The
+  // cached value is the LOADED dtype, which the streaming path reuses as
+  // its probed schema.
+  private val gateCache =
     scala.collection.concurrent.TrieMap.empty[String, DataType]
 
-  /** Loaded `ts` DataType for `dir/events.parquet`, verified: batch-reads
-    * the table once, normalizes through [[tsToNanos]], and requires the
-    * min/max to land inside the plausible window. The streaming path calls
-    * this before trusting a user-specified schema — the file source takes
-    * the schema on faith, so this is the only thing standing between a
+  /** Loaded `ts` DataType for `dir/events.parquet`, verified through
+    * [[readEvents]]' range gate. The streaming path calls this before
+    * trusting a user-specified schema — the file source takes the schema
+    * on faith, so the gate is the only thing standing between a
     * physical-encoding drift and silently time-compressed windows.
-    * Result cached per path for the life of the JVM.
     */
-  def probeTsTypeChecked(s: SparkSession, dir: String): DataType =
-    probeCache.getOrElseUpdate(s"$dir/events.parquet", {
-      val ev = readEvents(s, dir)
-      val dt = {
-        // re-read the pre-normalization dtype for the caller's schema
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-      }
-      val row = ev.agg(min(col("ts")), max(col("ts"))).head
-      if (row.isNullAt(0)) dt // empty table: nothing to mis-measure
-      else {
-        val (lo, hi) = (row.getLong(0), row.getLong(1))
-        require(lo >= MinPlausibleNs && hi < MaxPlausibleNs,
-          s"events.ts normalization sanity gate failed for $dir: " +
-            s"loaded dtype $dt normalized to epoch-ns range [$lo, $hi], " +
-            s"outside plausible [1990-01-01, 2100-01-01) — the physical " +
-            "encoding drifted again; fix EventsSource.tsToNanos")
-        dt
-      }
-    })
+  def probeTsTypeChecked(s: SparkSession, dir: String): DataType = {
+    readEvents(s, dir) // populates gateCache (or throws loudly)
+    gateCache(s"$dir/events.parquet")
+  }
 
   /** Streaming-source schema for the events table with `ts` as `dt` (the
     * probed physical type); the stream then normalizes via [[tsToNanos]].

@@ -93,20 +93,26 @@ object StreamOps {
     else rs.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
-  /** Tumbling 1-hour window aggregation driven through a REAL streaming
-    * query: file-source readStream → watermark → groupBy(window) → memory
-    * sink, drained synchronously with processAllAvailable. Returns the
-    * complete result as a DataFrame.
+  /** Shared windowed-aggregation memory-sink drain: file-source
+    * readStream → 1 h watermark → groupBy(window, event_type) →
+    * complete-mode memory sink, drained synchronously. `slide = None`
+    * gives tumbling windows; `Some(slide)` overlapping ones.
+    *
+    * BIGINT fixed-point micros for the value sum: per-row round is exact
+    * (values have <=2 decimals) and BIGINT sums hash identically in
+    * Spark and DuckDB, unlike DECIMAL whose binary layout differs
+    * between engines.
     */
-  def hourlyWindowAgg(s: SparkSession, dir: String): DataFrame = {
+  private def windowAggDrain(s: SparkSession, dir: String,
+      duration: String, slide: Option[String]): DataFrame = {
     val tableName = s"stream_window_${System.nanoTime()}"
-    val stream = eventsStream(s, dir)
-    val agg = stream
+    val win = slide match {
+      case Some(sl) => window(col("event_ts"), duration, sl)
+      case None     => window(col("event_ts"), duration)
+    }
+    val agg = eventsStream(s, dir)
       .withWatermark("event_ts", "1 hour")
-      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
-      // BIGINT fixed-point micros: per-row round is exact (values have <=2
-      // decimals) and BIGINT sums hash identically in Spark and DuckDB,
-      // unlike DECIMAL whose binary layout differs between engines.
+      .groupBy(win, col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(expr("cast(round(value * 1000000) as bigint)")).as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -120,6 +126,11 @@ object StreamOps {
     finally q.stop()
     s.table(tableName)
   }
+
+  /** Tumbling 1-hour window aggregation driven through a REAL streaming
+    * query ([[windowAggDrain]]). Returns the complete result. */
+  def hourlyWindowAgg(s: SparkSession, dir: String): DataFrame =
+    windowAggDrain(s, dir, "1 hour", None)
 
   /** Scale variant of [[hourlyWindowAgg]]: watermarked APPEND mode into a
     * parquet FILE sink — the 100 TB shape. The complete-mode memory sink
@@ -478,23 +489,6 @@ object StreamOps {
     * partial-aggregation shuffle, so cost scales with the overlap
     * factor, not with state.
     */
-  def slidingWindowAgg(s: SparkSession, dir: String): DataFrame = {
-    val tableName = s"stream_swindow_${System.nanoTime()}"
-    val agg = eventsStream(s, dir)
-      .withWatermark("event_ts", "1 hour")
-      .groupBy(window(col("event_ts"), "2 hours", "1 hour"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(expr("cast(round(value * 1000000) as bigint)")).as("value_sum"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("value_sum"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(tableName)
-  }
+  def slidingWindowAgg(s: SparkSession, dir: String): DataFrame =
+    windowAggDrain(s, dir, "2 hours", Some("1 hour"))
 }

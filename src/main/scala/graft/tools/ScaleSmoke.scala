@@ -200,15 +200,8 @@ object ScaleSmoke {
       t.createColumnFamilies(Seq(graft.model.ColumnFamilyDefinition("ev")))
       t.writeBulk(maintEventCells(s, dir).select(
         col("row_key"), col("family"), col("qualifier"), col("ts"),
-        struct(
-          lit("f64").as("vtype"),
-          lit(null).cast("string").as("s"),
-          lit(null).cast("boolean").as("b"),
-          lit(null).cast("short").as("u8"),
-          lit(null).cast("int").as("i32"),
-          lit(null).cast("long").as("i64"),
-          lit(null).cast("float").as("f32"),
-          col("vd")).as("value")))
+        graft.SparkEntry.cellValueStruct(lit("f64"),
+          lit(null).cast("string"), col("vd")).as("value")))
     }
     base
   }

@@ -44,15 +44,16 @@ class QueryContractSpec extends SparkSuite {
     assert(df.schema.nonEmpty)
   }
 
-  test("every query has an oracle or is a documented rows-only check") {
-    // every oracle key must have a query; the reverse direction is
-    // allowed (rows-only checks) but kept visible here as a count so a
-    // silently dropped oracle shows up in review
+  test("queries and oracle SQL stay in bijection") {
+    // repo convention: every registered query carries a DuckDB oracle.
+    // A deliberately rows-only query (driver allows them, weaker check)
+    // must be added to this allowlist EXPLICITLY so the weakening is a
+    // reviewed decision, not a silently dropped oracle.
+    val rowsOnlyAllowlist = Set.empty[String]
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    val rowsOnly = q -- o
-    assert(rowsOnly.isEmpty,
-      s"queries without oracle SQL (should be none): $rowsOnly")
+    assert((q -- o) == rowsOnlyAllowlist,
+      s"queries without oracle SQL not in allowlist: ${q -- o -- rowsOnlyAllowlist}")
   }
 }
