@@ -44,6 +44,24 @@ class QueryContractSpec extends SparkSuite {
     assert(df.schema.nonEmpty)
   }
 
+  test("eager-operator source schemas hold (drift canary)") {
+    // the eager queries (eng_*/ANN/streams) are excluded from the analyze
+    // pass above, so their source-schema assumptions get an explicit pin:
+    // a driver regeneration that changes these types must land as a red
+    // test with a pointed message, not a broken correctness round
+    import org.apache.spark.sql.types._
+    val emb = spark.read.parquet(s"$Dir/embeddings.parquet").schema
+    val elem = emb("embedding").dataType.asInstanceOf[ArrayType].elementType
+    assert(elem == FloatType,
+      s"embeddings.embedding element drifted to $elem — Similarity's " +
+        "vector kernels are Float-typed; add a cast shim at the readers")
+    assert(emb("vec_id").dataType == LongType)
+    val docs = spark.read.parquet(s"$Dir/documents.parquet").schema
+    for ((n, t) <- Seq("doc_id" -> LongType, "text" -> StringType,
+        "n_chars" -> LongType))
+      assert(docs(n).dataType == t, s"documents.$n drifted: ${docs(n).dataType}")
+  }
+
   test("queries and oracle SQL stay in bijection") {
     // repo convention: every registered query carries a DuckDB oracle.
     // A deliberately rows-only query (driver allows them, weaker check)
