@@ -59,7 +59,7 @@ object StreamOps {
     * normalization is range-gated before any streaming query trusts it
     * ([[graft.sources.EventsSource.probeTsTypeChecked]], cached per path).
     */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  private[streaming] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.EventsSource
     val dt = EventsSource.probeTsTypeChecked(s, dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -457,7 +457,9 @@ object StreamOps {
     * aggregation) that [[sessionize]] hand-rolls with window functions.
     * At scale this is the preferred shape: one shuffle on the group key,
     * sessions merged inside the aggregation with no full per-user sort
-    * window, and the SAME call works unchanged over a streaming input.
+    * window, and the SAME aggregation runs unchanged over a streaming
+    * input (NativeWindowOpsSpec drives it through watermark + append
+    * mode and pins the emitted set to the watermark-finalized sessions).
     *
     * Boundary semantics differ from [[sessionize]] in exactly one case:
     * `session_window` treats a gap EQUAL to `gap` as a new session

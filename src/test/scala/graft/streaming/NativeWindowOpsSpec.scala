@@ -62,6 +62,48 @@ class NativeWindowOpsSpec extends SparkSuite {
     assert(nativeEvents == strictEvents)
   }
 
+  test("session_window runs unchanged as a STREAMING query (append mode " +
+      "emits exactly the watermark-finalized sessions)") {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000L
+    // the scaladoc claim under test: the same groupBy(session_window)
+    // aggregation, applied to the streaming source with a watermark
+    val name = s"nsess_${System.nanoTime()}"
+    val q = StreamOps.eventsStream(spark, Dir)
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("event_ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start"), col("session_end"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val batch = StreamOps.sessionizeNative(
+        events.select(col("user_id"), col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // watermark after the single data batch: max event time - 1 hour.
+    // append mode emits a session once the watermark passes its window
+    // end (= last event + gap); leave the == boundary undetermined so
+    // the pin is not sensitive to Spark's <-vs-<= eviction choice
+    val wmUs = events.agg(max(expr("ts div 1000"))).head.getLong(0) -
+      3600L * 1000000L
+    def endUs(s: (Long, Long, Long, Long)) = s._4 / 1000L + gapUs
+    val must = batch.filter(endUs(_) < wmUs)
+    val may = batch.filter(endUs(_) <= wmUs)
+    assert(streamed.nonEmpty)
+    assert((must -- streamed).isEmpty,
+      s"finalized sessions not emitted: ${(must -- streamed).take(3)}")
+    assert((streamed -- may).isEmpty,
+      s"unfinalized/invented sessions emitted: ${(streamed -- may).take(3)}")
+  }
+
   test("streaming sliding windows match the batch overlap expansion") {
     val streamed = StreamOps.slidingWindowAgg(spark, Dir)
       .select(unix_micros(col("window_start")).as("ws"), col("event_type"),
