@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.CellOps
+import graft.core.{CellOps, ColumnWriteItem, RowWriteItem}
 import graft.model._
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -176,11 +176,17 @@ object SparkEntry {
     * Bulk-loaded DISTRIBUTED (writeBulk, no driver collect) once per
     * source fingerprint; the per-call `data_point!` write path is
     * spec/Demo-covered separately. */
+  /** Cache location of the engine-backed metrics table for `dir` —
+    * source-fingerprinted like [[engineCachePath]]. */
+  private[graft] def engineMetricsPath(dir: String): String = {
+    val fp = sourceFingerprint(s"$dir/events.parquet")
+    s"/tmp/graft_mtx_${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp)
+  }
+
   private def engineMetrics(s: SparkSession,
       dir: String): graft.core.MetricsTable = {
-    val fp = sourceFingerprint(s"$dir/events.parquet")
-    val base = s"/tmp/graft_mtx_${Integer.toHexString(dir.hashCode)}_" +
-      java.lang.Long.toHexString(fp)
+    val base = engineMetricsPath(dir)
     val mt = graft.core.MetricsTable.open(
       s, new graft.core.Catalog(base), Some("events"))
     if (mt.table.dataFileCount == 0) {
@@ -194,6 +200,28 @@ object SparkEntry {
           col("vd")).as("value")))
     }
     mt
+  }
+
+  /** Throwaway mutated clone of the engine orders table. The engine's
+    * mutation verbs (#20 delete / #22 upsert) rewrite copy-on-write
+    * state, so the `eng_` mutation oracle rows each mutate a PRIVATE
+    * clone of the fingerprint-cached build
+    * ([[graft.core.Smoltable.openClone]]: temp dir, deleted on JVM
+    * exit) — query construction stays idempotent across Verify/Bench
+    * reruns and the cached table the read-path `eng_` rows share is
+    * never dirtied. Same protocol as ScaleSmoke's maintenance rows. */
+  private def clonedEngineOrders(s: SparkSession,
+      dir: String): graft.core.Smoltable = {
+    engineOrders(s, dir) // ensure the shared fingerprint cache is built
+    graft.core.Smoltable.openClone(s, engineCachePath(dir, 0), "orders")
+  }
+
+  /** As [[clonedEngineOrders]] for the metrics self-table (#21's GC
+    * oracle mutates it). */
+  private def clonedEngineMetrics(s: SparkSession,
+      dir: String): graft.core.Smoltable = {
+    engineMetrics(s, dir)
+    graft.core.Smoltable.openClone(s, engineMetricsPath(dir), "_mtx_events")
   }
 
   /** Layout-format version: bump when the on-disk layout shape changes
@@ -520,6 +548,49 @@ object SparkEntry {
           }
         }
       }.toDF("row_key", "family", "qualifier", "ts", "vs", "vd")
+    }),
+
+    // ==== engine-path MUTATION verbs (#20-22 on REAL storage): each
+    // construction clones the cached table, mutates the clone through the
+    // crash-safe copy-on-write rewrite path, and reads survivors back
+    // through the engine — the storage-layout twin of op20/op21/op22's
+    // view-level rows, matching reference `table/mod.rs:567-598` (delete),
+    // `:455-562` (GC), `tests/delete_column_filter.rs`, `tests/gc.rs`.
+
+    // filtered delete (one column of one row) + unfiltered whole-row
+    // delete, like delete_column_filter.rs's two delete_row calls
+    "eng_delete_row" -> ((s, dir) => {
+      val t = clonedEngineOrders(s, dir)
+      t.deleteRow("0000000042",
+        Some(ColumnFilter.Key(ColumnKey.of("o:status"))))
+      t.deleteRow("0000000007")
+      engSel(t.cellsFor(None)).filter(col("row_key") < "0000000100")
+    }),
+
+    // version-limit GC on the versioned metrics self-table (720 points
+    // per metric bulk-loaded) — keep the newest 100 versions per column,
+    // the FIFO-retention shape of tests/gc.rs + metrics.rs
+    "eng_gc_version" -> ((s, dir) => {
+      val t = clonedEngineMetrics(s, dir)
+      t.runVersionGcWith(Map("value" -> GcSettings(versionLimit = Some(100))))
+      engSel(t.cellsFor(None))
+    }),
+
+    // transactional batch write over existing cells: same-coordinate
+    // overwrites (ts=0 collides with the bulk load) must LWW-resolve on
+    // read, and a brand-new column must surface alongside survivors
+    "eng_write_upsert" -> ((s, dir) => {
+      val t = clonedEngineOrders(s, dir)
+      t.write(Seq(
+        RowWriteItem("0000000001", Seq(
+          ColumnWriteItem(ColumnKey.of("o:status"), Some(0L),
+            CellValue.S("X")),
+          ColumnWriteItem(ColumnKey.of("o:note"), Some(0L),
+            CellValue.S("updated")))),
+        RowWriteItem("0000000042", Seq(
+          ColumnWriteItem(ColumnKey.of("m:total"), Some(0L),
+            CellValue.F64(123.45))))))
+      engSel(t.cellsFor(None)).filter(col("row_key") < "0000000100")
     }),
 
     // ================= large-scale pipeline extensions =================
@@ -1122,6 +1193,32 @@ object SparkEntry {
            |  SELECT c.*, row_number() OVER (PARTITION BY c.row_key ORDER BY family, qualifier, ts DESC) AS rn
            |  FROM cells c JOIN lim USING (row_key)
            |) SELECT row_key, family, qualifier, ts, vs, vd FROM ranked WHERE rn <= 3""".stripMargin,
+      // engine-path mutation verbs: oracle expresses the post-mutation
+      // state over the same source cells
+      "eng_delete_row" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key < '0000000100' AND row_key <> '0000000007' AND NOT (row_key = '0000000042' AND family = 'o' AND qualifier = 'status')",
+      "eng_gc_version" ->
+        """WITH pts AS (
+          |  SELECT event_type, epoch_us(ts) * 1000 AS ts, max(value) AS vd
+          |  FROM events GROUP BY 1, 2
+          |), ranked AS (
+          |  SELECT event_type AS row_key, 'value' AS family,
+          |    '' AS qualifier, ts, CAST(NULL AS VARCHAR) AS vs, vd,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+          |  FROM pts
+          |) SELECT row_key, family, qualifier, ts, vs, vd
+          |FROM ranked WHERE rn <= 100""".stripMargin,
+      "eng_write_upsert" ->
+        s"""$oc, upd AS (
+           |  SELECT CAST('0000000001' AS VARCHAR) AS row_key, 'o' AS family, 'status' AS qualifier, CAST(0 AS BIGINT) AS ts, CAST('X' AS VARCHAR) AS vs, CAST(NULL AS DOUBLE) AS vd
+           |  UNION ALL SELECT '0000000001', 'o', 'note', CAST(0 AS BIGINT), 'updated', CAST(NULL AS DOUBLE)
+           |  UNION ALL SELECT '0000000042', 'm', 'total', CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), 123.45
+           |), unioned AS (
+           |  SELECT row_key, family, qualifier, ts, vs, vd, 1 AS seq FROM cells
+           |  UNION ALL SELECT row_key, family, qualifier, ts, vs, vd, 2 AS seq FROM upd
+           |) SELECT row_key, family, qualifier, ts, vs, vd FROM (
+           |  SELECT u.*, row_number() OVER (PARTITION BY row_key, family, qualifier, ts ORDER BY seq DESC) AS rn FROM unioned u
+           |) WHERE rn = 1 AND row_key < '0000000100'""".stripMargin,
       // metrics self-table: newest 720 versions per metric (= event_type
       // row); points are max(value) per µs-aligned ts so ranking is
       // tie-free and order-independent

@@ -1123,6 +1123,38 @@ object Smoltable {
     t
   }
 
+  /** Temp catalog dirs created by [[openClone]], deleted on JVM exit —
+    * clones are throwaway mutation scratch, never a committed artifact. */
+  private val cloneDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+  locally {
+    sys.addShutdownHook {
+      cloneDirs.synchronized(cloneDirs.toList)
+        .foreach(PathIO.deleteRecursively)
+    }
+  }
+
+  /** Open a throwaway CLONE of catalog `srcBase`'s table `name`:
+    * recursive copy of the catalog tree into a fresh temp dir (deleted on
+    * JVM exit). The engine's mutation verbs rewrite copy-on-write state,
+    * so callers that must stay idempotent across runs — the
+    * `eng_delete_row`/`eng_gc_version`/`eng_write_upsert` oracle rows and
+    * ScaleSmoke's maintenance timings — each mutate a private clone; the
+    * shared fingerprint-cached build is never dirtied. */
+  def openClone(spark: SparkSession, srcBase: String,
+      name: String): Smoltable = {
+    val from = Paths.get(srcBase)
+    val to = Files.createTempDirectory("graft_mut_")
+    PathIO.withStream(Files.walk(from)) { it =>
+      it.foreach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    cloneDirs.synchronized(cloneDirs += to)
+    open(spark, new Catalog(to.toString), name)
+  }
+
   /** Non-creating [[open]] for paths that must treat "absent" as absent —
     * the API verb path. [[open]]'s `createDirectories` makes the classic
     * check-then-open race destructive: a delete landing between an API

@@ -206,26 +206,6 @@ object ScaleSmoke {
     base
   }
 
-  /** Recursive copy of an engine-table catalog dir into a fresh scratch
-    * dir — the maintenance verbs are copy-on-write MUTATIONS, so each
-    * timed run gets its own clone (clone cost excluded from the timing). */
-  private def cloneCatalog(src: String): String = {
-    val from = java.nio.file.Paths.get(src)
-    val to = java.nio.file.Paths.get(scratch("evt_clone"))
-    val s = java.nio.file.Files.walk(from)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.foreach { p =>
-        val dst = to.resolve(from.relativize(p))
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(dst)
-        else java.nio.file.Files.copy(p, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    } finally s.close()
-    to.toString
-  }
-
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -316,8 +296,10 @@ object ScaleSmoke {
         def timed(dir: String): (Double, String) = {
           val srcBase = engineEventsBase(spark, dir)
           def once(): (Double, String) = {
-            val t = graft.core.Smoltable.open(spark,
-              new graft.core.Catalog(cloneCatalog(srcBase)), "events")
+            // copy-on-write mutation → private clone per run (shared
+            // helper with the eng_ mutation oracle rows; clone cost
+            // excluded from the timing below)
+            val t = graft.core.Smoltable.openClone(spark, srcBase, "events")
             val t0 = System.nanoTime()
             val detail = run(t)
             ((System.nanoTime() - t0) / 1e9, detail)
