@@ -99,28 +99,11 @@ object SparkEntry {
     * lg= partition pruning + row-key row-group skipping — under the same
     * oracles as the view-based ops.
     */
-  /** size + mtime fingerprint of a parquet file-or-directory, folded over
-    * every regular file in the tree in relative-path order — the
-    * cache-staleness key for every /tmp derived artifact: a regenerated
-    * source gets a different fingerprint, hence a different cache path,
-    * hence a rebuild. Recursive so nested rewrites (e.g. a partitioned
-    * source's leaf files) are visible; a missing source fails fast instead
-    * of silently fingerprinting as empty. */
-  private def sourceFingerprint(path: String): Long = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(path)
-    require(java.nio.file.Files.exists(root),
-      s"fingerprint source does not exist: $path")
-    val st = java.nio.file.Files.walk(root)
-    val parts =
-      try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-        .toSeq.sortBy(p => root.relativize(p).toString)
-      finally st.close()
-    parts.foldLeft(0L) { (acc, p) =>
-      val f = p.toFile
-      31 * (31 * acc + f.length) + f.lastModified
-    }
-  }
+  /** size + mtime fingerprint of a parquet source (shared util; also
+    * keys EventsSource's range-gate cache). Same fold as always, so the
+    * existing /tmp cache paths stay valid across this refactor. */
+  private def sourceFingerprint(path: String): Long =
+    graft.util.Fingerprint.of(path)
 
   /** Cache location of the engine-backed orders table for `dir` —
     * fingerprinted on the SOURCE parquet, so a driver-regenerated
@@ -189,6 +172,14 @@ object SparkEntry {
     val base = engineMetricsPath(dir)
     val mt = graft.core.MetricsTable.open(
       s, new graft.core.Catalog(base), Some("events"))
+    // `dataFileCount == 0` is crash-safe WITHOUT a _READY marker (unlike
+    // ScaleSmoke's plain-parquet dirs, which need one): it counts the
+    // MANIFEST's committed file list, not a disk listing, writeBulk
+    // commits that list only AFTER its append job succeeds, and open()
+    // sweeps uncommitted debris (recoverRewrite) — so a JVM killed
+    // mid-writeBulk leaves dataFileCount == 0 and the next run rebuilds
+    // from source instead of serving a partial table. Pinned by
+    // EngineMutationSpec's "crashed bulk load" test.
     if (mt.table.dataFileCount == 0) {
       val pts = graft.sources.EventsSource.readEvents(s, dir)
         .groupBy(col("event_type"), expr("(ts div 1000) * 1000").as("ts"))

@@ -52,20 +52,34 @@ object EventsSource {
     * `LongType`, whatever the physical encoding. Column set is unchanged:
     * event_id, ts, user_id, event_type, value.
     *
-    * EVERY read is range-gated (one cached min/max job per path per JVM):
+    * EVERY read is range-gated (one cached min/max job per
+    * (path, source fingerprint) per JVM):
     * the LongType branch cannot distinguish plain-INT64 epoch-ns from a
     * hypothetical plain-INT64 epoch-µs regeneration by dtype alone, so
     * batch consumers would otherwise mis-normalize as silently as the
     * round-12 streams did.
     */
-  def readEvents(s: SparkSession, dir: String): DataFrame = {
-    // must be set BEFORE the read so a TIMESTAMP(NANOS) footer loads as
-    // Long instead of erroring; a no-op for the µs encodings
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/events.parquet")
+  def readEvents(s: SparkSession, dir: String): DataFrame =
+    gatedRead(s, dir)._1
+
+  /** The shared probe+normalize+gate path behind [[readEvents]] and
+    * [[probeTsTypeChecked]]. The gate cache is keyed by
+    * (path, size+mtime fingerprint), not path alone: a driver-regenerated
+    * `events.parquet` at the same path WITHIN one JVM session (a
+    * long-lived Serve process across testdata regenerations) re-probes
+    * and re-gates instead of serving the previous generation's dtype with
+    * the gate skipped — the r12 silent-wrongness class, one level up. */
+  private def gatedRead(s: SparkSession,
+      dir: String): (DataFrame, DataType) = {
+    val path = s"$dir/events.parquet"
+    // fingerprint BEFORE the read: a regeneration racing this call can at
+    // worst gate the new bytes under the old key and re-gate next call —
+    // never serve a stale verdict for the current bytes
+    val fp = graft.util.Fingerprint.of(path)
+    val df = readScoped(s, path)
     val dt = df.schema("ts").dataType
     val out = df.withColumn("ts", tsToNanos(dt, col("ts")))
-    gateCache.getOrElseUpdate(s"$dir/events.parquet", {
+    gateCache.getOrElseUpdate((path, fp), {
       val row = out.agg(min(col("ts")), max(col("ts"))).head
       if (!row.isNullAt(0)) { // empty table: nothing to mis-measure
         val (lo, hi) = (row.getLong(0), row.getLong(1))
@@ -77,8 +91,29 @@ object EventsSource {
       }
       dt
     })
-    out
+    (out, dt)
   }
+
+  /** Load with the nanosAsLong conf scoped to THIS schema-inference call
+    * (set → read → restore, serialized on this object): the conf is only
+    * consulted while the footer is converted to a Catalyst schema — a
+    * TIMESTAMP(NANOS) column then resolves to LongType, and executing
+    * the returned plan re-uses that resolved schema without re-reading
+    * the conf (pinned by EventsSourceSpec's true-NANOS fixture). No
+    * session-global state leaks into later parquet reads: any OTHER
+    * TIMESTAMP(NANOS) source still fails loudly instead of silently
+    * loading as raw Longs. */
+  private def readScoped(s: SparkSession, path: String): DataFrame =
+    synchronized {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try s.read.parquet(path)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
 
   // Plausibility bounds for normalized event timestamps: [1990, 2100) in
   // epoch-ns. A unit mistake is always a ×1000 error: epoch-µs read as ns
@@ -88,12 +123,14 @@ object EventsSource {
   private[graft] val MinPlausibleNs = 631152000000000000L   // 1990-01-01
   private[graft] val MaxPlausibleNs = 4102444800000000000L  // 2100-01-01
 
-  // one gate job per distinct events path per JVM (bench re-reads the
-  // same path constantly; the gate must not add a scan each time). The
-  // cached value is the LOADED dtype, which the streaming path reuses as
-  // its probed schema.
+  // one gate job per distinct (events path, source fingerprint) per JVM
+  // (bench re-reads the same path constantly; the gate must not add a
+  // scan each time — but a regenerated file must re-gate). The cached
+  // value is the LOADED dtype, which the streaming path reuses as its
+  // probed schema. Stale generations' entries linger harmlessly (a few
+  // dozen bytes each).
   private val gateCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataType]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), DataType]
 
   /** Loaded `ts` DataType for `dir/events.parquet`, verified through
     * [[readEvents]]' range gate. The streaming path calls this before
@@ -101,10 +138,8 @@ object EventsSource {
     * on faith, so the gate is the only thing standing between a
     * physical-encoding drift and silently time-compressed windows.
     */
-  def probeTsTypeChecked(s: SparkSession, dir: String): DataType = {
-    readEvents(s, dir) // populates gateCache (or throws loudly)
-    gateCache(s"$dir/events.parquet")
-  }
+  def probeTsTypeChecked(s: SparkSession, dir: String): DataType =
+    gatedRead(s, dir)._2
 
   /** Streaming-source schema for the events table with `ts` as `dt` (the
     * probed physical type); the stream then normalizes via [[tsToNanos]].

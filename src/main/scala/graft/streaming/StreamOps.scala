@@ -62,7 +62,10 @@ object StreamOps {
   private[streaming] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.EventsSource
     val dt = EventsSource.probeTsTypeChecked(s, dir)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // no nanosAsLong conf needed: the explicit probed schema skips footer
+    // inference, and the parquet reader maps INT64(TIMESTAMP NANOS) to a
+    // requested LongType by itself (pinned by EventsSourceSpec's
+    // true-NANOS fixture) — so no session-global conf leak from here
     streamSource(s, dir, "events", EventsSource.streamSchema(dt))
       .withColumn("ts", EventsSource.tsToNanos(dt, col("ts")))
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))

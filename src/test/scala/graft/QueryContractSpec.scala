@@ -21,10 +21,16 @@ class QueryContractSpec extends SparkSuite {
   private val Dir = "/root/testdata/sf0.001"
 
   /** Construction triggers real execution (streaming drain or engine /
-    * ANN layout build) — skipped here, exercised by dedicated suites. */
+    * ANN layout build) — skipped here, exercised by dedicated suites.
+    * op19_approx_count is engine-backed despite its opNN name (it calls
+    * engineOrders → full bulk load on first touch). Note the remaining
+    * "lazy" events-backed entries still run ONE small cached job at
+    * construction (EventsSource's per-(path,fingerprint) range gate) —
+    * accepted: that gate is exactly the drift canary this spec wants. */
   private def eager(name: String): Boolean =
     name.startsWith("eng_") || name.contains("_stream") ||
-      name.startsWith("ext_ann") || name.startsWith("ext_dedup_cluster")
+      name.startsWith("ext_ann") || name.startsWith("ext_dedup_cluster") ||
+      name == "op19_approx_count"
 
   test("every lazy contract query analyzes against current testdata") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

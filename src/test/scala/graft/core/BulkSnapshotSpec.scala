@@ -102,6 +102,35 @@ class BulkSnapshotSpec extends SparkSuite {
     assert(!TableManifest.deserialize("seq\t0").hasFileList)
   }
 
+  test("crashed bulk load leaves dataFileCount == 0 and rebuilds cleanly " +
+      "(the /tmp engine caches' rebuild guard is crash-safe)") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val t = Smoltable.open(spark, cat, "crash")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("v")))
+      // simulate a JVM killed mid-writeBulk: the append job finished (a
+      // parquet segment is on disk) but the manifest store never ran —
+      // run a real writeBulk, then roll the manifest back to its
+      // pre-write bytes, leaving the segment as uncommitted debris
+      val preWrite = java.nio.file.Files.readAllBytes(t.manifestFilePath)
+      t.writeBulk(cellFrame(50))
+      assert(t.manifest.dataFiles.nonEmpty)
+      java.nio.file.Files.write(t.manifestFilePath, preWrite)
+      // the guard counts COMMITTED files, not disk debris → 0 → rebuild
+      assert(t.dataFileCount == 0,
+        "debris must not count as committed data")
+      // a fresh open (next JVM) sweeps the debris before any verb runs,
+      // so the rebuild cannot double-count it
+      Smoltable.forgetRecovery(cat, "crash")
+      val t2 = Smoltable.open(spark, cat, "crash")
+      assert(PathIO.walkFiles(cat.tablePath("crash").resolve("data"))(
+        _.getFileName.toString.endsWith(".parquet")).isEmpty,
+        "open must sweep uncommitted debris")
+      t2.writeBulk(cellFrame(50))
+      assert(t2.count() == (50L, 50L), "rebuild must serve the full table")
+    }
+  }
+
   test("empty committed file set does not resurrect on-disk segments; " +
       "a true legacy manifest still adopts them") {
     withTempDir { dir =>

@@ -88,6 +88,69 @@ class EventsSourceSpec extends SparkSuite {
     }
   }
 
+  test("true TIMESTAMP(NANOS) file reads correctly with NO conf leak") {
+    // Spark cannot write nanos parquet; the fixture is a checked-in
+    // pyarrow file (src/test/resources/events_nanos). This is the one
+    // encoding whose footer inference needs the legacy nanosAsLong conf —
+    // readEvents must scope it to its own schema probe.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    val dir = getClass.getResource("/events_nanos").getPath
+    val got = EventsSource.readEvents(spark, dir)
+      .select(col("event_id"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == TsNs.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }.toSet)
+    // the conf did NOT leak into the session: a DIRECT read of the same
+    // nanos file (any other TIMESTAMP(NANOS) source) still fails loudly
+    // instead of silently loading as raw Longs
+    assert(spark.conf.getOption(key).forall(_ == "false"))
+    intercept[Throwable] {
+      spark.read.parquet(s"$dir/events.parquet").schema
+    }
+  }
+
+  test("streaming path handles true NANOS without the session conf") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    val dir = getClass.getResource("/events_nanos").getPath
+    val wins = graft.streaming.StreamOps.hourlyWindowAgg(spark, dir)
+      .select(unix_micros(col("window_start")), col("event_type"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // exact windows: a µs-misread (the ×1000 failure shape) would
+    // collapse all three events into one 1970-era window
+    assert(wins == Set(
+      (1769997600000000L, "et0", 1L),
+      (1769997600000000L, "et1", 1L),
+      (1770001200000000L, "et2", 1L)))
+    assert(spark.conf.getOption(key).forall(_ == "false"))
+  }
+
+  test("same-path regeneration re-probes and re-gates (fingerprinted cache)") {
+    withTempDir { tmp =>
+      import org.apache.spark.sql.types._
+      val dir = s"$tmp/regen"
+      // generation 1: plain INT64 epoch-ns
+      writeFixture(dir, "ts_ns")
+      assert(EventsSource.probeTsTypeChecked(spark, dir) == LongType)
+      // generation 2, SAME path, different encoding: a path-keyed cache
+      // would serve the stale LongType and mis-normalize silently
+      writeFixture(dir,
+        "cast(timestamp_micros(ts_ns div 1000) as timestamp_ntz)")
+      assert(EventsSource.probeTsTypeChecked(spark, dir) == TimestampNTZType)
+      assert(readBack(dir) ==
+        TsNs.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }.toSet)
+      // generation 3: unit-mismatched bytes — the RE-GATE must fire (a
+      // skipped gate would emit 1970-compressed timestamps silently)
+      writeFixture(dir, "ts_ns div 1000")
+      val e = intercept[IllegalArgumentException] {
+        EventsSource.readEvents(spark, dir)
+      }
+      assert(e.getMessage.contains("sanity gate"))
+    }
+  }
+
   test("probe accepts all valid encodings and caches per path") {
     withTempDir { tmp =>
       writeFixture(s"$tmp/ns_long", "ts_ns")
