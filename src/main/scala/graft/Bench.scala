@@ -100,8 +100,19 @@ object Bench {
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // host-boot identity: round-over-round ratios are only comparable
+    // within one boot (SCALE.md "Round-13 bench root-cause": a host
+    // reboot shifted every query family uniformly by ±30%); stamping
+    // boot_id + uptime lets the next cross-round compare flag itself
+    // as same-boot (comparable) or cross-boot (absolute ratios void)
+    def readFirstLine(p: String): String =
+      try scala.io.Source.fromFile(p).getLines().next().trim
+      catch { case _: Throwable => "unknown" }
+    val bootId = readFirstLine("/proc/sys/kernel/random/boot_id")
+    val uptimeSec = readFirstLine("/proc/uptime").split(" ").headOption
+      .flatMap(_.toDoubleOption).getOrElse(-1.0)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson,"boot_id":"${esc(bootId)}","uptime_sec":$uptimeSec%.0f}""")
     spark.stop()
   }
 }

@@ -753,8 +753,14 @@ object SparkEntry {
 
     // ---- IVF ANN: deterministic data-sampled centroids (vec_id %
     //      stride), zero-shuffle assignment via the NearestCentroid
-    //      kernel, static cid IN (...) list pruning, broadcast rescore —
-    //      the density-adaptive scale path next to LSH ------------------
+    //      kernel, static cid IN (...) list pruning, broadcast rescore.
+    //      DELIBERATE LINEAR CONTRAST (kept anti-thesis, SCALE.md "IVF
+    //      at 10×/100×"): the stride is PINNED, so centroid count — and
+    //      with it per-probe cost — grows linearly with corpus size
+    //      (measured 17.9× at 100×). The production paths are
+    //      `ext_ann_ivf_adaptive` (√n-scaled stride, 4.26× at 100×) and
+    //      `eng_ann_ivf` (physical list-pruned layout, 1.92×); this row
+    //      stays to keep the contrast measured, not as a scale path ----
     "ext_ann_ivf" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.ivfTopK(
