@@ -135,6 +135,20 @@ object StreamOps {
   def hourlyWindowAgg(s: SparkSession, dir: String): DataFrame =
     windowAggDrain(s, dir, "1 hour", None)
 
+  /** Append-ready hourly window aggregation STREAM (unsunk): watermarked
+    * tumbling groupBy(window, event_type) over the probed events source.
+    * Shared by [[hourlyWindowAggToFiles]] and the crash-resume spec,
+    * which attaches its own sink so it can kill and resume the query on
+    * one checkpoint. */
+  def hourlyWindowAggStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 1000000) as bigint)")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
   /** Scale variant of [[hourlyWindowAgg]]: watermarked APPEND mode into a
     * parquet FILE sink — the 100 TB shape. The complete-mode memory sink
     * above re-collects the whole result to the driver every trigger (fine
@@ -146,15 +160,7 @@ object StreamOps {
     */
   def hourlyWindowAggToFiles(s: SparkSession, dir: String, outDir: String,
       checkpointDir: String): DataFrame = {
-    val stream = eventsStream(s, dir)
-    val agg = stream
-      .withWatermark("event_ts", "1 hour")
-      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(expr("cast(round(value * 1000000) as bigint)")).as("value_sum"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("value_sum"))
-    val q = agg.writeStream
+    val q = hourlyWindowAggStream(s, dir).writeStream
       .outputMode("append")
       .format("parquet")
       .option("path", outDir)
