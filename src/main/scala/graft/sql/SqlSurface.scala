@@ -1,0 +1,77 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, Smoltable}
+
+/** SQL exposure of the engine: temp views over the SAME lazy plans the
+  * Scala API builds, so `spark.sql` users query wide-column tables and
+  * the pipeline operators directly.
+  *
+  * This is not reference parity (the reference has no SQL surface,
+  * `server/src/main.rs:133-146` is a JSON HTTP API) — it is the natural
+  * Spark-native face of an "analytics engine": a temp view inlines its
+  * plan into Catalyst, so SQL predicates push THROUGH the view into the
+  * parquet scans (row-key pushdown over the lg-partitioned layout —
+  * asserted by SqlSurfaceSpec's plan check), views compose/join freely
+  * with any other table the session knows, and nothing materializes
+  * until the user's query runs. At 100 TB the view layer adds zero cost:
+  * it is purely plan-time.
+  */
+object SqlSurface {
+
+  /** Register one wide-column table as `<viewName>`: the LWW-resolved
+    * logical cell frame (`row_key, family, qualifier, ts, value` plus
+    * `vs`/`vd` convenience projections of the string/f64 arms — the
+    * dominant cell types in practice). Internal physical columns
+    * (`lg`, `seq`, `bucket`) stay hidden: they are layout, not data. */
+  def registerTable(s: SparkSession, t: Smoltable,
+      viewName: String): Unit = {
+    val cells = t.allCells
+      .select(col("row_key"), col("family"), col("qualifier"), col("ts"),
+        col("value"),
+        col("value.s").as("vs"), col("value.f64").as("vd"))
+    cells.createOrReplaceTempView(viewName)
+  }
+
+  /** Register every table of `cat` as `<prefix><table>` views. Returns
+    * the view names registered. Table names are validated identifiers
+    * ([[graft.model.ColumnKey.isValidIdentifier]]), so the view name
+    * needs no quoting beyond backticks for `#`/`$`/`.`/`-`; SQL callers
+    * use `` `prefix-name` `` syntax for those. */
+  def registerCatalog(s: SparkSession, cat: Catalog,
+      prefix: String = "graft_"): Seq[String] =
+    cat.listTables().map { name =>
+      val view = s"$prefix$name"
+      registerTable(s, Smoltable.open(s, cat, name), view)
+      view
+    }
+
+  /** Register the LLM-pipeline operators over a documents corpus as
+    * `<prefix>*` views: the corpus itself, exact-dup groups, MinHash
+    * candidate pairs, near-dup clusters, and per-doc text analysis.
+    * All lazy — a SQL query touching only `<prefix>docs` never runs the
+    * dedup machinery. Returns the view names registered. */
+  def registerPipeline(s: SparkSession, docs: DataFrame,
+      prefix: String = "graft_"): Seq[String] = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val pairs = Dedup.minhashCandidates(docs)
+    val clusters = docs.select(col("doc_id"))
+      .join(Dedup.connectedComponents(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val views = Seq(
+      "docs" -> docs,
+      "dedup_exact" -> Dedup.exact(docs),
+      "minhash_pairs" -> pairs,
+      "dedup_clusters" -> clusters,
+      "text_quality" -> TextAnalysis.qualityFeatures(docs),
+      "token_counts" -> TextAnalysis.tokenCounts(docs))
+    views.map { case (suffix, df) =>
+      val view = s"$prefix$suffix"
+      df.createOrReplaceTempView(view)
+      view
+    }
+  }
+}
