@@ -1,0 +1,99 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+
+import graft.functions.{CosineSimilarity, MinHashSignature}
+
+/** graft's native Catalyst expressions as SQL functions.
+  *
+  * Two registration paths, one function list:
+  *  - [[GraftFunctions.register]] adds them to an EXISTING session's
+  *    function registry (what [[SqlSurface]] does alongside its views);
+  *  - [[GraftExtensions]] injects them at session build time via
+  *    `spark.sql.extensions=graft.sql.GraftExtensions` — the standard
+  *    deployment shape for a cluster where the session is constructed by
+  *    infrastructure, not by library code.
+  *
+  * These are the CODEGEN'D kernels (`doGenCode`), not Scala UDFs: a SQL
+  * query using them stays inside whole-stage codegen exactly like the
+  * DataFrame API path (asserted by SqlSurfaceSpec's plan check), so the
+  * SQL surface costs what the Scala surface costs at 100 TB.
+  */
+object GraftFunctions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def litInt(e: Expression, fn: String, what: String): Int =
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a literal integer, got $other")
+    }
+
+  private def fn(name: String, usage: String)(
+      b: Builder): (FunctionIdentifier, ExpressionInfo, Builder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftFunctions.type].getName, null, name,
+        usage, "", "", "", "misc_funcs", "4.0.0", "", "scala_udf"),
+      b)
+
+  /** The full function list, shared by both registration paths. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    fn("graft_cosine_similarity",
+      "_FUNC_(a, b) - cosine similarity of two " +
+        "array<float|double> vectors (single-pass fused kernel).") {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case args => throw new IllegalArgumentException(
+        s"graft_cosine_similarity expects 2 arguments, got ${args.length}")
+    },
+    fn("graft_minhash_signature",
+      "_FUNC_(text[, shingleLen]) - MinHash signature " +
+        "(array<long>, one element per default seed) over character " +
+        "shingles; the codegen'd kernel behind minhash dedup.") {
+      case Seq(text) =>
+        MinHashSignature(text, 8, graft.operators.Dedup.DefaultSeeds.toArray)
+      case Seq(text, n) =>
+        MinHashSignature(text,
+          litInt(n, "graft_minhash_signature", "shingleLen"),
+          graft.operators.Dedup.DefaultSeeds.toArray)
+      case args => throw new IllegalArgumentException(
+        s"graft_minhash_signature expects 1-2 arguments, got ${args.length}")
+    },
+    fn("graft_sample_hash",
+      "_FUNC_(key) - the engine's deterministic 60-bit sampling coin " +
+        "(uniform long in [0, 2^60)), bit-identical to the Scala " +
+        "samplers'; `WHERE _FUNC_(id) < f * 1152921504606846976` is a " +
+        "shuffle-free, reproducible f-fraction sample that selects " +
+        "EXACTLY the docs graft.operators.Corpus.thresholdSample keeps.") {
+      // built from resolved catalyst nodes, NOT via the Column API —
+      // Column wraps unresolved ColumnNodes, which cannot be spliced
+      // into a plan mid-analysis. Formula = Corpus.sampleHash/md5Hash60:
+      // conv(substring(md5(cast(key as string)), 1, 15), 16, 10)::long
+      case Seq(key) =>
+        Cast(Conv(
+          Substring(Md5(Cast(Cast(key, StringType), BinaryType)),
+            Literal(1), Literal(15)),
+          Literal(16), Literal(10)), LongType)
+      case args => throw new IllegalArgumentException(
+        s"graft_sample_hash expects 1 argument, got ${args.length}")
+    })
+
+  /** Register every function into an existing session (idempotent:
+    * re-registration replaces the same name with the same builder). */
+  def register(s: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      s.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+/** Session-build-time injection: set
+  * `spark.sql.extensions=graft.sql.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`); every session built
+  * with it resolves the graft_* functions natively. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

@@ -41,12 +41,14 @@ object SqlSurface {
     * needs no quoting beyond backticks for `#`/`$`/`.`/`-`; SQL callers
     * use `` `prefix-name` `` syntax for those. */
   def registerCatalog(s: SparkSession, cat: Catalog,
-      prefix: String = "graft_"): Seq[String] =
+      prefix: String = "graft_"): Seq[String] = {
+    GraftFunctions.register(s)
     cat.listTables().map { name =>
       val view = s"$prefix$name"
       registerTable(s, Smoltable.open(s, cat, name), view)
       view
     }
+  }
 
   /** Register the LLM-pipeline operators over a documents corpus as
     * `<prefix>*` views: the corpus itself, exact-dup groups, MinHash
@@ -55,6 +57,7 @@ object SqlSurface {
     * dedup machinery. Returns the view names registered. */
   def registerPipeline(s: SparkSession, docs: DataFrame,
       prefix: String = "graft_"): Seq[String] = {
+    GraftFunctions.register(s)
     import graft.operators.{Dedup, TextAnalysis}
     val pairs = Dedup.minhashCandidates(docs)
     val clusters = docs.select(col("doc_id"))

@@ -92,4 +92,64 @@ class SqlSurfaceSpec extends SparkSuite {
       .filter(col("doc_id") === 0).head().getAs[Long]("ws_tokens")
     assert(tcSql == tcApi)
   }
+
+  test("native graft_* SQL functions resolve, agree with the Scala API, " +
+      "and stay inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+
+    // cosine: exact on an orthonormal pair
+    assert(spark.sql(
+      "SELECT graft_cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d))")
+      .head().getDouble(0) == 1.0)
+    assert(math.abs(spark.sql(
+      "SELECT graft_cosine_similarity(array(1.0d, 0.0d), array(0.0d, 1.0d))")
+      .head().getDouble(0)) < 1e-15)
+
+    // minhash signature via SQL == the expression API the dedup
+    // pipeline uses (same kernel, same seeds)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+    docs.createOrReplaceTempView("mh_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_minhash_signature(text) AS sig FROM mh_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaApi = docs.select(col("doc_id"),
+        graft.functions.MinHashSignature(col("text"), 8,
+          graft.operators.Dedup.DefaultSeeds).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaApi)
+
+    // sample hash via SQL == Corpus.sampleHash bit-for-bit: one
+    // sampling coin, whichever surface flips it
+    val shSql = spark.sql(
+      "SELECT doc_id, graft_sample_hash(doc_id) AS p FROM mh_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shApi = docs.select(col("doc_id"),
+        graft.operators.Corpus.sampleHash(col("doc_id")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shSql == shApi)
+    assert(shSql.values.forall(p => p >= 0L && p < (1L << 60)))
+
+    // codegen'd, not a UDF: the SQL plan keeps the kernel inside a
+    // WholeStageCodegen stage (a Scala UDF would break the span)
+    val plan = spark.sql(
+      "SELECT graft_minhash_signature(text) FROM mh_docs")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"),
+      s"expected a WholeStageCodegen stage around the kernel:\n$plan")
+
+    // arity errors are loud
+    intercept[Exception] {
+      spark.sql("SELECT graft_cosine_similarity(array(1.0d))").collect()
+    }
+  }
+
+  test("GraftExtensions injects the same list at session build time") {
+    // the injection list is the registry list (one definition); applying
+    // the extension to a fresh SparkSessionExtensions must accept every
+    // triple without throwing — full resolution behavior is covered by
+    // the register() tests above on the live session
+    new GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
 }
