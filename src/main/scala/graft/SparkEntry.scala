@@ -584,6 +584,40 @@ object SparkEntry {
       engSel(t.cellsFor(None)).filter(col("row_key") < "0000000100")
     }),
 
+    // ==== SQL-surface twins: the same semantics driven by spark.sql
+    // TEXT over graft.sql's registered views/native functions, under the
+    // same DuckDB oracles — proving the SQL face is plan-native (views
+    // inline, predicates push to the scan, kernels stay codegen'd), not
+    // a shim. No reference analog (the reference has no SQL surface).
+
+    // prefix scan over the registered cell view of the REAL engine table
+    "sql_scan_prefix" -> ((s, dir) => {
+      engineOrders(s, dir) // build the shared cache the view reads
+      graft.sql.SqlSurface.registerCatalog(s,
+        new graft.core.Catalog(engineCachePath(dir, 0)))
+      s.sql("SELECT row_key, family, qualifier, ts, vs, vd " +
+        "FROM graft_orders WHERE row_key LIKE '00000001%'")
+    }),
+
+    // exact dedup in SQL text over the registered pipeline view
+    "sql_dedup_exact" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s, plantedDocs(s, dir),
+        includeClusters = false)
+      s.sql("SELECT h, keep_id, dup_count FROM graft_dedup_exact")
+    }),
+
+    // deterministic threshold sampling in pure SQL via the native
+    // graft_sample_hash function — the SAME 60-bit coin as
+    // Corpus.thresholdSample, so SQL and Scala select identical docs
+    "sql_sample_threshold" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      s.sql("SELECT doc_id, lang FROM graft_docs " +
+        s"WHERE graft_sample_hash(doc_id) < ${
+          (0.25 * 1152921504606846976.0d).toLong}")
+    }),
+
     // ================= large-scale pipeline extensions =================
 
     // ---- exact dedup (hash-groupBy over documents + planted dups) ----
@@ -1216,6 +1250,14 @@ object SparkEntry {
            |) SELECT row_key, family, qualifier, ts, vs, vd FROM (
            |  SELECT u.*, row_number() OVER (PARTITION BY row_key, family, qualifier, ts ORDER BY seq DESC) AS rn FROM unioned u
            |) WHERE rn = 1 AND row_key < '0000000100'""".stripMargin,
+      // SQL-surface twins: same oracles as their Scala-verb siblings
+      "sql_scan_prefix" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key LIKE '00000001%'",
+      "sql_dedup_exact" ->
+        s"$plantedSql SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count FROM docs2 GROUP BY md5(text)",
+      "sql_sample_threshold" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.25 * 1152921504606846976.0d).toLong}""".stripMargin,
       // metrics self-table: newest 720 versions per metric (= event_type
       // row); points are max(value) per µs-aligned ts so ranking is
       // tie-free and order-independent

@@ -53,22 +53,29 @@ object SqlSurface {
   /** Register the LLM-pipeline operators over a documents corpus as
     * `<prefix>*` views: the corpus itself, exact-dup groups, MinHash
     * candidate pairs, near-dup clusters, and per-doc text analysis.
-    * All lazy — a SQL query touching only `<prefix>docs` never runs the
-    * dedup machinery. Returns the view names registered. */
+    * Lazy — a SQL query touching only `<prefix>docs` never runs the
+    * dedup machinery — EXCEPT `<prefix>dedup_clusters`: connected
+    * components is an iterative algorithm (actions per round), so that
+    * view materializes its cluster map AT REGISTRATION; pass
+    * `includeClusters = false` to skip it when only the lazy views are
+    * needed (the `sql_*` contract rows do). Returns the view names
+    * registered. */
   def registerPipeline(s: SparkSession, docs: DataFrame,
-      prefix: String = "graft_"): Seq[String] = {
+      prefix: String = "graft_",
+      includeClusters: Boolean = true): Seq[String] = {
     GraftFunctions.register(s)
     import graft.operators.{Dedup, TextAnalysis}
     val pairs = Dedup.minhashCandidates(docs)
-    val clusters = docs.select(col("doc_id"))
-      .join(Dedup.connectedComponents(pairs), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("component"))
+    val clusterViews =
+      if (!includeClusters) Nil
+      else Seq("dedup_clusters" -> docs.select(col("doc_id"))
+        .join(Dedup.connectedComponents(pairs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component")))
     val views = Seq(
       "docs" -> docs,
       "dedup_exact" -> Dedup.exact(docs),
-      "minhash_pairs" -> pairs,
-      "dedup_clusters" -> clusters,
+      "minhash_pairs" -> pairs) ++ clusterViews ++ Seq(
       "text_quality" -> TextAnalysis.qualityFeatures(docs),
       "token_counts" -> TextAnalysis.tokenCounts(docs))
     views.map { case (suffix, df) =>

@@ -30,7 +30,9 @@ class QueryContractSpec extends SparkSuite {
   private def eager(name: String): Boolean =
     name.startsWith("eng_") || name.contains("_stream") ||
       name.startsWith("ext_ann") || name.startsWith("ext_dedup_cluster") ||
-      name == "op19_approx_count"
+      name == "op19_approx_count" ||
+      // registers views over the engine cache -> bulk load on first touch
+      name == "sql_scan_prefix"
 
   test("every lazy contract query analyzes against current testdata") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
