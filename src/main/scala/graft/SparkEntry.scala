@@ -567,6 +567,17 @@ object SparkEntry {
       engSel(t.cellsFor(None))
     }),
 
+    // TTL GC on the same cloned metrics table with an INJECTED clock
+    // (op21b's fixed now + 30-day TTL), so the engine's wall-clock GC
+    // pass is replayable under the oracle — completes the GC pair
+    "eng_gc_ttl" -> ((s, dir) => {
+      val t = clonedEngineMetrics(s, dir)
+      t.runVersionGcWith(
+        Map("value" -> GcSettings(ttlSecs = Some(2592000L))),
+        now = 1707868800000000000L)
+      engSel(t.cellsFor(None))
+    }),
+
     // transactional batch write over existing cells: same-coordinate
     // overwrites (ts=0 collides with the bulk load) must LWW-resolve on
     // read, and a brand-new column must surface alongside survivors
@@ -1239,6 +1250,14 @@ object SparkEntry {
           |  FROM pts
           |) SELECT row_key, family, qualifier, ts, vs, vd
           |FROM ranked WHERE rn <= 100""".stripMargin,
+      "eng_gc_ttl" ->
+        """WITH pts AS (
+          |  SELECT event_type, epoch_us(ts) * 1000 AS ts, max(value) AS vd
+          |  FROM events GROUP BY 1, 2
+          |) SELECT event_type AS row_key, 'value' AS family,
+          |  '' AS qualifier, ts, CAST(NULL AS VARCHAR) AS vs, vd
+          |FROM pts
+          |WHERE NOT (ts > 0 AND (1707868800 - ts // 1000000000) > 2592000)""".stripMargin,
       "eng_write_upsert" ->
         s"""$oc, upd AS (
            |  SELECT CAST('0000000001' AS VARCHAR) AS row_key, 'o' AS family, 'status' AS qualifier, CAST(0 AS BIGINT) AS ts, CAST('X' AS VARCHAR) AS vs, CAST(NULL AS DOUBLE) AS vd

@@ -232,7 +232,7 @@ final class Smoltable private (
     withBucket(cells
       .withColumn("seq", lit(m.nextSeq))
       .withColumn("lg", lgExpr)
-      .select(cellSchema.fieldNames.map(col): _*), m)
+      .select(cellSchema.fieldNames.toIndexedSeq.map(col): _*), m)
       .sortWithinPartitions("lg", "row_key", "family", "qualifier")
       .write.mode("append").partitionBy(partitionCols(m): _*)
       .parquet(dataDir.toString)
@@ -686,12 +686,21 @@ final class Smoltable private (
     * observed by the rewrite job — one table pass.
     */
   def runVersionGcWith(settings: Map[String, GcSettings]): Long =
+    runVersionGcWith(settings, nowNanos)
+
+  /** As [[runVersionGcWith]] with an EXPLICIT clock: TTL death is
+    * `now - ts > ttl`, so a deterministic `now` makes the same GC pass
+    * replayable — what the oracle row `eng_gc_ttl` needs (the reference
+    * reads the wall clock inside the pass, `mod.rs:455-562`; injecting
+    * it is the testable refactor of the same semantics). */
+  def runVersionGcWith(settings: Map[String, GcSettings],
+      now: Long): Long =
     withMutationLock {
       if (!settings.values.exists(_.needsGc) || !hasData) 0L
       else {
         val obs = Observation()
         rewriteData(() =>
-          CellOps.gcSurvivors(allCells, settings, nowNanos, Some(obs)))
+          CellOps.gcSurvivors(allCells, settings, now, Some(obs)))
         observedLong(obs, "dead")
       }
     }

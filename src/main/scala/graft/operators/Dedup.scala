@@ -112,7 +112,7 @@ object Dedup {
     val sigCols = signatures.columns.filter(_.startsWith("m"))
     val bandExprs = sigCols.grouped(rowsPerBand).zipWithIndex.map {
       case (cols, bi) =>
-        concat_ws("_", lit(bi.toString) +: cols.map(col): _*)
+        concat_ws("_", (lit(bi.toString) +: cols.toIndexedSeq.map(col)): _*)
     }.toSeq
     signatures.select(col("doc_id"),
       explode(array(bandExprs: _*)).as("band"))

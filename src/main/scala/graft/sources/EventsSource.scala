@@ -80,7 +80,7 @@ object EventsSource {
     val dt = df.schema("ts").dataType
     val out = df.withColumn("ts", tsToNanos(dt, col("ts")))
     gateCache.getOrElseUpdate((path, fp), {
-      val row = out.agg(min(col("ts")), max(col("ts"))).head
+      val row = out.agg(min(col("ts")), max(col("ts"))).head()
       if (!row.isNullAt(0)) { // empty table: nothing to mis-measure
         val (lo, hi) = (row.getLong(0), row.getLong(1))
         require(lo >= MinPlausibleNs && hi < MaxPlausibleNs,

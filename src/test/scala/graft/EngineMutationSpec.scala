@@ -71,6 +71,22 @@ class EngineMutationSpec extends SparkSuite {
     assertSameCells(got, want)
   }
 
+  test("eng_gc_ttl: injected-clock TTL GC drops exactly the expired cells") {
+    val got = SparkEntry.queries("eng_gc_ttl")(spark, Dir)
+    val pts = graft.sources.EventsSource.readEvents(spark, Dir)
+      .groupBy(col("event_type"), expr("(ts div 1000) * 1000").as("ts"))
+      .agg(max(col("value")).as("vd"))
+    val want = pts
+      .filter(!(col("ts") > 0 &&
+        (lit(1707868800L) - expr("ts div 1000000000")) > 2592000L))
+      .select(col("event_type").as("row_key"), lit("value").as("family"),
+        lit("").as("qualifier"), col("ts"),
+        lit(null).cast("string").as("vs"), col("vd"))
+    assertSameCells(got, want)
+    // the cut is real: some cells died, some survived
+    assert(got.count() > 0 && got.count() < pts.count())
+  }
+
   test("eng_write_upsert: same-coordinate overwrite LWW-resolves, new column surfaces") {
     val got = SparkEntry.queries("eng_write_upsert")(spark, Dir)
     import spark.implicits._
