@@ -595,6 +595,21 @@ object SparkEntry {
       engSel(t.cellsFor(None)).filter(col("row_key") < "0000000100")
     }),
 
+    // exactly-once STREAMING INGEST into a fresh engine table: events →
+    // cell frame → foreachBatch + writeBulkOnce (idempotent sink, see
+    // Smoltable.writeBulkOnce), read back through the storage layout
+    // under an events-cell oracle. Cells keyed by the unique event_id so
+    // the landed set is independent of micro-batch splits.
+    "eng_stream_ingest" -> ((s, dir) => {
+      val t = graft.core.Smoltable.open(s,
+        new graft.core.Catalog(
+          graft.core.Smoltable.scratchDir("graft_ing_")), "events")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("ev")))
+      graft.streaming.StreamOps.ingestEventsIntoTable(s, dir, t,
+        graft.core.Smoltable.scratchDir("graft_ing_ck_"))
+      engSel(t.cellsFor(None))
+    }),
+
     // ==== SQL-surface twins: the same semantics driven by spark.sql
     // TEXT over graft.sql's registered views/native functions, under the
     // same DuckDB oracles — proving the SQL face is plan-native (views
@@ -1269,6 +1284,12 @@ object SparkEntry {
            |) SELECT row_key, family, qualifier, ts, vs, vd FROM (
            |  SELECT u.*, row_number() OVER (PARTITION BY row_key, family, qualifier, ts ORDER BY seq DESC) AS rn FROM unioned u
            |) WHERE rn = 1 AND row_key < '0000000100'""".stripMargin,
+      "eng_stream_ingest" ->
+        """SELECT lpad(CAST(event_id AS VARCHAR), 12, '0') AS row_key,
+          |  'ev' AS family, event_type AS qualifier,
+          |  epoch_us(ts) * 1000 AS ts, CAST(NULL AS VARCHAR) AS vs,
+          |  value AS vd
+          |FROM events""".stripMargin,
       // SQL-surface twins: same oracles as their Scala-verb siblings
       "sql_scan_prefix" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key LIKE '00000001%'",

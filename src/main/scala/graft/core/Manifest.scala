@@ -65,7 +65,14 @@ final case class TableManifest(
       * listing as its committed set on open. Without the marker the two
       * serialize byte-identically and a crash between an empty-set commit
       * and the retired-segment drain would resurrect deleted data. */
-    hasFileList: Boolean = false
+    hasFileList: Boolean = false,
+    /** Highest streaming-ingest batch id committed ([[Smoltable
+      * .writeBulkOnce]]); -1 = none. Recorded in the SAME manifest commit
+      * as the batch's file list, so foreachBatch's at-least-once
+      * redelivery (crash between sink write and checkpoint advance)
+      * skips instead of double-appending — the exactly-once handshake
+      * every idempotent streaming sink implements. */
+    lastIngestBatch: Long = -1L
 ) {
   /** Families not owned by any explicit locality group live in the default
     * group. Reference: `column_families_in_default_locality_group`,
@@ -95,6 +102,8 @@ final case class TableManifest(
     (fb ++ lb ++ Seq(s"seq\t$nextSeq",
       s"batches\t$batchesSinceRewrite") ++
       (if (buckets > 0) Seq(s"buckets\t$buckets") else Nil) ++
+      (if (lastIngestBatch >= 0) Seq(s"ingest\t$lastIngestBatch")
+       else Nil) ++
       files).mkString("\n")
   }
 }
@@ -112,6 +121,7 @@ object TableManifest {
     var buckets = 0
     var files = Vector.empty[DataFile]
     var hasList = false
+    var ingest = -1L
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1).toList match {
         case "family" :: name :: vl :: ttl :: Nil =>
@@ -123,6 +133,7 @@ object TableManifest {
         case "seq" :: n :: Nil => seq = n.toLong
         case "batches" :: n :: Nil => batches = n.toLong
         case "buckets" :: n :: Nil => buckets = n.toInt
+        case "ingest" :: n :: Nil => ingest = n.toLong
         case "files" :: _ :: Nil => hasList = true
         case "file" :: p :: s :: r :: Nil =>
           files :+= DataFile(p, s.toLong, r.toLong)
@@ -134,7 +145,7 @@ object TableManifest {
       }
     }
     TableManifest(fams, lgs, seq, batches, buckets, files,
-      hasList || files.nonEmpty)
+      hasList || files.nonEmpty, ingest)
   }
 
   def load(path: Path): TableManifest =

@@ -220,7 +220,27 @@ final class Smoltable private (
     * recovery). `seq` is one batch sequence for the whole load (a single
     * "atomic batch" in the reference's sense).
     */
-  def writeBulk(cells: DataFrame): Unit = withMutationLock {
+  def writeBulk(cells: DataFrame): Unit = writeBulkCommit(cells, None)
+
+  /** Idempotent [[writeBulk]] for STREAMING ingest
+    * (`foreachBatch((df, id) => table.writeBulkOnce(id, cells))`).
+    * foreachBatch delivers at-least-once: a crash between the sink
+    * write and the checkpoint advance re-delivers the same batch id on
+    * restart. The batch's file list and its id commit in ONE manifest
+    * store, so the re-delivered batch observes `id <= lastIngestBatch`
+    * and skips — exactly-once landing without a distributed
+    * transaction, the standard idempotent-sink handshake. Batch ids
+    * must be monotonic per query (Structured Streaming's contract for
+    * one checkpoint). Returns false iff skipped.
+    * Pinned by StreamingIngestSpec's kill+resume + redelivery tests. */
+  def writeBulkOnce(batchId: Long, cells: DataFrame): Boolean =
+    withMutationLock {
+      if (batchId <= manifest.lastIngestBatch) false
+      else { writeBulkCommit(cells, Some(batchId)); true }
+    }
+
+  private def writeBulkCommit(cells: DataFrame,
+      ingest: Option[Long]): Unit = withMutationLock {
     val m = manifest
     val known = m.families.map(_.name)
     val lgMap = known.map(f => f -> m.groupOf(f)).toMap
@@ -238,7 +258,8 @@ final class Smoltable private (
       .parquet(dataDir.toString)
     TableManifest.store(manifestPath, m.copy(nextSeq = m.nextSeq + 1,
       batchesSinceRewrite = if (m.batchesSinceRewrite == Long.MaxValue) Long.MaxValue else m.batchesSinceRewrite + 1,
-      dataFiles = m.dataFiles ++ appendedFiles(m)))
+      dataFiles = m.dataFiles ++ appendedFiles(m),
+      lastIngestBatch = ingest.getOrElse(m.lastIngestBatch)))
   }
 
   // ----------------------------------------------------------------- read
@@ -1162,6 +1183,15 @@ object Smoltable {
     }
     cloneDirs.synchronized(cloneDirs += to)
     open(spark, new Catalog(to.toString), name)
+  }
+
+  /** Fresh throwaway catalog/scratch dir with the same exit-time cleanup
+    * as [[openClone]] — for tables (or checkpoints) whose whole lifetime
+    * is one oracle/test run, e.g. the streaming-ingest row's target. */
+  def scratchDir(prefix: String = "graft_scratch_"): String = {
+    val d = Files.createTempDirectory(prefix)
+    cloneDirs.synchronized(cloneDirs += d)
+    d.toString
   }
 
   /** Non-creating [[open]] for paths that must treat "absent" as absent —

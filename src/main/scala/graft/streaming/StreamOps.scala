@@ -502,4 +502,37 @@ object StreamOps {
     */
   def slidingWindowAgg(s: SparkSession, dir: String): DataFrame =
     windowAggDrain(s, dir, "2 hours", Some("1 hour"))
+
+  /** Continuous ingest INTO a wide-column table: the events stream as
+    * cells, driven through `foreachBatch` into
+    * [[graft.core.Smoltable.writeBulkOnce]] — exactly-once per
+    * micro-batch (the idempotent-sink handshake documented there). The
+    * 100 TB continuous-ingest shape: each micro-batch is ONE distributed
+    * writeBulk append (no driver materialization, no per-row writes),
+    * and the only sink-side state is the manifest's high-water batch id.
+    * Cells are keyed by the globally-unique event id, so coordinates
+    * never collide and the landed set is independent of how the source
+    * splits micro-batches. Drains everything currently available, then
+    * returns (restartable on the same checkpoint: see
+    * StreamingIngestSpec's kill+resume).
+    */
+  def ingestEventsIntoTable(s: SparkSession, dir: String,
+      t: graft.core.Smoltable, checkpointDir: String): Unit = {
+    val cells = eventsStream(s, dir).select(
+      lpad(col("event_id").cast("string"), 12, "0").as("row_key"),
+      lit("ev").as("family"),
+      col("event_type").as("qualifier"),
+      expr("(ts div 1000) * 1000").as("ts"),
+      graft.SparkEntry.cellValueStruct(lit("f64"),
+        lit(null).cast("string"), col("value").cast("double")).as("value"))
+    val q = cells.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        t.writeBulkOnce(id, batch.toDF()); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }
