@@ -53,7 +53,12 @@ object ScaleSmoke {
     "ext_dedup_cluster_fixedgraph",
     "ext_stratified_sample", "ext_sample_threshold",
     "ext_decontaminate", "ext_ann_quantized", "ext_curation_pipeline",
-    "ext_repetition", "ext_topk_per_group")
+    "ext_repetition", "ext_topk_per_group",
+    // round 14: engine-path mutation rows (clone-per-construction —
+    // clone cost included), exactly-once streaming ingest, and the
+    // SQL-surface twins (pushdown-through-view at scale)
+    "eng_delete_row", "eng_write_upsert", "eng_stream_ingest",
+    "sql_scan_prefix", "sql_dedup_exact", "sql_sample_threshold")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
