@@ -9,11 +9,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * Spark 4's classic `Column` wraps a `ColumnNode`, and every conversion
   * helper (`ExpressionUtils`, `ExpressionColumnNode`) is `private[sql]` —
   * there is no public API to wrap a custom `Expression` into a `Column`
-  * short of registering it in a `FunctionRegistry` at session-build time,
-  * which a library cannot do for sessions it does not construct (the
-  * driver owns the `SparkSession` here). Declaring this one-file shim
+  * outside a `FunctionRegistry` entry. Declaring this one-file shim
   * inside an `org.apache.spark.sql` subpackage is the long-standing
-  * extension-library pattern for exactly this gap.
+  * extension-library pattern for the gap; the registry route DOES exist
+  * too (SQL-text callers get it via `graft.sql.GraftFunctions`), but the
+  * Scala DataFrame API still needs this direct lift — a registry
+  * function resolves names during analysis, not `Column` values at
+  * call sites.
   */
 object GraftColumn {
   def apply(e: Expression): Column = ExpressionUtils.column(e)
