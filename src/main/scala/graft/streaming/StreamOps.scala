@@ -517,14 +517,27 @@ object StreamOps {
     * StreamingIngestSpec's kill+resume).
     */
   def ingestEventsIntoTable(s: SparkSession, dir: String,
-      t: graft.core.Smoltable, checkpointDir: String): Unit = {
-    val cells = eventsStream(s, dir).select(
-      lpad(col("event_id").cast("string"), 12, "0").as("row_key"),
-      lit("ev").as("family"),
-      col("event_type").as("qualifier"),
-      expr("(ts div 1000) * 1000").as("ts"),
-      graft.SparkEntry.cellValueStruct(lit("f64"),
-        lit(null).cast("string"), col("value").cast("double")).as("value"))
+      t: graft.core.Smoltable, checkpointDir: String): Unit =
+    ingestCellsIntoTable(
+      eventsStream(s, dir).select(
+        lpad(col("event_id").cast("string"), 12, "0").as("row_key"),
+        lit("ev").as("family"),
+        col("event_type").as("qualifier"),
+        expr("(ts div 1000) * 1000").as("ts"),
+        graft.SparkEntry.cellValueStruct(lit("f64"),
+          lit(null).cast("string"), col("value").cast("double"))
+          .as("value")),
+      t, checkpointDir)
+
+  /** The generic exactly-once cell sink behind [[ingestEventsIntoTable]]:
+    * any STREAMING cell frame `(row_key, family, qualifier, ts, value
+    * struct)` lands into `t` one idempotent writeBulk per micro-batch.
+    * Callers own the source→cell mapping; this owns the
+    * foreachBatch/`writeBulkOnce` handshake. Drains what is currently
+    * available, then returns; restart with the same checkpoint resumes
+    * exactly-once. */
+  def ingestCellsIntoTable(cells: DataFrame, t: graft.core.Smoltable,
+      checkpointDir: String): Unit = {
     val q = cells.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
