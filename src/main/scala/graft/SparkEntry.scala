@@ -520,6 +520,30 @@ object SparkEntry {
     // CollectMetrics accounting, limit windows, snapshot pin, driver-side
     // row assembly — then flattened back to oracle-comparable cells. The
     // collect is bounded by the limits (<= 300 cells here).
+    // offset + row limit through the METRICS-BEARING verb on real
+    // storage: rows ranked 50..149 of the prefix survive — the
+    // engine-path twin of op12 (offset) composed with op11 (limit)
+    "eng_scan_offset" -> ((s, dir) => {
+      import s.implicits._
+      val t = engineOrders(s, dir)
+      val out = t.scan(ScanInput(ScanMode.Prefix("0000001"),
+        rowLimit = Some(100), rowOffset = Some(50L)))
+      out.rows.flatMap { r =>
+        r.columns.toSeq.flatMap { case (fam, quals) =>
+          quals.toSeq.flatMap { case (q, cells) =>
+            cells.map { c =>
+              val (vs, vd) = c.value match {
+                case CellValue.S(v)   => (Option(v), Option.empty[Double])
+                case CellValue.F64(v) => (Option.empty[String], Some(v))
+                case other => (Some(other.jsonValue), Option.empty[Double])
+              }
+              (r.rowKey, fam, q, c.time, vs, vd)
+            }
+          }
+        }
+      }.toDF("row_key", "family", "qualifier", "ts", "vs", "vd")
+    }),
+
     "eng_scan_limits" -> ((s, dir) => {
       import s.implicits._
       val t = engineOrders(s, dir)
@@ -1284,6 +1308,11 @@ object SparkEntry {
            |) SELECT row_key, family, qualifier, ts, vs, vd FROM (
            |  SELECT u.*, row_number() OVER (PARTITION BY row_key, family, qualifier, ts ORDER BY seq DESC) AS rn FROM unioned u
            |) WHERE rn = 1 AND row_key < '0000000100'""".stripMargin,
+      "eng_scan_offset" ->
+        s"""$oc, rk AS (
+           |  SELECT row_key, row_number() OVER (ORDER BY row_key) AS rn
+           |  FROM (SELECT DISTINCT row_key FROM cells WHERE row_key LIKE '0000001%')
+           |) SELECT c.row_key, family, qualifier, ts, vs, vd FROM cells c JOIN rk USING (row_key) WHERE rk.rn >= 50 AND rk.rn <= 149""".stripMargin,
       "eng_stream_ingest" ->
         """SELECT lpad(CAST(event_id AS VARCHAR), 12, '0') AS row_key,
           |  'ev' AS family, event_type AS qualifier,
