@@ -520,6 +520,30 @@ object SparkEntry {
     // CollectMetrics accounting, limit windows, snapshot pin, driver-side
     // row assembly — then flattened back to oracle-comparable cells. The
     // collect is bounded by the limits (<= 300 cells here).
+    // deterministic sampling through the metrics-bearing verb on real
+    // storage — op16's engine twin (same closed-form error-diffusion
+    // replay, same oracle formula)
+    "eng_scan_sample" -> ((s, dir) => {
+      import s.implicits._
+      val t = engineOrders(s, dir)
+      val out = t.scan(ScanInput(ScanMode.Prefix("000000012"),
+        sample = Some(0.25f)))
+      out.rows.flatMap { r =>
+        r.columns.toSeq.flatMap { case (fam, quals) =>
+          quals.toSeq.flatMap { case (q, cells) =>
+            cells.map { c =>
+              val (vs, vd) = c.value match {
+                case CellValue.S(v)   => (Option(v), Option.empty[Double])
+                case CellValue.F64(v) => (Option.empty[String], Some(v))
+                case other => (Some(other.jsonValue), Option.empty[Double])
+              }
+              (r.rowKey, fam, q, c.time, vs, vd)
+            }
+          }
+        }
+      }.toDF("row_key", "family", "qualifier", "ts", "vs", "vd")
+    }),
+
     // offset + row limit through the METRICS-BEARING verb on real
     // storage: rows ranked 50..149 of the prefix survive — the
     // engine-path twin of op12 (offset) composed with op11 (limit)
@@ -1308,6 +1332,12 @@ object SparkEntry {
            |) SELECT row_key, family, qualifier, ts, vs, vd FROM (
            |  SELECT u.*, row_number() OVER (PARTITION BY row_key, family, qualifier, ts ORDER BY seq DESC) AS rn FROM unioned u
            |) WHERE rn = 1 AND row_key < '0000000100'""".stripMargin,
+      "eng_scan_sample" ->
+        s"""$oc, rk AS (
+           |  SELECT row_key, row_number() OVER (ORDER BY row_key) AS rn
+           |  FROM (SELECT DISTINCT row_key FROM cells WHERE row_key LIKE '000000012%')
+           |) SELECT c.row_key, family, qualifier, ts, vs, vd FROM cells c JOIN rk USING (row_key)
+           |WHERE rk.rn = 1 OR floor(rk.rn * 0.25) > floor((rk.rn - 1) * 0.25)""".stripMargin,
       "eng_scan_offset" ->
         s"""$oc, rk AS (
            |  SELECT row_key, row_number() OVER (ORDER BY row_key) AS rn
