@@ -491,6 +491,15 @@ object SparkEntry {
       engSel(CellOps.scanCells(t.cellsFor(None),
         ScanInput(ScanMode.Prefix("00000001"))))
     }),
+    // range scan (end-exclusive) through real storage — op04x's engine
+    // twin: the range predicate rides the sorted row_key layout
+    // (parquet min/max row-group skipping), not a post-filter
+    "eng_scan_range" -> ((s, dir) => {
+      val t = engineOrders(s, dir)
+      engSel(CellOps.scanCells(t.cellsFor(None),
+        ScanInput(ScanMode.Range("0000000100", "0000000200",
+          inclusive = false))))
+    }),
     "eng_get_row" -> ((s, dir) => {
       val t = engineOrders(s, dir)
       engSel(CellOps.getRowCells(t.cellsFor(None), GetRowInput("0000000001")))
@@ -640,6 +649,30 @@ object SparkEntry {
         RowWriteItem("0000000042", Seq(
           ColumnWriteItem(ColumnKey.of("m:total"), Some(0L),
             CellValue.F64(123.45))))))
+      engSel(t.cellsFor(None)).filter(col("row_key") < "0000000100")
+    }),
+
+    // PHYSICAL compaction correctness (the levelled-compaction analog,
+    // reference `table/mod.rs:124-135` fjall::compaction::Levelled):
+    // the same shadowing upsert as eng_write_upsert, then compact() —
+    // the sorted rewrite must apply LWW physically, because the
+    // post-rewrite read takes the no-window fast path
+    // (Smoltable.maybeLww: batchesSinceRewrite == 1) and trusts the
+    // layout. A compaction that kept shadowed versions (dup cells) or
+    // dropped survivors would hash-mismatch the same oracle
+    // eng_write_upsert passes via read-side resolution.
+    "eng_compact" -> ((s, dir) => {
+      val t = clonedEngineOrders(s, dir)
+      t.write(Seq(
+        RowWriteItem("0000000001", Seq(
+          ColumnWriteItem(ColumnKey.of("o:status"), Some(0L),
+            CellValue.S("X")),
+          ColumnWriteItem(ColumnKey.of("o:note"), Some(0L),
+            CellValue.S("updated")))),
+        RowWriteItem("0000000042", Seq(
+          ColumnWriteItem(ColumnKey.of("m:total"), Some(0L),
+            CellValue.F64(123.45))))))
+      t.compact()
       engSel(t.cellsFor(None)).filter(col("row_key") < "0000000100")
     }),
 
@@ -1300,6 +1333,8 @@ object SparkEntry {
            |) SELECT row_key, family, qualifier, ts, vs, vd FROM ranked WHERE rn <= 3""".stripMargin,
       // engine-path mutation verbs: oracle expresses the post-mutation
       // state over the same source cells
+      "eng_scan_range" ->
+        s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key >= '0000000100' AND row_key < '0000000200'",
       "eng_delete_row" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key < '0000000100' AND row_key <> '0000000007' AND NOT (row_key = '0000000042' AND family = 'o' AND qualifier = 'status')",
       "eng_gc_version" ->
@@ -1322,6 +1357,19 @@ object SparkEntry {
           |FROM pts
           |WHERE NOT (ts > 0 AND (1707868800 - ts // 1000000000) > 2592000)""".stripMargin,
       "eng_write_upsert" ->
+        s"""$oc, upd AS (
+           |  SELECT CAST('0000000001' AS VARCHAR) AS row_key, 'o' AS family, 'status' AS qualifier, CAST(0 AS BIGINT) AS ts, CAST('X' AS VARCHAR) AS vs, CAST(NULL AS DOUBLE) AS vd
+           |  UNION ALL SELECT '0000000001', 'o', 'note', CAST(0 AS BIGINT), 'updated', CAST(NULL AS DOUBLE)
+           |  UNION ALL SELECT '0000000042', 'm', 'total', CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), 123.45
+           |), unioned AS (
+           |  SELECT row_key, family, qualifier, ts, vs, vd, 1 AS seq FROM cells
+           |  UNION ALL SELECT row_key, family, qualifier, ts, vs, vd, 2 AS seq FROM upd
+           |) SELECT row_key, family, qualifier, ts, vs, vd FROM (
+           |  SELECT u.*, row_number() OVER (PARTITION BY row_key, family, qualifier, ts ORDER BY seq DESC) AS rn FROM unioned u
+           |) WHERE rn = 1 AND row_key < '0000000100'""".stripMargin,
+      // compaction is result-invariant by contract: post-compact physical
+      // state must equal eng_write_upsert's logical LWW view
+      "eng_compact" ->
         s"""$oc, upd AS (
            |  SELECT CAST('0000000001' AS VARCHAR) AS row_key, 'o' AS family, 'status' AS qualifier, CAST(0 AS BIGINT) AS ts, CAST('X' AS VARCHAR) AS vs, CAST(NULL AS DOUBLE) AS vd
            |  UNION ALL SELECT '0000000001', 'o', 'note', CAST(0 AS BIGINT), 'updated', CAST(NULL AS DOUBLE)
