@@ -1016,6 +1016,13 @@ object SparkEntry {
         col("event_type"), col("n_events"), col("value_sum"))
     }),
 
+    // ---- stream-stream interval join (click→purchase attribution) ----
+    // symmetric watermarked join state, the one streaming operator class
+    // the window/session aggs don't exercise; memory-sink oracle
+    // harness, scale twin = ScaleSmoke's ext_stream_join_files
+    "ext_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamOps.attributionJoin(s, dir)),
+
     // ---- gap sessionization via the NATIVE session_window operator ---
     "ext_sessionize_native" -> ((s, dir) => {
       val ev = graft.sources.EventsSource.readEvents(s, dir).select(
@@ -1842,6 +1849,16 @@ object SparkEntry {
           |  8 * (1 + CAST(concat('0x', substr(md5(text), 9, 4)) AS BIGINT) % 2) AS bits_per_sample,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS frames
           |FROM documents WHERE text IS NOT NULL""".stripMargin,
+      // stream-stream interval join: inner join emission is complete
+      // over a drained static source, so the oracle is the plain batch
+      // interval join (both bounds inclusive)
+      "ext_stream_join" ->
+        """SELECT b.event_id AS buy_id, c.event_id AS click_id,
+          |  b.user_id AS user_id, epoch_us(b.ts) AS buy_ts_us,
+          |  epoch_us(c.ts) AS click_ts_us
+          |FROM events b JOIN events c ON b.user_id = c.user_id
+          |WHERE b.event_type = 'purchase' AND c.event_type = 'click'
+          |  AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL 24 HOUR""".stripMargin,
       "ext_stream_window" ->
         """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start_epoch,
           |  event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -503,6 +503,81 @@ object StreamOps {
   def slidingWindowAgg(s: SparkSession, dir: String): DataFrame =
     windowAggDrain(s, dir, "2 hours", Some("1 hour"))
 
+  /** Watermarked STREAM-STREAM interval join: click→purchase attribution.
+    *
+    * Purchases join clicks of the SAME user within a 24-hour lookback —
+    * the canonical attribution/feature-enrichment shape of a continuous
+    * training-data pipeline, and the one Structured Streaming operator
+    * class (symmetric joins with per-side buffered state) the window/
+    * session aggregations above don't exercise. Both sides carry an
+    * event-time watermark and the join predicate carries the time bound,
+    * so Spark derives a state-eviction horizon PER SIDE: each executor
+    * buffers only ~horizon + lateness of events per user partition — at
+    * a 100 TB/day ingest rate, state is rate × 25 h, not the corpus.
+    * Inner join ⇒ every qualifying pair is emitted as soon as both rows
+    * are in state, so a synchronous drain of a static dir is exactly the
+    * batch join — DuckDB-oracle-comparable (the eviction horizon only
+    * DROPS state that can no longer match; with no late data it changes
+    * nothing).
+    *
+    * Package-visible so the spec and the file-sink twin drive the same
+    * unsunk stream.
+    */
+  private[streaming] def attributionJoinStream(s: SparkSession,
+      dir: String): DataFrame = {
+    val ev = eventsStream(s, dir)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+        col("event_ts").as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    buys.join(clicks,
+      col("buy_user") === col("click_user") &&
+        col("click_ts") <= col("buy_ts") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 24 HOURS"))
+      .select(col("buy_id"), col("click_id"),
+        col("buy_user").as("user_id"),
+        unix_micros(col("buy_ts")).as("buy_ts_us"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+  }
+
+  /** [[attributionJoinStream]] drained synchronously through a memory
+    * sink — the oracle harness shape (driver-collect by design; the
+    * scale shape is [[attributionJoinToFiles]]). */
+  def attributionJoin(s: SparkSession, dir: String): DataFrame = {
+    val tableName = s"stream_join_${System.nanoTime()}"
+    val q = attributionJoinStream(s, dir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(tableName)
+  }
+
+  /** [[attributionJoinStream]] in its scale shape: append-mode parquet
+    * file sink on the RocksDB state store — join state (both buffered
+    * sides) spills to executor-local disk, emitted pairs land
+    * exactly-once via the sink's commit log. */
+  def attributionJoinToFiles(s: SparkSession, dir: String, outDir: String,
+      checkpointDir: String, rocksDB: Boolean = true): DataFrame = {
+    withRocksDB(s, rocksDB) {
+      val q = attributionJoinStream(s, dir).writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.read.parquet(outDir)
+  }
+
   /** Continuous ingest INTO a wide-column table: the events stream as
     * cells, driven through `foreachBatch` into
     * [[graft.core.Smoltable.writeBulkOnce]] — exactly-once per

@@ -58,7 +58,12 @@ object ScaleSmoke {
     // clone cost included), exactly-once streaming ingest, and the
     // SQL-surface twins (pushdown-through-view at scale)
     "eng_delete_row", "eng_write_upsert", "eng_stream_ingest",
-    "sql_scan_prefix", "sql_dedup_exact", "sql_sample_threshold")
+    "sql_scan_prefix", "sql_dedup_exact", "sql_sample_threshold",
+    // round 14b: range scan through real storage (prune-bounded),
+    // physical compaction as a contract row (clone + full rewrite —
+    // linear by construction, like the maint slice's compact), and the
+    // stream-stream interval join in its file-sink shape
+    "eng_scan_range", "eng_compact", "ext_stream_join_files")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
@@ -123,6 +128,14 @@ object ScaleSmoke {
     "ext_dedup_stream_bounded_files" -> ((s, dir) =>
       graft.streaming.StreamOps.streamingDedupBoundedToFiles(s, dir,
         scratch("sb_out"), scratch("sb_ck"))),
+    // stream-stream interval join in its scale shape (RocksDB-buffered
+    // symmetric join state + exactly-once file sink): state is bounded
+    // by the 24h horizon + 1h lateness per side, so the ratio should
+    // track emitted-pair growth (the scaled corpus key-shifts users →
+    // pair growth ~factor), never corpus²
+    "ext_stream_join_files" -> ((s, dir) =>
+      graft.streaming.StreamOps.attributionJoinToFiles(s, dir,
+        scratch("sj_out"), scratch("sj_ck"))),
     // connected components with the driver union-find path DISABLED —
     // the contract entry auto-picks the driver path at every test SF
     // (the bijection corpus keeps pair counts far under the 1M-edge

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Stream-stream interval join (click→purchase attribution): boundary
+  * semantics on a planted fixture, and equivalence to the batch interval
+  * join over real testdata — the property the DuckDB oracle re-checks at
+  * sf0.01 (`ext_stream_join`).
+  */
+class StreamJoinSpec extends SparkSuite {
+
+  // µs-aligned epoch-ns base in 2026 (inside the events range gate)
+  private val T0 = 1770000000000000000L
+  private val S = 1000000000L // one second in ns
+  private val H = 3600 * S
+
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, Long, Long, String)]): Unit = {
+    spark.createDataFrame(rows.map { case (id, ts, u, et) =>
+      (id, ts, u, et, 1.0) })
+      .toDF("event_id", "ts_ns", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("interval-join boundaries: inclusive both ends, per-user, no " +
+      "clicks after the purchase") {
+    withTempDir { tmp =>
+      writeEvents(tmp.toString, Seq(
+        (1L, T0, 1L, "purchase"),          // B1
+        (10L, T0, 1L, "click"),            // C1: ts == buy ts -> in
+        (11L, T0 - 24 * H, 1L, "click"),   // C2: exactly 24h back -> in
+        (12L, T0 - 24 * H - S, 1L, "click"), // beyond horizon -> out
+        (13L, T0 + S, 1L, "click"),        // after the buy -> out
+        (14L, T0, 2L, "click"),            // other user -> out for B1
+        (2L, T0 + 2 * H, 2L, "purchase"))) // B2: picks up C5=14
+      val got = StreamOps.attributionJoin(spark, tmp.toString)
+        .select(col("buy_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (1L, 11L), (2L, 14L)), s"got $got")
+    }
+  }
+
+  test("streaming drain equals the batch interval join on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.attributionJoin(spark, dir)
+      .select(col("buy_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = graft.sources.EventsSource.readEvents(spark, dir)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("bu"),
+        col("ts").as("bts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+    val batch = buys.join(clicks,
+        col("bu") === col("cu") && col("cts") <= col("bts") &&
+          col("cts") >= col("bts") - lit(24L * 3600 * 1000000000L))
+      .select(col("buy_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed.nonEmpty, "expected at least one attributed pair")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs, batch ${batch.size}")
+  }
+
+  test("the join plan is the symmetric streaming join, watermarked on " +
+      "both sides") {
+    withTempDir { tmp =>
+      writeEvents(tmp.toString, Seq(
+        (1L, T0, 1L, "purchase"), (10L, T0, 1L, "click")))
+      val df = StreamOps.attributionJoinStream(spark, tmp.toString)
+      assert(df.isStreaming)
+      // both watermarks present in the analyzed plan; the physical
+      // streaming join node only materializes at query start, so pin
+      // the logical shape (EventTimeWatermark twice + Join)
+      val plan = df.queryExecution.analyzed.toString
+      assert("EventTimeWatermark".r.findAllIn(plan).size == 2, plan)
+      assert(plan.contains("Join Inner"), plan)
+    }
+  }
+}
