@@ -68,6 +68,100 @@ class StreamJoinSpec extends SparkSuite {
       s"streamed ${streamed.size} pairs, batch ${batch.size}")
   }
 
+  test("join state survives kill + resume on one checkpoint: every " +
+      "attributed pair lands exactly once") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val M = 60L * S
+    withTempDir { tmp =>
+      val in = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/in/events.parquet"))
+      // explicit, strictly increasing mtimes: the file source orders and
+      // dedupes discovered files by (path, timestamp)
+      var mtime = 1700000000000L
+      def writeBatch(name: String,
+          rows: Seq[(Long, Long, Long, String)]): Unit = {
+        val rdd = spark.sparkContext.parallelize(rows.map {
+          case (id, ts, u, et) =>
+            org.apache.spark.sql.Row(id, ts, u, et, 1.0) }, 1)
+        val stage = s"$tmp/stage/$name"
+        spark.createDataFrame(rdd, schema).write.parquet(stage)
+        import scala.jdk.CollectionConverters._
+        val part = {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          try st.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally st.close()
+        }
+        val dst = in.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val out = s"$tmp/out"
+      val ck = s"$tmp/ck"
+      val prev = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        StreamOps.RocksDBProvider)
+      try {
+        def startQuery() =
+          StreamOps.attributionJoinStream(spark, s"$tmp/in")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ck).start()
+
+        // ---- run 1: C1+B1 pair emitted, then the query dies with b1
+        // in an arbitrary torn state (untouched / mid-batch / committed)
+        writeBatch("b0", Seq(
+          (10L, T0, 1L, "click"),              // C1
+          (1L, T0 + 10 * M, 1L, "purchase")))  // B1 -> (B1,C1)
+        val q1 = startQuery()
+        q1.processAllAvailable()
+        writeBatch("b1", Seq(
+          (2L, T0 + 20 * M, 1L, "purchase"),   // B2 -> (B2,C1): needs
+                                               // C1's buffered state to
+                                               // survive the restart
+          (11L, T0 + 30 * M, 2L, "click"),     // C2
+          (3L, T0 + 40 * M, 2L, "purchase")))  // B3 -> (B3,C2)
+        q1.stop()
+
+        // ---- run 2: resume on the same checkpoint ----
+        val expected = Set((1L, 10L), (2L, 10L), (3L, 11L))
+        def readOut(): Seq[(Long, Long)] =
+          spark.read.parquet(out).select(col("buy_id"), col("click_id"))
+            .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+        val q2 = startQuery()
+        var rows: Seq[(Long, Long)] = Nil
+        try {
+          q2.processAllAvailable()
+          // bounded poll to the fixed point (same rationale as
+          // StreamingWindowSinkSpec: duplicates never self-heal, so
+          // waiting cannot mask an exactly-once violation)
+          val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+          rows = readOut()
+          while (rows.toSet != expected && System.nanoTime < deadline) {
+            Thread.sleep(200)
+            q2.processAllAvailable()
+            rows = readOut()
+          }
+        } finally q2.stop()
+
+        assert(rows.toSet == expected, s"got ${rows.sorted}")
+        assert(rows.length == rows.distinct.length,
+          s"duplicate pairs after resume: ${rows.sorted}")
+      } finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("the join plan is the symmetric streaming join, watermarked on " +
       "both sides") {
     withTempDir { tmp =>
