@@ -807,6 +807,18 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("lang")), 0.25)),
 
+    // ---- deterministic approx-distinct (bounded KMV sketch) ----------
+    // per event_type: distinct users (exact branch where cardinality
+    // < k) and distinct event ids (estimate branch) in ONE pass —
+    // k longs of state per partial vs COUNT(DISTINCT)'s every-pair
+    // shuffle; md5-deterministic so DuckDB recomputes it bit-for-bit
+    "ext_approx_distinct" -> ((s, dir) => {
+      val ev = graft.sources.EventsSource.readEvents(s, dir)
+      ev.groupBy(col("event_type")).agg(
+        graft.operators.Corpus.kmvDistinct(col("user_id")).as("est_users"),
+        graft.operators.Corpus.kmvDistinct(col("event_id")).as("est_events"))
+    }),
+
     // ---- best-k per group: top 20 docs per language by length -------
     // (WindowGroupLimit: map-side top-k before the shuffle)
     "ext_topk_per_group" -> ((s, dir) =>
@@ -1561,6 +1573,26 @@ object SparkEntry {
       "ext_sample_threshold" ->
         s"""SELECT doc_id, lang FROM documents
            |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.25 * 1152921504606846976.0d).toLong}""".stripMargin,
+      // KMV sketch recomputed exactly: same md5-60bit coin, same
+      // k-smallest-distinct set, same single IEEE division
+      "ext_approx_distinct" ->
+        """WITH uh AS (
+          |  SELECT DISTINCT event_type, CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM events
+          |), uk AS (
+          |  SELECT event_type, count(*) AS n, max(hv) AS kth FROM (
+          |    SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM uh
+          |  ) WHERE rn <= 64 GROUP BY 1
+          |), eh AS (
+          |  SELECT DISTINCT event_type, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM events
+          |), ek AS (
+          |  SELECT event_type, count(*) AS n, max(hv) AS kth FROM (
+          |    SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM eh
+          |  ) WHERE rn <= 64 GROUP BY 1
+          |)
+          |SELECT uk.event_type AS event_type,
+          |  CASE WHEN uk.n < 64 THEN CAST(uk.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(uk.kth AS DOUBLE) END AS est_users,
+          |  CASE WHEN ek.n < 64 THEN CAST(ek.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(ek.kth AS DOUBLE) END AS est_events
+          |FROM uk JOIN ek ON uk.event_type = ek.event_type""".stripMargin,
       "ext_topk_per_group" ->
         """SELECT doc_id, lang, n_chars FROM (
           |  SELECT doc_id, lang, n_chars,

@@ -185,4 +185,19 @@ object Corpus {
       .filter(!col("contaminated"))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
+
+  /** Deterministic approximate-distinct aggregate column: the bounded
+    * K-minimum-values sketch ([[graft.functions.KmvDistinct]]) over the
+    * shared md5 sampling coin — so, unlike `approx_count_distinct`
+    * (HLL++), the estimate is a pure function of the data, reproducible
+    * across runs, partitionings, and engines (the DuckDB oracle
+    * recomputes it exactly). Use where a curation decision (sample
+    * threshold, dedup budget, shard count) derives from a cardinality
+    * and must be replayable. State is k longs per group per partial;
+    * exact `COUNT(DISTINCT)` shuffles every distinct pair instead. */
+  def kmvDistinct(value: Column, k: Int = 64): Column =
+    org.apache.spark.sql.graft.GraftColumn(
+      graft.functions.KmvDistinct(
+        org.apache.spark.sql.graft.GraftColumn.expr(sampleHash(value)), k)
+        .toAggregateExpression())
 }

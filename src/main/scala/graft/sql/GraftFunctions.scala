@@ -79,6 +79,20 @@ object GraftFunctions {
           Literal(16), Literal(10)), LongType)
       case args => throw new IllegalArgumentException(
         s"graft_sample_hash expects 1 argument, got ${args.length}")
+    },
+    fn("graft_kmv_distinct",
+      "_FUNC_(hash60[, k]) - deterministic approximate COUNT(DISTINCT) " +
+        "via a bounded k-minimum-values sketch over a graft_sample_hash " +
+        "column; exact below k distinct values, reproducible across " +
+        "engines/partitionings (default k=64).") {
+      // returns the raw AggregateFunction: the analyzer wraps registry
+      // aggregates in AggregateExpression itself (same as built-ins)
+      case Seq(h) => graft.functions.KmvDistinct(h, 64)
+      case Seq(h, kk) =>
+        graft.functions.KmvDistinct(h,
+          litInt(kk, "graft_kmv_distinct", "k"))
+      case args => throw new IllegalArgumentException(
+        s"graft_kmv_distinct expects 1-2 arguments, got ${args.length}")
     })
 
   /** Register every function into an existing session (idempotent:
