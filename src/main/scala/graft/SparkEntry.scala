@@ -819,6 +819,16 @@ object SparkEntry {
         graft.operators.Corpus.kmvDistinct(col("event_id")).as("est_events"))
     }),
 
+    // ---- deterministic sampled quantiles (nearest-rank, int-exact) ---
+    // p50/p95/p99 of the value metric per event_type over the 25% md5
+    // sample: the sample predicate rides the scan shuffle-free, then one
+    // window sort per group over SAMPLED rows only; nearest-rank over
+    // integer cents keeps the whole computation float-free
+    "ext_quantile_sampled" -> ((s, dir) =>
+      graft.operators.Corpus.sampledQuantiles(
+        graft.sources.EventsSource.readEvents(s, dir),
+        "event_type", col("event_id"), round(col("value") * 100))),
+
     // ---- best-k per group: top 20 docs per language by length -------
     // (WindowGroupLimit: map-side top-k before the shuffle)
     "ext_topk_per_group" -> ((s, dir) =>
@@ -1593,6 +1603,25 @@ object SparkEntry {
           |  CASE WHEN uk.n < 64 THEN CAST(uk.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(uk.kth AS DOUBLE) END AS est_users,
           |  CASE WHEN ek.n < 64 THEN CAST(ek.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(ek.kth AS DOUBLE) END AS est_events
           |FROM uk JOIN ek ON uk.event_type = ek.event_type""".stripMargin,
+      // nearest-rank quantiles over the same md5 sample: rank arithmetic
+      // (ceil(p*n)) is the only float op and is one IEEE multiply+ceil
+      // in both engines; everything else is integer-exact
+      "ext_quantile_sampled" ->
+        s"""WITH s AS (
+           |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           |  FROM events
+           |  WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.25 * 1152921504606846976.0d).toLong}
+           |), r AS (
+           |  SELECT event_type, c,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM s
+           |)
+           |SELECT event_type, CAST(max(n) AS BIGINT) AS n_sample,
+           |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN c END) AS p50,
+           |  max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN c END) AS p95,
+           |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN c END) AS p99
+           |FROM r GROUP BY 1""".stripMargin,
       "ext_topk_per_group" ->
         """SELECT doc_id, lang, n_chars FROM (
           |  SELECT doc_id, lang, n_chars,

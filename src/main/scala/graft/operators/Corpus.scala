@@ -200,4 +200,44 @@ object Corpus {
       graft.functions.KmvDistinct(
         org.apache.spark.sql.graft.GraftColumn.expr(sampleHash(value)), k)
         .toAggregateExpression())
+
+  /** Deterministic sampled quantiles: nearest-rank percentiles of an
+    * INTEGER-quantized metric over the md5 threshold sample.
+    *
+    * Two determinism choices make this oracle-exact cross-engine where
+    * `percentile_approx`/t-digest (merge-order-dependent) and even exact
+    * interpolated percentiles (engine-specific float formula) are not:
+    *  - the sample is [[thresholdSample]]'s shuffle-free md5 coin, so
+    *    every engine picks the SAME rows;
+    *  - nearest-rank (`ceil(p·n)`-th smallest) of an integer-quantized
+    *    value involves no floating arithmetic at all.
+    *
+    * 100 TB shape: the sample predicate rides the scan (no shuffle,
+    * fraction × corpus rows survive), then ONE window sort per group
+    * over sampled rows only. For heavy-tail telemetry (p95/p99 latency,
+    * doc-length budgets) a 1–25% deterministic sample is the standard
+    * accuracy/cost trade, and reproducibility makes the numbers
+    * comparable run-over-run.
+    *
+    * `sampleKey` must be a unique row key (the sampling coin);
+    * `valueCents` an integer-valued column (caller quantizes, e.g.
+    * `round(value*100)`). Returns one row per group:
+    * (group, n_sample, p50, p95, p99).
+    */
+  def sampledQuantiles(df: DataFrame, groupCol: String, sampleKey: Column,
+      valueCents: Column, fraction: Double = 0.25): DataFrame = {
+    val threshold = (fraction * (1L << 60).toDouble).toLong
+    val sampled = df.filter(sampleHash(sampleKey) < threshold)
+      .select(col(groupCol), valueCents.cast("long").as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("c"))
+    val ranked = sampled
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    def pick(p: Double, name: String) =
+      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"),
+        col("c"))).as(name)
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_sample"), pick(0.5, "p50"),
+        pick(0.95, "p95"), pick(0.99, "p99"))
+  }
 }

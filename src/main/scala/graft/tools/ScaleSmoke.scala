@@ -64,7 +64,7 @@ object ScaleSmoke {
     // linear by construction, like the maint slice's compact), and the
     // stream-stream interval join in its file-sink shape
     "eng_scan_range", "eng_compact", "ext_stream_join_files",
-    "ext_approx_distinct")
+    "ext_approx_distinct", "ext_quantile_sampled")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",

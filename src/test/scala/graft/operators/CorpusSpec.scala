@@ -229,4 +229,36 @@ class CorpusSpec extends SparkSuite {
     info(f"int8 recall@5: $recall%.2f")
     assert(recall >= 0.90, f"recall $recall%.2f below floor")
   }
+
+  test("sampledQuantiles: nearest-rank over the full set when fraction=1") {
+    import spark.implicits._
+    // group g: values 1..100 -> p50 = 50th smallest = 50, p95 = 95, p99 = 99
+    val df = (1 to 100).map(v => ("g", v.toLong, v * 1.0)).toDF("grp", "id", "value")
+    val r = Corpus.sampledQuantiles(df, "grp", org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.col("value") * 100), fraction = 1.0)
+      .head()
+    assert(r.getAs[Long]("n_sample") == 100L)
+    assert(r.getAs[Long]("p50") == 5000L)
+    assert(r.getAs[Long]("p95") == 9500L)
+    assert(r.getAs[Long]("p99") == 9900L)
+  }
+
+  test("sampledQuantiles is partition-independent and sample-deterministic") {
+    import org.apache.spark.sql.functions.{col, round}
+    val ev = graft.sources.EventsSource.readEvents(spark, "/root/testdata/sf0.001")
+    def run(parts: Int) = Corpus.sampledQuantiles(
+        ev.repartition(parts), "event_type", col("event_id"), round(col("value") * 100))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(run(1) == run(13))
+    assert(run(1).nonEmpty)
+  }
+
+  test("sampledQuantiles plans one exchange: the sample filter rides the scan") {
+    import org.apache.spark.sql.functions.{col, round}
+    val ev = graft.sources.EventsSource.readEvents(spark, "/root/testdata/sf0.001")
+    val plan = Corpus.sampledQuantiles(ev, "event_type", col("event_id"),
+      round(col("value") * 100)).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange (group partitioning), got $exchanges:\n$plan")
+  }
 }
