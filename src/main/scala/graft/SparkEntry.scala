@@ -1045,6 +1045,13 @@ object SparkEntry {
     "ext_stream_join" -> ((s, dir) =>
       graft.streaming.StreamOps.attributionJoin(s, dir)),
 
+    // left-outer variant: unattributed purchases surface as null-click
+    // rows once the watermark closes their match window — emission
+    // cutoff semantics pinned in StreamOps.attributionJoinOuter's doc,
+    // probe-derived, reproduced exactly by the oracle
+    "ext_stream_join_outer" -> ((s, dir) =>
+      graft.streaming.StreamOps.attributionJoinOuter(s, dir)),
+
     // ---- gap sessionization via the NATIVE session_window operator ---
     "ext_sessionize_native" -> ((s, dir) => {
       val ev = graft.sources.EventsSource.readEvents(s, dir).select(
@@ -1920,6 +1927,30 @@ object SparkEntry {
           |FROM events b JOIN events c ON b.user_id = c.user_id
           |WHERE b.event_type = 'purchase' AND c.event_type = 'click'
           |  AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL 24 HOUR""".stripMargin,
+      // left-outer: matched pairs plus null-click rows for purchases at
+      // or below the probe-pinned watermark cutoff (wm tracked in ms,
+      // min across sides, state watermark 1 ms behind, µs compare)
+      "ext_stream_join_outer" ->
+        """WITH b AS (
+          |  SELECT event_id AS buy_id, user_id, ts AS bts FROM events WHERE event_type = 'purchase'
+          |), c AS (
+          |  SELECT event_id AS click_id, user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'
+          |), wm AS (
+          |  SELECT least((SELECT epoch_us(max(bts)) // 1000 FROM b),
+          |               (SELECT epoch_us(max(cts)) // 1000 FROM c)) - 3600000 AS wm_ms
+          |), m AS (
+          |  SELECT b.buy_id, c.click_id, b.user_id,
+          |    epoch_us(b.bts) AS buy_ts_us, epoch_us(c.cts) AS click_ts_us
+          |  FROM b JOIN c ON b.user_id = c.cu
+          |   AND c.cts <= b.bts AND c.cts >= b.bts - INTERVAL 24 HOUR
+          |)
+          |SELECT buy_id, click_id, user_id, buy_ts_us, click_ts_us FROM m
+          |UNION ALL
+          |SELECT b.buy_id, CAST(NULL AS BIGINT), b.user_id,
+          |  epoch_us(b.bts), CAST(NULL AS BIGINT)
+          |FROM b, wm
+          |WHERE epoch_us(b.bts) <= (wm.wm_ms - 1) * 1000
+          |  AND b.buy_id NOT IN (SELECT buy_id FROM m)""".stripMargin,
       "ext_stream_window" ->
         """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start_epoch,
           |  event_type, CAST(count(*) AS BIGINT) AS n_events,

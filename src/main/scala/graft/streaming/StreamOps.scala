@@ -524,7 +524,7 @@ object StreamOps {
     * unsunk stream.
     */
   private[streaming] def attributionJoinStream(s: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, joinType: String = "inner"): DataFrame = {
     val ev = eventsStream(s, dir)
     val buys = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
@@ -537,7 +537,8 @@ object StreamOps {
     buys.join(clicks,
       col("buy_user") === col("click_user") &&
         col("click_ts") <= col("buy_ts") &&
-        col("click_ts") >= col("buy_ts") - expr("INTERVAL 24 HOURS"))
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 24 HOURS"),
+      joinType)
       .select(col("buy_id"), col("click_id"),
         col("buy_user").as("user_id"),
         unix_micros(col("buy_ts")).as("buy_ts_us"),
@@ -547,9 +548,31 @@ object StreamOps {
   /** [[attributionJoinStream]] drained synchronously through a memory
     * sink — the oracle harness shape (driver-collect by design; the
     * scale shape is [[attributionJoinToFiles]]). */
-  def attributionJoin(s: SparkSession, dir: String): DataFrame = {
+  def attributionJoin(s: SparkSession, dir: String): DataFrame =
+    drainJoin(s, attributionJoinStream(s, dir))
+
+  /** LEFT-OUTER attribution: matched pairs as [[attributionJoin]], plus
+    * one null-click row per UNATTRIBUTED purchase — emitted only once
+    * the watermark proves no matching click can still arrive.
+    *
+    * The outer emission semantics are pinned empirically and encoded in
+    * the oracle + StreamJoinSpec: a purchase is null-emitted iff
+    * `buy_ts_us <= (wm_ms - 1) * 1000`, where
+    * `wm_ms = min(max buy event ms, max click event ms) - 3_600_000` —
+    * Spark tracks watermarks in ms (floor-truncated from the µs event
+    * time), applies the min-across-watermark-operators policy, and its
+    * symmetric-join state watermark sits 1 ms behind the global
+    * watermark; the state predicate itself compares at µs precision.
+    * Purchases newer than the cutoff stay buffered (not emitted) — the
+    * honest streaming answer, which the DuckDB oracle reproduces with
+    * the same cutoff formula over the drained data.
+    */
+  def attributionJoinOuter(s: SparkSession, dir: String): DataFrame =
+    drainJoin(s, attributionJoinStream(s, dir, "left_outer"))
+
+  private def drainJoin(s: SparkSession, joined: DataFrame): DataFrame = {
     val tableName = s"stream_join_${System.nanoTime()}"
-    val q = attributionJoinStream(s, dir).writeStream
+    val q = joined.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(tableName)

@@ -68,6 +68,66 @@ class StreamJoinSpec extends SparkSuite {
       s"streamed ${streamed.size} pairs, batch ${batch.size}")
   }
 
+  test("left-outer emission cutoff: null rows exactly for purchases at " +
+      "or below (wm_ms - 1) * 1000, wm = min side watermark, ms-floored") {
+    val U = 1000L // one µs in ns
+    withTempDir { tmp =>
+      // click max has a fractional-ms tail (T0+30h + 1.5ms) so this
+      // pins the ms FLOOR; buy max at T0+40h so the click side is the
+      // min watermark. wm_ms = ms(T0) + 29h + 1ms; cutoff C =
+      // (wm_ms-1)*1000 µs = T0+29h in µs.
+      val wmNs = T0 + 29 * H + 1000 * U // truncated wm, in ns
+      writeEvents(tmp.toString, Seq(
+        (10L, T0, 1L, "click"),                    // C1 matches B1
+        (11L, T0 + 30 * H + 1500 * U, 9L, "click"), // watermark mover
+        (1L, T0, 1L, "purchase"),                  // matched -> emitted
+        (2L, T0 + 1 * H, 2L, "purchase"),          // old unmatched -> null row
+        (3L, wmNs, 3L, "purchase"),                // == wm -> held
+        (4L, wmNs - 500 * U, 4L, "purchase"),      // C + 500µs -> held
+        (5L, wmNs - 1000 * U, 5L, "purchase"),     // == C exactly -> null row
+        (6L, T0 + 40 * H, 6L, "purchase")))        // newest -> held
+      val got = StreamOps.attributionJoinOuter(spark, tmp.toString)
+        .select(col("buy_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (2L, -1L), (5L, -1L)), s"got $got")
+    }
+  }
+
+  test("left-outer equals the batch left join with the watermark cutoff " +
+      "on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.attributionJoinOuter(spark, dir)
+      .select(col("buy_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+    val ev = graft.sources.EventsSource.readEvents(spark, dir)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("bu"),
+        col("ts").as("bts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+    def maxNs(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0)
+    val wmMs = math.min(maxNs(buys, "bts"), maxNs(clicks, "cts")) /
+      1000000L - 3600000L
+    val cutoffNs = (wmMs - 1) * 1000L * 1000L
+    val matched = buys.join(clicks,
+        col("bu") === col("cu") && col("cts") <= col("bts") &&
+          col("cts") >= col("bts") - lit(24L * 3600 * 1000000000L))
+      .select(col("buy_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matchedBuys = matched.map(_._1)
+    val nulls = buys.filter(col("bts") <= cutoffNs)
+      .collect().map(_.getLong(0)).filterNot(matchedBuys).map((_, -1L)).toSet
+
+    assert(streamed == matched ++ nulls,
+      s"streamed ${streamed.size}, expected ${(matched ++ nulls).size}")
+    assert(nulls.nonEmpty, "fixture should contain unattributed purchases")
+  }
+
   test("join state survives kill + resume on one checkpoint: every " +
       "attributed pair lands exactly once") {
     import org.apache.spark.sql.types._
