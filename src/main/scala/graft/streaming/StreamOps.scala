@@ -587,9 +587,10 @@ object StreamOps {
     * sides) spills to executor-local disk, emitted pairs land
     * exactly-once via the sink's commit log. */
   def attributionJoinToFiles(s: SparkSession, dir: String, outDir: String,
-      checkpointDir: String, rocksDB: Boolean = true): DataFrame = {
+      checkpointDir: String, rocksDB: Boolean = true,
+      joinType: String = "inner"): DataFrame = {
     withRocksDB(s, rocksDB) {
-      val q = attributionJoinStream(s, dir).writeStream
+      val q = attributionJoinStream(s, dir, joinType).writeStream
         .outputMode("append")
         .format("parquet")
         .option("path", outDir)

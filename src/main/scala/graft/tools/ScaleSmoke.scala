@@ -64,7 +64,8 @@ object ScaleSmoke {
     // linear by construction, like the maint slice's compact), and the
     // stream-stream interval join in its file-sink shape
     "eng_scan_range", "eng_compact", "ext_stream_join_files",
-    "ext_approx_distinct", "ext_quantile_sampled")
+    "ext_approx_distinct", "ext_quantile_sampled",
+    "ext_stream_join_outer_files")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
@@ -137,6 +138,11 @@ object ScaleSmoke {
     "ext_stream_join_files" -> ((s, dir) =>
       graft.streaming.StreamOps.attributionJoinToFiles(s, dir,
         scratch("sj_out"), scratch("sj_ck"))),
+    // left-outer twin: adds the watermark-gated null-row emission pass
+    // on top of the same bounded symmetric state
+    "ext_stream_join_outer_files" -> ((s, dir) =>
+      graft.streaming.StreamOps.attributionJoinToFiles(s, dir,
+        scratch("sjo_out"), scratch("sjo_ck"), joinType = "left_outer")),
     // connected components with the driver union-find path DISABLED —
     // the contract entry auto-picks the driver path at every test SF
     // (the bijection corpus keeps pair counts far under the 1M-edge
