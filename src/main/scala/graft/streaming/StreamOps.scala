@@ -570,16 +570,31 @@ object StreamOps {
   def attributionJoinOuter(s: SparkSession, dir: String): DataFrame =
     drainJoin(s, attributionJoinStream(s, dir, "left_outer"))
 
-  private def drainJoin(s: SparkSession, joined: DataFrame): DataFrame = {
-    val tableName = s"stream_join_${System.nanoTime()}"
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(tableName)
+  /** Memory-sink drain for the join harnesses. A stream-stream join
+    * keeps FOUR state stores per shuffle partition (keyToNumValues +
+    * keyWithIndexToValue, per side), and the default HDFS-backed
+    * provider pays a per-store per-batch file commit — at 32 partitions
+    * that is 128 synchronous commits of test-sized state, which
+    * dominates the drain. The state partition count is captured from
+    * `spark.sql.shuffle.partitions` at query START (per checkpoint), so
+    * the harness pins a small count for its fresh throwaway checkpoint
+    * and restores the session conf after; the file-sink scale twins
+    * keep the session's production partitioning. */
+  private def drainJoin(s: SparkSession, mkJoined: => DataFrame): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try {
+      val tableName = s"stream_join_${System.nanoTime()}"
+      val q = mkJoined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(tableName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(tableName)
+    } finally s.conf.set(key, prev)
   }
 
   /** [[attributionJoinStream]] in its scale shape: append-mode parquet
