@@ -725,6 +725,21 @@ object SparkEntry {
           (0.25 * 1152921504606846976.0d).toLong}")
     }),
 
+    // the KMV sketch driven as a SQL AGGREGATE over the registered
+    // pipeline view — proves the registry route wraps the custom
+    // TypedImperativeAggregate correctly (analyzer inserts the
+    // AggregateExpression, partials and all), under the same oracle
+    // determinism as ext_approx_distinct
+    "sql_approx_distinct" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      s.sql("""SELECT lang,
+        |  graft_kmv_distinct(graft_sample_hash(doc_id), 64) AS est_docs,
+        |  graft_kmv_distinct(graft_sample_hash(source), 64) AS est_sources
+        |FROM graft_docs GROUP BY lang""".stripMargin)
+    }),
+
     // ================= large-scale pipeline extensions =================
 
     // ---- exact dedup (hash-groupBy over documents + planted dups) ----
@@ -1441,6 +1456,24 @@ object SparkEntry {
       "sql_sample_threshold" ->
         s"""SELECT doc_id, lang FROM documents
            |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.25 * 1152921504606846976.0d).toLong}""".stripMargin,
+      "sql_approx_distinct" ->
+        """WITH dh AS (
+          |  SELECT DISTINCT lang, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM documents
+          |), dk AS (
+          |  SELECT lang, count(*) AS n, max(hv) AS kth FROM (
+          |    SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM dh
+          |  ) WHERE rn <= 64 GROUP BY 1
+          |), sh AS (
+          |  SELECT DISTINCT lang, CAST(concat('0x', substr(md5(CAST(source AS VARCHAR)), 1, 15)) AS BIGINT) AS hv FROM documents
+          |), sk AS (
+          |  SELECT lang, count(*) AS n, max(hv) AS kth FROM (
+          |    SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM sh
+          |  ) WHERE rn <= 64 GROUP BY 1
+          |)
+          |SELECT dk.lang AS lang,
+          |  CASE WHEN dk.n < 64 THEN CAST(dk.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(dk.kth AS DOUBLE) END AS est_docs,
+          |  CASE WHEN sk.n < 64 THEN CAST(sk.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(sk.kth AS DOUBLE) END AS est_sources
+          |FROM dk JOIN sk ON dk.lang = sk.lang""".stripMargin,
       // metrics self-table: newest 720 versions per metric (= event_type
       // row); points are max(value) per µs-aligned ts so ranking is
       // tie-free and order-independent
