@@ -14,7 +14,7 @@ class KmvDistinctSpec extends SparkSuite {
     import spark.implicits._
     (1 to n).toDF("v").repartition(parts)
       .agg(Corpus.kmvDistinct(col("v"), k).as("est"))
-      .head.getDouble(0)
+      .head().getDouble(0)
   }
 
   test("exact below k: the sketch IS the distinct set") {
@@ -22,7 +22,7 @@ class KmvDistinctSpec extends SparkSuite {
     // duplicates collapse like DISTINCT
     import spark.implicits._
     val withDups = (1 to 40).flatMap(v => Seq(v, v, v)).toDF("v")
-      .agg(Corpus.kmvDistinct(col("v"), 64).as("est")).head.getDouble(0)
+      .agg(Corpus.kmvDistinct(col("v"), 64).as("est")).head().getDouble(0)
     assert(withDups == 40.0)
   }
 

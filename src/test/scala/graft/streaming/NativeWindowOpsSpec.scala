@@ -57,7 +57,7 @@ class NativeWindowOpsSpec extends SparkSuite {
     // bounded: session COUNTS can only differ where an exact-gap split
     // occurred, never the covered event mass
     val strictEvents = StreamOps.sessionize(events)
-      .agg(sum(col("n_events"))).head.getLong(0)
+      .agg(sum(col("n_events"))).head().getLong(0)
     val nativeEvents = native.toSeq.map(_._2).sum
     assert(nativeEvents == strictEvents)
   }
@@ -92,7 +92,7 @@ class NativeWindowOpsSpec extends SparkSuite {
     // append mode emits a session once the watermark passes its window
     // end (= last event + gap); leave the == boundary undetermined so
     // the pin is not sensitive to Spark's <-vs-<= eviction choice
-    val wmUs = events.agg(max(expr("ts div 1000"))).head.getLong(0) -
+    val wmUs = events.agg(max(expr("ts div 1000"))).head().getLong(0) -
       3600L * 1000000L
     def endUs(s: (Long, Long, Long, Long)) = s._4 / 1000L + gapUs
     val must = batch.filter(endUs(_) < wmUs)
@@ -126,7 +126,7 @@ class NativeWindowOpsSpec extends SparkSuite {
     // every (hour-window, type) pair must appear in exactly two sliding
     // windows' worth of coverage: total sliding events = 2x tumbling
     val tumbling = StreamOps.hourlyWindowAgg(spark, Dir)
-      .agg(sum(col("n_events"))).head.getLong(0)
+      .agg(sum(col("n_events"))).head().getLong(0)
     assert(streamed.values.map(_._1).sum == 2 * tumbling)
   }
 }

@@ -110,7 +110,7 @@ class StreamJoinSpec extends SparkSuite {
       .select(col("event_id").as("click_id"), col("user_id").as("cu"),
         col("ts").as("cts"))
     def maxNs(df: org.apache.spark.sql.DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0)
+      df.agg(max(col(c))).head().getLong(0)
     val wmMs = math.min(maxNs(buys, "bts"), maxNs(clicks, "cts")) /
       1000000L - 3600000L
     val cutoffNs = (wmMs - 1) * 1000L * 1000L

@@ -30,7 +30,7 @@ class StreamingWindowSinkSpec extends SparkSuite {
           unix_micros(col("window.end")).as("we"),
           col("event_type"), col("n_events"), col("value_sum"))
         .collect()
-      val maxTs = ev.agg(max(unix_micros(col("event_ts")))).head.getLong(0)
+      val maxTs = ev.agg(max(unix_micros(col("event_ts")))).head().getLong(0)
       val watermark = maxTs - 3600L * 1000000L // 1 hour delay
       val finalized = batch.filter(_.getLong(1) <= watermark)
         .map(r => (r.getLong(0), r.getString(2)) ->
