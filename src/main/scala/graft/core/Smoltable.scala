@@ -527,7 +527,7 @@ final class Smoltable private (
       .withColumn("_fetch_rank", row_number().over(w))
       .filter(col("_fetch_rank") <= fetchedExpr)
       .agg(coalesce(sum(cellBytes), lit(0L)))
-      .collect().head().getLong(0)
+      .collect().head.getLong(0)
     Some((cellsScanned, bytesScanned))
   }
 

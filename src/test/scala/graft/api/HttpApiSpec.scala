@@ -205,7 +205,7 @@ class HttpApiSpec extends SparkSuite {
         val row0 = rb.get("result").flatMap(_.get("rows")).get.asArray.head
         assert(row0.get("row_key").map(_.asString) == Some("org.apache.spark"))
         assert(row0.get("columns").flatMap(_.get("meta")).flatMap(_.get("size"))
-          .get.asArray.head().get("value").map(_.asLong) == Some(152014L))
+          .get.asArray.head.get("value").map(_.asLong) == Some(152014L))
 
         // POST scan (docs scan-rows.md shape)
         val (ss, sb) = send("POST", s"$base/webtable/scan",

@@ -161,7 +161,7 @@ class JsonApiSpec extends SparkSuite {
           |{"column_key":"v:b","time":0,"type":"boolean","value":true},
           |{"column_key":"v:u","time":0,"type":"byte","value":255}]}]}""".stripMargin))
       val rows = result(api.getRows("t", """{"items":[{"row":{"key":"r"}}]}"""))
-      val cols = rows.get("rows").get.asArray.head().get("columns").get.get("v").get
+      val cols = rows.get("rows").get.asArray.head.get("columns").get.get("v").get
       def cell(q: String) = cols.get(q).get.asArray.head
       assert(cell("i").get("value").map(_.asLong) == Some(9007199254740993L))
       assert(cell("f").get("value").map(_.asDouble) == Some(2.5))

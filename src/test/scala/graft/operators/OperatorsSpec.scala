@@ -35,8 +35,8 @@ class OperatorsSpec extends SparkSuite {
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(docs).filter(col("dup_count") > 1).collect()
     assert(out.length == 1)
-    assert(out.head().getAs[Long]("keep_id") == 1L) // docs 1 and 7 identical
-    assert(out.head().getAs[Long]("dup_count") == 2L)
+    assert(out.head.getAs[Long]("keep_id") == 1L) // docs 1 and 7 identical
+    assert(out.head.getAs[Long]("dup_count") == 2L)
   }
 
   test("line-level dedup drops planted boilerplate lines, keeps unique " +
@@ -166,7 +166,7 @@ class OperatorsSpec extends SparkSuite {
       .toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 2)
       .orderBy("rnk").collect()
-    assert(top.head().getAs[Long]("neighbor_id") == 1L)
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
   }
 
   test("bucketed ANN agrees with brute force for near-parallel vectors") {
