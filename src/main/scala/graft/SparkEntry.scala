@@ -1067,6 +1067,27 @@ object SparkEntry {
     "ext_stream_join_outer" -> ((s, dir) =>
       graft.streaming.StreamOps.attributionJoinOuter(s, dir)),
 
+    // ---- skew-salted interval join (batch twin of the stream join) ---
+    // the same attribution pairs through the time-bucket-SALTED plan
+    // (SkewJoin.intervalJoinBucketed): hot-key work spreads over
+    // (user, 24h-bucket) at 2x right-side shuffle cost; result is
+    // pair-identical to the unsalted join, so it shares its oracle shape
+    "ext_join_skew_bucketed" -> ((s, dir) => {
+      val ev = graft.sources.EventsSource.readEvents(s, dir)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"),
+          col("ts").as("buy_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      graft.operators.SkewJoin.intervalJoinBucketed(
+          buys, clicks, "user_id", "buy_ts", "click_ts",
+          24L * 3600 * 1000000000L)
+        .select(col("buy_id"), col("click_id"), col("user_id"),
+          expr("buy_ts div 1000").as("buy_ts_us"),
+          expr("click_ts div 1000").as("click_ts_us"))
+    }),
+
     // ---- gap sessionization via the NATIVE session_window operator ---
     "ext_sessionize_native" -> ((s, dir) => {
       val ev = graft.sources.EventsSource.readEvents(s, dir).select(
@@ -1954,6 +1975,15 @@ object SparkEntry {
       // over a drained static source, so the oracle is the plain batch
       // interval join (both bounds inclusive)
       "ext_stream_join" ->
+        """SELECT b.event_id AS buy_id, c.event_id AS click_id,
+          |  b.user_id AS user_id, epoch_us(b.ts) AS buy_ts_us,
+          |  epoch_us(c.ts) AS click_ts_us
+          |FROM events b JOIN events c ON b.user_id = c.user_id
+          |WHERE b.event_type = 'purchase' AND c.event_type = 'click'
+          |  AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL 24 HOUR""".stripMargin,
+      // the salted plan must produce the exact same pair set as the
+      // unsalted interval join
+      "ext_join_skew_bucketed" ->
         """SELECT b.event_id AS buy_id, c.event_id AS click_id,
           |  b.user_id AS user_id, epoch_us(b.ts) AS buy_ts_us,
           |  epoch_us(c.ts) AS click_ts_us

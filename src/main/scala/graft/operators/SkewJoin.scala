@@ -37,25 +37,22 @@ object SkewJoin {
   /** `left` rows paired with `right` rows of the same `key` whose
     * `rightTs` lies in `[leftTs - horizonNs, leftTs]` (both inclusive),
     * via the time-bucket-salted plan. Timestamp columns are epoch-ns
-    * longs. Output: all `left` columns, then all `right` columns. */
+    * longs (bucketing uses INTEGER division — a double division would
+    * lose µs precision at 10^18 ns magnitudes). Output: the `left`
+    * columns then the `right` columns, minus the right key duplicate. */
   def intervalJoinBucketed(left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
       horizonNs: Long): DataFrame = {
     require(horizonNs > 0, s"horizon must be positive, got $horizonNs")
-    val bucketL = (col(leftTs) / horizonNs).cast("long")
-    val bucketR = (col(rightTs) / horizonNs).cast("long")
-    val replicated = right
-      .withColumn("__bucket_base", bucketR)
-      .withColumn("__rep", explode(array(lit(0L), lit(1L))))
-      .withColumn("__bucket", col("__bucket_base") + col("__rep"))
-      .drop("__bucket_base", "__rep")
-    left.withColumn("__bucket", bucketL)
-      .join(replicated,
-        left(key) === replicated(key) &&
-          col(s"`$leftTs`") >= col(s"`$rightTs`") &&
-          col(s"`$rightTs`") >= col(s"`$leftTs`") - horizonNs,
+    val l = left.withColumn("__bucket", expr(s"$leftTs div $horizonNs"))
+    val r = right.withColumn("__bucket",
+      explode(array(expr(s"$rightTs div $horizonNs"),
+        expr(s"$rightTs div $horizonNs + 1"))))
+    l.join(r,
+        l(key) === r(key) && l("__bucket") === r("__bucket") &&
+          l(leftTs) >= r(rightTs) &&
+          r(rightTs) >= l(leftTs) - horizonNs,
         "inner")
-      .where(left.col("__bucket") === replicated.col("__bucket"))
-      .drop("__bucket")
+      .drop(l("__bucket")).drop(r("__bucket")).drop(r(key))
   }
 }
