@@ -72,6 +72,41 @@ class SkewJoinSpec extends SparkSuite {
     assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L)), s"got $got")
   }
 
+  test("randomized differential: salted ≡ plain on boundary-heavy data " +
+      "(200 seeded trials worth of rows)") {
+    import spark.implicits._
+    val B = H24
+    val rnd = new scala.util.Random(0xC0FFEE)
+    // timestamps clustered AT bucket boundaries (±2ns) plus uniform
+    // fill — the distribution most likely to expose an off-by-one in
+    // the replica arithmetic
+    def ts(): Long = {
+      val bucket = 100L + rnd.nextInt(4)
+      if (rnd.nextBoolean()) bucket * B + (rnd.nextInt(5) - 2).toLong
+      else bucket * B + math.abs(rnd.nextLong() % B)
+    }
+    val buys = (1 to 200).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, ts()))
+      .toDF("buy_id", "user_id", "buy_ts")
+    val clicks = (1 to 200).map(i =>
+      (1000L + i, (rnd.nextInt(5) + 1).toLong, ts()))
+      .toDF("click_id", "user_id", "click_ts")
+    val plain = buys.join(clicks,
+        buys("user_id") === clicks("user_id") &&
+          col("click_ts") <= col("buy_ts") &&
+          col("click_ts") >= col("buy_ts") - B)
+      .select(col("buy_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = SkewJoin.intervalJoinBucketed(
+        buys, clicks, "user_id", "buy_ts", "click_ts", B)
+      .select(col("buy_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(salted.length == salted.distinct.length)
+    assert(salted.toSet == plain,
+      s"diff: ${(salted.toSet -- plain) ++ (plain -- salted.toSet)}")
+    assert(plain.size > 100, s"fixture too sparse: ${plain.size}")
+  }
+
   test("a hot key's work spreads over (key, bucket) groups") {
     import spark.implicits._
     // one user, events across 30 days: the plain join keys everything
