@@ -1067,6 +1067,14 @@ object SparkEntry {
     "ext_stream_join_outer" -> ((s, dir) =>
       graft.streaming.StreamOps.attributionJoinOuter(s, dir)),
 
+    // ---- KMV sketch as STREAMING aggregation state -------------------
+    // daily distinct-user estimates through a real streaming query: one
+    // k-long sketch buffer per window in the state store (bounded in
+    // cardinality, unlike exact streaming COUNT DISTINCT), determinism
+    // makes the streamed estimates oracle-reproducible
+    "ext_stream_kmv" -> ((s, dir) =>
+      graft.streaming.StreamOps.dailyKmvDistinctUsers(s, dir)),
+
     // ---- skew-salted interval join (batch twin of the stream join) ---
     // the same attribution pairs through the time-bucket-SALTED plan
     // (SkewJoin.intervalJoinBucketed): hot-key work spreads over
@@ -1981,6 +1989,25 @@ object SparkEntry {
           |FROM events b JOIN events c ON b.user_id = c.user_id
           |WHERE b.event_type = 'purchase' AND c.event_type = 'click'
           |  AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL 24 HOUR""".stripMargin,
+      // streamed daily KMV estimates == the batch KMV formula per
+      // UTC-epoch-aligned day window
+      "ext_stream_kmv" ->
+        """WITH uh AS (
+          |  SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+          |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          |  FROM events
+          |), base AS (
+          |  SELECT window_start_us, count(*) AS n_events FROM uh GROUP BY 1
+          |), dk AS (
+          |  SELECT window_start_us, count(*) AS n, max(hv) AS kth FROM (
+          |    SELECT window_start_us, hv, row_number() OVER (PARTITION BY window_start_us ORDER BY hv) AS rn
+          |    FROM (SELECT DISTINCT window_start_us, hv FROM uh)
+          |  ) WHERE rn <= 64 GROUP BY 1
+          |)
+          |SELECT b.window_start_us AS window_start_us,
+          |  CASE WHEN dk.n < 64 THEN CAST(dk.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(dk.kth AS DOUBLE) END AS est_users,
+          |  CAST(b.n_events AS BIGINT) AS n_events
+          |FROM base b JOIN dk ON b.window_start_us = dk.window_start_us""".stripMargin,
       // the salted plan must produce the exact same pair set as the
       // unsalted interval join
       "ext_join_skew_bucketed" ->

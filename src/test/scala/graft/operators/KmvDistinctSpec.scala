@@ -51,6 +51,23 @@ class KmvDistinctSpec extends SparkSuite {
       plan.toLowerCase.contains("partial"), plan)
   }
 
+  test("streaming aggregation state: streamed daily estimates equal " +
+      "the batch sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamOps
+      .dailyKmvDistinctUsers(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val batch = graft.sources.EventsSource.readEvents(spark, dir)
+      .withColumn("day_us",
+        expr("(ts div 86400000000000) * 86400000000"))
+      .groupBy("day_us")
+      .agg(Corpus.kmvDistinct(col("user_id")).as("est"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"${streamed.size} streamed vs ${batch.size} batch windows")
+  }
+
   test("SQL route equals the DataFrame route") {
     import spark.implicits._
     graft.sql.GraftFunctions.register(spark)
