@@ -834,6 +834,16 @@ object SparkEntry {
         graft.operators.Corpus.kmvDistinct(col("event_id")).as("est_events"))
     }),
 
+    // ---- deterministic WEIGHTED sampling (P[keep] ∝ n_chars) ---------
+    // shuffle-free like ext_sample_threshold, integer-exact long
+    // compare; tau = 1e15 per char ≈ 26% expected mass at this corpus's
+    // length profile
+    "ext_sample_weighted" -> ((s, dir) =>
+      graft.operators.Corpus.weightedThresholdSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "n_chars", 1000000000000000L)),
+
     // ---- deterministic sampled quantiles (nearest-rank, int-exact) ---
     // p50/p95/p99 of the value metric per event_type over the 25% md5
     // sample: the sample predicate rides the scan shuffle-free, then one
@@ -1672,6 +1682,9 @@ object SparkEntry {
           |  CASE WHEN uk.n < 64 THEN CAST(uk.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(uk.kth AS DOUBLE) END AS est_users,
           |  CASE WHEN ek.n < 64 THEN CAST(ek.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(ek.kth AS DOUBLE) END AS est_events
           |FROM uk JOIN ek ON uk.event_type = ek.event_type""".stripMargin,
+      "ext_sample_weighted" ->
+        """SELECT doc_id, lang, n_chars FROM documents
+          |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < n_chars * 1000000000000000""".stripMargin,
       // nearest-rank quantiles over the same md5 sample: rank arithmetic
       // (ceil(p*n)) is the only float op and is one IEEE multiply+ceil
       // in both engines; everything else is integer-exact

@@ -201,6 +201,31 @@ object Corpus {
         org.apache.spark.sql.graft.GraftColumn.expr(sampleHash(value)), k)
         .toAggregateExpression())
 
+  /** Deterministic WEIGHTED sampling (inclusion probability ∝ weight):
+    * keep a row iff `sampleHash(key) < weight * tauPerUnit` — the
+    * threshold-sampling coin scaled per unit of weight, so a doc with
+    * twice the tokens has twice the inclusion probability (capped at 1
+    * when `weight * tauPerUnit ≥ 2^60`). Shuffle-free like
+    * [[thresholdSample]] (the predicate rides the scan), deterministic
+    * (same coin ⇒ same sample under any engine/partitioning), and
+    * INTEGER-exact: the comparison is long < long — callers must keep
+    * `maxWeight * tauPerUnit` under 2^62 to avoid overflow (for token
+    * weights ≤ 10^6 that leaves tauPerUnit up to ~4.6e12, i.e. unit
+    * inclusion probabilities up to ~4e-6 per weight unit — the regime
+    * weighted corpus sampling actually runs at).
+    *
+    * This is how a training-data pipeline samples proportional to
+    * token count (compute-optimal mixing) while staying replayable:
+    * rerunning the pipeline, or running it on a different cluster,
+    * selects the exact same documents.
+    */
+  def weightedThresholdSample(df: DataFrame, idCol: String,
+      weightCol: String, tauPerUnit: Long): DataFrame = {
+    require(tauPerUnit > 0, s"tauPerUnit must be positive: $tauPerUnit")
+    df.filter(sampleHash(col(idCol)) <
+      col(weightCol).cast("long") * lit(tauPerUnit))
+  }
+
   /** Deterministic sampled quantiles: nearest-rank percentiles of an
     * INTEGER-quantized metric over the md5 threshold sample.
     *

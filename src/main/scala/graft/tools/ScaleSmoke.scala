@@ -65,7 +65,8 @@ object ScaleSmoke {
     // stream-stream interval join in its file-sink shape
     "eng_scan_range", "eng_compact", "ext_stream_join_files",
     "ext_approx_distinct", "ext_quantile_sampled",
-    "ext_stream_join_outer_files", "ext_join_skew_bucketed")
+    "ext_stream_join_outer_files", "ext_join_skew_bucketed",
+    "ext_sample_weighted")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",

@@ -230,6 +230,35 @@ class CorpusSpec extends SparkSuite {
     assert(recall >= 0.90, f"recall $recall%.2f below floor")
   }
 
+  test("weightedThresholdSample: deterministic, subset, monotone in " +
+      "weight, and proportional in aggregate") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val tau = 1000000000000000L
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = ids(Corpus.weightedThresholdSample(docs, "doc_id",
+      "n_chars", tau))
+    // deterministic under repartition
+    assert(kept == ids(Corpus.weightedThresholdSample(
+      docs.repartition(13), "doc_id", "n_chars", tau)))
+    // monotone: doubling every weight keeps a superset
+    val doubled = ids(Corpus.weightedThresholdSample(
+      docs.withColumn("n_chars", col("n_chars") * lit(2L)),
+      "doc_id", "n_chars", tau))
+    assert(kept.subsetOf(doubled), "doubling weights must not drop docs")
+    // aggregate proportionality: long docs keep at a higher rate
+    val med = docs.stat.approxQuantile("n_chars", Array(0.5), 0.0).head
+    val long_ = docs.filter(col("n_chars") > med)
+    val short_ = docs.filter(col("n_chars") <= med)
+    def rate(df: org.apache.spark.sql.DataFrame): Double =
+      ids(Corpus.weightedThresholdSample(df, "doc_id", "n_chars", tau))
+        .size.toDouble / df.count()
+    assert(rate(long_) > rate(short_),
+      "higher-weight stratum must keep a larger fraction")
+  }
+
   test("sampledQuantiles: nearest-rank over the full set when fraction=1") {
     import spark.implicits._
     // group g: values 1..100 -> p50 = 50th smallest = 50, p95 = 95, p99 = 99
