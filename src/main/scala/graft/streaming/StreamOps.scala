@@ -161,6 +161,34 @@ object StreamOps {
     s.table(tableName)
   }
 
+  /** [[dailyKmvDistinctUsers]] in its scale shape: append mode (only
+    * watermark-finalized windows emit), parquet file sink, RocksDB
+    * state — per-window sketch buffers live on executor-local disk and
+    * finalized estimates land exactly-once via the sink commit log. */
+  def dailyKmvDistinctUsersToFiles(s: SparkSession, dir: String,
+      outDir: String, checkpointDir: String,
+      rocksDB: Boolean = true): DataFrame = {
+    withRocksDB(s, rocksDB) {
+      val agg = eventsStream(s, dir)
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(window(col("event_ts"), "1 day"))
+        .agg(graft.operators.Corpus.kmvDistinct(col("user_id"))
+            .as("est_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("est_users"), col("n_events"))
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.read.parquet(outDir)
+  }
+
   /** Tumbling 1-hour window aggregation driven through a REAL streaming
     * query ([[windowAggDrain]]). Returns the complete result. */
   def hourlyWindowAgg(s: SparkSession, dir: String): DataFrame =

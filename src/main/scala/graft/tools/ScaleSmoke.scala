@@ -66,7 +66,7 @@ object ScaleSmoke {
     "eng_scan_range", "eng_compact", "ext_stream_join_files",
     "ext_approx_distinct", "ext_quantile_sampled",
     "ext_stream_join_outer_files", "ext_join_skew_bucketed",
-    "ext_sample_weighted")
+    "ext_sample_weighted", "ext_stream_kmv_files")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
@@ -144,6 +144,12 @@ object ScaleSmoke {
     "ext_stream_join_outer_files" -> ((s, dir) =>
       graft.streaming.StreamOps.attributionJoinToFiles(s, dir,
         scratch("sjo_out"), scratch("sjo_ck"), joinType = "left_outer")),
+    // the KMV sketch as RocksDB streaming state in append mode: the
+    // scale twin of the ext_stream_kmv oracle harness — per-window
+    // buffers stay k longs however many users the factor adds
+    "ext_stream_kmv_files" -> ((s, dir) =>
+      graft.streaming.StreamOps.dailyKmvDistinctUsersToFiles(s, dir,
+        scratch("sk_out"), scratch("sk_ck"))),
     // connected components with the driver union-find path DISABLED —
     // the contract entry auto-picks the driver path at every test SF
     // (the bijection corpus keeps pair counts far under the 1M-edge
