@@ -834,6 +834,19 @@ object SparkEntry {
         graft.operators.Corpus.kmvDistinct(col("event_id")).as("est_events"))
     }),
 
+    // ---- deterministic sequence packing (token-budget bins) ----------
+    // greedy contiguous packing into 2048-token bins over 32 md5
+    // shards: one shuffle on shard, per-task cumsum — the scalable
+    // shape of pretraining batch layout; whitespace tokens match the
+    // oracle's string_split
+    "ext_pack_sequences" -> ((s, dir) =>
+      graft.operators.Corpus.packSequences(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull) // split(null) is -1-sized; keep
+          .select(col("doc_id"),         // parity with the oracle filter
+            size(split(col("text"), " ")).as("n_tokens")),
+        "doc_id", "n_tokens", 2048L)),
+
     // ---- deterministic WEIGHTED sampling (P[keep] ∝ n_chars) ---------
     // shuffle-free like ext_sample_threshold, integer-exact long
     // compare; tau = 1e15 per char ≈ 26% expected mass at this corpus's
@@ -1682,6 +1695,19 @@ object SparkEntry {
           |  CASE WHEN uk.n < 64 THEN CAST(uk.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(uk.kth AS DOUBLE) END AS est_users,
           |  CASE WHEN ek.n < 64 THEN CAST(ek.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(ek.kth AS DOUBLE) END AS est_events
           |FROM uk JOIN ek ON uk.event_type = ek.event_type""".stripMargin,
+      "ext_pack_sequences" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS shard
+          |  FROM documents WHERE text IS NOT NULL
+          |), c AS (
+          |  SELECT doc_id, shard, n_tokens,
+          |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+          |  FROM t
+          |)
+          |SELECT doc_id, shard, tokens_before // 2048 AS bin, n_tokens FROM c""".stripMargin,
       "ext_sample_weighted" ->
         """SELECT doc_id, lang, n_chars FROM documents
           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < n_chars * 1000000000000000""".stripMargin,

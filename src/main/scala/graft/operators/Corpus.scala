@@ -226,6 +226,40 @@ object Corpus {
       col(weightCol).cast("long") * lit(tauPerUnit))
   }
 
+  /** Deterministic SEQUENCE PACKING: assign documents to fixed
+    * token-budget bins — the step between token counting and batch
+    * construction in a pretraining data pipeline.
+    *
+    * Definition (greedy contiguous): within a shard, documents are
+    * taken in `idCol` order and a doc starts in bin
+    * `floor(tokens_before_it / budget)` — so bins are contiguous runs,
+    * a bin's payload never exceeds `budget + max single doc` tokens,
+    * and the assignment is a pure function of (shard, order, token
+    * counts): reproducible anywhere, DuckDB-oracle-exact
+    * (`ext_pack_sequences`), and integer-only.
+    *
+    * Sharding is what makes it scale: a GLOBAL greedy pack is a global
+    * sort + running sum (one reducer at 100 TB). Sharding by the md5
+    * coin keeps bins deterministic while the cumsum window runs per
+    * shard — one shuffle on `shard`, each task packing ~1/shards of the
+    * corpus. Bins are per-shard (bin ids only unique within a shard) —
+    * exactly how packed pretraining shards are laid out on disk.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budgetTokens: Long, shards: Int = 32): DataFrame = {
+    require(budgetTokens > 0 && shards > 0)
+    val sharded = df.select(col(idCol), col(tokensCol).cast("long")
+        .as("n_tokens"))
+      .withColumn("shard", pmod(sampleHash(col(idCol)), lit(shards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    sharded
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"tokens_before div $budgetTokens"))
+      .select(col(idCol), col("shard"), col("bin"), col("n_tokens"))
+  }
+
   /** Deterministic sampled quantiles: nearest-rank percentiles of an
     * INTEGER-quantized metric over the md5 threshold sample.
     *

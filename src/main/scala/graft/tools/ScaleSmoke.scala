@@ -66,7 +66,8 @@ object ScaleSmoke {
     "eng_scan_range", "eng_compact", "ext_stream_join_files",
     "ext_approx_distinct", "ext_quantile_sampled",
     "ext_stream_join_outer_files", "ext_join_skew_bucketed",
-    "ext_sample_weighted", "ext_stream_kmv_files")
+    "ext_sample_weighted", "ext_stream_kmv_files",
+    "ext_pack_sequences")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",

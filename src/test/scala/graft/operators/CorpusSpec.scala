@@ -230,6 +230,52 @@ class CorpusSpec extends SparkSuite {
     assert(recall >= 0.90, f"recall $recall%.2f below floor")
   }
 
+  test("packSequences: hand-computed bins, bounded payloads, " +
+      "contiguous bin ids, partition-independent") {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
+    import spark.implicits._
+    // single shard (shards=1): docs in id order with token counts
+    // 1000,1500,600,2000 at budget 2048 -> tokens_before 0,1000,2500,
+    // 3100 -> bins 0,0,1,1
+    val tiny = Seq((1L, 1000L), (2L, 1500L), (3L, 600L), (4L, 2000L))
+      .toDF("doc_id", "n_tokens")
+    val got = Corpus.packSequences(tiny, "doc_id", "n_tokens", 2048L,
+        shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L), s"$got")
+
+    // real corpus: every (shard, bin) payload is bounded by
+    // budget + one doc, bin ids are 0..max contiguous per shard, and
+    // the assignment ignores physical partitioning
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("n_tokens"))
+    val budget = 2048L
+    val packed = Corpus.packSequences(docs, "doc_id", "n_tokens", budget)
+    val maxDoc = docs.agg(fmax(col("n_tokens"))).head().getLong(0)
+    val bins = packed.groupBy("shard", "bin")
+      .agg(fsum(col("n_tokens")).as("payload"))
+      .collect()
+    assert(bins.forall(_.getAs[Long]("payload") < budget + maxDoc),
+      "a bin exceeded budget + one document")
+    val perShard = packed.groupBy("shard")
+      .agg(fmin(col("bin")).as("lo"), fmax(col("bin")).as("hi"),
+        org.apache.spark.sql.functions.countDistinct(col("bin")).as("n"))
+      .collect()
+    assert(perShard.forall(r =>
+      r.getAs[Long]("lo") == 0L &&
+        r.getAs[Long]("n") == r.getAs[Long]("hi") + 1),
+      "bin ids must be contiguous from 0 per shard")
+    val again = Corpus.packSequences(docs.repartition(17), "doc_id",
+        "n_tokens", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("weightedThresholdSample: deterministic, subset, monotone in " +
       "weight, and proportional in aggregate") {
     import org.apache.spark.sql.functions.{col, lit}
