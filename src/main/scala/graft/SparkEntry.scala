@@ -1090,6 +1090,13 @@ object SparkEntry {
     "ext_stream_join_outer" -> ((s, dir) =>
       graft.streaming.StreamOps.attributionJoinOuter(s, dir)),
 
+    // skew-salted streaming twin: state keys are (user, horizon-bucket)
+    // so a hot user's streaming state spreads across partitions — the
+    // only skew lever that exists in stateful streaming (no AQE there);
+    // exact same pair set and oracle as ext_stream_join
+    "ext_stream_join_salted" -> ((s, dir) =>
+      graft.streaming.StreamOps.attributionJoinSalted(s, dir)),
+
     // ---- KMV sketch as STREAMING aggregation state -------------------
     // daily distinct-user estimates through a real streaming query: one
     // k-long sketch buffer per window in the state store (bounded in
@@ -1707,7 +1714,7 @@ object SparkEntry {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
           |  FROM t
           |)
-          |SELECT doc_id, shard, tokens_before // 2048 AS bin, n_tokens FROM c""".stripMargin,
+          |SELECT doc_id, shard, CAST(tokens_before // 2048 AS BIGINT) AS bin, n_tokens FROM c""".stripMargin,
       "ext_sample_weighted" ->
         """SELECT doc_id, lang, n_chars FROM documents
           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < n_chars * 1000000000000000""".stripMargin,
@@ -2047,6 +2054,16 @@ object SparkEntry {
           |  CASE WHEN dk.n < 64 THEN CAST(dk.n AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(dk.kth AS DOUBLE) END AS est_users,
           |  CAST(b.n_events AS BIGINT) AS n_events
           |FROM base b JOIN dk ON b.window_start_us = dk.window_start_us""".stripMargin,
+      // the salted STREAMING plan must produce the exact same pair set
+      // as the unsalted streaming join (inner emission is complete over
+      // a drained static source)
+      "ext_stream_join_salted" ->
+        """SELECT b.event_id AS buy_id, c.event_id AS click_id,
+          |  b.user_id AS user_id, epoch_us(b.ts) AS buy_ts_us,
+          |  epoch_us(c.ts) AS click_ts_us
+          |FROM events b JOIN events c ON b.user_id = c.user_id
+          |WHERE b.event_type = 'purchase' AND c.event_type = 'click'
+          |  AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL 24 HOUR""".stripMargin,
       // the salted plan must produce the exact same pair set as the
       // unsalted interval join
       "ext_join_skew_bucketed" ->

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Bounded K-minimum-values (KMV) distinct-count sketch.
   *
@@ -45,6 +46,19 @@ case class KmvDistinct(
 
   require(k >= 2, s"kmv: k must be >= 2, got $k")
 
+  // Registered in the SQL function registry for arbitrary user input, so
+  // the type contract must fail at ANALYSIS, not as an executor-side
+  // ClassCastException: the child must be a LongType hash. The estimator
+  // additionally assumes values are uniform in [0, hashSpace) — the
+  // 60-bit md5 coin domain; values outside it (e.g. negatives, raw ids)
+  // would yield meaningless or even negative estimates, so update()
+  // rejects them loudly instead of sketching garbage.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT hash column in [0, 2^60) " +
+        s"(use graft_sample_hash), got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
@@ -52,7 +66,11 @@ case class KmvDistinct(
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      buffer.add(v.asInstanceOf[Long])
+      val h = v.asInstanceOf[Long]
+      if (h < 0L || h >= hashSpace) throw new IllegalArgumentException(
+        s"$prettyName: input $h outside the uniform-hash domain [0, $hashSpace) — " +
+          "feed it graft_sample_hash(x), not raw values")
+      buffer.add(h)
       if (buffer.size > k) buffer.pollLast()
     }
     buffer

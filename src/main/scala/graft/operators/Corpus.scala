@@ -208,11 +208,16 @@ object Corpus {
     * when `weight * tauPerUnit ≥ 2^60`). Shuffle-free like
     * [[thresholdSample]] (the predicate rides the scan), deterministic
     * (same coin ⇒ same sample under any engine/partitioning), and
-    * INTEGER-exact: the comparison is long < long — callers must keep
-    * `maxWeight * tauPerUnit` under 2^62 to avoid overflow (for token
-    * weights ≤ 10^6 that leaves tauPerUnit up to ~4.6e12, i.e. unit
-    * inclusion probabilities up to ~4e-6 per weight unit — the regime
-    * weighted corpus sampling actually runs at).
+    * INTEGER-exact: the comparison is long < long. Overflow-safe by
+    * construction: the weight is clamped to `Long.MaxValue /
+    * tauPerUnit` BEFORE the multiply, so the product never wraps.
+    * The clamp is semantics-preserving — a clamped product is still
+    * ≥ 2^62 > 2^60 (the coin's exclusive upper bound), so any row the
+    * clamp touches has P[keep] = 1, exactly what the unclamped math
+    * would give. Without it, non-ANSI Spark wraps `weight * tau`
+    * negative and silently DROPS the row while DuckDB raises — the
+    * worst kind of cross-engine divergence (pinned by CorpusSpec's
+    * huge-weight case).
     *
     * This is how a training-data pipeline samples proportional to
     * token count (compute-optimal mixing) while staying replayable:
@@ -222,8 +227,9 @@ object Corpus {
   def weightedThresholdSample(df: DataFrame, idCol: String,
       weightCol: String, tauPerUnit: Long): DataFrame = {
     require(tauPerUnit > 0, s"tauPerUnit must be positive: $tauPerUnit")
+    val maxSafeWeight = Long.MaxValue / tauPerUnit // ≥ 1; clamped product ∈ (2^62, 2^63)
     df.filter(sampleHash(col(idCol)) <
-      col(weightCol).cast("long") * lit(tauPerUnit))
+      least(col(weightCol).cast("long"), lit(maxSafeWeight)) * lit(tauPerUnit))
   }
 
   /** Deterministic SEQUENCE PACKING: assign documents to fixed

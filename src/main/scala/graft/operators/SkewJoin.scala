@@ -38,16 +38,24 @@ object SkewJoin {
     * `rightTs` lies in `[leftTs - horizonNs, leftTs]` (both inclusive),
     * via the time-bucket-salted plan. Timestamp columns are epoch-ns
     * longs (bucketing uses INTEGER division — a double division would
-    * lose µs precision at 10^18 ns magnitudes). Output: the `left`
-    * columns then the `right` columns, minus the right key duplicate. */
+    * lose µs precision at 10^18 ns magnitudes). Bucketing is FLOOR
+    * division, not Spark's truncate-toward-zero `div`: truncation would
+    * merge buckets -1 and 0 for pre-1970 timestamps and the
+    * exactly-once pairing guarantee (bucket(ts_r) ∈ {bucket(ts_l)-1,
+    * bucket(ts_l)}) would silently drop cross-epoch pairs. Output: the
+    * `left` columns then the `right` columns, minus the right key
+    * duplicate. */
   def intervalJoinBucketed(left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
       horizonNs: Long): DataFrame = {
     require(horizonNs > 0, s"horizon must be positive, got $horizonNs")
-    val l = left.withColumn("__bucket", expr(s"$leftTs div $horizonNs"))
+    // floorDiv(ts, h) for h > 0: `div` truncates toward zero, so shift
+    // negative non-exact quotients down by one. Both terms codegen.
+    def floorBucket(ts: String): Column =
+      expr(s"$ts div $horizonNs - (CASE WHEN $ts % $horizonNs < 0 THEN 1 ELSE 0 END)")
+    val l = left.withColumn("__bucket", floorBucket(leftTs))
     val r = right.withColumn("__bucket",
-      explode(array(expr(s"$rightTs div $horizonNs"),
-        expr(s"$rightTs div $horizonNs + 1"))))
+      explode(array(floorBucket(rightTs), floorBucket(rightTs) + 1)))
     l.join(r,
         l(key) === r(key) && l("__bucket") === r("__bucket") &&
           l(leftTs) >= r(rightTs) &&

@@ -610,6 +610,93 @@ object StreamOps {
   def attributionJoin(s: SparkSession, dir: String): DataFrame =
     drainJoin(s, attributionJoinStream(s, dir))
 
+  /** SKEW-SALTED stream-stream attribution join: the streaming twin of
+    * [[graft.operators.SkewJoin.intervalJoinBucketed]], producing the
+    * exact pair set of [[attributionJoinStream]] (same DuckDB oracle;
+    * differential-pinned by StreamJoinSpec).
+    *
+    * Why it exists: the unsalted join hash-partitions BOTH sides' state
+    * by `user_id`, so one bot/celebrity user concentrates its entire
+    * 25 h state-and-probe workload on a single state-store partition —
+    * and in STATEFUL STREAMING there is no AQE to split it (AQE skew
+    * handling only rewrites batch shuffle reads; state-store assignment
+    * is fixed by the keys at query start). Salting the equality key is
+    * the ONLY lever, and as in the batch twin the right salt is the
+    * event-time horizon bucket, not a random int:
+    *
+    *  - state spreads over `(user, bucket)` — a hot user's day of
+    *    clicks lands on ~2 partitions per horizon instead of one
+    *    partition forever, and the spread tracks time, so it holds for
+    *    a key that is hot for a month;
+    *  - a random salt of width W would replicate every BUY to W
+    *    partitions (unbounded extra state); the time salt replicates
+    *    each CLICK to exactly 2 buckets — bounded, and only while the
+    *    click is inside its eviction horizon;
+    *  - bucket equality TIGHTENS the join (`bucket(buy) ∈
+    *    {bucket(click), bucket(click)+1}` ⊇ the interval bound), so
+    *    pairs are found exactly once via the replica whose bucket
+    *    matches — no dedup pass, same emission timing: a pair emits
+    *    when both rows are in state, exactly as unsalted.
+    *
+    * Watermark/eviction are unchanged: both sides keep their event-time
+    * watermark and the µs-precision interval predicate, from which
+    * Spark derives the same per-side state horizon (the added equality
+    * narrows state keys, it does not extend lifetimes). Buckets use
+    * epoch-µs `div` (event times here are post-1970; the batch twin's
+    * floor-div correction matters only for negative epochs — see
+    * SkewJoin.floorBucket).
+    */
+  private[streaming] def attributionJoinStreamSalted(s: SparkSession,
+      dir: String): DataFrame = {
+    val horizonUs = 24L * 3600 * 1000000L
+    val ev = eventsStream(s, dir)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+        col("event_ts").as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+      .withColumn("buy_bucket", expr(s"unix_micros(buy_ts) div $horizonUs"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+      .withColumn("click_bucket",
+        explode(array(expr(s"unix_micros(click_ts) div $horizonUs"),
+          expr(s"unix_micros(click_ts) div $horizonUs + 1"))))
+    buys.join(clicks,
+      col("buy_user") === col("click_user") &&
+        col("buy_bucket") === col("click_bucket") &&
+        col("click_ts") <= col("buy_ts") &&
+        col("click_ts") >= col("buy_ts") - expr("INTERVAL 24 HOURS"),
+      "inner")
+      .select(col("buy_id"), col("click_id"),
+        col("buy_user").as("user_id"),
+        unix_micros(col("buy_ts")).as("buy_ts_us"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+  }
+
+  /** [[attributionJoinStreamSalted]] drained through the memory-sink
+    * oracle harness (same oracle as [[attributionJoin]]). */
+  def attributionJoinSalted(s: SparkSession, dir: String): DataFrame =
+    drainJoin(s, attributionJoinStreamSalted(s, dir))
+
+  /** [[attributionJoinStreamSalted]] in its scale shape: RocksDB state,
+    * exactly-once parquet sink — the file twin ScaleSmoke times. */
+  def attributionJoinSaltedToFiles(s: SparkSession, dir: String,
+      outDir: String, checkpointDir: String,
+      rocksDB: Boolean = true): DataFrame = {
+    withRocksDB(s, rocksDB) {
+      val q = attributionJoinStreamSalted(s, dir).writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.read.parquet(outDir)
+  }
+
   /** LEFT-OUTER attribution: matched pairs as [[attributionJoin]], plus
     * one null-click row per UNATTRIBUTED purchase — emitted only once
     * the watermark proves no matching click can still arrive.

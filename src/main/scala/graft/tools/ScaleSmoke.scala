@@ -67,7 +67,9 @@ object ScaleSmoke {
     "ext_approx_distinct", "ext_quantile_sampled",
     "ext_stream_join_outer_files", "ext_join_skew_bucketed",
     "ext_sample_weighted", "ext_stream_kmv_files",
-    "ext_pack_sequences")
+    "ext_pack_sequences",
+    // round 15: the stateful-streaming skew twin
+    "ext_stream_join_salted_files")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
@@ -145,6 +147,12 @@ object ScaleSmoke {
     "ext_stream_join_outer_files" -> ((s, dir) =>
       graft.streaming.StreamOps.attributionJoinToFiles(s, dir,
         scratch("sjo_out"), scratch("sjo_ck"), joinType = "left_outer")),
+    // skew-salted twin: (user, horizon-bucket) state keys, 2× click
+    // replication — the stateful-streaming skew insurance; same bounded
+    // state horizon, ratio should track the unsalted twin
+    "ext_stream_join_salted_files" -> ((s, dir) =>
+      graft.streaming.StreamOps.attributionJoinSaltedToFiles(s, dir,
+        scratch("sjs_out"), scratch("sjs_ck"))),
     // the KMV sketch as RocksDB streaming state in append mode: the
     // scale twin of the ext_stream_kmv oracle harness — per-window
     // buffers stay k longs however many users the factor adds

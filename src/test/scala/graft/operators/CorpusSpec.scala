@@ -305,6 +305,23 @@ class CorpusSpec extends SparkSuite {
       "higher-weight stratum must keep a larger fraction")
   }
 
+  test("weightedThresholdSample: huge weights keep (P=1), never wrap " +
+      "negative and silently drop") {
+    import spark.implicits._
+    val tau = 1000000000000000L // ext_sample_weighted's tau
+    // weights straddling the overflow boundary 2^63/tau ≈ 9223: pre-clamp,
+    // w * tau wrapped negative for the large ones and the filter silently
+    // dropped rows DuckDB would keep (or error on) — the divergence class
+    // ADVICE r14 flagged. All of these have w*tau ≥ 2^60 ⇒ must ALL keep.
+    val df = Seq((1L, 9224L), (2L, 100000L), (3L, Long.MaxValue / tau + 7),
+        (4L, Long.MaxValue), (5L, 0L))
+      .toDF("doc_id", "w")
+    val kept = Corpus.weightedThresholdSample(df, "doc_id", "w", tau)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L),
+      s"huge-weight rows must keep with P=1 and zero-weight drop, got $kept")
+  }
+
   test("sampledQuantiles: nearest-rank over the full set when fraction=1") {
     import spark.implicits._
     // group g: values 1..100 -> p50 = 50th smallest = 50, p95 = 95, p99 = 99

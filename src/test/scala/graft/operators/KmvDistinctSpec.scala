@@ -68,6 +68,37 @@ class KmvDistinctSpec extends SparkSuite {
       s"${streamed.size} streamed vs ${batch.size} batch windows")
   }
 
+  test("type contract: non-BIGINT input is an ANALYSIS error, not an " +
+      "executor ClassCastException; out-of-domain longs are rejected loudly") {
+    import spark.implicits._
+    graft.sql.GraftFunctions.register(spark)
+    Seq(("a", "x"), ("a", "y")).toDF("g", "s")
+      .createOrReplaceTempView("kmv_bad_type")
+    val analysisErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT g, graft_kmv_distinct(s, 64) FROM kmv_bad_type GROUP BY g")
+        .collect()
+    }
+    assert(analysisErr.getMessage.toLowerCase.contains("graft_kmv_distinct")
+        || analysisErr.getMessage.toLowerCase.contains("bigint"),
+      s"unexpected analysis message: ${analysisErr.getMessage}")
+    // raw longs outside [0, 2^60) — e.g. negative ids — must fail loudly,
+    // not produce a silently wrong (even negative) estimate
+    Seq(("a", -5L), ("a", 3L)).toDF("g", "v")
+      .createOrReplaceTempView("kmv_bad_domain")
+    val execErr = intercept[Exception] {
+      spark.sql(
+        "SELECT g, graft_kmv_distinct(v, 64) FROM kmv_bad_domain GROUP BY g")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(execErr).exists(
+        _.getMessage != null) && causes(execErr)
+      .flatMap(c => Option(c.getMessage)).exists(_.contains("uniform-hash domain")),
+      s"expected domain rejection, got: ${execErr.getMessage}")
+  }
+
   test("SQL route equals the DataFrame route") {
     import spark.implicits._
     graft.sql.GraftFunctions.register(spark)

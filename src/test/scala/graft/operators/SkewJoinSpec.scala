@@ -107,6 +107,39 @@ class SkewJoinSpec extends SparkSuite {
     assert(plain.size > 100, s"fixture too sparse: ${plain.size}")
   }
 
+  test("negative (pre-1970) timestamps: floor bucketing keeps the " +
+      "documented invariant bucket(ts_r) ∈ {bucket(ts_l)-1, bucket(ts_l)}" +
+      " — differential vs plain across the epoch") {
+    import spark.implicits._
+    val B = H24
+    val rnd = new scala.util.Random(0xBEEF)
+    // timestamps straddling 0 and negative bucket boundaries (±2ns at
+    // -2B, -B, 0, B) plus uniform fill over [-3B, 3B)
+    def ts(): Long = {
+      if (rnd.nextBoolean()) (rnd.nextInt(4) - 2).toLong * B + (rnd.nextInt(5) - 2).toLong
+      else (rnd.nextLong() % (3 * B))
+    }
+    val buys = (1 to 200).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, ts())).toDF("buy_id", "user_id", "buy_ts")
+    val clicks = (1 to 200).map(i =>
+      (1000L + i, (rnd.nextInt(5) + 1).toLong, ts())).toDF("click_id", "user_id", "click_ts")
+    val plain = buys.join(clicks,
+        buys("user_id") === clicks("user_id") &&
+          col("click_ts") <= col("buy_ts") &&
+          col("click_ts") >= col("buy_ts") - B)
+      .select(col("buy_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = SkewJoin.intervalJoinBucketed(
+        buys, clicks, "user_id", "buy_ts", "click_ts", B)
+      .select(col("buy_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(salted.length == salted.distinct.length,
+      "duplicate pair across the epoch boundary")
+    assert(salted.toSet == plain,
+      s"diff: ${(salted.toSet -- plain) ++ (plain -- salted.toSet)}")
+    assert(plain.size > 50, s"fixture too sparse: ${plain.size}")
+  }
+
   test("a hot key's work spreads over (key, bucket) groups") {
     import spark.implicits._
     // one user, events across 30 days: the plain join keys everything

@@ -68,6 +68,44 @@ class StreamJoinSpec extends SparkSuite {
       s"streamed ${streamed.size} pairs, batch ${batch.size}")
   }
 
+  test("salted streaming join ≡ unsalted: identical pair set, no " +
+      "duplicates from click replication (sf0.001 differential)") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = StreamOps.attributionJoin(spark, dir)
+      .select(col("buy_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = StreamOps.attributionJoinSalted(spark, dir)
+      .select(col("buy_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(salted.length == salted.distinct.length,
+      "bucket replication produced duplicate pairs")
+    assert(salted.toSet == plain,
+      s"diff: ${(salted.toSet -- plain) ++ (plain -- salted.toSet)}")
+    assert(plain.nonEmpty)
+  }
+
+  test("salted streaming join: cross-bucket pairs found exactly once " +
+      "(planted horizon-boundary fixture)") {
+    withTempDir { tmp =>
+      val HB = 24 * H // horizon == bucket size, in ns
+      // bucket boundary at a multiple of 24h from epoch; plant a click
+      // just before it and a buy just after: they pair ONLY via the
+      // click's +1 replica. Same-bucket and out-of-horizon pins too.
+      val b20 = (T0 / HB) * HB // a 24h boundary near T0
+      writeEvents(tmp.toString, Seq(
+        (1L, b20 + S, 1L, "purchase"),       // pairs with 10 (cross), 11 (same)
+        (10L, b20 - S, 1L, "click"),         // previous bucket, in horizon
+        (11L, b20 + S / 2, 1L, "click"),     // same bucket
+        (12L, b20 - 24 * H - S, 1L, "click"), // beyond horizon -> out
+        (2L, b20 + 2 * H, 2L, "purchase"))) // other user, no clicks
+      val got = StreamOps.attributionJoinSalted(spark, tmp.toString)
+        .select(col("buy_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.distinct.length, s"dup pairs: $got")
+      assert(got.toSet == Set((1L, 10L), (1L, 11L)), s"got ${got.toSet}")
+    }
+  }
+
   test("left-outer emission cutoff: null rows exactly for purchases at " +
       "or below (wm_ms - 1) * 1000, wm = min side watermark, ms-floored") {
     val U = 1000L // one µs in ns

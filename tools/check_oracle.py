@@ -40,6 +40,36 @@ def norm(v):
     return v
 
 
+# The driver's hash is TYPE-sensitive: a DuckDB column widened to HUGEINT
+# (windowed sum(BIGINT), or arithmetic on one) hashes differently from
+# Spark's int64 even when every value is equal (r14: ext_pack_sequences).
+# Map each DuckDB result type to the set of pyarrow types it hashes equal to;
+# anything unmapped (HUGEINT, DECIMAL, UHUGEINT, INT128...) is a drift fail.
+DUCK_TO_ARROW = {
+    "BOOLEAN": {"bool"},
+    "TINYINT": {"int8"},
+    "SMALLINT": {"int16"},
+    "INTEGER": {"int32"},
+    "BIGINT": {"int64"},
+    "FLOAT": {"float"},
+    "DOUBLE": {"double"},
+    "VARCHAR": {"string", "large_string"},
+    "BLOB": {"binary", "large_binary"},
+    "DATE": {"date32[day]"},
+}
+
+
+def type_ok(duck_t, arrow_t):
+    d = str(duck_t).upper()
+    a = str(arrow_t)
+    if d.startswith("TIMESTAMP"):
+        return a.startswith("timestamp")
+    if d.endswith("[]") or d.startswith("LIST") or d.startswith("STRUCT") or d.startswith("MAP"):
+        return a.startswith(("list", "large_list", "struct", "map"))
+    allowed = DUCK_TO_ARROW.get(d)
+    return allowed is not None and a in allowed
+
+
 def rows_of(cols, names):
     # dict col->list; produce sorted list of tuples ordered by sorted names
     order = sorted(names)
@@ -83,6 +113,21 @@ def main(out_dir, sf_dir):
             continue
         if sorted(duck_names) != sorted(spark_names):
             print(f"FAIL {name}: columns differ spark={sorted(spark_names)} duck={sorted(duck_names)}")
+            n_fail += 1
+            continue
+        # Oracle-type drift gate: the driver hashes (value, type); catch a
+        # DuckDB widening the way the driver would, before any value compare.
+        arrow_types = {f.name: f.type for f in table.schema}
+        drift = [
+            (n, str(t), str(arrow_types[n]))
+            for n, t in zip(duck_names, res.types)
+            if not type_ok(t, arrow_types[n])
+        ]
+        if drift:
+            n, dt, at = drift[0]
+            print(f"FAIL {name}: oracle type drift on '{n}': duck={dt} vs spark={at}"
+                  + (f" (+{len(drift)-1} more)" if len(drift) > 1 else "")
+                  + " — CAST the oracle column to the Spark type")
             n_fail += 1
             continue
         duck_cols = {n: [r[i] for r in fetched] for i, n in enumerate(duck_names)}
