@@ -706,6 +706,17 @@ object SparkEntry {
         "FROM graft_orders WHERE row_key LIKE '00000001%'")
     }),
 
+    // the engine scan verb as a SQL TABLE function: prefix + row limit
+    // parameterize planning, the analyzer splices the scan plan into
+    // FROM — no pre-registered view needed
+    "sql_scan_tvf" -> ((s, dir) => {
+      engineOrders(s, dir)
+      graft.sql.SqlSurface.registerScanTvf(s,
+        new graft.core.Catalog(engineCachePath(dir, 0)))
+      s.sql("SELECT row_key, family, qualifier, ts, vs, vd " +
+        "FROM graft_scan('orders', '00000001', 50)")
+    }),
+
     // exact dedup in SQL text over the registered pipeline view
     "sql_dedup_exact" -> ((s, dir) => {
       graft.sql.SqlSurface.registerPipeline(s, plantedDocs(s, dir),
@@ -986,6 +997,27 @@ object SparkEntry {
       graft.operators.Similarity.ivfTopKFromLayout(
         ivfAppendLayoutDir(s, dir), e.filter(col("vec_id") < 10),
         k = AnnIvfK)
+    }),
+
+    // ---- IVF recall telemetry AS DATA: recall@k of the physical-layout
+    //      IVF probe vs exact brute force, per query, integer counts.
+    //      Specs assert recall thresholds at one SF; this row pins the
+    //      exact hit counts under the oracle, so a probe-pruning
+    //      regression (fewer lists probed, wrong assignment) surfaces
+    //      as a red correctness row, not a silent quality drop ----------
+    "eng_ann_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+      val ivf = graft.operators.Similarity.ivfTopKFromLayout(
+          ivfLayoutDir(s, dir), q, k = AnnIvfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = graft.operators.Similarity.bruteForceTopK(q, e, k = AnnIvfK)
+        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+      ivf.join(brute,
+          col("query_id") === col("bq") && col("neighbor_id") === col("bn"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("bn")).as("n_hit"), count(lit(1)).as("n_ret"))
     }),
 
     // ---- corpus-adaptive IVF: ~√n lists (capped), √lists probes, and
@@ -1291,6 +1323,29 @@ object SparkEntry {
       |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id != p.query_id
       |) WHERE rnk <= $AnnIvfK""".stripMargin
 
+  /** Oracle for `eng_ann_recall`: recompute the IVF top-k
+    * ([[annIvfSql]], nested verbatim as a CTE) and the exact
+    * brute-force top-k, then count per query how many IVF neighbors
+    * appear in the exact set — integer recall counts, deterministic
+    * because both member queries are already hash-exact oracles. */
+  private val annRecallSql: String =
+    s"""WITH ivf AS (
+       |$annIvfSql
+       |), brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+       |    WHERE q.vec_id < 10
+       |  ) WHERE rnk <= $AnnIvfK
+       |)
+       |SELECT i.query_id AS query_id,
+       |  CAST(count(b.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(count(*) AS BIGINT) AS n_ret
+       |FROM ivf i LEFT JOIN brute b
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY i.query_id""".stripMargin
+
   /** Oracle for `ext_ann_ivf_adaptive`: the SAME derivation as
     * [[graft.operators.Similarity.adaptiveIvfStride]] /
     * [[graft.operators.Similarity.autoNprobe]] in SQL — lists =
@@ -1434,6 +1489,12 @@ object SparkEntry {
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key IN ('0000000001','0000000042','0000000777')",
       "eng_bucket_get" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key = '0000000001'",
+      // the TVF row-limit is the engine's distributed row limit: first
+      // 50 distinct row_keys in key order, each with its full cell set
+      "sql_scan_tvf" ->
+        s"""$oc, lim AS (
+           |  SELECT DISTINCT row_key FROM cells WHERE row_key LIKE '00000001%' ORDER BY row_key LIMIT 50
+           |) SELECT row_key, family, qualifier, ts, vs, vd FROM cells JOIN lim USING (row_key)""".stripMargin,
       "eng_scan_limits" ->
         s"""$oc, lim AS (
            |  SELECT DISTINCT row_key FROM cells WHERE row_key LIKE '0000001%' ORDER BY row_key LIMIT 100
@@ -1936,6 +1997,7 @@ object SparkEntry {
       "ext_ann_ivf" -> annIvfSql,
       "eng_ann_ivf" -> annIvfSql,
       "eng_ann_ivf_append" -> annIvfSql,
+      "eng_ann_recall" -> annRecallSql,
       "ext_ann_ivf_adaptive" -> annIvfAdaptiveSql,
       "ext_lang_id" ->
         """WITH toks AS (

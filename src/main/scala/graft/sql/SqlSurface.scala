@@ -84,4 +84,55 @@ object SqlSurface {
       view
     }
   }
+
+  /** Register `graft_scan(table, prefix[, row_limit])` as a SQL TABLE
+    * function: `SELECT * FROM graft_scan('orders', '00000001', 100)`
+    * reaches the engine's scan verb without any pre-registered view —
+    * the last piece of the SQL surface (scalar functions and views
+    * already exist; this makes the SCAN itself first-class in FROM).
+    *
+    * Spark-first mechanics: the builder is registered in the session's
+    * `TableFunctionRegistry` (the same registry `range(...)` lives in),
+    * so the analyzer invokes it DURING resolution and splices the
+    * returned logical plan into the query — the TVF costs nothing at
+    * runtime, and everything downstream (predicate pushdown into the
+    * lg-partitioned parquet, column pruning of unselected projections)
+    * applies to the spliced plan exactly as to a view. Arguments must
+    * be foldable literals — they parameterize PLANNING (which table,
+    * which prefix, how many rows), mirroring how the reference's scan
+    * verb takes them in the request body
+    * (`smoltable/src/query/row.rs:12-30`). The limit maps to the
+    * engine's distributed row-limit operator, not a plain LIMIT: it
+    * bounds distinct ROWS, carrying each row's full cell set. */
+  def registerScanTvf(s: SparkSession, cat: Catalog,
+      name: String = "graft_scan"): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import graft.core.CellOps
+    import graft.model.{ScanInput, ScanMode}
+    val builder: Seq[Expression] => LogicalPlan = args => {
+      def litVal(i: Int, what: String): Any = args(i) match {
+        case Literal(v, _) if v != null => v
+        case other => throw new IllegalArgumentException(
+          s"$name: $what must be a non-null literal, got ${other.sql}")
+      }
+      if (args.length < 2 || args.length > 3)
+        throw new IllegalArgumentException(
+          s"$name(table, prefix[, row_limit]) takes 2 or 3 arguments, " +
+            s"got ${args.length}")
+      val table = String.valueOf(litVal(0, "table"))
+      val prefix = String.valueOf(litVal(1, "prefix"))
+      val rowLimit =
+        if (args.length == 3) Some(String.valueOf(litVal(2, "row_limit")).toInt)
+        else None
+      val t = Smoltable.open(s, cat, table)
+      val df = CellOps.scanCells(t.cellsFor(None),
+          ScanInput(ScanMode.Prefix(prefix), rowLimit = rowLimit))
+        .select(col("row_key"), col("family"), col("qualifier"), col("ts"),
+          col("value.s").as("vs"), col("value.f64").as("vd"))
+      df.queryExecution.logical
+    }
+    s.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "internal")
+  }
 }

@@ -60,6 +60,54 @@ class SqlSurfaceSpec extends SparkSuite {
     }
   }
 
+  test("graft_scan TVF: scan verb in FROM matches the Scala verb, " +
+      "prefix pushed to the scan, literal args enforced") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val t = Smoltable.open(spark, cat, "web")
+      t.createColumnFamilies(Seq(ColumnFamilyDefinition("title")))
+      t.writeBulk(titleCells(Seq(
+        "org.apache.spark" -> "Apache Spark",
+        "org.apache.kafka" -> "Apache Kafka",
+        "org.apache.arrow" -> "Apache Arrow",
+        "com.github.a" -> "GitHub A")))
+      SqlSurface.registerScanTvf(spark, cat)
+
+      val sqlRes = spark.sql(
+        "SELECT row_key, vs FROM graft_scan('web', 'org.') ORDER BY row_key")
+      val viaVerb = CellOps.scanCells(t.cellsFor(None),
+          ScanInput(ScanMode.Prefix("org.")))
+        .select(col("row_key"), col("value.s"))
+        .orderBy("row_key")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(sqlRes.collect().map(r => (r.getString(0), r.getString(1)))
+        .toSeq == viaVerb.toSeq)
+      assert(viaVerb.length == 3)
+
+      // the TVF splices a plan, not rows: the prefix predicate must land
+      // in the parquet scan's pushed filters like the view route does
+      val plan = sqlRes.queryExecution.executedPlan.toString
+      assert(plan.contains("StringStartsWith(row_key,org.)"),
+        s"prefix not pushed through the TVF:\n$plan")
+
+      // row_limit arg maps to the engine's distributed ROW limit:
+      // 2 rows in key order, each with its whole cell set
+      val limited = spark.sql(
+        "SELECT row_key FROM graft_scan('web', 'org.', 2)")
+        .collect().map(_.getString(0)).toSet
+      assert(limited == Set("org.apache.arrow", "org.apache.kafka"))
+
+      // planning args must be literals — a column reference is a
+      // resolution-time error, not a silent empty result
+      val err = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_scan('web', substring(rand(), 0, 1))")
+          .collect()
+      }
+      assert(err.getMessage.contains("literal"),
+        s"expected literal-arg rejection, got: ${err.getMessage}")
+    }
+  }
+
   test("dedup + text analysis via spark.sql match the operator API") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val views = SqlSurface.registerPipeline(spark, docs)
