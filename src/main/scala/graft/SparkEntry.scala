@@ -1080,6 +1080,30 @@ object SparkEntry {
       graft.operators.TextAnalysis.fingerprint(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // ---- PII detection + redaction signals ---------------------------
+    // counts per pattern class + post-redaction length; the synthetic
+    // corpus carries no PII, so the row PLANTS deterministic addresses/
+    // phones/IPs from doc_id (same arithmetic in the oracle) — the
+    // operator under test is the engine-portable regex kernel, the
+    // planting is fixture construction, not semantics
+    "ext_pii_scan" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
+      val planted = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, concat(lit(" host 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextAnalysis.piiScan(planted)
+    }),
+
     // ---- multimodal: binary payload -> batched decode stub -> features
     "ext_multimodal_features" -> ((s, dir) =>
       graft.operators.Multimodal.documentFeatures(s, dir)),
@@ -2047,6 +2071,27 @@ object SparkEntry {
         """SELECT doc_id,
           |  CAST(concat('0x', substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint
           |FROM documents""".stripMargin,
+      // PII planting arithmetic mirrored exactly; the regexes use only
+      // constructs Java regex and RE2 share (classes, bounded reps, \b)
+      "ext_pii_scan" ->
+        """WITH planted AS (
+          |  SELECT doc_id, text
+          |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+          |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+          |    || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text
+          |  FROM documents WHERE text IS NOT NULL
+          |)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+          |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+          |  CAST(length(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |        '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+          |      '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS BIGINT) AS n_chars_redacted
+          |FROM planted""".stripMargin,
       "ext_multimodal_features" ->
         """SELECT doc_id,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

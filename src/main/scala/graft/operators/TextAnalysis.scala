@@ -102,4 +102,42 @@ object TextAnalysis {
         coalesce(col("max_trigram_count"), lit(0L))
           .as("max_trigram_count"))
   }
+
+  /** PII patterns shared by detection and redaction. Deliberately
+    * restricted to constructs Java regex (Spark) and RE2 (DuckDB,
+    * Go/Rust scanners) interpret identically — character classes,
+    * bounded repetition, `\b` — no backreferences, no lookaround: the
+    * counts must be engine-independent for the oracle gate AND so a
+    * redaction decision replays identically wherever the pipeline
+    * reruns. Extend the map per deployment. */
+  val DefaultPiiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, regex, replacement) — applied IN ORDER for redaction, so
+    // overlapping classes (digits inside an email local part) resolve
+    // deterministically: email first consumes its whole match
+    ("emails", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("phones", "\\b[0-9]{3}-[0-9]{4}\\b", "<PHONE>"))
+
+  /** PII detection + redaction signals: per-doc match counts for each
+    * pattern class and the post-redaction length — the step a
+    * training-data pipeline runs between quality filtering and
+    * packing (raw PII must not reach the tokenizer).
+    *
+    * Shape at 100 TB: one narrow projection per document, no shuffle,
+    * no UDF — `regexp_count`/`regexp_replace` are codegen'd Catalyst
+    * expressions, so the scan streams through whole-stage codegen and
+    * the regex cost is the only cost. Counts rather than boolean flags
+    * so downstream policy (drop vs redact vs quarantine by density)
+    * stays a filter, not a rescan. */
+  def piiScan(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      patterns: Seq[(String, String, String)] = DefaultPiiPatterns): DataFrame = {
+    val redacted = patterns.foldLeft(col(textCol)) {
+      case (c, (_, re, repl)) => regexp_replace(c, re, repl)
+    }
+    docs.select(col(idCol).as("doc_id") +:
+      patterns.map { case (name, re, _) =>
+        regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")
+      } :+ length(redacted).cast("long").as("n_chars_redacted"): _*)
+  }
 }

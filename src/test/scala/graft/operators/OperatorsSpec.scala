@@ -577,6 +577,33 @@ class OperatorsSpec extends SparkSuite {
     assert(t.getAs[Long]("bpe_ish_tokens") == 14L)
   }
 
+  test("piiScan: hand-computed counts, redaction order, and " +
+      "post-redaction length") {
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@mail.example.org or jo@ex.io today"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 port 555-1234"),
+      (3L, "digits 555-12 and 555-12345 are NOT phones, 1.2.3 not an ip"),
+      (4L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiScan(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_emails") == 2L)
+    assert(r(1L).getAs[Long]("n_phones") == 0L)
+    assert(r(2L).getAs[Long]("n_ipv4") == 2L)
+    assert(r(2L).getAs[Long]("n_phones") == 1L)
+    // 555-12 too short, 555-12345 too long (\b excludes), 1.2.3 only 3 octets
+    assert(r(3L).getAs[Long]("n_emails") == 0L)
+    assert(r(3L).getAs[Long]("n_phones") == 0L)
+    assert(r(3L).getAs[Long]("n_ipv4") == 0L)
+    assert(r(3L).getAs[Long]("n_chars_redacted") ==
+      "digits 555-12 and 555-12345 are NOT phones, 1.2.3 not an ip".length)
+    assert(r(4L).getAs[Long]("n_chars_redacted") ==
+      "clean text with no pii at all".length)
+    // doc 2 redacted: both IPs -> <IP>, phone -> <PHONE>
+    assert(r(2L).getAs[Long]("n_chars_redacted") ==
+      "server <IP> and <IP> port <PHONE>".length)
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val d = Seq(
       (1L, "hello   world"), (2L, "hello world"), (3L, "hello worlds"))
