@@ -1080,6 +1080,15 @@ object SparkEntry {
       graft.operators.TextAnalysis.fingerprint(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // ---- TF-IDF top terms per document -------------------------------
+    // (tf * N) / df scoring (one exact int product + one IEEE divide —
+    // no libm ln, so the oracle reproduces scores bit-for-bit); top-3
+    // per doc with term-asc tie-break
+    "ext_tfidf" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tfidfTopTerms(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull))),
+
     // ---- PII detection + redaction signals ---------------------------
     // counts per pattern class + post-redaction length; the synthetic
     // corpus carries no PII, so the row PLANTS deterministic addresses/
@@ -2071,6 +2080,26 @@ object SparkEntry {
         """SELECT doc_id,
           |  CAST(concat('0x', substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint
           |FROM documents""".stripMargin,
+      // tf*N exact in int64, one IEEE divide — bit-reproducible scores;
+      // Spark's split(' ') keeps empty strings so the filter matches
+      "ext_tfidf" ->
+        """WITH d AS (
+          |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          |), toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d
+          |), tf AS (
+          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM toks WHERE term != '' GROUP BY doc_id, term
+          |), df AS (
+          |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+          |), n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM d)
+          |SELECT doc_id, term, tf, df, score, rnk FROM (
+          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |    CAST(tf.tf * (SELECT n FROM n) AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+          |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+          |      ORDER BY CAST(tf.tf * (SELECT n FROM n) AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.term ASC) AS BIGINT) AS rnk
+          |  FROM tf JOIN df ON tf.term = df.term
+          |) WHERE rnk <= 3""".stripMargin,
       // PII planting arithmetic mirrored exactly; the regexes use only
       // constructs Java regex and RE2 share (classes, bounded reps, \b)
       "ext_pii_scan" ->

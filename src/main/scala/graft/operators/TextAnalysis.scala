@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -101,6 +102,54 @@ object TextAnalysis {
           .as("distinct_ratio"),
         coalesce(col("max_trigram_count"), lit(0L))
           .as("max_trigram_count"))
+  }
+
+  /** Per-document top-k terms by TF-IDF — the classic "what is this
+    * document about" signal a curation pipeline uses for topic mixing
+    * and near-duplicate triage.
+    *
+    * Determinism across engines (the oracle gate) dictates the scoring
+    * form: `score = (tf * N) / df` computed as ONE exact integer
+    * product cast to double and ONE IEEE division — both engines round
+    * each identically, where a `ln`-based idf would hang the result on
+    * libm ulp differences. The ranking this induces is the same as
+    * classic tf·idf without smoothing (monotone in tf/df); ties break
+    * on the term string ascending, so the top-k set is unique.
+    *
+    * Shuffle shape at 100 TB (three exchanges, all narrow):
+    *  1. explode(tokens) → partial-count → exchange on (doc, term) —
+    *     the only corpus-sized shuffle, map-side combined;
+    *  2. term-level document frequency — exchange on term, output is
+    *     VOCABULARY-sized (≪ corpus), then joined back to the tf table
+    *     (AQE broadcasts it when it fits — the common case);
+    *  3. per-doc top-k — rank window on doc, planned as
+    *     `WindowGroupLimit` so each task keeps k rows per doc before
+    *     the final exchange.
+    * The integer product `tf * n_docs` stays exact under 2^53
+    * (tf ≤ doc length, so safe for any real corpus + shard count).
+    * `n_docs` is one `count()` action returning a single long to the
+    * driver — the same bounded-collect class as the adaptive-IVF
+    * geometry derivation, not a data collect.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("score",
+        (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
   }
 
   /** PII patterns shared by detection and redaction. Deliberately

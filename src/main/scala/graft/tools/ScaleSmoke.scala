@@ -68,8 +68,9 @@ object ScaleSmoke {
     "ext_stream_join_outer_files", "ext_join_skew_bucketed",
     "ext_sample_weighted", "ext_stream_kmv_files",
     "ext_pack_sequences",
-    // round 15: the stateful-streaming skew twin + the PII regex pass
-    "ext_stream_join_salted_files", "ext_pii_scan")
+    // round 15: the stateful-streaming skew twin, the PII regex pass,
+    // and the TF-IDF two-level aggregate
+    "ext_stream_join_salted_files", "ext_pii_scan", "ext_tfidf")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",

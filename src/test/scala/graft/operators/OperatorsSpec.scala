@@ -577,6 +577,29 @@ class OperatorsSpec extends SparkSuite {
     assert(t.getAs[Long]("bpe_ish_tokens") == 14L)
   }
 
+  test("tfidfTopTerms: hand-computed scores, rare terms outrank common, " +
+      "top-k window plans as WindowGroupLimit") {
+    val d = Seq(
+      (1L, "apple apple banana the the the"),
+      (2L, "banana cherry the the"),
+      (3L, "durian the"))
+      .toDF("doc_id", "text")
+    // N=3; df: apple=1, banana=2, cherry=1, durian=1, the=3
+    // doc1 scores: apple 2*3/1=6, the 3*3/3=3, banana 1*3/2=1.5
+    val out = TextAnalysis.tfidfTopTerms(d, k = 2)
+    val doc1 = out.filter(col("doc_id") === 1).orderBy("rnk").collect()
+    assert(doc1.map(r => (r.getAs[String]("term"), r.getAs[Double]("score")))
+      .toSeq == Seq(("apple", 6.0), ("the", 3.0)))
+    // doc3: durian (1*3/1=3) outranks the ubiquitous "the" (1*3/3=1)
+    val doc3 = out.filter(col("doc_id") === 3).orderBy("rnk").collect()
+    assert(doc3.head.getAs[String]("term") == "durian")
+    // the per-doc top-k must plan as WindowGroupLimit (rank pushed
+    // before the final exchange), not a full window sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k window not group-limited:\n$plan")
+  }
+
   test("piiScan: hand-computed counts, redaction order, and " +
       "post-redaction length") {
     val d = Seq(
