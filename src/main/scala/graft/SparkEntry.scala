@@ -757,6 +757,18 @@ object SparkEntry {
     "ext_dedup_exact" -> ((s, dir) =>
       graft.operators.Dedup.exact(plantedDocs(s, dir))),
 
+    // ---- INCREMENTAL exact dedup: the planted batch against the
+    //      fingerprint set of an "already-landed" corpus slice
+    //      (doc_id % 3 = 0) — within-batch min-id keep + anti join;
+    //      the continuous-ingest shape (batch + fingerprints, never
+    //      a corpus rescan) --------------------------------------------
+    "ext_dedup_incremental" -> ((s, dir) => {
+      val known = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 3 === 0 && col("text").isNotNull)
+        .select(md5(col("text")).as("h"))
+      graft.operators.Dedup.incrementalExact(plantedDocs(s, dir), known)
+    }),
+
     // ---- MinHash + LSH band-join candidate pairs ---------------------
     // per-doc polynomial window hashes -> 4 XOR-seeded min-hashes -> 2
     // indexed bands -> pairs sharing a band (sort-merge self-join with
@@ -1647,6 +1659,18 @@ object SparkEntry {
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE family = 'm'",
       "ext_dedup_exact" ->
         s"$plantedSql SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count FROM docs2 GROUP BY md5(text)",
+      // within-batch min-id keep, then anti join against the known
+      // fingerprint slice (doc_id % 3 = 0)
+      "ext_dedup_incremental" ->
+        s"""$plantedSql, batch AS (
+           |  SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS doc_id
+           |  FROM docs2 GROUP BY md5(text)
+           |), known AS (
+           |  SELECT DISTINCT md5(text) AS h FROM documents
+           |  WHERE doc_id % 3 = 0 AND text IS NOT NULL
+           |)
+           |SELECT b.doc_id, b.h FROM batch b
+           |LEFT JOIN known k ON b.h = k.h WHERE k.h IS NULL""".stripMargin,
       "ext_dedup_minhash" ->
         s"""$plantedSql, pos AS (
            |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM docs2

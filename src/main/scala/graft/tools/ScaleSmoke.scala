@@ -70,7 +70,8 @@ object ScaleSmoke {
     "ext_pack_sequences",
     // round 15: the stateful-streaming skew twin, the PII regex pass,
     // and the TF-IDF two-level aggregate
-    "ext_stream_join_salted_files", "ext_pii_scan", "ext_tfidf")
+    "ext_stream_join_salted_files", "ext_pii_scan", "ext_tfidf",
+    "ext_dedup_incremental")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",

@@ -577,6 +577,32 @@ class OperatorsSpec extends SparkSuite {
     assert(t.getAs[Long]("bpe_ish_tokens") == 14L)
   }
 
+  test("incrementalExact: within-batch min-id keep, known hashes " +
+      "dropped, and batch-then-batch equals one big batch") {
+    val corpus = Seq((100L, "already landed text"), (101L, "old news"))
+      .toDF("doc_id", "text")
+    val known = corpus.select(md5(col("text")).as("h"))
+    val batch = Seq(
+      (5L, "fresh content"), (3L, "fresh content"),   // intra-batch dup: keep 3
+      (7L, "already landed text"),                     // known -> dropped
+      (9L, "genuinely new"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, known)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 9L), s"got $got")
+    // incremental composes: dedup batch A, append its hashes, dedup
+    // batch B against known+A == dedup (A ∪ B) against known, for
+    // disjoint id ranges (the continuous-ingest maintenance loop)
+    val a = batch.filter(col("doc_id") <= 5)
+    val b = batch.filter(col("doc_id") > 5)
+    val afterA = Dedup.incrementalExact(a, known)
+    val knownPlusA = known.unionAll(afterA.select(col("h")))
+    val twoStep = afterA.select(col("doc_id"))
+      .unionAll(Dedup.incrementalExact(b, knownPlusA).select(col("doc_id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(twoStep == got, s"two-step $twoStep vs one-shot $got")
+  }
+
   test("tfidfTopTerms: hand-computed scores, rare terms outrank common, " +
       "top-k window plans as WindowGroupLimit") {
     val d = Seq(
