@@ -1011,6 +1011,24 @@ object SparkEntry {
         k = AnnIvfK)
     }),
 
+    // ---- bucketed-LSH recall telemetry: the same counts-as-data gate
+    //      for the OTHER ANN family — multi-probe pruning regressions
+    //      (fewer probes, wrong signs, layout drift) go red, not silent -
+    "eng_ann_recall_bucketed" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 10)
+      val lsh = graft.operators.Similarity.bucketedTopKFromLayout(
+          annLayoutDir(s, dir), q, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = graft.operators.Similarity.bruteForceTopK(q, e, k = 3)
+        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+      lsh.join(brute,
+          col("query_id") === col("bq") && col("neighbor_id") === col("bn"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("bn")).as("n_hit"), count(lit(1)).as("n_ret"))
+    }),
+
     // ---- IVF recall telemetry AS DATA: recall@k of the physical-layout
     //      IVF probe vs exact brute force, per query, integer counts.
     //      Specs assert recall thresholds at one SF; this row pins the
@@ -1388,6 +1406,26 @@ object SparkEntry {
        |  CAST(count(b.neighbor_id) AS BIGINT) AS n_hit,
        |  CAST(count(*) AS BIGINT) AS n_ret
        |FROM ivf i LEFT JOIN brute b
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY i.query_id""".stripMargin
+
+  /** Oracle for `eng_ann_recall_bucketed`: [[annBucketedSql]] nested as
+    * a CTE vs the exact brute-force top-3, per-query hit counts. */
+  private val annRecallBucketedSql: String =
+    s"""WITH lsh AS (
+       |$annBucketedSql
+       |), brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+       |    WHERE q.vec_id < 10
+       |  ) WHERE rnk <= 3
+       |)
+       |SELECT i.query_id AS query_id,
+       |  CAST(count(b.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(count(*) AS BIGINT) AS n_ret
+       |FROM lsh i LEFT JOIN brute b
        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
        |GROUP BY i.query_id""".stripMargin
 
@@ -2055,6 +2093,7 @@ object SparkEntry {
       "eng_ann_ivf" -> annIvfSql,
       "eng_ann_ivf_append" -> annIvfSql,
       "eng_ann_recall" -> annRecallSql,
+      "eng_ann_recall_bucketed" -> annRecallBucketedSql,
       "ext_ann_ivf_adaptive" -> annIvfAdaptiveSql,
       "ext_lang_id" ->
         """WITH toks AS (
