@@ -116,15 +116,24 @@ object TextAnalysis {
     * classic tf·idf without smoothing (monotone in tf/df); ties break
     * on the term string ascending, so the top-k set is unique.
     *
-    * Shuffle shape at 100 TB (three exchanges, all narrow):
+    * Shuffle shape at 100 TB (audited via `tools/Explain`):
     *  1. explode(tokens) → partial-count → exchange on (doc, term) —
-    *     the only corpus-sized shuffle, map-side combined;
-    *  2. term-level document frequency — exchange on term, output is
-    *     VOCABULARY-sized (≪ corpus), then joined back to the tf table
-    *     (AQE broadcasts it when it fits — the common case);
+    *     map-side combined;
+    *  2. term-level document frequency — a SECOND corpus pass (the
+    *     optimizer prunes the tf count from this branch, so the
+    *     exchange is not reusable), partial-DISTINCT combined map-side,
+    *     then a vocabulary-sized exchange on term; the df table joins
+    *     back as a BROADCAST (plan-pinned at sf0.01; AQE picks it
+    *     whenever the vocabulary fits). Two passes is DELIBERATE: the
+    *     one-pass alternative — `count().over(Window.partitionBy
+    *     (term))` — shuffles the entire (doc, term) table on term,
+    *     sending every ("the", doc) row to one reducer: stopword skew
+    *     by construction. Double-scanning and broadcasting the
+    *     vocabulary is the skew-safe trade at any corpus size (cache
+    *     the input upstream if the scan itself is the bottleneck);
     *  3. per-doc top-k — rank window on doc, planned as
-    *     `WindowGroupLimit` so each task keeps k rows per doc before
-    *     the final exchange.
+    *     `WindowGroupLimit` (partial before the exchange, final after)
+    *     so each task keeps k rows per doc before the shuffle.
     * The integer product `tf * n_docs` stays exact under 2^53
     * (tf ≤ doc length, so safe for any real corpus + shard count).
     * `n_docs` is one `count()` action returning a single long to the

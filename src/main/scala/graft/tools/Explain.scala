@@ -67,6 +67,18 @@ object Explain {
     graft.SparkEntry.queries("op15_version_limit")(spark, dir)
       .explain("formatted")
 
+    println("\n########## tfidf (expect partial HashAggregate before the (doc_id, term) exchange; df side joined back; WindowGroupLimit before the final window)")
+    graft.SparkEntry.queries("ext_tfidf")(spark, dir)
+      .explain("formatted")
+
+    println("\n########## pii scan (expect ONE WholeStageCodegen project over the scan, ReadSchema doc_id+text only, no exchange)")
+    graft.SparkEntry.queries("ext_pii_scan")(spark, dir)
+      .explain("formatted")
+
+    println("\n########## incremental dedup (expect LeftAnti hash join on the md5 hash, partial-agg before the batch exchange)")
+    graft.SparkEntry.queries("ext_dedup_incremental")(spark, dir)
+      .explain("formatted")
+
     spark.stop()
   }
 }
