@@ -1221,6 +1221,37 @@ object SparkEntry {
           expr("click_ts div 1000").as("click_ts_us"))
     }),
 
+    // ---- as-of join (nearest prior click per purchase) ---------------
+    // last-touch attribution with NO horizon: for every purchase, the
+    // single latest click at-or-before it. Carry-forward plan (one
+    // exchange) instead of the quadratic inequality-join + rank the
+    // oracle runs; the as-of happens in the µs domain so the equal-ts
+    // tie-break (largest click_id) is decided on exactly the values the
+    // DuckDB ASOF JOIN sees
+    "ext_join_asof" -> ((s, dir) => {
+      val ev = graft.sources.EventsSource.readEvents(s, dir)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"),
+          expr("ts div 1000").as("buy_ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          expr("ts div 1000").as("click_ts_us"))
+      graft.operators.AsOfJoin.asOfJoin(buys, clicks, "user_id",
+          "buy_ts_us", "click_ts_us", "click_id")
+        .select(col("buy_id"), col("user_id"), col("buy_ts_us"),
+          col("click_id"), col("click_ts_us"))
+    }),
+
+    // ---- integer-exact distributed k-means over embeddings -----------
+    // broadcast-centroid Lloyd's (2 updates, IVF-stride seeding): the
+    // whole iteration runs on fixed-point int64, so the assignment is
+    // reproducible bit-for-bit cross-engine — no float-summation-order
+    // dependence. Assignment is shuffle-free (plan-asserted); the
+    // update shuffle carries k·d longs per partition, not the corpus
+    "ext_cluster_kmeans" -> ((s, dir) =>
+      graft.operators.Clustering.kmeansAssign(
+        s.read.parquet(s"$dir/embeddings.parquet"))),
+
     // ---- gap sessionization via the NATIVE session_window operator ---
     "ext_sessionize_native" -> ((s, dir) => {
       val ev = graft.sources.EventsSource.readEvents(s, dir).select(
@@ -2272,6 +2303,90 @@ object SparkEntry {
           |FROM events b JOIN events c ON b.user_id = c.user_id
           |WHERE b.event_type = 'purchase' AND c.event_type = 'click'
           |  AND c.ts <= b.ts AND c.ts >= b.ts - INTERVAL 24 HOUR""".stripMargin,
+      // DuckDB's native ASOF LEFT JOIN is the oracle for the
+      // carry-forward as-of operator. The right side is deduped to one
+      // row per (user, µs) keeping the largest click_id first — ASOF
+      // picks arbitrarily among exact duplicates, and the Spark side's
+      // tie-break is pinned to largest-id, so the dedup makes both
+      // engines deterministic AND equal.
+      "ext_join_asof" ->
+        """WITH buys AS (
+          |  SELECT event_id AS buy_id, user_id, epoch_us(ts) AS buy_ts_us
+          |  FROM events WHERE event_type = 'purchase'
+          |), clicks AS (
+          |  SELECT click_id, user_id, click_ts_us FROM (
+          |    SELECT event_id AS click_id, user_id,
+          |      epoch_us(ts) AS click_ts_us,
+          |      row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+          |        ORDER BY event_id DESC) AS rn
+          |    FROM events WHERE event_type = 'click') WHERE rn = 1
+          |)
+          |SELECT b.buy_id, b.user_id, b.buy_ts_us, c.click_id,
+          |  c.click_ts_us
+          |FROM buys b ASOF LEFT JOIN clicks c
+          |  ON b.user_id = c.user_id AND b.buy_ts_us >= c.click_ts_us""".stripMargin,
+      // unrolled 2-iteration Lloyd's in DuckDB: every step is integer
+      // (fixed-point quantize, int squared-L2, floor(sum/count)
+      // re-quantize), so this reproduces Clustering.kmeansAssign
+      // exactly. Parallel unnest zips the two fixed-point lists
+      // positionally; CASTs pin DuckDB's HUGEINT sums back to BIGINT.
+      "ext_cluster_kmeans" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding,
+          |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS fx
+          |  FROM embeddings
+          |), c0 AS (
+          |  SELECT vec_id AS cid, fx AS cfx FROM v WHERE vec_id % 100 = 0
+          |), a0_d AS (
+          |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
+          |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
+          |        FROM v CROSS JOIN c0 c) z
+          |  GROUP BY vec_id, cid
+          |), a0 AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM a0_d) WHERE rn = 1
+          |), c1_u AS (
+          |  SELECT cid, list(nv ORDER BY i) AS cfx FROM (
+          |    SELECT a.cid, t.i,
+          |      CAST(floor(CAST(CAST(sum(v.fx[t.i]) AS BIGINT) AS DOUBLE)
+          |        / count(*)) AS BIGINT) AS nv
+          |    FROM a0 a JOIN v ON v.vec_id = a.vec_id, range(1, 65) t(i)
+          |    GROUP BY a.cid, t.i) GROUP BY cid
+          |), c1 AS (
+          |  SELECT c.cid, COALESCE(u.cfx, c.cfx) AS cfx
+          |  FROM c0 c LEFT JOIN c1_u u ON u.cid = c.cid
+          |), a1_d AS (
+          |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
+          |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
+          |        FROM v CROSS JOIN c1 c) z
+          |  GROUP BY vec_id, cid
+          |), a1 AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM a1_d) WHERE rn = 1
+          |), c2_u AS (
+          |  SELECT cid, list(nv ORDER BY i) AS cfx FROM (
+          |    SELECT a.cid, t.i,
+          |      CAST(floor(CAST(CAST(sum(v.fx[t.i]) AS BIGINT) AS DOUBLE)
+          |        / count(*)) AS BIGINT) AS nv
+          |    FROM a1 a JOIN v ON v.vec_id = a.vec_id, range(1, 65) t(i)
+          |    GROUP BY a.cid, t.i) GROUP BY cid
+          |), c2 AS (
+          |  SELECT c.cid, COALESCE(u.cfx, c.cfx) AS cfx
+          |  FROM c1 c LEFT JOIN c2_u u ON u.cid = c.cid
+          |), a2_d AS (
+          |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
+          |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
+          |        FROM v CROSS JOIN c2 c) z
+          |  GROUP BY vec_id, cid
+          |)
+          |SELECT vec_id, cid, d AS dist2 FROM (
+          |  SELECT vec_id, cid, d,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |  FROM a2_d) WHERE rn = 1""".stripMargin,
       // left-outer: matched pairs plus null-click rows for purchases at
       // or below the probe-pinned watermark cutoff (wm tracked in ms,
       // min across sides, state watermark 1 ms behind, µs compare)

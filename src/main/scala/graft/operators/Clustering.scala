@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over the embedding corpus, engineered so
+  * every arithmetic step is CROSS-ENGINE EXACT — the whole iteration
+  * runs on fixed-point integers, so the DuckDB oracle reproduces the
+  * final assignment bit-for-bit and the result is hash-stable
+  * run-over-run (no float-summation-order dependence anywhere):
+  *
+  *   - vectors quantize once to `floor(x * 1024 + 0.5)` int64
+  *     components (float→double cast, one IEEE multiply, one add, one
+  *     floor — each correctly rounded, hence identical in any engine);
+  *   - distances are integer squared-L2 (exact, ≤ 2^28 here — no
+  *     overflow, no rounding);
+  *   - assignment ties break to the smallest centroid id;
+  *   - the Lloyd update re-quantizes each new centroid with
+  *     `floor(sum / count)`: sum and count are exact int64 (< 2^53, so
+  *     the double division is correctly rounded and `floor` of it is
+  *     deterministic); empty clusters keep their previous centroid.
+  *
+  * Spark shape, per iteration over n vectors / k centroids / d dims:
+  *
+  *   - ASSIGNMENT is a narrow projection — centroids travel to every
+  *     task as an `array(struct(cid, cfx))` literal (driver-collected, k
+  *     = n/stride rows, the same bounded-collect budget as the IVF
+  *     trainer) and `array_min` over per-centroid `(dist2, cid)` structs
+  *     picks the winner: struct ordering compares `dist2` then `cid`,
+  *     which IS the tie-break, with expression size linear in k (a
+  *     `when`-chain fold would double the tree per centroid).
+  *   - UPDATE is `posexplode` → partial-aggregated `groupBy(cid, pos)`
+  *     sums → a k·d-row shuffle (data-size-independent) → rebuild
+  *     ordered arrays. Map-side combine means the exchange carries k·d
+  *     longs per input partition, not n·d.
+  *
+  * At 100 TB this is the canonical broadcast-centroid k-means loop (the
+  * same shape MLlib's KMeans uses): T full scans, T tiny shuffles, no
+  * all-pairs materialization. Skew-proof by construction — the
+  * assignment has no keyed shuffle at all.
+  *
+  * The reference (smoltable) has no clustering surface; this extends
+  * the LLM-pipeline extension family (corpus organization, diversity
+  * sampling, IVF list seeding).
+  */
+object Clustering {
+
+  /** Fixed-point scale: 2^10. Embedding components are < 1 in absolute
+    * value, so components land in (-1024, 1024) and a 64-dim squared
+    * distance stays < 2^28 — integer-exact with 35 bits to spare. */
+  val FxScale = 1024.0
+
+  /** `floor(x * 1024 + 0.5)` per component, as int64. */
+  def quantize(emb: Column): Column =
+    transform(emb, x =>
+      floor(x.cast("double") * lit(FxScale) + lit(0.5)).cast("long"))
+
+  /** Integer squared-L2 between two fixed-point vectors. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (s, x) => s + x)
+
+  /** `(dist2, cid)` of the nearest centroid — `array_min` over structs
+    * compares lexicographically, so equal distances resolve to the
+    * smallest cid. Linear-size expression, codegen-friendly. */
+  private def nearest(fx: Column, cents: Seq[(Long, Array[Long])]): Column = {
+    val lits = cents.sortBy(_._1).map { case (cid, cfx) =>
+      struct(dist2(fx, array(cfx.map(lit): _*)).as("d"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(lits: _*))
+  }
+
+  /** One Lloyd update: per-cluster, per-dimension exact sums, then the
+    * `floor(sum / count)` re-quantization. Returns the new centroid set
+    * (driver-side, k rows), carrying forward centroids whose cluster
+    * emptied. */
+  private def update(fxDf: DataFrame,
+      cents: Seq[(Long, Array[Long])]): Seq[(Long, Array[Long])] = {
+    val dim = cents.head._2.length
+    val assigned = fxDf.select(
+      nearest(col("fx"), cents).getField("cid").as("cid"), col("fx"))
+    val newCents = assigned
+      .select(col("cid"), posexplode(col("fx")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("nv",
+        floor(col("s").cast("double") / col("cnt")).cast("long"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("nv")))),
+        p => p.getField("nv")).as("cfx"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    cents.map { case (cid, old) =>
+      val nw = newCents.getOrElse(cid, old)
+      require(nw.length == dim, s"centroid $cid dim ${nw.length} != $dim")
+      cid -> nw
+    }
+  }
+
+  /** Full pipeline: quantize, seed centroids from every `stride`-th
+    * vec_id (the IVF trainer's deterministic seeding), run `iters`
+    * Lloyd updates, emit the final assignment
+    * `(vec_id, cid, dist2)` — all-integer output, hash-exact. */
+  def kmeansAssign(emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding", stride: Long = 100L,
+      iters: Int = 2): DataFrame = {
+    require(stride > 0 && iters >= 0)
+    val fxDf = emb.select(col(idCol).as("vec_id"),
+      quantize(col(embCol)).as("fx"))
+    fxDf.cache()
+    try {
+      val seeds = fxDf.filter(col("vec_id") % stride === 0)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+        .sortBy(_._1).toSeq
+      require(seeds.nonEmpty, "no seed centroids: is vec_id dense from 0?")
+      val finalCents = (0 until iters).foldLeft(seeds) {
+        (c, _) => update(fxDf, c)
+      }
+      val best = nearest(col("fx"), finalCents)
+      fxDf.select(col("vec_id"), best.getField("cid").as("cid"),
+        best.getField("d").as("dist2"))
+    } finally fxDf.unpersist(blocking = false)
+  }
+}

@@ -71,7 +71,11 @@ object ScaleSmoke {
     // round 15: the stateful-streaming skew twin, the PII regex pass,
     // and the TF-IDF two-level aggregate
     "ext_stream_join_salted_files", "ext_pii_scan", "ext_tfidf",
-    "ext_dedup_incremental")
+    "ext_dedup_incremental",
+    // round 15b: the carry-forward as-of join (one keyed exchange) and
+    // the broadcast-centroid integer k-means (T scans + k·d-row
+    // shuffles — the update cost is centroid-sized, not corpus-sized)
+    "ext_join_asof", "ext_cluster_kmeans")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",

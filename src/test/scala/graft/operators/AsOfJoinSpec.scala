@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The carry-forward as-of join: differential against the naive
+  * inequality-join + rank-1 formulation (the semantics oracle, ruinous
+  * at scale), edge semantics (inclusive equal-ts match, tie-break to
+  * largest id, unmatched lefts survive with nulls), and plan shape
+  * (exactly one exchange).
+  */
+class AsOfJoinSpec extends SparkSuite {
+
+  private def sides(dir: String) = {
+    val ev = graft.sources.EventsSource.readEvents(spark, dir)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"),
+        col("ts").as("buy_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    (buys, clicks)
+  }
+
+  /** Quadratic reference implementation: all prior pairs, rank 1 by
+    * (click_ts desc, click_id desc) — the definition, minus the scale. */
+  private def naive(buys: DataFrame, clicks: DataFrame): Set[(Long, Option[Long])] = {
+    val joined = buys.join(clicks,
+        buys("user_id") === clicks("user_id") &&
+          col("click_ts") <= col("buy_ts"), "left")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("buy_id"))
+          .orderBy(col("click_ts").desc_nulls_last, col("click_id").desc_nulls_last)))
+      .filter(col("_rk") === 1)
+    joined.select(col("buy_id"), col("click_id"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+  }
+
+  test("as-of join ≡ naive rank-1 inequality join (sf0.001 + sf0.01)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val (buys, clicks) = sides(dir)
+      val fast = AsOfJoin.asOfJoin(buys, clicks, "user_id",
+          "buy_ts", "click_ts", "click_id")
+        .select(col("buy_id"), col("click_id"))
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(fast.length == fast.toSet.size, s"$dir: duplicate buy rows")
+      val want = naive(buys, clicks)
+      assert(fast.toSet == want, s"$dir: ${fast.length} vs ${want.size}")
+      assert(want.exists(_._2.isDefined), s"$dir: no matched rows at all")
+      assert(fast.length == buys.count(), s"$dir: lost/duplicated left rows")
+    }
+  }
+
+  test("edge semantics: equal-ts match is inclusive, ties take the " +
+      "largest id, unmatched lefts keep nulls") {
+    import spark.implicits._
+    val buys = Seq(
+      (100L, 7L, 1000L),  // equal-ts click 1000 must match
+      (101L, 7L, 999L),   // before any click -> nulls
+      (102L, 7L, 5000L),  // two clicks at ts 2000 -> larger click_id wins
+      (103L, 8L, 1000L)   // key with no clicks -> nulls
+    ).toDF("buy_id", "user_id", "buy_ts")
+    val clicks = Seq(
+      (10L, 7L, 1000L),
+      (11L, 7L, 2000L),
+      (12L, 7L, 2000L)
+    ).toDF("click_id", "user_id", "click_ts")
+    val got = AsOfJoin.asOfJoin(buys, clicks, "user_id",
+        "buy_ts", "click_ts", "click_id")
+      .select(col("buy_id"), col("click_id"), col("click_ts"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(got(100L).contains((10L, 1000L)), s"equal-ts: ${got(100L)}")
+    assert(got(101L).isEmpty, s"pre-history buy matched: ${got(101L)}")
+    assert(got(102L).contains((12L, 2000L)), s"tie-break: ${got(102L)}")
+    assert(got(103L).isEmpty, s"clickless key matched: ${got(103L)}")
+  }
+
+  test("plan: exactly one exchange (union + single keyed sort window)") {
+    val (buys, clicks) = sides("/root/testdata/sf0.001")
+    val plan = AsOfJoin.asOfJoin(buys, clicks, "user_id",
+        "buy_ts", "click_ts", "click_id")
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"as-of must not plan a join:\n$plan")
+  }
+
+  test("payload-column overlap is rejected") {
+    import spark.implicits._
+    val a = Seq((1L, 2L, 3L)).toDF("k", "ts", "x")
+    val b = Seq((1L, 2L, 3L)).toDF("k", "rts", "x")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(a, b, "k", "ts", "rts", "x")
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Integer-exact k-means: differential against a sequential plain-Scala
+  * Lloyd's implementation (same fixed-point spec, independently coded),
+  * determinism across runs, and the shuffle-free assignment plan.
+  */
+class ClusteringSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Sequential reference: identical math, none of the distribution. */
+  private def reference(stride: Long, iters: Int): Map[Long, (Long, Long)] = {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1024.0 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Seq[(Long, Array[Long])], fx: Array[Long]): (Long, Long) =
+      cents.map { case (cid, c) => (d2(fx, c), cid) }.min
+    var cents = rows.filter(_._1 % stride == 0).toSeq
+    for (_ <- 0 until iters) {
+      val byC = rows.groupBy(r => assign(cents, r._2)._2)
+      cents = cents.map { case (cid, old) =>
+        cid -> byC.get(cid).map { members =>
+          val dim = old.length
+          Array.tabulate(dim) { i =>
+            val s = members.map(_._2(i)).sum
+            math.floor(s.toDouble / members.length).toLong
+          }
+        }.getOrElse(old)
+      }
+    }
+    rows.map { case (id, fx) =>
+      val (d, c) = assign(cents, fx); id -> (c, d)
+    }.toMap
+  }
+
+  test("distributed Lloyd's ≡ sequential reference (2 iterations)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Clustering.kmeansAssign(emb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = reference(100L, 2)
+    assert(got.size == want.size)
+    val diff = got.filter { case (k, v) => want(k) != v }
+    assert(diff.isEmpty, s"${diff.size} mismatches, e.g. ${diff.take(3)}")
+  }
+
+  test("zero iterations = nearest-seed assignment; more iterations " +
+      "change it (the updates do something)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a0 = Clustering.kmeansAssign(emb, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a2 = Clustering.kmeansAssign(emb, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a0 == reference(100L, 0).map { case (k, (c, _)) => (k, c) }.toSet)
+    assert(a0 != a2, "2 Lloyd updates left every assignment unchanged")
+  }
+
+  test("deterministic run-over-run") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val r1 = Clustering.kmeansAssign(emb).collect().map(_.toSeq).toSet
+    val r2 = Clustering.kmeansAssign(emb).collect().map(_.toSeq).toSet
+    assert(r1 == r2)
+  }
+
+  test("plan: final assignment is shuffle-free (broadcast-literal " +
+      "centroids, no exchange)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = Clustering.kmeansAssign(emb)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"assignment must not shuffle:\n$plan")
+  }
+}
