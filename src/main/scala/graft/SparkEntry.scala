@@ -1242,6 +1242,14 @@ object SparkEntry {
           col("click_id"), col("click_ts_us"))
     }),
 
+    // ---- STREAMING as-of join (stateful, unbounded lookback) ---------
+    // the batch as-of's stateful twin: flatMapGroupsWithState with
+    // sealed-prefix compression (state at rest = ONE click per user,
+    // however long the history); purchases emit once the watermark
+    // seals them, at the probe-pinned cutoff the outer join established
+    "ext_stream_asof" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamingAsOf(s, dir)),
+
     // ---- integer-exact distributed k-means over embeddings -----------
     // broadcast-centroid Lloyd's (2 updates, IVF-stride seeding): the
     // whole iteration runs on fixed-point int64, so the assignment is
@@ -2313,6 +2321,30 @@ object SparkEntry {
         """WITH buys AS (
           |  SELECT event_id AS buy_id, user_id, epoch_us(ts) AS buy_ts_us
           |  FROM events WHERE event_type = 'purchase'
+          |), clicks AS (
+          |  SELECT click_id, user_id, click_ts_us FROM (
+          |    SELECT event_id AS click_id, user_id,
+          |      epoch_us(ts) AS click_ts_us,
+          |      row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+          |        ORDER BY event_id DESC) AS rn
+          |    FROM events WHERE event_type = 'click') WHERE rn = 1
+          |)
+          |SELECT b.buy_id, b.user_id, b.buy_ts_us, c.click_id,
+          |  c.click_ts_us
+          |FROM buys b ASOF LEFT JOIN clicks c
+          |  ON b.user_id = c.user_id AND b.buy_ts_us >= c.click_ts_us""".stripMargin,
+      // the batch as-of oracle restricted to watermark-sealed purchases:
+      // single-stream watermark over clicks+purchases, ms-floored, 1 h
+      // lateness, cutoff `(wm_ms - 1) * 1000` — the same pin as
+      // ext_stream_join_outer
+      "ext_stream_asof" ->
+        """WITH wm AS (
+          |  SELECT epoch_us(max(ts)) // 1000 - 3600000 AS wm_ms
+          |  FROM events WHERE event_type IN ('click', 'purchase')
+          |), buys AS (
+          |  SELECT event_id AS buy_id, user_id, epoch_us(ts) AS buy_ts_us
+          |  FROM events, wm WHERE event_type = 'purchase'
+          |    AND epoch_us(ts) <= (wm.wm_ms - 1) * 1000
           |), clicks AS (
           |  SELECT click_id, user_id, click_ts_us FROM (
           |    SELECT event_id AS click_id, user_id,

@@ -763,6 +763,132 @@ object StreamOps {
     s.read.parquet(outDir)
   }
 
+  /** State for [[asOfFold]]: the single compressed prior-click summary
+    * (the newest click the watermark has sealed) plus the
+    * not-yet-finalizable tails of both sides. This is what makes the
+    * streaming as-of's state O(lateness window) per key instead of
+    * O(history): every click at or below the emission cutoff can only
+    * ever lose to a newer sealed click for all FUTURE purchases (which
+    * arrive with ts ≥ watermark), so the whole sealed prefix folds into
+    * one (ts, id). */
+  final case class AsOfKeep(hasBest: Boolean, bestTs: Long, bestId: Long,
+      pendClicks: List[(Long, Long)], pendBuys: List[(Long, Long)])
+
+  final case class AsOfOut(buy_id: Long, user_id: Long, buy_ts_us: Long,
+      click_id: Option[Long], click_ts_us: Option[Long])
+
+  /** The per-user streaming as-of fold: buffer both sides until the
+    * watermark seals them, then finalize purchases in event-time order
+    * against a running newest-prior-click, exactly the batch
+    * [[graft.operators.AsOfJoin]] carry-forward applied to the sealed
+    * segment. Purchases finalize iff
+    * `buy_ts_us <= (wm_ms - 1) * 1000` — the probe-pinned cutoff the
+    * outer interval join established (wm tracked in ms, state watermark
+    * 1 ms behind, µs compare); newer purchases stay buffered, the
+    * honest streaming answer. Equal-ts click ties resolve to the
+    * largest click_id (the batch operator's tie-break); a click at the
+    * same µs as a purchase matches it (inclusive as-of).
+    */
+  def asOfFold: (Long,
+      Iterator[(Long, Long, Long, Boolean, java.sql.Timestamp)],
+      org.apache.spark.sql.streaming.GroupState[AsOfKeep]) =>
+      Iterator[AsOfOut] = { (user, rows, state) =>
+    var st = state.getOption.getOrElse(AsOfKeep(false, 0L, 0L, Nil, Nil))
+    if (!state.hasTimedOut) {
+      rows.foreach { case (_, tsUs, id, isBuy, _) =>
+        st =
+          if (isBuy) st.copy(pendBuys = (tsUs, id) :: st.pendBuys)
+          else st.copy(pendClicks = (tsUs, id) :: st.pendClicks)
+      }
+    }
+    val wmMs = state.getCurrentWatermarkMs()
+    val cutoffUs = (wmMs - 1L) * 1000L
+    // the sealed segment, walked in (ts, clicks-before-buys, id) order —
+    // a click at a purchase's own µs is visible to it (inclusive match)
+    val sealedSeg = (st.pendClicks.collect {
+        case (ts, id) if ts <= cutoffUs => (ts, 0, id)
+      } ++ st.pendBuys.collect {
+        case (ts, id) if ts <= cutoffUs => (ts, 1, id)
+      }).sorted
+    var (has, bestTs, bestId) = (st.hasBest, st.bestTs, st.bestId)
+    val out = scala.collection.mutable.ListBuffer.empty[AsOfOut]
+    sealedSeg.foreach {
+      case (ts, 0, id) =>
+        // the guard (not blind overwrite) keeps a late click that is
+        // older than the already-sealed best from regressing it
+        if (!has || ts > bestTs || (ts == bestTs && id > bestId)) {
+          has = true; bestTs = ts; bestId = id
+        }
+      case (ts, _, id) =>
+        out += AsOfOut(id, user, ts,
+          if (has) Some(bestId) else None,
+          if (has) Some(bestTs) else None)
+    }
+    st = AsOfKeep(has, bestTs, bestId,
+      st.pendClicks.filter(_._1 > cutoffUs),
+      st.pendBuys.filter(_._1 > cutoffUs))
+    state.update(st)
+    // wake on the next watermark advance while anything is unsealed;
+    // a key with only the compressed best carries no timeout (O(1)
+    // state at rest, alive for whatever future purchases arrive)
+    if (st.pendClicks.nonEmpty || st.pendBuys.nonEmpty)
+      state.setTimeoutTimestamp(wmMs + 1L)
+    out.iterator
+  }
+
+  /** Watermarked STREAMING as-of join: for every purchase, the single
+    * newest click at-or-before it by the same user, UNBOUNDED lookback —
+    * the stateful twin of [[graft.operators.AsOfJoin.asOfJoin]], the way
+    * [[attributionJoinStreamSalted]] twins the batch interval join.
+    *
+    * An unbounded as-of cannot be a symmetric stream-stream join (no
+    * time bound ⇒ no state-eviction horizon ⇒ unbounded click buffers),
+    * so it runs as `flatMapGroupsWithState` keyed by user with
+    * [[asOfFold]]'s sealed-prefix compression: per-key state at rest is
+    * ONE (ts, id) pair however long the history — the property that
+    * makes unbounded-lookback attribution viable at a 100 TB/day ingest
+    * rate where the interval join's rate × horizon state would be the
+    * wrong trade (no horizon exists to bound it).
+    */
+  private[streaming] def asOfJoinStream(s: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import s.implicits._
+    eventsStream(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("event_ts", "1 hour")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"),
+        (col("event_type") === "purchase").as("is_buy"), col("event_ts"))
+      .as[(Long, Long, Long, Boolean, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfKeep, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(asOfFold)
+      .toDF()
+  }
+
+  /** [[asOfJoinStream]] drained through the memory-sink oracle harness
+    * (driver-collect by design; scale shape below). */
+  def streamingAsOf(s: SparkSession, dir: String): DataFrame =
+    drainJoin(s, asOfJoinStream(s, dir))
+
+  /** [[asOfJoinStream]] in its scale shape: RocksDB state store,
+    * exactly-once parquet sink. */
+  def streamingAsOfToFiles(s: SparkSession, dir: String, outDir: String,
+      checkpointDir: String, rocksDB: Boolean = true): DataFrame = {
+    withRocksDB(s, rocksDB) {
+      val q = asOfJoinStream(s, dir).writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.read.parquet(outDir)
+  }
+
   /** Continuous ingest INTO a wide-column table: the events stream as
     * cells, driven through `foreachBatch` into
     * [[graft.core.Smoltable.writeBulkOnce]] — exactly-once per

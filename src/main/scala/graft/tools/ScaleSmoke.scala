@@ -75,7 +75,7 @@ object ScaleSmoke {
     // round 15b: the carry-forward as-of join (one keyed exchange) and
     // the broadcast-centroid integer k-means (T scans + k·d-row
     // shuffles — the update cost is centroid-sized, not corpus-sized)
-    "ext_join_asof", "ext_cluster_kmeans")
+    "ext_join_asof", "ext_cluster_kmeans", "ext_stream_asof_files")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
@@ -159,6 +159,13 @@ object ScaleSmoke {
     "ext_stream_join_salted_files" -> ((s, dir) =>
       graft.streaming.StreamOps.attributionJoinSaltedToFiles(s, dir,
         scratch("sjs_out"), scratch("sjs_ck"))),
+    // streaming as-of in its scale shape (RocksDB keyed state +
+    // exactly-once file sink): the sealed-prefix compression keeps
+    // state-at-rest to ONE click per user whatever the factor does to
+    // history length — the ratio should track emitted purchases
+    "ext_stream_asof_files" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamingAsOfToFiles(s, dir,
+        scratch("sa_out"), scratch("sa_ck"))),
     // the KMV sketch as RocksDB streaming state in append mode: the
     // scale twin of the ext_stream_kmv oracle harness — per-window
     // buffers stay k longs however many users the factor adds
