@@ -1260,6 +1260,26 @@ object SparkEntry {
       graft.operators.Clustering.kmeansAssign(
         s.read.parquet(s"$dir/embeddings.parquet"))),
 
+    // ---- diversity sampling: per-cluster exact quota -----------------
+    // the kmeans assignment as sampling strata — a balanced 20% whose
+    // per-cluster proportions are exact; operators composing is the
+    // point (assignment feeds stratifiedSampleExact unchanged)
+    "ext_sample_diverse" -> ((s, dir) =>
+      graft.operators.Corpus.stratifiedSampleExact(
+        graft.operators.Clustering.kmeansAssign(
+          s.read.parquet(s"$dir/embeddings.parquet")),
+        "cid", 0.2, "vec_id")),
+
+    // ---- farthest-from-centroid outlier candidates -------------------
+    // top-5 per cluster by integer distance (map-side WindowGroupLimit
+    // rank over the assignment): the curation signal for junk/anomaly
+    // review queues
+    "ext_cluster_outliers" -> ((s, dir) =>
+      graft.operators.Corpus.topKPerGroup(
+        graft.operators.Clustering.kmeansAssign(
+          s.read.parquet(s"$dir/embeddings.parquet")),
+        "cid", "dist2", 5, "vec_id")),
+
     // ---- gap sessionization via the NATIVE session_window operator ---
     "ext_sessionize_native" -> ((s, dir) => {
       val ev = graft.sources.EventsSource.readEvents(s, dir).select(
@@ -1404,6 +1424,69 @@ object SparkEntry {
     * [[annIvfSql]] alongside the stride/nprobe defaults so the oracle
     * and the engine can never drift on a constant change. */
   private val AnnIvfK = 5
+
+
+  /** Shared oracle for `ext_cluster_kmeans` and, nested verbatim as a
+    * CTE, for the composed `ext_sample_diverse` /
+    * `ext_cluster_outliers` rows: the 2-iteration integer Lloyd's,
+    * unrolled ([[graft.operators.Clustering.kmeansAssign]]). */
+  private val clusterKmeansSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS fx
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT vec_id AS cid, fx AS cfx FROM v WHERE vec_id % 100 = 0
+      |), a0_d AS (
+      |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
+      |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
+      |        FROM v CROSS JOIN c0 c) z
+      |  GROUP BY vec_id, cid
+      |), a0 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM a0_d) WHERE rn = 1
+      |), c1_u AS (
+      |  SELECT cid, list(nv ORDER BY i) AS cfx FROM (
+      |    SELECT a.cid, t.i,
+      |      CAST(floor(CAST(CAST(sum(v.fx[t.i]) AS BIGINT) AS DOUBLE)
+      |        / count(*)) AS BIGINT) AS nv
+      |    FROM a0 a JOIN v ON v.vec_id = a.vec_id, range(1, 65) t(i)
+      |    GROUP BY a.cid, t.i) GROUP BY cid
+      |), c1 AS (
+      |  SELECT c.cid, COALESCE(u.cfx, c.cfx) AS cfx
+      |  FROM c0 c LEFT JOIN c1_u u ON u.cid = c.cid
+      |), a1_d AS (
+      |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
+      |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
+      |        FROM v CROSS JOIN c1 c) z
+      |  GROUP BY vec_id, cid
+      |), a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM a1_d) WHERE rn = 1
+      |), c2_u AS (
+      |  SELECT cid, list(nv ORDER BY i) AS cfx FROM (
+      |    SELECT a.cid, t.i,
+      |      CAST(floor(CAST(CAST(sum(v.fx[t.i]) AS BIGINT) AS DOUBLE)
+      |        / count(*)) AS BIGINT) AS nv
+      |    FROM a1 a JOIN v ON v.vec_id = a.vec_id, range(1, 65) t(i)
+      |    GROUP BY a.cid, t.i) GROUP BY cid
+      |), c2 AS (
+      |  SELECT c.cid, COALESCE(u.cfx, c.cfx) AS cfx
+      |  FROM c1 c LEFT JOIN c2_u u ON u.cid = c.cid
+      |), a2_d AS (
+      |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
+      |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
+      |        FROM v CROSS JOIN c2 c) z
+      |  GROUP BY vec_id, cid
+      |)
+      |SELECT vec_id, cid, d AS dist2 FROM (
+      |  SELECT vec_id, cid, d,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM a2_d) WHERE rn = 1""".stripMargin
 
   private val annIvfSql: String =
     s"""WITH cent AS (
@@ -2362,63 +2445,30 @@ object SparkEntry {
       // re-quantize), so this reproduces Clustering.kmeansAssign
       // exactly. Parallel unnest zips the two fixed-point lists
       // positionally; CASTs pin DuckDB's HUGEINT sums back to BIGINT.
-      "ext_cluster_kmeans" ->
-        """WITH v AS (
-          |  SELECT vec_id, list_transform(embedding,
-          |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS fx
-          |  FROM embeddings
-          |), c0 AS (
-          |  SELECT vec_id AS cid, fx AS cfx FROM v WHERE vec_id % 100 = 0
-          |), a0_d AS (
-          |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
-          |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
-          |        FROM v CROSS JOIN c0 c) z
-          |  GROUP BY vec_id, cid
-          |), a0 AS (
-          |  SELECT vec_id, cid FROM (
-          |    SELECT vec_id, cid,
-          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          |    FROM a0_d) WHERE rn = 1
-          |), c1_u AS (
-          |  SELECT cid, list(nv ORDER BY i) AS cfx FROM (
-          |    SELECT a.cid, t.i,
-          |      CAST(floor(CAST(CAST(sum(v.fx[t.i]) AS BIGINT) AS DOUBLE)
-          |        / count(*)) AS BIGINT) AS nv
-          |    FROM a0 a JOIN v ON v.vec_id = a.vec_id, range(1, 65) t(i)
-          |    GROUP BY a.cid, t.i) GROUP BY cid
-          |), c1 AS (
-          |  SELECT c.cid, COALESCE(u.cfx, c.cfx) AS cfx
-          |  FROM c0 c LEFT JOIN c1_u u ON u.cid = c.cid
-          |), a1_d AS (
-          |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
-          |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
-          |        FROM v CROSS JOIN c1 c) z
-          |  GROUP BY vec_id, cid
-          |), a1 AS (
-          |  SELECT vec_id, cid FROM (
-          |    SELECT vec_id, cid,
-          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          |    FROM a1_d) WHERE rn = 1
-          |), c2_u AS (
-          |  SELECT cid, list(nv ORDER BY i) AS cfx FROM (
-          |    SELECT a.cid, t.i,
-          |      CAST(floor(CAST(CAST(sum(v.fx[t.i]) AS BIGINT) AS DOUBLE)
-          |        / count(*)) AS BIGINT) AS nv
-          |    FROM a1 a JOIN v ON v.vec_id = a.vec_id, range(1, 65) t(i)
-          |    GROUP BY a.cid, t.i) GROUP BY cid
-          |), c2 AS (
-          |  SELECT c.cid, COALESCE(u.cfx, c.cfx) AS cfx
-          |  FROM c1 c LEFT JOIN c2_u u ON u.cid = c.cid
-          |), a2_d AS (
-          |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
-          |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
-          |        FROM v CROSS JOIN c2 c) z
-          |  GROUP BY vec_id, cid
-          |)
-          |SELECT vec_id, cid, d AS dist2 FROM (
-          |  SELECT vec_id, cid, d,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          |  FROM a2_d) WHERE rn = 1""".stripMargin,
+      "ext_cluster_kmeans" -> clusterKmeansSql,
+      // per-cluster exact-quota sample over the k-means assignment
+      // (diversity sampling): the kmeans oracle nested verbatim as a
+      // CTE, then the stratified sampler's md5-order row_number
+      "ext_sample_diverse" ->
+        s"""WITH km AS (
+           |$clusterKmeansSql
+           |) SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY cid ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS rn,
+           |    count(*) OVER (PARTITION BY cid) AS n
+           |  FROM km
+           |) WHERE rn <= ceil(n * 0.2)""".stripMargin,
+      // farthest-from-centroid top-5 per cluster (outlier candidates):
+      // kmeans CTE + dist2-descending rank, vec_id tiebreak
+      "ext_cluster_outliers" ->
+        s"""WITH km AS (
+           |$clusterKmeansSql
+           |) SELECT vec_id, cid, dist2 FROM (
+           |  SELECT vec_id, cid, dist2,
+           |    row_number() OVER (PARTITION BY cid
+           |      ORDER BY dist2 DESC, vec_id) AS rn
+           |  FROM km
+           |) WHERE rn <= 5""".stripMargin,
       // left-outer: matched pairs plus null-click rows for purchases at
       // or below the probe-pinned watermark cutoff (wm tracked in ms,
       // min across sides, state watermark 1 ms behind, µs compare)

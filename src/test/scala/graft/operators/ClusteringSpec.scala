@@ -69,6 +69,31 @@ class ClusteringSpec extends SparkSuite {
     assert(r1 == r2)
   }
 
+  test("compositions: per-cluster sample quota is exact, outliers are " +
+      "the true per-cluster dist2 maxima") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val assign = Clustering.kmeansAssign(emb)
+    val rows = assign.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+
+    val sampled = Corpus.stratifiedSampleExact(assign, "cid", 0.2, "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val quotas = sampled.groupBy(_._2).view.mapValues(_.length).toMap
+    sizes.foreach { case (cid, n) =>
+      assert(quotas(cid) == math.ceil(n * 0.2).toLong,
+        s"cluster $cid: quota ${quotas.get(cid)} for size $n")
+    }
+
+    val got = Corpus.topKPerGroup(assign, "cid", "dist2", 5, "vec_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (cid, members) =>
+      members.sortBy { case (id, _, d) => (-d, id) }.take(5)
+        .map(m => (cid, m._1)).toSeq
+    }.toSet
+    assert(got == want, s"outlier sets differ: ${got.diff(want)}")
+  }
+
   test("plan: final assignment is shuffle-free (broadcast-literal " +
       "centroids, no exchange)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
