@@ -78,6 +78,65 @@ class StreamAsOfSpec extends SparkSuite {
       s"streamed ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("compressed click state survives kill + resume on RocksDB: a " +
+      "purchase in run 2 matches a click consumed in run 1") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    withTempDir { tmp =>
+      val in = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/in/events.parquet"))
+      var mtime = 1700000000000L
+      def writeBatch(name: String,
+          rows: Seq[(Long, Long, Long, String)]): Unit = {
+        val rdd = spark.sparkContext.parallelize(rows.map {
+          case (id, ts, u, et) =>
+            org.apache.spark.sql.Row(id, ts, u, et, 1.0) }, 1)
+        val stage = s"$tmp/stage/$name"
+        spark.createDataFrame(rdd, schema).write.parquet(stage)
+        import scala.jdk.CollectionConverters._
+        val part = {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          try st.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally st.close()
+        }
+        val dst = in.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val out = s"$tmp/out"
+      val ck = s"$tmp/ck"
+      // run 1: two clicks for user 1 (the newer one, id 11, must be the
+      // carried survivor) + a watermark pusher 2h later — both clicks
+      // seal and compress; the query stops
+      writeBatch("b0", Seq(
+        (10L, T0, 1L, "click"),
+        (11L, T0 + S, 1L, "click"),
+        (90L, T0 + 2 * H, 98L, "click")))
+      StreamOps.streamingAsOfToFiles(spark, s"$tmp/in", out, ck)
+      // run 2 on the same checkpoint: a purchase ABOVE run 1's
+      // watermark (so it is fresh, not late) + a sealing pusher. The
+      // match can only come from run 1's compressed state — the source
+      // will not replay b0
+      writeBatch("b1", Seq(
+        (5L, T0 + 3 * H, 1L, "purchase"),
+        (91L, T0 + 200 * H, 99L, "click")))
+      val got = StreamOps.streamingAsOfToFiles(spark, s"$tmp/in", out, ck)
+        .collect().map { r =>
+          r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))
+        }
+      assert(got.length == 1 && got.head == (5L -> Some(11L)),
+        s"resume must match buy 5 to run-1 click 11 exactly once: " +
+          got.mkString(","))
+    }
+  }
+
   test("fold compresses the sealed prefix to one click and holds " +
       "unsealed tails") {
     // exercise the sealed-prefix walk: many clicks below cutoff
