@@ -79,6 +79,18 @@ object Explain {
     graft.SparkEntry.queries("ext_dedup_incremental")(spark, dir)
       .explain("formatted")
 
+    println("\n########## as-of join (expect Union -> ONE Exchange hashpartitioning(user_id) -> Sort -> Window running last(); NO join operator, no second exchange)")
+    graft.SparkEntry.queries("ext_join_asof")(spark, dir)
+      .explain("formatted")
+
+    println("\n########## k-means final assignment (expect scan of vec_id+embedding only -> ONE WholeStageCodegen project with the array_min centroid fold; NO exchange)")
+    graft.SparkEntry.queries("ext_cluster_kmeans")(spark, dir)
+      .explain("formatted")
+
+    println("\n########## cluster outliers (expect WindowGroupLimit (rank<=5) BEFORE the cid exchange, then the final window)")
+    graft.SparkEntry.queries("ext_cluster_outliers")(spark, dir)
+      .explain("formatted")
+
     spark.stop()
   }
 }
