@@ -1260,6 +1260,23 @@ object SparkEntry {
       graft.operators.Clustering.kmeansAssign(
         s.read.parquet(s"$dir/embeddings.parquet"))),
 
+    // ---- sliding-window document chunking ----------------------------
+    // context-window preprocessing: overlapping token-range rows per
+    // doc (32-token chunks / 8 overlap here so the test corpus' ≤99-
+    // token docs exercise the multi-chunk path; production default is
+    // 512/64). Shuffle-free integer explode
+    "ext_chunk_documents" -> ((s, dir) =>
+      graft.operators.Corpus.chunkDocuments(
+        s.read.parquet(s"$dir/documents.parquet"),
+        chunkTokens = 32, overlap = 8)),
+
+    // ---- deterministic train/val/test split --------------------------
+    // 80/10/10 by the md5 coin: a doc's split never changes as the
+    // corpus grows — the stability leakage audits need
+    "ext_split_assign" -> ((s, dir) =>
+      graft.operators.Corpus.splitAssign(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     // ---- diversity sampling: per-cluster exact quota -----------------
     // the kmeans assignment as sampling strata — a balanced 20% whose
     // per-cluster proportions are exact; operators composing is the
@@ -2446,6 +2463,34 @@ object SparkEntry {
       // exactly. Parallel unnest zips the two fixed-point lists
       // positionally; CASTs pin DuckDB's HUGEINT sums back to BIGINT.
       "ext_cluster_kmeans" -> clusterKmeansSql,
+      // chunk math mirrored exactly: ws-token count, ceil-div chunk
+      // count, clamped final range — all BIGINT
+      "ext_chunk_documents" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, n,
+          |    CASE WHEN n <= 32 THEN 1
+          |         ELSE 1 + (n - 32 + 23) // 24 END AS n_chunks
+          |  FROM d
+          |), e AS (
+          |  SELECT doc_id, n,
+          |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+          |  FROM c
+          |)
+          |SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+          |  least(chunk_idx * 24 + 32, n) AS end_tok
+          |FROM e""".stripMargin,
+      // split thresholds interpolated as exact BIGINT literals (the
+      // ext_sample_threshold pattern): 0.8 / 0.9 of 2^60
+      "ext_split_assign" ->
+        s"""SELECT doc_id,
+           |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.8 * 1152921504606846976.0d).toLong} THEN 'train'
+           |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.9 * 1152921504606846976.0d).toLong} THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin,
       // per-cluster exact-quota sample over the k-means assignment
       // (diversity sampling): the kmeans oracle nested verbatim as a
       // CTE, then the stratified sampler's md5-order row_number

@@ -305,4 +305,55 @@ object Corpus {
       .agg(max(col("n")).as("n_sample"), pick(0.5, "p50"),
         pick(0.95, "p95"), pick(0.99, "p99"))
   }
+
+  /** Deterministic sliding-window CHUNKING of documents into
+    * token-range rows — the context-window preprocessing step of every
+    * LLM training pipeline (long doc → overlapping `chunkTokens`-sized
+    * pieces, stride = chunk − overlap). Emits
+    * `(doc_id, chunk_idx, start_tok, end_tok)`: every doc yields at
+    * least one chunk; every non-final chunk spans exactly `chunkTokens`
+    * and overlaps the next by `overlap`; the final chunk clamps to the
+    * doc's token count. Token counting is [[TextAnalysis.tokenCounts]]'
+    * whitespace tokenizer, so the ranges line up with `ws_tokens`.
+    *
+    * Pure integer arithmetic over one narrow projection + `explode` —
+    * shuffle-free, codegen'd, hash-exact cross-engine. At 100 TB the
+    * output is input-row-bounded × (doc length / stride); no state, no
+    * exchange, nothing to skew.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 512,
+      overlap: Int = 64, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need chunk > overlap >= 0: chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val n = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val nChunks = when(col("_n") <= chunkTokens, lit(1L)).otherwise(
+      lit(1L) + expr(s"(_n - $chunkTokens + ${stride - 1}) div $stride"))
+    docs.select(col(idCol).as("doc_id"), n.as("_n"))
+      .select(col("doc_id"), col("_n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(col("chunk_idx") * stride + chunkTokens, col("_n"))
+          .as("end_tok"))
+  }
+
+  /** Deterministic train/val/test split assignment: the 60-bit md5 coin
+    * partitioned into `[0, train)`, `[train, train+val)`, rest — every
+    * doc lands in exactly one split, stable across runs/engines/corpus
+    * growth (a doc's split never changes when other docs arrive — the
+    * property a random split lacks and leakage audits need). Shuffle-
+    * free narrow projection. */
+  def splitAssign(docs: DataFrame, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1, idCol: String = "doc_id"): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1)
+    val scale = 1152921504606846976.0d // 2^60, IEEE-exact
+    val t1 = (trainFrac * scale).toLong
+    val t2 = ((trainFrac + valFrac) * scale).toLong
+    val h = sampleHash(col(idCol))
+    docs.select(col(idCol).as("doc_id"),
+      when(h < t1, lit("train")).when(h < t2, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
 }

@@ -353,4 +353,62 @@ class CorpusSpec extends SparkSuite {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 exchange (group partitioning), got $exchanges:\n$plan")
   }
+
+  test("chunkDocuments: hand-computed ranges, tiling with exact " +
+      "overlap, final clamp, one chunk minimum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def doc(id: Long, nTok: Int) = (id, Seq.fill(nTok)("w").mkString(" "))
+    val docs = Seq(doc(1, 1), doc(2, 32), doc(3, 33), doc(4, 99))
+      .toDF("doc_id", "text")
+    val got = Corpus.chunkDocuments(docs, chunkTokens = 32, overlap = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)))
+      .toMap
+    assert(got(1L).toSeq == Seq((0L, 1L)))
+    assert(got(2L).toSeq == Seq((0L, 32L)))
+    assert(got(3L).toSeq == Seq((0L, 32L), (24L, 33L)))
+    // n=99: 1 + ceil(67/24) = 4 chunks; every non-final spans 32,
+    // consecutive chunks overlap by exactly 8, final clamps to 99
+    assert(got(4L).toSeq ==
+      Seq((0L, 32L), (24L, 56L), (48L, 80L), (72L, 99L)))
+    got(4L).toSeq.sliding(2).foreach { case Seq((_, e), (s2, _)) =>
+      assert(e - s2 == 8L, "overlap must be exactly 8")
+    }
+    // every token of every doc is covered by at least one chunk
+    val covered = got(4L).flatMap { case (s, e) => s until e }.toSet
+    assert(covered == (0L until 99L).toSet)
+
+    // real corpus: multi-chunk path exercised, chunk counts match the
+    // ws_tokens-derived formula
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counts = Corpus.chunkDocuments(real, 32, 8)
+      .groupBy(col("doc_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = TextAnalysis.tokenCounts(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    toks.foreach { case (id, n) =>
+      val want = if (n <= 32) 1L else 1L + (n - 32 + 23) / 24
+      assert(counts(id) == want, s"doc $id: $n tokens -> ${counts(id)}")
+    }
+    assert(counts.values.exists(_ > 1), "corpus must exercise multi-chunk")
+  }
+
+  test("splitAssign: exhaustive, deterministic, stable under corpus " +
+      "growth, ~80/10/10") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val got = Corpus.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == docs.count())
+    val by = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(by.keySet == Set("train", "val", "test"))
+    val n = got.size.toDouble
+    assert(math.abs(by("train") / n - 0.8) < 0.05, by.toString)
+    assert(math.abs(by("val") / n - 0.1) < 0.03, by.toString)
+    // stability: the assignment over a SUBSET agrees row-for-row
+    val sub = Corpus.splitAssign(docs.limit(200)).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    sub.foreach { case (id, s) => assert(got(id) == s) }
+  }
 }
