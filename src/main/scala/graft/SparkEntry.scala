@@ -1277,6 +1277,15 @@ object SparkEntry {
       graft.operators.Corpus.splitAssign(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // ---- corpus rebalancing (uniform language mix) -------------------
+    // P[keep] = min_lang_count / lang_count per doc via the md5 coin —
+    // the crawl's language skew flattened without shuffling the corpus
+    // (counts broadcast back, narrow filter); smallest lang survives
+    // intact by construction
+    "ext_rebalance_langs" -> ((s, dir) =>
+      graft.operators.Corpus.rebalanceGroups(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     // ---- diversity sampling: per-cluster exact quota -----------------
     // the kmeans assignment as sampling strata — a balanced 20% whose
     // per-cluster proportions are exact; operators composing is the
@@ -2491,6 +2500,17 @@ object SparkEntry {
            |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.9 * 1152921504606846976.0d).toLong} THEN 'val'
            |       ELSE 'test' END AS split
            |FROM documents""".stripMargin,
+      // per-group threshold floor(min/cnt * 2^60): exact int64 inputs
+      // make the IEEE divide/multiply/floor identical cross-engine
+      "ext_rebalance_langs" ->
+        """WITH c AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM documents GROUP BY lang
+          |), m AS (SELECT min(cnt) AS mn FROM c)
+          |SELECT d.doc_id, d.lang
+          |FROM documents d JOIN c ON d.lang = c.lang, m
+          |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |  < CAST(floor(CAST(m.mn AS DOUBLE) / cnt * 1152921504606846976.0) AS BIGINT)""".stripMargin,
       // per-cluster exact-quota sample over the k-means assignment
       // (diversity sampling): the kmeans oracle nested verbatim as a
       // CTE, then the stratified sampler's md5-order row_number

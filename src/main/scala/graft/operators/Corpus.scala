@@ -339,6 +339,37 @@ object Corpus {
           .as("end_tok"))
   }
 
+  /** Deterministic corpus REBALANCING: downsample every group to the
+    * smallest group's expected size (the data-mixing step that turns a
+    * crawl's natural language skew into a uniform training mix).
+    * P[keep] = min_count / group_count via the shared md5 coin against
+    * a per-group threshold `floor(min/cnt * 2^60)` — computed with
+    * exact int64 inputs (< 2^53), so the IEEE divide/multiply/floor
+    * sequence is identical in any engine and the kept set is
+    * reproducible cross-engine. The smallest group's threshold is
+    * exactly 2^60, which every 60-bit coin is below — it survives
+    * INTACT, not approximately.
+    *
+    * Plan shape: one tiny `groupBy(group)` aggregate, its 1-row min,
+    * both BROADCAST back onto the corpus, then a narrow filter — the
+    * corpus itself never shuffles, so the op scales as a scan whatever
+    * the group skew (the 218-vs-64 English skew in the test corpus is
+    * exactly the shape this exists for). Fully lazy: no driver action
+    * builds the returned frame.
+    */
+  def rebalanceGroups(docs: DataFrame, groupCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_cnt"))
+    val minDf = counts.agg(min(col("_cnt")).as("_min"))
+    val thr = floor(col("_min").cast("double") / col("_cnt")
+      * lit(1152921504606846976.0d)).cast("long")
+    docs.join(broadcast(counts), Seq(groupCol))
+      .crossJoin(broadcast(minDf))
+      .filter(sampleHash(col(idCol)) < thr)
+      .select(col(idCol).as("doc_id"), col(groupCol))
+  }
+
   /** Deterministic train/val/test split assignment: the 60-bit md5 coin
     * partitioned into `[0, train)`, `[train, train+val)`, rest — every
     * doc lands in exactly one split, stable across runs/engines/corpus

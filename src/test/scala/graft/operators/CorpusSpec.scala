@@ -395,6 +395,37 @@ class CorpusSpec extends SparkSuite {
     assert(counts.values.exists(_ > 1), "corpus must exercise multi-chunk")
   }
 
+  test("rebalanceGroups: smallest group survives intact, expected " +
+      "sizes ~min, corpus never shuffles (broadcast-only plan)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val before = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = before.values.min
+    val minLangs = before.filter(_._2 == minCnt).keySet
+    val kept = Corpus.rebalanceGroups(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val by = kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    minLangs.foreach { l =>
+      assert(by(l) == minCnt, s"smallest lang $l must survive intact")
+    }
+    by.foreach { case (l, n) =>
+      // binomial around min: 4σ bound, σ² ≤ cnt·p(1-p) ≤ min
+      val tol = 4 * math.sqrt(minCnt.toDouble)
+      assert(math.abs(n - minCnt) <= tol, s"$l: $n vs target $minCnt")
+    }
+    // determinism + subset-of-corpus
+    val again = Corpus.rebalanceGroups(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+    val plan = Corpus.rebalanceGroups(docs)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the join:\n$plan")
+  }
+
   test("splitAssign: exhaustive, deterministic, stable under corpus " +
       "growth, ~80/10/10") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
