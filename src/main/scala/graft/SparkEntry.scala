@@ -1286,6 +1286,18 @@ object SparkEntry {
       graft.operators.Corpus.rebalanceGroups(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // ---- clustering-quality telemetry as data ------------------------
+    // per-cluster size + total integer inertia (sum of squared
+    // distances): a centroid-drift or assignment regression shows as a
+    // red correctness row, the eng_ann_recall pattern applied to
+    // clustering
+    "ext_cluster_inertia" -> ((s, dir) =>
+      graft.operators.Clustering.kmeansAssign(
+          s.read.parquet(s"$dir/embeddings.parquet"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("dist2")).as("inertia"))),
+
     // ---- diversity sampling: per-cluster exact quota -----------------
     // the kmeans assignment as sampling strata — a balanced 20% whose
     // per-cluster proportions are exact; operators composing is the
@@ -2511,6 +2523,13 @@ object SparkEntry {
           |FROM documents d JOIN c ON d.lang = c.lang, m
           |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |  < CAST(floor(CAST(m.mn AS DOUBLE) / cnt * 1152921504606846976.0) AS BIGINT)""".stripMargin,
+      // int64 sums of int distances — CAST pins DuckDB's HUGEINT back
+      "ext_cluster_inertia" ->
+        s"""WITH km AS (
+           |$clusterKmeansSql
+           |) SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+           |  CAST(sum(dist2) AS BIGINT) AS inertia
+           |FROM km GROUP BY cid""".stripMargin,
       // per-cluster exact-quota sample over the k-means assignment
       // (diversity sampling): the kmeans oracle nested verbatim as a
       // CTE, then the stratified sampler's md5-order row_number
