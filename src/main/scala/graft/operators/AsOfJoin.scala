@@ -67,6 +67,15 @@ object AsOfJoin {
       s"left/right payload columns must be disjoint, both have: $overlap")
     require(rightCols.contains(rightTieCol),
       s"tie-break column $rightTieCol must be a non-key right column")
+    // numeric-epoch contract: casting a TIMESTAMP to long yields epoch
+    // SECONDS in Spark — a silent unit change. Callers pass epoch
+    // numbers (ns/µs — any unit, consistently) explicitly.
+    for ((df, c) <- Seq((left, leftTsCol), (right, rightTsCol))) {
+      import org.apache.spark.sql.types._
+      require(Seq[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(c).dataType),
+        s"$c must be an integral epoch column, got ${df.schema(c).dataType}")
+    }
 
     val lStruct = StructType(leftCols.map(c => left.schema(c)))
     val rStruct = StructType(rightCols.map(c => right.schema(c)))

@@ -104,4 +104,16 @@ class AsOfJoinSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("disjoint"))
   }
+
+  test("timestamp-typed ts columns are rejected (cast-to-long would " +
+      "silently yield seconds)") {
+    import spark.implicits._
+    val a = Seq((1L, 2L, 3L)).toDF("k", "ts", "x")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val b = Seq((1L, 2L, 3L)).toDF("k", "rts", "y")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(a, b, "k", "ts", "rts", "y")
+    }
+    assert(e.getMessage.contains("integral epoch"))
+  }
 }
