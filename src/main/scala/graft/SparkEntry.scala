@@ -1286,6 +1286,15 @@ object SparkEntry {
       graft.operators.Corpus.rebalanceGroups(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // ---- the training-prep pipeline as ONE composed query ------------
+    // rebalance -> exact dedup -> leakage-stable split -> chunk the
+    // train docs: the capstone composition; only corpus shuffle is the
+    // dedup's hash-groupBy (32/8 chunking so the corpus multi-chunks)
+    "ext_pipeline_prep" -> ((s, dir) =>
+      graft.operators.Corpus.prepPipeline(
+        s.read.parquet(s"$dir/documents.parquet"),
+        chunkTokens = 32, overlap = 8)),
+
     // ---- clustering-quality telemetry as data ------------------------
     // per-cluster size + total integer inertia (sum of squared
     // distances): a centroid-drift or assignment regression shows as a
@@ -2523,6 +2532,41 @@ object SparkEntry {
           |FROM documents d JOIN c ON d.lang = c.lang, m
           |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |  < CAST(floor(CAST(m.mn AS DOUBLE) / cnt * 1152921504606846976.0) AS BIGINT)""".stripMargin,
+      // the four stages' oracles chained as CTEs: rebalance thresholds,
+      // min-id-per-md5 dedup, the 0.8*2^60 train coin, chunk math
+      "ext_pipeline_prep" ->
+        s"""WITH c AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM documents GROUP BY lang
+           |), m AS (SELECT min(cnt) AS mn FROM c),
+           |bal AS (
+           |  SELECT d.doc_id, d.lang, d.text
+           |  FROM documents d JOIN c ON d.lang = c.lang, m
+           |  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |    < CAST(floor(CAST(m.mn AS DOUBLE) / cnt * 1152921504606846976.0) AS BIGINT)
+           |), keep AS (
+           |  SELECT min(doc_id) AS doc_id FROM bal GROUP BY md5(text)
+           |), train AS (
+           |  SELECT b.doc_id, b.lang, b.text
+           |  FROM bal b JOIN keep k ON b.doc_id = k.doc_id
+           |  WHERE CAST(concat('0x', substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.8 * 1152921504606846976.0d).toLong}
+           |), t AS (
+           |  SELECT doc_id, lang,
+           |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+           |  FROM train
+           |), cc AS (
+           |  SELECT doc_id, lang, n,
+           |    CASE WHEN n <= 32 THEN 1
+           |         ELSE 1 + (n - 32 + 23) // 24 END AS n_chunks
+           |  FROM t
+           |), e AS (
+           |  SELECT doc_id, lang, n,
+           |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+           |  FROM cc
+           |)
+           |SELECT doc_id, lang, chunk_idx, chunk_idx * 24 AS start_tok,
+           |  least(chunk_idx * 24 + 32, n) AS end_tok
+           |FROM e""".stripMargin,
       // int64 sums of int distances — CAST pins DuckDB's HUGEINT back
       "ext_cluster_inertia" ->
         s"""WITH km AS (

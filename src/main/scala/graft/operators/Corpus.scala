@@ -370,6 +370,35 @@ object Corpus {
       .select(col(idCol).as("doc_id"), col(groupCol))
   }
 
+  /** The TRAINING-PREP pipeline as ONE composed query — what a user
+    * runs to turn a raw multilingual crawl into train-split context
+    * windows: [[rebalanceGroups]] flattens the language skew,
+    * [[Dedup.exact]]-style min-id-per-content-hash keeps one doc per
+    * duplicate set, [[splitAssign]] fixes the leakage-stable split,
+    * and [[chunkDocuments]] windows the surviving train docs. Output:
+    * `(doc_id, lang, chunk_idx, start_tok, end_tok)`.
+    *
+    * Every stage is individually scale-shaped (broadcast-joined
+    * thresholds, one hash-groupBy dedup shuffle, two narrow coins, an
+    * integer explode), so the composition's only corpus shuffle is the
+    * dedup's — and Catalyst is free to push the rebalance/split coin
+    * filters below it. */
+  def prepPipeline(docs: DataFrame, chunkTokens: Int = 512,
+      overlap: Int = 64): DataFrame = {
+    val balanced = docs
+      .join(rebalanceGroups(docs).select(col("doc_id")), Seq("doc_id"))
+    val keep = balanced.groupBy(md5(col("text")).as("_h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val train = balanced.join(keep, Seq("doc_id"))
+      .join(splitAssign(balanced), Seq("doc_id"))
+      .filter(col("split") === "train")
+    train.select(col("doc_id"), col("lang"))
+      .join(chunkDocuments(train, chunkTokens, overlap), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("chunk_idx"),
+        col("start_tok"), col("end_tok"))
+  }
+
   /** Deterministic train/val/test split assignment: the 60-bit md5 coin
     * partitioned into `[0, train)`, `[train, train+val)`, rest — every
     * doc lands in exactly one split, stable across runs/engines/corpus

@@ -426,6 +426,33 @@ class CorpusSpec extends SparkSuite {
       s"corpus must not shuffle for the join:\n$plan")
   }
 
+  test("prepPipeline: train-only, dedup holds (no shared content), " +
+      "chunk counts match the formula") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = Corpus.prepPipeline(docs, chunkTokens = 32, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val outDocs = out.map(_._1).toSet
+    assert(outDocs.nonEmpty && out.length > outDocs.size,
+      "pipeline must emit multi-chunk docs")
+    val splits = Corpus.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    outDocs.foreach { id =>
+      assert(splits(id) == "train", s"doc $id is ${splits(id)}")
+    }
+    val hashes = docs.filter(col("doc_id").isin(outDocs.toSeq: _*))
+      .select(md5(col("text"))).collect().map(_.getString(0))
+    assert(hashes.length == hashes.distinct.length,
+      "two surviving docs share content — dedup stage broken")
+    val toks = TextAnalysis.tokenCounts(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._1).foreach { case (id, chunks) =>
+      val n = toks(id)
+      val want = if (n <= 32) 1 else 1 + (n - 32 + 23) / 24
+      assert(chunks.length == want, s"doc $id: $n tokens, ${chunks.length}")
+    }
+  }
+
   test("splitAssign: exhaustive, deterministic, stable under corpus " +
       "growth, ~80/10/10") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
