@@ -378,25 +378,51 @@ object Corpus {
     * and [[chunkDocuments]] windows the surviving train docs. Output:
     * `(doc_id, lang, chunk_idx, start_tok, end_tok)`.
     *
-    * Every stage is individually scale-shaped (broadcast-joined
-    * thresholds, one hash-groupBy dedup shuffle, two narrow coins, an
-    * integer explode), so the composition's only corpus shuffle is the
-    * dedup's — and Catalyst is free to push the rebalance/split coin
-    * filters below it. */
+    * The stages are FUSED, not operator-chained: calling the four
+    * operators and joining their id outputs back would cost three
+    * corpus self-joins (SortMergeJoins — measured in the plan audit
+    * before this rewrite); inlining each stage's math keeps every
+    * column flowing through one dataflow, so the whole pipeline plans
+    * as broadcast-joined thresholds + narrow coin filters + ONE corpus
+    * exchange (the content-hash dedup window) + an integer explode.
+    * Stage semantics are bit-identical to the standalone operators
+    * (the oracle chains their SQL unchanged). */
   def prepPipeline(docs: DataFrame, chunkTokens: Int = 512,
       overlap: Int = 64): DataFrame = {
-    val balanced = docs
-      .join(rebalanceGroups(docs).select(col("doc_id")), Seq("doc_id"))
-    val keep = balanced.groupBy(md5(col("text")).as("_h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val train = balanced.join(keep, Seq("doc_id"))
-      .join(splitAssign(balanced), Seq("doc_id"))
-      .filter(col("split") === "train")
-    train.select(col("doc_id"), col("lang"))
-      .join(chunkDocuments(train, chunkTokens, overlap), Seq("doc_id"))
+    require(overlap >= 0 && chunkTokens > overlap)
+    val stride = chunkTokens - overlap
+    // stage 1: rebalance — inlined (not `docs.join(rebalanceGroups)`)
+    // so the survivors keep every column without a corpus self-join
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("_cnt"))
+    val minDf = counts.agg(min(col("_cnt")).as("_min"))
+    val thr = floor(col("_min").cast("double") / col("_cnt")
+      * lit(1152921504606846976.0d)).cast("long")
+    val balanced = docs.join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(minDf))
+      .filter(sampleHash(col("doc_id")) < thr)
+    // stage 2: exact dedup as a rank-1 window on the content hash —
+    // the pipeline's ONE corpus exchange (a groupBy-then-join-back
+    // would shuffle the corpus twice for the same result)
+    val deduped = balanced
+      .withColumn("_h", md5(col("text")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_h")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1)
+    // stage 3: the leakage-stable split coin ([[splitAssign]]'s train
+    // threshold), a narrow filter
+    val train = deduped.filter(
+      sampleHash(col("doc_id")) < lit((0.8 * 1152921504606846976.0d).toLong))
+    // stage 4: chunking ([[chunkDocuments]]'s math), narrow explode
+    val withN = train.select(col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("_n"))
+    val nChunks = when(col("_n") <= chunkTokens, lit(1L)).otherwise(
+      lit(1L) + expr(s"(_n - $chunkTokens + ${stride - 1}) div $stride"))
+    withN.select(col("doc_id"), col("lang"), col("_n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
       .select(col("doc_id"), col("lang"), col("chunk_idx"),
-        col("start_tok"), col("end_tok"))
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(col("chunk_idx") * stride + chunkTokens, col("_n"))
+          .as("end_tok"))
   }
 
   /** Deterministic train/val/test split assignment: the 60-bit md5 coin

@@ -91,6 +91,14 @@ object Explain {
     graft.SparkEntry.queries("ext_cluster_outliers")(spark, dir)
       .explain("formatted")
 
+    println("\n########## corpus rebalance (expect BroadcastHashJoin for the per-lang counts + BroadcastNestedLoopJoin for the 1-row min; the corpus side never exchanges)")
+    graft.SparkEntry.queries("ext_rebalance_langs")(spark, dir)
+      .explain("formatted")
+
+    println("\n########## prep pipeline (expect ONE corpus hash exchange (the md5 dedup groupBy); rebalance/split coins as filters; chunk explode on top)")
+    graft.SparkEntry.queries("ext_pipeline_prep")(spark, dir)
+      .explain("formatted")
+
     spark.stop()
   }
 }
