@@ -736,6 +736,24 @@ object SparkEntry {
           (0.25 * 1152921504606846976.0d).toLong}")
     }),
 
+    // sliding-window chunking in pure SQL text (explode + sequence over
+    // the pipeline view) — the same integer math as ext_chunk_documents
+    // under the same oracle: one semantics, two front doors
+    "sql_chunk_documents" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      s.sql("""SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+        |  least(chunk_idx * 24 + 32, n) AS end_tok
+        |FROM (
+        |  SELECT doc_id, n, explode(sequence(0L,
+        |    CASE WHEN n <= 32L THEN 0L ELSE (n - 9L) DIV 24L END)) AS chunk_idx
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n
+        |    FROM graft_docs))""".stripMargin)
+    }),
+
     // the KMV sketch driven as a SQL AGGREGATE over the registered
     // pipeline view — proves the registry route wraps the custom
     // TypedImperativeAggregate correctly (analyzer inserts the
@@ -1534,6 +1552,28 @@ object SparkEntry {
       |  SELECT vec_id, cid, d,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       |  FROM a2_d) WHERE rn = 1""".stripMargin
+
+  /** Shared oracle for `ext_chunk_documents` (DataFrame route) and
+    * `sql_chunk_documents` (SQL-text route) — one chunking
+    * semantics, two front doors. */
+  private val chunkDocumentsSql: String =
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, n,
+          |    CASE WHEN n <= 32 THEN 1
+          |         ELSE 1 + (n - 32 + 23) // 24 END AS n_chunks
+          |  FROM d
+          |), e AS (
+          |  SELECT doc_id, n,
+          |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+          |  FROM c
+          |)
+          |SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+          |  least(chunk_idx * 24 + 32, n) AS end_tok
+          |FROM e""".stripMargin
 
   private val annIvfSql: String =
     s"""WITH cent AS (
@@ -2495,24 +2535,10 @@ object SparkEntry {
       "ext_cluster_kmeans" -> clusterKmeansSql,
       // chunk math mirrored exactly: ws-token count, ceil-div chunk
       // count, clamped final range — all BIGINT
-      "ext_chunk_documents" ->
-        """WITH d AS (
-          |  SELECT doc_id,
-          |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
-          |  FROM documents
-          |), c AS (
-          |  SELECT doc_id, n,
-          |    CASE WHEN n <= 32 THEN 1
-          |         ELSE 1 + (n - 32 + 23) // 24 END AS n_chunks
-          |  FROM d
-          |), e AS (
-          |  SELECT doc_id, n,
-          |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
-          |  FROM c
-          |)
-          |SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
-          |  least(chunk_idx * 24 + 32, n) AS end_tok
-          |FROM e""".stripMargin,
+      "ext_chunk_documents" -> chunkDocumentsSql,
+      // same math through the SQL-TEXT route (Spark SQL explode+sequence
+      // over the pipeline view) — one semantics, two front doors
+      "sql_chunk_documents" -> chunkDocumentsSql,
       // split thresholds interpolated as exact BIGINT literals (the
       // ext_sample_threshold pattern): 0.8 / 0.9 of 2^60
       "ext_split_assign" ->
