@@ -105,6 +105,37 @@ class AsOfJoinSpec extends SparkSuite {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("fuzz: ≡ naive on dense random data (hot keys, heavy ts ties, " +
+      "empty sides) across partitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      // dense domains force collisions: few keys, tiny ts range
+      val nl = rnd.nextInt(40)
+      val nr = rnd.nextInt(40)
+      val lRows = (0 until nl).map(i =>
+        (100L + i, rnd.nextInt(5).toLong, rnd.nextInt(12).toLong))
+      val rRows = (0 until nr).map(i =>
+        (500L + i, rnd.nextInt(5).toLong, rnd.nextInt(12).toLong))
+      val parts = 1 + rnd.nextInt(7)
+      val lt = lRows.toDF("buy_id", "user_id", "buy_ts").repartition(parts)
+      val rt = rRows.toDF("click_id", "user_id", "click_ts")
+        .repartition(1 + rnd.nextInt(7))
+      val fast = AsOfJoin.asOfJoin(lt, rt, "user_id",
+          "buy_ts", "click_ts", "click_id")
+        .select(col("buy_id"), col("click_id")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val want = lRows.map { case (bid, k, bts) =>
+        val cands = rRows.filter(c => c._2 == k && c._3 <= bts)
+        (bid, if (cands.isEmpty) None
+          else Some(cands.maxBy(c => (c._3, c._1))._1))
+      }.toSet
+      assert(fast == want, s"trial $trial (nl=$nl nr=$nr): " +
+        s"${(fast diff want).take(3)} vs ${(want diff fast).take(3)}")
+    }
+  }
+
   test("timestamp-typed ts columns are rejected (cast-to-long would " +
       "silently yield seconds)") {
     import spark.implicits._

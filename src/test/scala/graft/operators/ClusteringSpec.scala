@@ -62,6 +62,16 @@ class ClusteringSpec extends SparkSuite {
     assert(a0 != a2, "2 Lloyd updates left every assignment unchanged")
   }
 
+  test("partition-independent: 1 vs 7 input partitions, identical " +
+      "assignment (integer sums commute)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = Clustering.kmeansAssign(emb.repartition(1))
+      .collect().map(_.toSeq).toSet
+    val b = Clustering.kmeansAssign(emb.repartition(7))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("deterministic run-over-run") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val r1 = Clustering.kmeansAssign(emb).collect().map(_.toSeq).toSet
