@@ -1313,6 +1313,15 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         chunkTokens = 32, overlap = 8)),
 
+    // ---- ANN over the LEARNED k-means layout (all-integer) -----------
+    // inverted lists = Lloyd clusters; probe selection AND rescore rank
+    // by fixed-point L2 — the one ANN row with zero float-ordering
+    // sensitivity; probes broadcast, the corpus never shuffles for the
+    // candidate join
+    "ext_ann_ivf_kmeans" -> ((s, dir) =>
+      graft.operators.Clustering.ivfTopKKmeans(
+        s.read.parquet(s"$dir/embeddings.parquet"))),
+
     // ---- clustering-quality telemetry as data ------------------------
     // per-cluster size + total integer inertia (sum of squared
     // distances): a centroid-drift or assignment regression shows as a
@@ -1495,7 +1504,10 @@ object SparkEntry {
     * CTE, for the composed `ext_sample_diverse` /
     * `ext_cluster_outliers` rows: the 2-iteration integer Lloyd's,
     * unrolled ([[graft.operators.Clustering.kmeansAssign]]). */
-  private val clusterKmeansSql: String =
+  /** The 2-iteration integer Lloyd's CTE chain (quantize -> seed ->
+    * assign/update x2 -> final pairwise distances `a2_d`), shared by
+    * the kmeans/IVF-kmeans oracles below. */
+  private val kmeansCtes: String =
     """WITH v AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS fx
@@ -1547,11 +1559,53 @@ object SparkEntry {
       |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
       |        FROM v CROSS JOIN c2 c) z
       |  GROUP BY vec_id, cid
+      |)""".stripMargin
+
+  private val clusterKmeansSql: String =
+    s"""$kmeansCtes,
+      |km AS (
+      |  SELECT vec_id, cid, d FROM (
+      |    SELECT vec_id, cid, d,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM a2_d) WHERE rn = 1
       |)
-      |SELECT vec_id, cid, d AS dist2 FROM (
-      |  SELECT vec_id, cid, d,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-      |  FROM a2_d) WHERE rn = 1""".stripMargin
+      |SELECT vec_id, cid, d AS dist2 FROM km""".stripMargin
+
+  /** Oracle for `ext_ann_ivf_kmeans`: IVF over the LEARNED k-means
+    * lists, all-integer — probe selection AND rescore rank by the
+    * fixed-point squared-L2, so the whole ANN query is hash-exact with
+    * no float-ordering sensitivity (the cosine family's one residual
+    * risk class). Lists/probes reuse [[kmeansCtes]]' final distance
+    * table `a2_d` verbatim. */
+  private val annIvfKmeansSql: String =
+    s"""$kmeansCtes,
+      |km AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM a2_d) WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM a2_d WHERE vec_id < 10) WHERE rn <= 2
+      |), cand AS (
+      |  SELECT p.query_id, l.vec_id AS neighbor_id
+      |  FROM probes p JOIN km l ON l.cid = p.cid AND l.vec_id != p.query_id
+      |), cd AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(sum((qf - nf) * (qf - nf)) AS BIGINT) AS d
+      |  FROM (SELECT c.query_id, c.neighbor_id,
+      |          unnest(q.fx) AS qf, unnest(n.fx) AS nf
+      |        FROM cand c JOIN v q ON q.vec_id = c.query_id
+      |                    JOIN v n ON n.vec_id = c.neighbor_id) z
+      |  GROUP BY query_id, neighbor_id
+      |)
+      |SELECT query_id, neighbor_id, rnk FROM (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY d, neighbor_id) AS rnk
+      |  FROM cd) WHERE rnk <= 5""".stripMargin
 
   /** Shared oracle for `ext_chunk_documents` (DataFrame route) and
     * `sql_chunk_documents` (SQL-text route) — one chunking
@@ -2558,6 +2612,7 @@ object SparkEntry {
           |FROM documents d JOIN c ON d.lang = c.lang, m
           |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |  < CAST(floor(CAST(m.mn AS DOUBLE) / cnt * 1152921504606846976.0) AS BIGINT)""".stripMargin,
+      "ext_ann_ivf_kmeans" -> annIvfKmeansSql,
       // the four stages' oracles chained as CTEs: rebalance thresholds,
       // min-id-per-md5 dedup, the 0.8*2^60 train coin, chunk math
       "ext_pipeline_prep" ->

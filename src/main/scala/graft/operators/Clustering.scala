@@ -60,16 +60,21 @@ object Clustering {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (s, x) => s + x)
 
-  /** `(dist2, cid)` of the nearest centroid — `array_min` over structs
-    * compares lexicographically, so equal distances resolve to the
-    * smallest cid. Linear-size expression, codegen-friendly. */
-  private def nearest(fx: Column, cents: Seq[(Long, Array[Long])]): Column = {
-    val lits = cents.sortBy(_._1).map { case (cid, cfx) =>
+  /** The full `(dist2, cid)` array against every centroid literal —
+    * struct order (d, cid) makes lexicographic sorts/minima implement
+    * the distance-then-smallest-cid tie-break. Linear-size expression,
+    * codegen-friendly. */
+  private def centroidDists(fx: Column,
+      cents: Seq[(Long, Array[Long])]): Column =
+    array(cents.sortBy(_._1).map { case (cid, cfx) =>
       struct(dist2(fx, array(cfx.map(lit): _*)).as("d"),
         lit(cid).as("cid"))
-    }
-    array_min(array(lits: _*))
-  }
+    }: _*)
+
+  /** `(dist2, cid)` of the nearest centroid — `array_min` over
+    * [[centroidDists]]. */
+  private def nearest(fx: Column, cents: Seq[(Long, Array[Long])]): Column =
+    array_min(centroidDists(fx, cents))
 
   /** One Lloyd update: per-cluster, per-dimension exact sums, then the
     * `floor(sum / count)` re-quantization. Returns the new centroid set
@@ -100,6 +105,17 @@ object Clustering {
     }
   }
 
+  /** Shared Lloyd's trainer: seeds from every `stride`-th vec_id, then
+    * `iters` updates. Driver-side centroid set (bounded: n/stride). */
+  private def train(fxDf: DataFrame, stride: Long,
+      iters: Int): Seq[(Long, Array[Long])] = {
+    val seeds = fxDf.filter(col("vec_id") % stride === 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).toSeq
+    require(seeds.nonEmpty, "no seed centroids: is vec_id dense from 0?")
+    (0 until iters).foldLeft(seeds)((c, _) => update(fxDf, c))
+  }
+
   /** Full pipeline: quantize, seed centroids from every `stride`-th
     * vec_id (the IVF trainer's deterministic seeding), run `iters`
     * Lloyd updates, emit the final assignment
@@ -112,16 +128,52 @@ object Clustering {
       quantize(col(embCol)).as("fx"))
     fxDf.cache()
     try {
-      val seeds = fxDf.filter(col("vec_id") % stride === 0)
-        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-        .sortBy(_._1).toSeq
-      require(seeds.nonEmpty, "no seed centroids: is vec_id dense from 0?")
-      val finalCents = (0 until iters).foldLeft(seeds) {
-        (c, _) => update(fxDf, c)
-      }
-      val best = nearest(col("fx"), finalCents)
+      val best = nearest(col("fx"), train(fxDf, stride, iters))
       fxDf.select(col("vec_id"), best.getField("cid").as("cid"),
         best.getField("d").as("dist2"))
+    } finally fxDf.unpersist(blocking = false)
+  }
+
+  /** ANN over the LEARNED k-means layout, ALL-INTEGER: inverted lists
+    * are the Lloyd clusters (vs the stride-seeded flat lists of
+    * `Similarity.ivfTopK`), probe selection AND the rescore both rank
+    * by fixed-point squared-L2 — so unlike the cosine ANN family,
+    * every comparison this query makes is exact int64 and the top-k is
+    * hash-stable with zero float-ordering sensitivity.
+    *
+    * Plan shape: training as in [[kmeansAssign]]; the list assignment
+    * is the shuffle-free broadcast-literal projection; the tiny probe
+    * table (numQueries × nprobe rows) BROADCASTS onto the lists, so
+    * the corpus never shuffles for the candidate join — the only
+    * exchange is the final per-query window over candidates (probed
+    * lists only, ~nprobe/k of the corpus per query at scale). */
+  def ivfTopKKmeans(emb: DataFrame, nprobe: Int = 2, k: Int = 5,
+      numQueries: Int = 10, stride: Long = 100L,
+      iters: Int = 2): DataFrame = {
+    require(nprobe > 0 && k > 0 && numQueries > 0)
+    val fxDf = emb.select(col("vec_id"),
+      quantize(col("embedding")).as("fx"))
+    fxDf.cache()
+    try {
+      val cents = train(fxDf, stride, iters)
+      val lists = fxDf.select(col("vec_id"), col("fx"),
+        nearest(col("fx"), cents).getField("cid").as("cid"))
+      val probes = fxDf.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("fx").as("qfx"),
+          explode(slice(array_sort(centroidDists(col("fx"), cents)),
+            1, nprobe)).as("p"))
+        .select(col("query_id"), col("qfx"),
+          col("p").getField("cid").as("cid"))
+      lists.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("d", dist2(col("qfx"), col("fx")))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("d"), col("vec_id"))))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rnk").cast("long").as("rnk"))
     } finally fxDf.unpersist(blocking = false)
   }
 }
