@@ -1322,6 +1322,20 @@ object SparkEntry {
       graft.operators.Clustering.ivfTopKKmeans(
         s.read.parquet(s"$dir/embeddings.parquet"))),
 
+    // ---- kmeans-IVF recall as data (all-integer both sides) ----------
+    "ext_ann_recall_kmeans" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val ivf = graft.operators.Clustering.ivfTopKKmeans(e)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = graft.operators.Clustering.bruteTopKInt(e)
+        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+      ivf.join(brute,
+          col("query_id") === col("bq") && col("neighbor_id") === col("bn"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("bn")).as("n_hit"), count(lit(1)).as("n_ret"))
+    }),
+
     // ---- clustering-quality telemetry as data ------------------------
     // per-cluster size + total integer inertia (sum of squared
     // distances): a centroid-drift or assignment regression shows as a
@@ -1577,9 +1591,12 @@ object SparkEntry {
     * no float-ordering sensitivity (the cosine family's one residual
     * risk class). Lists/probes reuse [[kmeansCtes]]' final distance
     * table `a2_d` verbatim. */
-  private val annIvfKmeansSql: String =
-    s"""$kmeansCtes,
-      |km AS (
+  /** The IVF-over-kmeans candidate/rescore CTE chain (appended to
+    * [[kmeansCtes]]): learned lists `km`, integer probe selection,
+    * candidate join, integer rescore distances `cd`, and the ranked
+    * top-5 `ivfk`. Shared by the query oracle and the recall row. */
+  private val ivfKmeansCtes: String =
+    """km AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -1600,12 +1617,47 @@ object SparkEntry {
       |        FROM cand c JOIN v q ON q.vec_id = c.query_id
       |                    JOIN v n ON n.vec_id = c.neighbor_id) z
       |  GROUP BY query_id, neighbor_id
-      |)
-      |SELECT query_id, neighbor_id, rnk FROM (
+      |),
+      |ivfk AS (
+      |  SELECT query_id, neighbor_id, rnk FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY d, neighbor_id) AS rnk
+      |    FROM cd) WHERE rnk <= 5
+      |)""".stripMargin
+
+  private val annIvfKmeansSql: String =
+    s"""$kmeansCtes,
+      |$ivfKmeansCtes
+      |SELECT query_id, neighbor_id, rnk FROM ivfk""".stripMargin
+
+  /** Oracle for `ext_ann_recall_kmeans`: the kmeans-IVF top-5 vs the
+    * INTEGER brute-force top-5 — both all-int64, so this recall row is
+    * exactly reproducible (no float brute-force in the loop). */
+  private val annRecallKmeansSql: String =
+    s"""$kmeansCtes,
+      |$ivfKmeansCtes,
+      |bd AS (
       |  SELECT query_id, neighbor_id,
-      |    row_number() OVER (PARTITION BY query_id
-      |      ORDER BY d, neighbor_id) AS rnk
-      |  FROM cd) WHERE rnk <= 5""".stripMargin
+      |    CAST(sum((qf - nf) * (qf - nf)) AS BIGINT) AS d
+      |  FROM (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |          unnest(q.fx) AS qf, unnest(n.fx) AS nf
+      |        FROM v q JOIN v n ON n.vec_id != q.vec_id
+      |        WHERE q.vec_id < 10) z
+      |  GROUP BY query_id, neighbor_id
+      |), brute AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY d, neighbor_id) AS rnk
+      |    FROM bd) WHERE rnk <= 5
+      |)
+      |SELECT i.query_id AS query_id,
+      |  CAST(count(b.neighbor_id) AS BIGINT) AS n_hit,
+      |  CAST(count(*) AS BIGINT) AS n_ret
+      |FROM ivfk i LEFT JOIN brute b
+      |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      |GROUP BY i.query_id""".stripMargin
 
   /** Shared oracle for `ext_chunk_documents` (DataFrame route) and
     * `sql_chunk_documents` (SQL-text route) — one chunking
@@ -2613,6 +2665,7 @@ object SparkEntry {
           |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |  < CAST(floor(CAST(m.mn AS DOUBLE) / cnt * 1152921504606846976.0) AS BIGINT)""".stripMargin,
       "ext_ann_ivf_kmeans" -> annIvfKmeansSql,
+      "ext_ann_recall_kmeans" -> annRecallKmeansSql,
       // the four stages' oracles chained as CTEs: rebalance thresholds,
       // min-id-per-md5 dedup, the 0.8*2^60 train coin, chunk math
       "ext_pipeline_prep" ->

@@ -176,4 +176,24 @@ object Clustering {
           col("rnk").cast("long").as("rnk"))
     } finally fxDf.unpersist(blocking = false)
   }
+
+  /** Integer brute-force top-k (fixed-point L2, id tie-break) — the
+    * exact reference the kmeans-IVF recall telemetry compares against.
+    * Queries broadcast (numQueries rows); one pass over the corpus. */
+  def bruteTopKInt(emb: DataFrame, numQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val fxDf = emb.select(col("vec_id"),
+      quantize(col("embedding")).as("fx"))
+    val q = fxDf.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("fx").as("qfx"))
+    fxDf.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("d", dist2(col("qfx"), col("fx")))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("d"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk").cast("long").as("rnk"))
+  }
 }
