@@ -1295,6 +1295,21 @@ object SparkEntry {
       graft.operators.Corpus.splitAssign(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // ---- corpus health stats (the curation dashboard query) ----------
+    // one partial-aggregated pass: per-lang doc counts, exact token and
+    // char mass, distinct sources. Sums, not means, so every output is
+    // exact int64 (a mean is one IEEE divide the consumer can do). At
+    // a high-cardinality source column swap count(DISTINCT) for the
+    // KMV sketch (ext_approx_distinct) — here sources are ~20
+    "ext_corpus_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+            .as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"))),
+
     // ---- corpus rebalancing (uniform language mix) -------------------
     // P[keep] = min_lang_count / lang_count per doc via the md5 coin —
     // the crawl's language skew flattened without shuffling the corpus
@@ -2653,6 +2668,13 @@ object SparkEntry {
            |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.9 * 1152921504606846976.0d).toLong} THEN 'val'
            |       ELSE 'test' END AS split
            |FROM documents""".stripMargin,
+      "ext_corpus_stats" ->
+        """SELECT lang,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
+          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM documents GROUP BY lang""".stripMargin,
       // per-group threshold floor(min/cnt * 2^60): exact int64 inputs
       // make the IEEE divide/multiply/floor identical cross-engine
       "ext_rebalance_langs" ->

@@ -77,7 +77,7 @@ object ScaleSmoke {
     // shuffles — the update cost is centroid-sized, not corpus-sized)
     "ext_join_asof", "ext_cluster_kmeans", "ext_stream_asof_files",
     "ext_chunk_documents", "ext_split_assign", "ext_rebalance_langs",
-    "ext_pipeline_prep", "ext_ann_ivf_kmeans")
+    "ext_pipeline_prep", "ext_ann_ivf_kmeans", "ext_corpus_stats")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
