@@ -1040,11 +1040,7 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val brute = graft.operators.Similarity.bruteForceTopK(q, e, k = 3)
         .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
-      lsh.join(brute,
-          col("query_id") === col("bq") && col("neighbor_id") === col("bn"),
-          "left")
-        .groupBy(col("query_id"))
-        .agg(count(col("bn")).as("n_hit"), count(lit(1)).as("n_ret"))
+      recallCounts(lsh, brute)
     }),
 
     // ---- IVF recall telemetry AS DATA: recall@k of the physical-layout
@@ -1061,11 +1057,7 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val brute = graft.operators.Similarity.bruteForceTopK(q, e, k = AnnIvfK)
         .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
-      ivf.join(brute,
-          col("query_id") === col("bq") && col("neighbor_id") === col("bn"),
-          "left")
-        .groupBy(col("query_id"))
-        .agg(count(col("bn")).as("n_hit"), count(lit(1)).as("n_ret"))
+      recallCounts(ivf, brute)
     }),
 
     // ---- corpus-adaptive IVF: ~√n lists (capped), √lists probes, and
@@ -1344,11 +1336,7 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val brute = graft.operators.Clustering.bruteTopKInt(e)
         .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
-      ivf.join(brute,
-          col("query_id") === col("bq") && col("neighbor_id") === col("bn"),
-          "left")
-        .groupBy(col("query_id"))
-        .agg(count(col("bn")).as("n_hit"), count(lit(1)).as("n_ret"))
+      recallCounts(ivf, brute)
     }),
 
     // ---- clustering-quality telemetry as data ------------------------
@@ -1528,14 +1516,25 @@ object SparkEntry {
     * and the engine can never drift on a constant change. */
   private val AnnIvfK = 5
 
+  /** The shared recall-telemetry shape: per-query hit counts of an
+    * approximate top-k (`query_id, neighbor_id`) against the exact one
+    * (pre-aliased `bq, bn`). One convention for all three ANN families
+    * (`eng_ann_recall`, `eng_ann_recall_bucketed`,
+    * `ext_ann_recall_kmeans`), so a change to the counting can never
+    * drift between them. */
+  private def recallCounts(approx: DataFrame,
+      exact: DataFrame): DataFrame =
+    approx.join(exact,
+        col("query_id") === col("bq") && col("neighbor_id") === col("bn"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("bn")).as("n_hit"), count(lit(1)).as("n_ret"))
 
-  /** Shared oracle for `ext_cluster_kmeans` and, nested verbatim as a
-    * CTE, for the composed `ext_sample_diverse` /
-    * `ext_cluster_outliers` rows: the 2-iteration integer Lloyd's,
-    * unrolled ([[graft.operators.Clustering.kmeansAssign]]). */
+
   /** The 2-iteration integer Lloyd's CTE chain (quantize -> seed ->
     * assign/update x2 -> final pairwise distances `a2_d`), shared by
-    * the kmeans/IVF-kmeans oracles below. */
+    * the kmeans/IVF-kmeans oracles below
+    * ([[graft.operators.Clustering.kmeansAssign]]'s math). */
   private val kmeansCtes: String =
     """WITH v AS (
       |  SELECT vec_id, list_transform(embedding,
@@ -1600,16 +1599,14 @@ object SparkEntry {
       |)
       |SELECT vec_id, cid, d AS dist2 FROM km""".stripMargin
 
-  /** Oracle for `ext_ann_ivf_kmeans`: IVF over the LEARNED k-means
-    * lists, all-integer — probe selection AND rescore rank by the
-    * fixed-point squared-L2, so the whole ANN query is hash-exact with
-    * no float-ordering sensitivity (the cosine family's one residual
-    * risk class). Lists/probes reuse [[kmeansCtes]]' final distance
-    * table `a2_d` verbatim. */
   /** The IVF-over-kmeans candidate/rescore CTE chain (appended to
     * [[kmeansCtes]]): learned lists `km`, integer probe selection,
     * candidate join, integer rescore distances `cd`, and the ranked
-    * top-5 `ivfk`. Shared by the query oracle and the recall row. */
+    * top-5 `ivfk` — probe selection AND rescore rank by fixed-point
+    * squared-L2, so the whole query is hash-exact with no
+    * float-ordering sensitivity (the cosine family's one residual risk
+    * class). Shared by the `ext_ann_ivf_kmeans` oracle and the recall
+    * row. */
   private val ivfKmeansCtes: String =
     """km AS (
       |  SELECT vec_id, cid FROM (

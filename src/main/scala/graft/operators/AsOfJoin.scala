@@ -68,23 +68,35 @@ object AsOfJoin {
     require(rightCols.contains(rightTieCol),
       s"tie-break column $rightTieCol must be a non-key right column")
     // numeric-epoch contract: casting a TIMESTAMP to long yields epoch
-    // SECONDS in Spark — a silent unit change. Callers pass epoch
-    // numbers (ns/µs — any unit, consistently) explicitly.
-    for ((df, c) <- Seq((left, leftTsCol), (right, rightTsCol))) {
+    // SECONDS in Spark — a silent unit change. Same guard on the tie
+    // column: a non-numeric id would cast to NULL and silently destroy
+    // the largest-id tie-break's determinism.
+    for ((df, c) <- Seq((left, leftTsCol), (right, rightTsCol),
+        (right, rightTieCol))) {
       import org.apache.spark.sql.types._
       require(Seq[DataType](LongType, IntegerType, ShortType, ByteType)
           .contains(df.schema(c).dataType),
-        s"$c must be an integral epoch column, got ${df.schema(c).dataType}")
+        s"$c must be an integral column, got ${df.schema(c).dataType}")
     }
 
     val lStruct = StructType(leftCols.map(c => left.schema(c)))
     val rStruct = StructType(rightCols.map(c => right.schema(c)))
+    // NULL semantics must mirror the SQL ASOF LEFT JOIN this operator
+    // claims: a right row with NULL ts or NULL key can never satisfy
+    // `l.ts >= r.ts AND l.key = r.key`, so it is dropped BEFORE the
+    // union (otherwise NULL __ts sorts first and the carry-forward
+    // would hand it to every early left row). Left rows stay: a NULL
+    // left ts sorts before every surviving right row and a NULL left
+    // key shares its partition with no right row — both emit with a
+    // null match, exactly the SQL outer behavior.
+    val rightClean = right.filter(
+      col(rightTsCol).isNotNull && col(keyCol).isNotNull)
     val lu = left.select(
       col(keyCol).as("__k"), col(leftTsCol).cast("long").as("__ts"),
       lit(1).as("__side"), lit(Long.MaxValue).as("__tie"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(rStruct).as("__r"))
-    val ru = right.select(
+    val ru = rightClean.select(
       col(keyCol).as("__k"), col(rightTsCol).cast("long").as("__ts"),
       lit(0).as("__side"), col(rightTieCol).cast("long").as("__tie"),
       lit(null).cast(lStruct).as("__l"),

@@ -136,6 +136,30 @@ class AsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("NULL semantics mirror SQL ASOF LEFT JOIN: null-ts/key right " +
+      "rows never match; null-ts/key left rows emit with nulls") {
+    import spark.implicits._
+    val buys = Seq(
+      (100L, Some(7L), Some(5L)),   // real buy after the null-ts click
+      (101L, Some(7L), None),       // null buy ts -> no match, kept
+      (102L, None, Some(5L))        // null key -> no match, kept
+    ).toDF("buy_id", "user_id", "buy_ts")
+    val clicks = Seq(
+      (10L, Some(7L), None),        // null click ts: never matchable
+      (11L, None, Some(1L)),        // null key: never matchable
+      (12L, Some(7L), Some(3L))     // the only legitimate match
+    ).toDF("click_id", "user_id", "click_ts")
+    val got = AsOfJoin.asOfJoin(buys, clicks, "user_id",
+        "buy_ts", "click_ts", "click_id")
+      .select(col("buy_id"), col("click_id")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.size == 3, s"all left rows must survive: $got")
+    assert(got(100L).contains(12L), s"buy 100: ${got(100L)}")
+    assert(got(101L).isEmpty, s"null-ts buy matched: ${got(101L)}")
+    assert(got(102L).isEmpty, s"null-key buy matched: ${got(102L)}")
+  }
+
   test("timestamp-typed ts columns are rejected (cast-to-long would " +
       "silently yield seconds)") {
     import spark.implicits._
@@ -145,6 +169,6 @@ class AsOfJoinSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asOfJoin(a, b, "k", "ts", "rts", "y")
     }
-    assert(e.getMessage.contains("integral epoch"))
+    assert(e.getMessage.contains("integral column"))
   }
 }
