@@ -31,6 +31,18 @@ object AnnTune {
       val recall = exact.intersect(approx).size.toDouble / exact.size
       println(f"TABLES=$tables recall@$k=$recall%.3f time=$sec%.2fs")
     }
+    // the kmeans-IVF family's dial: nprobe against the INTEGER exact
+    // baseline (both all-int64, so recall here is deterministic)
+    val exactInt = pairs(
+      graft.operators.Clustering.bruteTopKInt(e, numQueries = 20, k = k))
+    for (nprobe <- 1 to 5) {
+      val t0 = System.nanoTime()
+      val approx = pairs(graft.operators.Clustering.ivfTopKKmeans(
+        e, nprobe = nprobe, k = k, numQueries = 20))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = exactInt.intersect(approx).size.toDouble / exactInt.size
+      println(f"KMEANS_NPROBE=$nprobe recall@$k=$recall%.3f time=$sec%.2fs")
+    }
     spark.stop()
   }
 }
