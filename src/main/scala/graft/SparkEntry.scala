@@ -1329,6 +1329,14 @@ object SparkEntry {
       graft.operators.Clustering.ivfTopKKmeans(
         s.read.parquet(s"$dir/embeddings.parquet"))),
 
+    // ---- kmeans-IVF with the √lists probe rule -----------------------
+    // the dial that keeps probe MASS meaningful as learned list count
+    // grows with the corpus; oracle derives the identical nprobe from
+    // the seed count in SQL
+    "ext_ann_ivf_kmeans_adaptive" -> ((s, dir) =>
+      graft.operators.Clustering.ivfTopKKmeansAdaptive(
+        s.read.parquet(s"$dir/embeddings.parquet"))),
+
     // ---- kmeans-IVF recall as data (all-integer both sides) ----------
     "ext_ann_recall_kmeans" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1607,8 +1615,8 @@ object SparkEntry {
     * float-ordering sensitivity (the cosine family's one residual risk
     * class). Shared by the `ext_ann_ivf_kmeans` oracle and the recall
     * row. */
-  private val ivfKmeansCtes: String =
-    """km AS (
+  private def ivfKmeansCtes(nprobeSql: String): String =
+    s"""km AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -1617,7 +1625,7 @@ object SparkEntry {
       |  SELECT vec_id AS query_id, cid FROM (
       |    SELECT vec_id, cid,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-      |    FROM a2_d WHERE vec_id < 10) WHERE rn <= 2
+      |    FROM a2_d WHERE vec_id < 10) WHERE rn <= $nprobeSql
       |), cand AS (
       |  SELECT p.query_id, l.vec_id AS neighbor_id
       |  FROM probes p JOIN km l ON l.cid = p.cid AND l.vec_id != p.query_id
@@ -1640,7 +1648,17 @@ object SparkEntry {
 
   private val annIvfKmeansSql: String =
     s"""$kmeansCtes,
-      |$ivfKmeansCtes
+      |${ivfKmeansCtes("2")}
+      |SELECT query_id, neighbor_id, rnk FROM ivfk""".stripMargin
+
+  /** Oracle for `ext_ann_ivf_kmeans_adaptive`: same chain with the
+    * √lists probe rule computed IN SQL from the seed-centroid count —
+    * integer count → IEEE sqrt → ceil, each correctly rounded, so both
+    * engines derive the identical nprobe. */
+  private val annIvfKmeansAdaptiveSql: String =
+    s"""$kmeansCtes,
+      |${ivfKmeansCtes(
+        "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM c0)")}
       |SELECT query_id, neighbor_id, rnk FROM ivfk""".stripMargin
 
   /** Oracle for `ext_ann_recall_kmeans`: the kmeans-IVF top-5 vs the
@@ -1648,7 +1666,7 @@ object SparkEntry {
     * exactly reproducible (no float brute-force in the loop). */
   private val annRecallKmeansSql: String =
     s"""$kmeansCtes,
-      |$ivfKmeansCtes,
+      |${ivfKmeansCtes("2")},
       |bd AS (
       |  SELECT query_id, neighbor_id,
       |    CAST(sum((qf - nf) * (qf - nf)) AS BIGINT) AS d
@@ -2684,6 +2702,7 @@ object SparkEntry {
           |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |  < CAST(floor(CAST(m.mn AS DOUBLE) / cnt * 1152921504606846976.0) AS BIGINT)""".stripMargin,
       "ext_ann_ivf_kmeans" -> annIvfKmeansSql,
+      "ext_ann_ivf_kmeans_adaptive" -> annIvfKmeansAdaptiveSql,
       "ext_ann_recall_kmeans" -> annRecallKmeansSql,
       // the four stages' oracles chained as CTEs: rebalance thresholds,
       // min-id-per-md5 dedup, the 0.8*2^60 train coin, chunk math

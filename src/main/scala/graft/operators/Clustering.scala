@@ -177,6 +177,23 @@ object Clustering {
     } finally fxDf.unpersist(blocking = false)
   }
 
+  /** [[ivfTopKKmeans]] with the adaptive family's probe rule:
+    * `nprobe = ceil(√lists)` — the dial that keeps probe MASS
+    * meaningful as the learned list count grows with the corpus
+    * (a pinned nprobe=2 is 40% of 5 test-SF lists but 4% of 50 at
+    * 10×; √lists holds ~√-proportional mass). The count → sqrt → ceil
+    * arithmetic is a correctly-rounded IEEE chain on an exact integer,
+    * so the oracle recomputes the identical nprobe in SQL. */
+  def ivfTopKKmeansAdaptive(emb: DataFrame, k: Int = 5,
+      numQueries: Int = 10, stride: Long = 100L,
+      iters: Int = 2): DataFrame = {
+    val nLists = emb.filter(col("vec_id") % stride === 0).count()
+    require(nLists > 0, "no seed centroids")
+    ivfTopKKmeans(emb,
+      nprobe = math.ceil(math.sqrt(nLists.toDouble)).toInt,
+      k = k, numQueries = numQueries, stride = stride, iters = iters)
+  }
+
   /** Integer brute-force top-k (fixed-point L2, id tie-break) — the
     * exact reference the kmeans-IVF recall telemetry compares against.
     * Queries broadcast (numQueries rows); one pass over the corpus. */

@@ -83,7 +83,8 @@ object ScaleSmoke {
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
     "ext_ann_ivf", "ext_ann_ivf_adaptive", "eng_ann_ivf",
     "ext_ann_quantized", "ext_ann_ivf_quantized",
-    "ext_ann_ivf_quantized_adaptive", "ext_ann_ivf_kmeans")
+    "ext_ann_ivf_quantized_adaptive", "ext_ann_ivf_kmeans",
+    "ext_ann_ivf_kmeans_adaptive")
 
   /** Streaming sink/checkpoint dirs created by the [[Extra]] runners —
     * fresh per run (a reused checkpoint would replay nothing and time an
