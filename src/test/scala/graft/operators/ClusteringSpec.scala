@@ -137,6 +137,24 @@ class ClusteringSpec extends SparkSuite {
       s"candidate join must broadcast the probes:\n$plan")
   }
 
+  test("adaptive probes = ceil(√lists): at 5 test lists that is 3, and " +
+      "recall dominates the pinned nprobe=2 run") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val fixed = Clustering.ivfTopKKmeans(emb, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adaptive = Clustering.ivfTopKKmeansAdaptive(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wider = Clustering.ivfTopKKmeans(emb, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive == wider, "adaptive must equal nprobe=3 at 5 lists")
+    // more probed lists can only improve the candidate pool; with the
+    // same deterministic ranking the result sets may differ, but the
+    // integer brute-force agreement must not get worse
+    val brute = Clustering.bruteTopKInt(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive.intersect(brute).size >= fixed.intersect(brute).size)
+  }
+
   test("plan: final assignment is shuffle-free (broadcast-literal " +
       "centroids, no exchange)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
