@@ -794,6 +794,20 @@ object SparkEntry {
     "ext_dedup_minhash" -> ((s, dir) =>
       graft.operators.Dedup.minhashCandidates(plantedDocs(s, dir))),
 
+    // ---- INCREMENTAL near-dup dedup: the planted batch against the
+    //      LANDED signature table (doc_id % 3 = 0 slice) — band-match
+    //      drops via per-band aggregates, nothing pairwise, never a
+    //      corpus rescan; the continuous-crawl form of ext_dedup_minhash
+    "ext_dedup_incremental_minhash" -> ((s, dir) => {
+      val known = graft.operators.Dedup.minhashSignatures(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text")), 8,
+        graft.operators.Dedup.DefaultSeeds)
+      graft.operators.Dedup.incrementalMinhash(
+        plantedDocs(s, dir), known)
+    }),
+
     // ---- near-dup CLUSTERS: minhash pairs -> connected components ----
     // (large-star/small-star; every doc mapped to its cluster's min id,
     // singletons to themselves). The step that turns pairwise evidence
@@ -1135,23 +1149,16 @@ object SparkEntry {
     // phones/IPs from doc_id (same arithmetic in the oracle) — the
     // operator under test is the engine-portable regex kernel, the
     // planting is fixture construction, not semantics
-    "ext_pii_scan" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .filter(col("text").isNotNull)
-      val planted = docs.select(col("doc_id"), concat(
-        col("text"),
-        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
-          col("doc_id").cast("string"), lit("@example.com")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 11 === 0, concat(lit(" call 555-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 13 === 0, concat(lit(" host 10.0."),
-          (col("doc_id") % 256).cast("string"), lit("."),
-          (col("doc_id") % 100).cast("string")))
-          .otherwise(lit(""))).as("text"))
-      graft.operators.TextAnalysis.piiScan(planted)
-    }),
+    "ext_pii_scan" -> ((s, dir) =>
+      graft.operators.TextAnalysis.piiScan(plantedPiiDocs(s, dir))),
+
+    // ---- PII redaction payload ---------------------------------------
+    // the redacted text itself (what the tokenizer receives) over the
+    // same planted fixture — ordered regexp_replace fold, so overlap
+    // resolution (email consumes its digits before the phone pattern
+    // sees them) is pinned by the oracle, not just the counts
+    "ext_pii_redact" -> ((s, dir) =>
+      graft.operators.TextAnalysis.piiRedact(plantedPiiDocs(s, dir))),
 
     // ---- multimodal: binary payload -> batched decode stub -> features
     "ext_multimodal_features" -> ((s, dir) =>
@@ -1538,6 +1545,38 @@ object SparkEntry {
       .groupBy(col("query_id"))
       .agg(count(col("bn")).as("n_hit"), count(lit(1)).as("n_ret"))
 
+  /** The PII fixture: the synthetic corpus carries no PII, so plant
+    * deterministic addresses/phones/IPs from doc_id (same arithmetic in
+    * the oracle's `planted` CTE). Shared by `ext_pii_scan` (telemetry)
+    * and `ext_pii_redact` (payload) so the two rows gate the SAME
+    * input. */
+  private def plantedPiiDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, concat(lit(" host 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string")))
+        .otherwise(lit(""))).as("text"))
+  }
+
+  /** The oracle-side twin of [[plantedPiiDocs]]. */
+  private val plantedPiiCte: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text
+      |  FROM documents WHERE text IS NOT NULL
+      |)""".stripMargin
+
 
   /** The 2-iteration integer Lloyd's CTE chain (quantize -> seed ->
     * assign/update x2 -> final pairwise distances `a2_d`), shared by
@@ -1549,7 +1588,13 @@ object SparkEntry {
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS fx
       |  FROM embeddings
       |), c0 AS (
-      |  SELECT vec_id AS cid, fx AS cfx FROM v WHERE vec_id % 100 = 0
+      |  -- seed stride mirrors Clustering.effectiveStride: the raw
+      |  -- stride 100 floored up so the centroid count never exceeds
+      |  -- 1024 (pure int64 ceiling-div — both engines derive the
+      |  -- identical stride from the same corpus count)
+      |  SELECT vec_id AS cid, fx AS cfx FROM v
+      |  WHERE vec_id % (SELECT greatest(100, (count(*) + 1023) // 1024)
+      |                  FROM v) = 0
       |), a0_d AS (
       |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
       |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
@@ -2071,6 +2116,49 @@ object SparkEntry {
            |  UNION ALL SELECT doc_id, concat('1_', CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM sig
            |) SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id1, CAST(b.doc_id AS BIGINT) AS id2
            |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
+      // incremental near-dup: batch doc dropped when any band matches a
+      // landed (doc_id % 3 = 0) band or a smaller-id batch doc's band;
+      // survivors return with signatures. Same sig/band derivation as
+      // ext_dedup_minhash for the batch, mirrored for the landed slice.
+      "ext_dedup_incremental_minhash" ->
+        s"""$plantedSql, pos AS (
+           |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM docs2
+           |), hashed AS (
+           |  SELECT doc_id, ($minhashH0Sql) % 2147483647 AS h0 FROM pos
+           |), sig AS (
+           |  SELECT doc_id,
+           |    min(xor(h0, 0)) AS m1,
+           |    min(xor(h0, 25214903917)) AS m2,
+           |    min(xor(h0, 173961102589770)) AS m3,
+           |    min(xor(h0, 2685821657736338717)) AS m4
+           |  FROM hashed GROUP BY doc_id
+           |), bands AS (
+           |  SELECT doc_id, concat('0_', CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM sig
+           |  UNION ALL SELECT doc_id, concat('1_', CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM sig
+           |), kpos AS (
+           |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), khashed AS (
+           |  SELECT doc_id, ($minhashH0Sql) % 2147483647 AS h0 FROM kpos
+           |), ksig AS (
+           |  SELECT doc_id,
+           |    min(xor(h0, 0)) AS m1,
+           |    min(xor(h0, 25214903917)) AS m2,
+           |    min(xor(h0, 173961102589770)) AS m3,
+           |    min(xor(h0, 2685821657736338717)) AS m4
+           |  FROM khashed GROUP BY doc_id
+           |), kbands AS (
+           |  SELECT DISTINCT band FROM (
+           |    SELECT concat('0_', CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM ksig
+           |    UNION ALL SELECT concat('1_', CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM ksig)
+           |), drop_ids AS (
+           |  SELECT DISTINCT b.doc_id FROM bands b JOIN kbands k ON b.band = k.band
+           |  UNION SELECT a.doc_id FROM bands a JOIN bands c
+           |    ON a.band = c.band AND c.doc_id < a.doc_id
+           |)
+           |SELECT CAST(s.doc_id AS BIGINT) AS doc_id, m1, m2, m3, m4
+           |FROM sig s LEFT JOIN drop_ids d ON d.doc_id = s.doc_id
+           |WHERE d.doc_id IS NULL""".stripMargin,
       // Transitive closure via WITH RECURSIVE: reach(id, r) = "r reaches
       // id"; component = min reaching id. Same minhash pair derivation as
       // ext_dedup_minhash, then closure — the oracle for the alternating
@@ -2511,14 +2599,8 @@ object SparkEntry {
       // PII planting arithmetic mirrored exactly; the regexes use only
       // constructs Java regex and RE2 share (classes, bounded reps, \b)
       "ext_pii_scan" ->
-        """WITH planted AS (
-          |  SELECT doc_id, text
-          |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-          |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-          |    || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text
-          |  FROM documents WHERE text IS NOT NULL
-          |)
-          |SELECT doc_id,
+        (plantedPiiCte + "\n" +
+        """SELECT doc_id,
           |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
           |  CAST(len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
           |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
@@ -2528,7 +2610,18 @@ object SparkEntry {
           |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
           |        '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
           |      '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS BIGINT) AS n_chars_redacted
-          |FROM planted""".stripMargin,
+          |FROM planted""".stripMargin),
+      // same planted fixture; the ordered replace fold IS the
+      // semantics under test (email first, then IP, then phone)
+      "ext_pii_redact" ->
+        (plantedPiiCte + "\n" +
+        """SELECT doc_id,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+          |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS text_redacted
+          |FROM planted""".stripMargin),
       "ext_multimodal_features" ->
         """SELECT doc_id,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

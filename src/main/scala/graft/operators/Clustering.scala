@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   * Spark shape, per iteration over n vectors / k centroids / d dims:
   *
   *   - ASSIGNMENT is a narrow projection — centroids travel to every
-  *     task as an `array(struct(cid, cfx))` literal (driver-collected, k
-  *     = n/stride rows, the same bounded-collect budget as the IVF
-  *     trainer) and `array_min` over per-centroid `(dist2, cid)` structs
+  *     task as an `array(struct(cid, cfx))` literal (driver-collected,
+  *     k = n/effectiveStride rows, HARD-CAPPED at `maxCentroids` — see
+  *     [[effectiveStride]]) and `array_min` over per-centroid
+  *     `(dist2, cid)` structs
   *     picks the winner: struct ordering compares `dist2` then `cid`,
   *     which IS the tie-break, with expression size linear in k (a
   *     `when`-chain fold would double the tree per centroid).
@@ -49,6 +50,28 @@ object Clustering {
     * value, so components land in (-1024, 1024) and a 64-dim squared
     * distance stays < 2^28 — integer-exact with 35 bits to spare. */
   val FxScale = 1024.0
+
+  /** Hard cap on the learned centroid count. The centroid set is (a)
+    * collected to the driver and (b) baked into the broadcast-literal
+    * assignment expression, so k must stay bounded REGARDLESS of corpus
+    * size — with the raw `stride` seeding, k = n/stride grows linearly
+    * and the defaults become a driver OOM / constant-pool-busting
+    * expression at real scale. 1024 centroids × 64 dims is ~65k
+    * literals, comfortably inside codegen limits and a few MB on the
+    * driver; anyone needing more lists should shard the corpus, not
+    * widen this dial. */
+  val MaxCentroidsDefault = 1024L
+
+  /** The seeding stride that actually applies: `max(stride,
+    * ceil(n / maxCentroids))` — pure int64 arithmetic (`(n + maxC - 1)
+    * / maxC` is the exact ceiling), so an external oracle derives the
+    * identical stride from the same corpus count. With vec_id dense
+    * from 0, `vec_id % eff == 0` then yields `ceil(n / eff) ≤
+    * maxCentroids` seeds. */
+  def effectiveStride(n: Long, stride: Long, maxCentroids: Long): Long = {
+    require(stride > 0 && maxCentroids > 0)
+    math.max(stride, (n + maxCentroids - 1L) / maxCentroids)
+  }
 
   /** `floor(x * 1024 + 0.5)` per component, as int64. */
   def quantize(emb: Column): Column =
@@ -105,30 +128,41 @@ object Clustering {
     }
   }
 
-  /** Shared Lloyd's trainer: seeds from every `stride`-th vec_id, then
-    * `iters` updates. Driver-side centroid set (bounded: n/stride). */
-  private def train(fxDf: DataFrame, stride: Long,
-      iters: Int): Seq[(Long, Array[Long])] = {
-    val seeds = fxDf.filter(col("vec_id") % stride === 0)
+  /** Shared Lloyd's trainer: seeds from every [[effectiveStride]]-th
+    * vec_id, then `iters` updates. The driver-side centroid set is
+    * bounded by `maxCentroids` however large the corpus (one count
+    * action over the — cached — fx frame derives the stride). */
+  private def train(fxDf: DataFrame, stride: Long, iters: Int,
+      maxCentroids: Long): Seq[(Long, Array[Long])] = {
+    val eff = effectiveStride(fxDf.count(), stride, maxCentroids)
+    val seeds = fxDf.filter(col("vec_id") % eff === 0)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1).toSeq
     require(seeds.nonEmpty, "no seed centroids: is vec_id dense from 0?")
     (0 until iters).foldLeft(seeds)((c, _) => update(fxDf, c))
   }
 
-  /** Full pipeline: quantize, seed centroids from every `stride`-th
-    * vec_id (the IVF trainer's deterministic seeding), run `iters`
-    * Lloyd updates, emit the final assignment
-    * `(vec_id, cid, dist2)` — all-integer output, hash-exact. */
+  /** Full pipeline: quantize, seed centroids from every
+    * [[effectiveStride]]-th vec_id (the IVF trainer's deterministic
+    * seeding, capped at `maxCentroids`), run `iters` Lloyd updates,
+    * emit the final assignment `(vec_id, cid, dist2)` — all-integer
+    * output, hash-exact.
+    *
+    * Caching contract: the fx cache lives only for the driver-side
+    * training collects (count + seeds + T updates) and is released
+    * before return — the RETURNED frame re-quantizes on each action
+    * (deterministic, so correctness is unaffected). A caller fanning
+    * the assignment out into several downstream actions should
+    * `.cache()` the result before the fan-out. */
   def kmeansAssign(emb: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding", stride: Long = 100L,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, maxCentroids: Long = MaxCentroidsDefault): DataFrame = {
     require(stride > 0 && iters >= 0)
     val fxDf = emb.select(col(idCol).as("vec_id"),
       quantize(col(embCol)).as("fx"))
     fxDf.cache()
     try {
-      val best = nearest(col("fx"), train(fxDf, stride, iters))
+      val best = nearest(col("fx"), train(fxDf, stride, iters, maxCentroids))
       fxDf.select(col("vec_id"), best.getField("cid").as("cid"),
         best.getField("d").as("dist2"))
     } finally fxDf.unpersist(blocking = false)
@@ -148,14 +182,14 @@ object Clustering {
     * exchange is the final per-query window over candidates (probed
     * lists only, ~nprobe/k of the corpus per query at scale). */
   def ivfTopKKmeans(emb: DataFrame, nprobe: Int = 2, k: Int = 5,
-      numQueries: Int = 10, stride: Long = 100L,
-      iters: Int = 2): DataFrame = {
+      numQueries: Int = 10, stride: Long = 100L, iters: Int = 2,
+      maxCentroids: Long = MaxCentroidsDefault): DataFrame = {
     require(nprobe > 0 && k > 0 && numQueries > 0)
     val fxDf = emb.select(col("vec_id"),
       quantize(col("embedding")).as("fx"))
     fxDf.cache()
     try {
-      val cents = train(fxDf, stride, iters)
+      val cents = train(fxDf, stride, iters, maxCentroids)
       val lists = fxDf.select(col("vec_id"), col("fx"),
         nearest(col("fx"), cents).getField("cid").as("cid"))
       val probes = fxDf.filter(col("vec_id") < numQueries)
@@ -185,13 +219,18 @@ object Clustering {
     * arithmetic is a correctly-rounded IEEE chain on an exact integer,
     * so the oracle recomputes the identical nprobe in SQL. */
   def ivfTopKKmeansAdaptive(emb: DataFrame, k: Int = 5,
-      numQueries: Int = 10, stride: Long = 100L,
-      iters: Int = 2): DataFrame = {
-    val nLists = emb.filter(col("vec_id") % stride === 0).count()
+      numQueries: Int = 10, stride: Long = 100L, iters: Int = 2,
+      maxCentroids: Long = MaxCentroidsDefault): DataFrame = {
+    val eff = effectiveStride(emb.count(), stride, maxCentroids)
+    val nLists = emb.filter(col("vec_id") % eff === 0).count()
     require(nLists > 0, "no seed centroids")
+    // pass the already-capped stride down: effectiveStride is
+    // idempotent (max(eff, ceil(n/maxC)) = eff), so training seeds
+    // from exactly the nLists vectors counted above
     ivfTopKKmeans(emb,
       nprobe = math.ceil(math.sqrt(nLists.toDouble)).toInt,
-      k = k, numQueries = numQueries, stride = stride, iters = iters)
+      k = k, numQueries = numQueries, stride = eff, iters = iters,
+      maxCentroids = maxCentroids)
   }
 
   /** Integer brute-force top-k (fixed-point L2, id tie-break) — the

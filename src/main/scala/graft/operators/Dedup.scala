@@ -54,6 +54,54 @@ object Dedup {
       .select(col("doc_id"), col("h"))
   }
 
+  /** INCREMENTAL near-dup dedup — [[incrementalExact]]'s continuous-
+    * ingest shape applied to MinHash: a NEW batch is near-dup-filtered
+    * (a) within itself and (b) against the LANDED signature table,
+    * without ever rescanning the corpus. A batch doc is dropped when
+    * any of its LSH bands matches a landed band, or matches a band of a
+    * smaller-id doc in the same batch; survivors return with their
+    * signatures `(doc_id, m1..mk)`.
+    *
+    * Maintenance contract (and why it differs from the exact twin):
+    * append the FULL batch signature table after each batch —
+    * `minhashSignatures(newDocs, ...)`, survivors and dropped alike —
+    * not just the survivors. Band equality is NOT transitive the way an
+    * exact content hash is: a doc that near-matches a DROPPED doc need
+    * not share any band with whatever that doc matched, so a
+    * survivors-only table would silently re-admit chained
+    * near-duplicates, and batch-split composition would not equal the
+    * one-shot run. With all-seen signatures landed, splitting a batch
+    * at any id boundary composes exactly (the differential spec pins
+    * this). Cost: one `k`-long row per doc ever seen — the same
+    * fingerprint-table scale class as [[incrementalExact]].
+    *
+    * Plan shape at 100 TB: the signature kernel is the codegen'd
+    * no-shuffle projection ([[minhashSignatures]]); band checks are
+    * per-band AGGREGATES, not a self-join — `min(doc_id)` per batch
+    * band + a semi-flag from the landed bands, joined back and
+    * max-folded per doc. Nothing pairwise is ever materialized, so a
+    * mega-cluster band costs one partial-aggregated group, not B²/2
+    * pairs (the hot-band cap exists for the PAIR-emitting
+    * [[lshCandidates]]; this path doesn't need it). */
+  def incrementalMinhash(newDocs: DataFrame, knownSigs: DataFrame,
+      shingleLen: Int = 8, seeds: Seq[Long] = DefaultSeeds,
+      rowsPerBand: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val batchSigs = minhashSignatures(
+      newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      shingleLen, seeds)
+    val bBands = bandRows(batchSigs, rowsPerBand)
+    val kBands = bandRows(knownSigs, rowsPerBand)
+      .select(col("band")).distinct().withColumn("known", lit(1))
+    val bandStats = bBands.groupBy("band")
+      .agg(min(col("doc_id")).as("min_id"))
+      .join(kBands, Seq("band"), "left")
+    val dropIds = bBands.join(bandStats, Seq("band"))
+      .filter(col("known").isNotNull || col("min_id") < col("doc_id"))
+      .select(col("doc_id")).distinct()
+    batchSigs.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
   /** Character shingles of length `n` (positions exploded). `dedup = false`
     * keeps duplicate (doc, shingle) pairs — harmless under idempotent
     * aggregates like `min`, and skips a full shuffle of the exploded rows.

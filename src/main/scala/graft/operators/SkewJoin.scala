@@ -34,6 +34,18 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** `floorDiv(ts, bucketSize)` over a SQL timestamp expression, for
+    * `bucketSize > 0`: Spark's `div` truncates toward zero, so negative
+    * non-exact quotients shift down by one. Both terms codegen. ONE
+    * definition shared by the batch salted join below and the streaming
+    * twin (`StreamOps.attributionJoinStreamSalted`) so the two can
+    * never disagree on pre-1970 timestamps. */
+  def floorBucket(tsSql: String, bucketSize: Long): Column = {
+    require(bucketSize > 0, s"bucket size must be positive: $bucketSize")
+    expr(s"($tsSql) div $bucketSize" +
+      s" - (CASE WHEN ($tsSql) % $bucketSize < 0 THEN 1 ELSE 0 END)")
+  }
+
   /** `left` rows paired with `right` rows of the same `key` whose
     * `rightTs` lies in `[leftTs - horizonNs, leftTs]` (both inclusive),
     * via the time-bucket-salted plan. Timestamp columns are epoch-ns
@@ -49,13 +61,10 @@ object SkewJoin {
       key: String, leftTs: String, rightTs: String,
       horizonNs: Long): DataFrame = {
     require(horizonNs > 0, s"horizon must be positive, got $horizonNs")
-    // floorDiv(ts, h) for h > 0: `div` truncates toward zero, so shift
-    // negative non-exact quotients down by one. Both terms codegen.
-    def floorBucket(ts: String): Column =
-      expr(s"$ts div $horizonNs - (CASE WHEN $ts % $horizonNs < 0 THEN 1 ELSE 0 END)")
-    val l = left.withColumn("__bucket", floorBucket(leftTs))
+    val l = left.withColumn("__bucket", floorBucket(leftTs, horizonNs))
     val r = right.withColumn("__bucket",
-      explode(array(floorBucket(rightTs), floorBucket(rightTs) + 1)))
+      explode(array(floorBucket(rightTs, horizonNs),
+        floorBucket(rightTs, horizonNs) + 1)))
     l.join(r,
         l(key) === r(key) && l("__bucket") === r("__bucket") &&
           l(leftTs) >= r(rightTs) &&

@@ -143,13 +143,21 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val toks = docs
+    // null/empty-text docs contribute no terms, so they must not count
+    // toward N either — otherwise every score silently scales by the
+    // junk-row count. Filtered HERE (not left to the caller) so the
+    // operator's N always matches the corpus its terms came from.
+    // NOTE: computing N is an EAGER count() action at construction
+    // time (one long to the driver) — the one non-lazy step in this
+    // operator's API.
+    val d = docs.filter(col(textCol).isNotNull)
+    val toks = d
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
+    val n = d.select(col(idCol)).distinct().count()
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(df, Seq("term"))
@@ -197,5 +205,24 @@ object TextAnalysis {
       patterns.map { case (name, re, _) =>
         regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")
       } :+ length(redacted).cast("long").as("n_chars_redacted"): _*)
+  }
+
+  /** PII redaction proper: the redacted text itself — the one column a
+    * training pipeline actually feeds to the tokenizer ([[piiScan]]
+    * reports the telemetry; this emits the payload). Same ordered
+    * `regexp_replace` fold, so overlap resolution is identical:
+    * patterns apply IN ORDER and an earlier pattern consumes its whole
+    * match (digits inside an email local part redact as `<EMAIL>`,
+    * never a second time as `<PHONE>`).
+    *
+    * Shape at 100 TB: one narrow codegen'd projection, no shuffle —
+    * chains directly onto the quality-filter scan. */
+  def piiRedact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      patterns: Seq[(String, String, String)] = DefaultPiiPatterns): DataFrame = {
+    val redacted = patterns.foldLeft(col(textCol)) {
+      case (c, (_, re, repl)) => regexp_replace(c, re, repl)
+    }
+    docs.select(col(idCol).as("doc_id"), redacted.as("text_redacted"))
   }
 }

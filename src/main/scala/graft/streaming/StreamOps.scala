@@ -642,26 +642,28 @@ object StreamOps {
     * watermark and the µs-precision interval predicate, from which
     * Spark derives the same per-side state horizon (the added equality
     * narrows state keys, it does not extend lifetimes). Buckets use
-    * epoch-µs `div` (event times here are post-1970; the batch twin's
-    * floor-div correction matters only for negative epochs — see
-    * SkewJoin.floorBucket).
+    * the SAME floor-division expression as the batch twin
+    * (`SkewJoin.floorBucket`) so the two agree on every timestamp,
+    * including pre-1970 negative epochs where truncating `div` would
+    * merge buckets -1 and 0.
     */
   private[streaming] def attributionJoinStreamSalted(s: SparkSession,
       dir: String): DataFrame = {
     val horizonUs = 24L * 3600 * 1000000L
+    def bucket(tsCol: String): org.apache.spark.sql.Column =
+      graft.operators.SkewJoin.floorBucket(s"unix_micros($tsCol)", horizonUs)
     val ev = eventsStream(s, dir)
     val buys = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
         col("event_ts").as("buy_ts"))
       .withWatermark("buy_ts", "1 hour")
-      .withColumn("buy_bucket", expr(s"unix_micros(buy_ts) div $horizonUs"))
+      .withColumn("buy_bucket", bucket("buy_ts"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"),
         col("user_id").as("click_user"), col("event_ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
       .withColumn("click_bucket",
-        explode(array(expr(s"unix_micros(click_ts) div $horizonUs"),
-          expr(s"unix_micros(click_ts) div $horizonUs + 1"))))
+        explode(array(bucket("click_ts"), bucket("click_ts") + 1)))
     buys.join(clicks,
       col("buy_user") === col("click_user") &&
         col("buy_bucket") === col("click_bucket") &&

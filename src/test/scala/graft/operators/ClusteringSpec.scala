@@ -155,6 +155,28 @@ class ClusteringSpec extends SparkSuite {
     assert(adaptive.intersect(brute).size >= fixed.intersect(brute).size)
   }
 
+  test("maxCentroids caps the learned centroid count at a corpus that " +
+      "would exceed it, and the capped run ≡ the equivalent raw-stride run") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet") // 500 rows
+    // stride=1 would seed ALL 500 vectors as centroids; cap 7 floors
+    // the stride up to ceil(500/7) = 72 → seeds {0,72,...,432} = 7
+    assert(Clustering.effectiveStride(500L, 1L, 7L) == 72L)
+    val capped = Clustering.kmeansAssign(emb, stride = 1L, maxCentroids = 7L)
+    val cids = capped.select(col("cid")).distinct().count()
+    assert(cids <= 7L, s"cap violated: $cids centroids > 7")
+    // semantics are EXACTLY the raw-stride-72 run — the cap is pure
+    // integer stride arithmetic, not a different algorithm
+    val manual = Clustering.kmeansAssign(emb, stride = 72L,
+      maxCentroids = Long.MaxValue)
+    assert(capped.collect().map(_.toSeq).toSet ==
+      manual.collect().map(_.toSeq).toSet)
+    // the contract default (stride 100, cap 1024) is a no-op at every
+    // oracle SF: the cap binds only past 1024*100 dense vec_ids
+    assert(Clustering.effectiveStride(500L, 100L, 1024L) == 100L)
+    assert(Clustering.effectiveStride(2000L, 100L, 1024L) == 100L)
+    assert(Clustering.effectiveStride(200000L, 100L, 1024L) == 196L)
+  }
+
   test("plan: final assignment is shuffle-free (broadcast-literal " +
       "centroids, no exchange)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

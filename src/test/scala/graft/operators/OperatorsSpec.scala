@@ -603,6 +603,40 @@ class OperatorsSpec extends SparkSuite {
     assert(twoStep == got, s"two-step $twoStep vs one-shot $got")
   }
 
+  test("incrementalMinhash: landed band-matches dropped, within-batch " +
+      "smaller-id wins, and batch-then-batch (landing ALL seen " +
+      "signatures) equals one big batch") {
+    val landed = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val known = Dedup.minhashSignatures(landed, 8, Dedup.DefaultSeeds)
+    val batch = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog"), // = landed -> drop
+      (5L, "the quick brown fox jumps over the lazy dog"), // dup of 3 -> drop
+      (9L, "completely different content goes here xyzzy"), // survives
+      (12L, "completely different content goes here xyzzy")) // dup of 9 -> drop
+      .toDF("doc_id", "text")
+    val oneShot = Dedup.incrementalMinhash(batch, known)
+    assert(oneShot.collect().map(_.getLong(0)).toSet == Set(9L))
+    // survivors carry their signatures (the appendable shape)
+    assert(oneShot.columns.toSeq == Seq("doc_id", "m1", "m2", "m3", "m4"))
+    // composition: the maintenance loop lands the FULL batch signature
+    // table (seen, not just surviving, docs — band equality is not
+    // transitive, see the operator doc); under that contract a batch
+    // split at any id boundary reproduces the one-shot survivor set
+    val a = batch.filter(col("doc_id") <= 5)
+    val b = batch.filter(col("doc_id") > 5)
+    val knownPlusA = known.unionAll(
+      Dedup.minhashSignatures(a, 8, Dedup.DefaultSeeds))
+    val twoStep = Dedup.incrementalMinhash(a, known).select(col("doc_id"))
+      .unionAll(Dedup.incrementalMinhash(b, knownPlusA).select(col("doc_id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(twoStep == Set(9L), s"two-step $twoStep vs one-shot {9}")
+    // nothing pairwise in the plan: band checks are aggregates, so no
+    // join may carry a band-equality condition with two doc_id sides
+    val plan = oneShot.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"pairwise plan:\n$plan")
+  }
+
   test("tfidfTopTerms: hand-computed scores, rare terms outrank common, " +
       "top-k window plans as WindowGroupLimit") {
     val d = Seq(
@@ -651,6 +685,27 @@ class OperatorsSpec extends SparkSuite {
     // doc 2 redacted: both IPs -> <IP>, phone -> <PHONE>
     assert(r(2L).getAs[Long]("n_chars_redacted") ==
       "server <IP> and <IP> port <PHONE>".length)
+  }
+
+  test("piiRedact emits the redacted payload; pattern order pins " +
+      "overlap resolution (email consumes its digits before the phone " +
+      "pattern sees them)") {
+    val d = Seq(
+      // the local part 555-1234@... IS phone-shaped — the email pattern
+      // must consume it first, leaving no <PHONE> behind
+      (1L, "reach 555-1234@ex.io or call 555-9876"),
+      (2L, "server 192.168.0.1 port 555-1234"),
+      (3L, "clean text"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(d).collect()
+      .map(x => x.getLong(0) -> x.getAs[String]("text_redacted")).toMap
+    assert(r(1L) == "reach <EMAIL> or call <PHONE>")
+    assert(r(2L) == "server <IP> port <PHONE>")
+    assert(r(3L) == "clean text")
+    // no shuffle: one narrow projection
+    val plan = TextAnalysis.piiRedact(d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"redaction must not shuffle:\n$plan")
   }
 
   test("fingerprint is whitespace-insensitive but content-sensitive") {

@@ -140,6 +140,15 @@ class SkewJoinSpec extends SparkSuite {
     assert(plain.size > 50, s"fixture too sparse: ${plain.size}")
   }
 
+  test("floorBucket (the helper BOTH salted twins share) is true floor " +
+      "division, not truncate-toward-zero") {
+    import spark.implicits._
+    val got = Seq(-3L, -2L, -1L, 0L, 1L, 2L, 3L).toDF("t")
+      .select(SkewJoin.floorBucket("t", 2L).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(-2L, -1L, -1L, 0L, 0L, 1L, 1L), s"got $got")
+  }
+
   test("a hot key's work spreads over (key, bucket) groups") {
     import spark.implicits._
     // one user, events across 30 days: the plain join keys everything
