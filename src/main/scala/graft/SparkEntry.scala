@@ -754,6 +754,60 @@ object SparkEntry {
         |    FROM graft_docs))""".stripMargin)
     }),
 
+    // the leakage-stable split in pure SQL text via the native
+    // graft_sample_hash coin — the same md5 thresholds as
+    // ext_split_assign under the same oracle: one semantics, two doors
+    "sql_split_assign" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      s.sql(s"""SELECT doc_id,
+        |  CASE WHEN graft_sample_hash(doc_id) < ${
+          (0.8 * 1152921504606846976.0d).toLong} THEN 'train'
+        |       WHEN graft_sample_hash(doc_id) < ${
+          (0.9 * 1152921504606846976.0d).toLong} THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM graft_docs""".stripMargin)
+    }),
+
+    // the carry-forward as-of join written as SQL TEXT (union +
+    // running last(ignoreNulls) window over registered views) — the
+    // same one-exchange plan AsOfJoin.asOfJoin builds, under the same
+    // DuckDB ASOF LEFT JOIN oracle: proves the operator's formulation
+    // is fully SQL-expressible, no Scala required
+    "sql_join_asof" -> ((s, dir) => {
+      val ev = graft.sources.EventsSource.readEvents(s, dir)
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"),
+          expr("ts div 1000").as("buy_ts_us"))
+        .createOrReplaceTempView("graft_asof_buys")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          expr("ts div 1000").as("click_ts_us"))
+        .createOrReplaceTempView("graft_asof_clicks")
+      s.sql("""WITH u AS (
+        |  SELECT user_id, buy_ts_us AS ts, 1 AS side,
+        |    9223372036854775807L AS tie,
+        |    named_struct('buy_id', buy_id, 'buy_ts_us', buy_ts_us) AS l,
+        |    CAST(NULL AS STRUCT<click_id: BIGINT, click_ts_us: BIGINT>) AS r
+        |  FROM graft_asof_buys
+        |  UNION ALL
+        |  SELECT user_id, click_ts_us, 0, click_id,
+        |    CAST(NULL AS STRUCT<buy_id: BIGINT, buy_ts_us: BIGINT>),
+        |    named_struct('click_id', click_id, 'click_ts_us', click_ts_us)
+        |  FROM graft_asof_clicks
+        |  WHERE click_ts_us IS NOT NULL AND user_id IS NOT NULL
+        |), m AS (
+        |  SELECT *, last(r, true) OVER (PARTITION BY user_id
+        |    ORDER BY ts, side, tie
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mr
+        |  FROM u
+        |)
+        |SELECT l.buy_id AS buy_id, user_id, l.buy_ts_us AS buy_ts_us,
+        |  mr.click_id AS click_id, mr.click_ts_us AS click_ts_us
+        |FROM m WHERE side = 1""".stripMargin)
+    }),
+
     // the KMV sketch driven as a SQL AGGREGATE over the registered
     // pipeline view — proves the registry route wraps the custom
     // TypedImperativeAggregate correctly (analyzer inserts the
@@ -1354,6 +1408,19 @@ object SparkEntry {
       recallCounts(ivf, brute)
     }),
 
+    // ---- recall gate for the ADAPTIVE (√lists) probe rule ------------
+    // the production-recommended dial, regression-gated like the pinned
+    // nprobe=2 row: a probe-rule or list-geometry change turns a red
+    // correctness row, not a silent recall drop
+    "ext_ann_recall_kmeans_adaptive" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val ivf = graft.operators.Clustering.ivfTopKKmeansAdaptive(e)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = graft.operators.Clustering.bruteTopKInt(e)
+        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+      recallCounts(ivf, brute)
+    }),
+
     // ---- clustering-quality telemetry as data ------------------------
     // per-cluster size + total integer inertia (sum of squared
     // distances): a centroid-drift or assignment regression shows as a
@@ -1706,12 +1773,13 @@ object SparkEntry {
         "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM c0)")}
       |SELECT query_id, neighbor_id, rnk FROM ivfk""".stripMargin
 
-  /** Oracle for `ext_ann_recall_kmeans`: the kmeans-IVF top-5 vs the
-    * INTEGER brute-force top-5 — both all-int64, so this recall row is
-    * exactly reproducible (no float brute-force in the loop). */
-  private val annRecallKmeansSql: String =
+  /** Oracle for `ext_ann_recall_kmeans` (and the `_adaptive` twin via
+    * [[annRecallKmeansSqlFor]]): the kmeans-IVF top-5 vs the INTEGER
+    * brute-force top-5 — both all-int64, so this recall row is exactly
+    * reproducible (no float brute-force in the loop). */
+  private def annRecallKmeansSqlFor(nprobeSql: String): String =
     s"""$kmeansCtes,
-      |${ivfKmeansCtes("2")},
+      |${ivfKmeansCtes(nprobeSql)},
       |bd AS (
       |  SELECT query_id, neighbor_id,
       |    CAST(sum((qf - nf) * (qf - nf)) AS BIGINT) AS d
@@ -1733,6 +1801,14 @@ object SparkEntry {
       |FROM ivfk i LEFT JOIN brute b
       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
       |GROUP BY i.query_id""".stripMargin
+
+  private val annRecallKmeansSql: String = annRecallKmeansSqlFor("2")
+
+  /** `ext_ann_recall_kmeans_adaptive`: same recall shape with the
+    * √lists probe rule recomputed in SQL (identical arithmetic to the
+    * `ext_ann_ivf_kmeans_adaptive` oracle). */
+  private val annRecallKmeansAdaptiveSql: String = annRecallKmeansSqlFor(
+    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM c0)")
 
   /** Shared oracle for `ext_chunk_documents` (DataFrame route) and
     * `sql_chunk_documents` (SQL-text route) — one chunking
@@ -1877,6 +1953,37 @@ object SparkEntry {
         s"(CASE WHEN i + $j <= length(text) THEN CAST(ascii(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) ELSE 0 END) * ${pows(7 - j)}"
       }.mkString(" + ")
     }
+    // DuckDB's native ASOF LEFT JOIN as the oracle for BOTH as-of front
+    // doors (ext_join_asof the DataFrame route, sql_join_asof the
+    // SQL-text route). The right side is deduped to one row per
+    // (user, µs) keeping the largest click_id — ASOF picks arbitrarily
+    // among exact duplicates and the engine's tie-break is pinned to
+    // largest-id, so the dedup makes both engines deterministic AND
+    // equal.
+    val joinAsofSql =
+      """WITH buys AS (
+        |  SELECT event_id AS buy_id, user_id, epoch_us(ts) AS buy_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT click_id, user_id, click_ts_us FROM (
+        |    SELECT event_id AS click_id, user_id,
+        |      epoch_us(ts) AS click_ts_us,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1
+        |)
+        |SELECT b.buy_id, b.user_id, b.buy_ts_us, c.click_id,
+        |  c.click_ts_us
+        |FROM buys b ASOF LEFT JOIN clicks c
+        |  ON b.user_id = c.user_id AND b.buy_ts_us >= c.click_ts_us""".stripMargin
+    // the md5-coin split thresholds, shared by ext_split_assign and
+    // sql_split_assign (the graft_sample_hash SQL door)
+    val splitAssignSql =
+      s"""SELECT doc_id,
+         |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.8 * 1152921504606846976.0d).toLong} THEN 'train'
+         |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.9 * 1152921504606846976.0d).toLong} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
     Map(
       "op01_get_row" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key = '0000000001'",
@@ -2716,22 +2823,9 @@ object SparkEntry {
       // picks arbitrarily among exact duplicates, and the Spark side's
       // tie-break is pinned to largest-id, so the dedup makes both
       // engines deterministic AND equal.
-      "ext_join_asof" ->
-        """WITH buys AS (
-          |  SELECT event_id AS buy_id, user_id, epoch_us(ts) AS buy_ts_us
-          |  FROM events WHERE event_type = 'purchase'
-          |), clicks AS (
-          |  SELECT click_id, user_id, click_ts_us FROM (
-          |    SELECT event_id AS click_id, user_id,
-          |      epoch_us(ts) AS click_ts_us,
-          |      row_number() OVER (PARTITION BY user_id, epoch_us(ts)
-          |        ORDER BY event_id DESC) AS rn
-          |    FROM events WHERE event_type = 'click') WHERE rn = 1
-          |)
-          |SELECT b.buy_id, b.user_id, b.buy_ts_us, c.click_id,
-          |  c.click_ts_us
-          |FROM buys b ASOF LEFT JOIN clicks c
-          |  ON b.user_id = c.user_id AND b.buy_ts_us >= c.click_ts_us""".stripMargin,
+      "ext_join_asof" -> joinAsofSql,
+      // SQL-text front door, same oracle: one semantics, two doors
+      "sql_join_asof" -> joinAsofSql,
       // the batch as-of oracle restricted to watermark-sealed purchases:
       // single-stream watermark over clicks+purchases, ms-floored, 1 h
       // lateness, cutoff `(wm_ms - 1) * 1000` — the same pin as
@@ -2770,12 +2864,9 @@ object SparkEntry {
       "sql_chunk_documents" -> chunkDocumentsSql,
       // split thresholds interpolated as exact BIGINT literals (the
       // ext_sample_threshold pattern): 0.8 / 0.9 of 2^60
-      "ext_split_assign" ->
-        s"""SELECT doc_id,
-           |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.8 * 1152921504606846976.0d).toLong} THEN 'train'
-           |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.9 * 1152921504606846976.0d).toLong} THEN 'val'
-           |       ELSE 'test' END AS split
-           |FROM documents""".stripMargin,
+      "ext_split_assign" -> splitAssignSql,
+      // SQL-text front door, same oracle: one semantics, two doors
+      "sql_split_assign" -> splitAssignSql,
       "ext_corpus_stats" ->
         """SELECT lang,
           |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -2797,6 +2888,7 @@ object SparkEntry {
       "ext_ann_ivf_kmeans" -> annIvfKmeansSql,
       "ext_ann_ivf_kmeans_adaptive" -> annIvfKmeansAdaptiveSql,
       "ext_ann_recall_kmeans" -> annRecallKmeansSql,
+      "ext_ann_recall_kmeans_adaptive" -> annRecallKmeansAdaptiveSql,
       // the four stages' oracles chained as CTEs: rebalance thresholds,
       // min-id-per-md5 dedup, the 0.8*2^60 train coin, chunk math
       "ext_pipeline_prep" ->

@@ -67,16 +67,30 @@ object AsOfJoin {
       s"left/right payload columns must be disjoint, both have: $overlap")
     require(rightCols.contains(rightTieCol),
       s"tie-break column $rightTieCol must be a non-key right column")
-    // numeric-epoch contract: casting a TIMESTAMP to long yields epoch
-    // SECONDS in Spark — a silent unit change. Same guard on the tie
-    // column: a non-numeric id would cast to NULL and silently destroy
-    // the largest-id tie-break's determinism.
-    for ((df, c) <- Seq((left, leftTsCol), (right, rightTsCol),
-        (right, rightTieCol))) {
+    // ts contract: integral columns are taken as epoch longs verbatim;
+    // TIMESTAMP columns convert via unix_micros (NOT cast("long"),
+    // which silently yields epoch SECONDS — the sharp edge this guard
+    // existed to block, now handled instead of rejected). Mixing a
+    // TIMESTAMP side with an integral side is fine ONLY when the
+    // integral side is epoch-µs. Anything else still rejects.
+    def tsExpr(df: DataFrame, c: String): Column = {
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case LongType | IntegerType | ShortType | ByteType =>
+          col(c).cast("long")
+        case other => throw new IllegalArgumentException(
+          s"$c must be an integral epoch or TIMESTAMP column, got $other")
+      }
+    }
+    // the tie column stays integral-only: a non-numeric id would cast
+    // to NULL and silently destroy the largest-id tie-break.
+    {
       import org.apache.spark.sql.types._
       require(Seq[DataType](LongType, IntegerType, ShortType, ByteType)
-          .contains(df.schema(c).dataType),
-        s"$c must be an integral column, got ${df.schema(c).dataType}")
+          .contains(right.schema(rightTieCol).dataType),
+        s"$rightTieCol must be an integral column, got " +
+          s"${right.schema(rightTieCol).dataType}")
     }
 
     val lStruct = StructType(leftCols.map(c => left.schema(c)))
@@ -92,12 +106,12 @@ object AsOfJoin {
     val rightClean = right.filter(
       col(rightTsCol).isNotNull && col(keyCol).isNotNull)
     val lu = left.select(
-      col(keyCol).as("__k"), col(leftTsCol).cast("long").as("__ts"),
+      col(keyCol).as("__k"), tsExpr(left, leftTsCol).as("__ts"),
       lit(1).as("__side"), lit(Long.MaxValue).as("__tie"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(rStruct).as("__r"))
     val ru = rightClean.select(
-      col(keyCol).as("__k"), col(rightTsCol).cast("long").as("__ts"),
+      col(keyCol).as("__k"), tsExpr(right, rightTsCol).as("__ts"),
       lit(0).as("__side"), col(rightTieCol).cast("long").as("__tie"),
       lit(null).cast(lStruct).as("__l"),
       struct(rightCols.map(col): _*).as("__r"))

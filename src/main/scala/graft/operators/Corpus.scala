@@ -228,8 +228,15 @@ object Corpus {
       weightCol: String, tauPerUnit: Long): DataFrame = {
     require(tauPerUnit > 0, s"tauPerUnit must be positive: $tauPerUnit")
     val maxSafeWeight = Long.MaxValue / tauPerUnit // ≥ 1; clamped product ∈ (2^62, 2^63)
+    // clamp BOTH ends: a huge NEGATIVE weight would wrap `w * tau` just
+    // like a huge positive one (possibly to a positive value ≥ 2^60,
+    // silently KEEPING a row whose P[keep] should be 0). Floored at 0
+    // the product is 0 and the coin (always ≥ 0) never passes — the
+    // exact semantics any non-positive weight deserves.
     df.filter(sampleHash(col(idCol)) <
-      least(col(weightCol).cast("long"), lit(maxSafeWeight)) * lit(tauPerUnit))
+      greatest(lit(0L),
+        least(col(weightCol).cast("long"), lit(maxSafeWeight))) *
+        lit(tauPerUnit))
   }
 
   /** Deterministic SEQUENCE PACKING: assign documents to fixed

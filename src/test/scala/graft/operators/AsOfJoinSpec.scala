@@ -160,15 +160,38 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got(102L).isEmpty, s"null-key buy matched: ${got(102L)}")
   }
 
-  test("timestamp-typed ts columns are rejected (cast-to-long would " +
-      "silently yield seconds)") {
+  test("TIMESTAMP ts columns are accepted via unix_micros and give the " +
+      "identical result as the equivalent epoch-µs longs") {
     import spark.implicits._
-    val a = Seq((1L, 2L, 3L)).toDF("k", "ts", "x")
-      .withColumn("ts", expr("timestamp_micros(ts)"))
-    val b = Seq((1L, 2L, 3L)).toDF("k", "rts", "y")
+    val buysL = Seq((1L, 10L, 100_000_000L), (2L, 10L, 200_000_000L),
+        (3L, 20L, 150_000_000L))
+      .toDF("buy_id", "user_id", "buy_ts")
+    val clicksL = Seq((11L, 10L, 100_000_000L), (12L, 10L, 150_000_000L),
+        (13L, 20L, 160_000_000L))
+      .toDF("click_id", "user_id", "click_ts")
+    val wantRows = AsOfJoin.asOfJoin(buysL, clicksL, "user_id",
+        "buy_ts", "click_ts", "click_id")
+      .select(col("buy_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // same data, TIMESTAMP-typed on both sides
+    val buysT = buysL.withColumn("buy_ts", expr("timestamp_micros(buy_ts)"))
+    val clicksT = clicksL.withColumn("click_ts",
+      expr("timestamp_micros(click_ts)"))
+    val gotT = AsOfJoin.asOfJoin(buysT, clicksT, "user_id",
+        "buy_ts", "click_ts", "click_id")
+      .select(col("buy_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(gotT == wantRows, s"TIMESTAMP run $gotT vs long run $wantRows")
+    assert(wantRows == Set((1L, Some(11L)), (2L, Some(12L)),
+      (3L, None)), s"fixture drifted: $wantRows")
+    // anything else (e.g. string) still rejects
     val e = intercept[IllegalArgumentException] {
-      AsOfJoin.asOfJoin(a, b, "k", "ts", "rts", "y")
+      AsOfJoin.asOfJoin(
+        buysL.withColumn("buy_ts", col("buy_ts").cast("string")),
+        clicksL, "user_id", "buy_ts", "click_ts", "click_id")
     }
-    assert(e.getMessage.contains("integral column"))
+    assert(e.getMessage.contains("integral epoch or TIMESTAMP"))
   }
 }

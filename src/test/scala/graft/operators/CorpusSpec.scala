@@ -314,12 +314,16 @@ class CorpusSpec extends SparkSuite {
     // dropped rows DuckDB would keep (or error on) — the divergence class
     // ADVICE r14 flagged. All of these have w*tau ≥ 2^60 ⇒ must ALL keep.
     val df = Seq((1L, 9224L), (2L, 100000L), (3L, Long.MaxValue / tau + 7),
-        (4L, Long.MaxValue), (5L, 0L))
+        (4L, Long.MaxValue), (5L, 0L),
+        // negative weights: P[keep] = 0, including the huge-magnitude
+        // ones whose w * tau would wrap POSITIVE ≥ 2^60 un-clamped and
+        // silently KEEP (the mirror image of the positive wrap)
+        (6L, -1L), (7L, Long.MinValue), (8L, Long.MinValue / tau - 7))
       .toDF("doc_id", "w")
     val kept = Corpus.weightedThresholdSample(df, "doc_id", "w", tau)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 3L, 4L),
-      s"huge-weight rows must keep with P=1 and zero-weight drop, got $kept")
+      s"huge-weight rows must keep with P=1 and non-positive drop, got $kept")
   }
 
   test("sampledQuantiles: nearest-rank over the full set when fraction=1") {
