@@ -71,8 +71,14 @@ object Bench {
       System.gc()
     }
 
+    // optional subset (comma-separated names) for isolated drift
+    // triage on a fresh JVM — unset in the driver's per-round run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       resetSession()
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()

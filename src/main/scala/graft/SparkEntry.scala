@@ -862,6 +862,26 @@ object SparkEntry {
         plantedDocs(s, dir), known)
     }),
 
+    // ---- the same incremental near-dup filter as CONTINUOUS INGEST ---
+    // readStream -> foreachBatch(filter vs landed sigs, append
+    // survivors + ALL batch signatures): the parquet signature table IS
+    // the dedup state, shared between batch backfills and the stream;
+    // same oracle as the batch row (multi-batch ≡ one-shot is pinned by
+    // StreamingDedupSpec's 3-batch differential)
+    "ext_dedup_stream_minhash" -> ((s, dir) => {
+      val known = graft.operators.Dedup.minhashSignatures(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text")), 8,
+        graft.operators.Dedup.DefaultSeeds)
+      graft.streaming.StreamOps.incrementalMinhashToFiles(s, dir, known,
+        graft.core.Smoltable.scratchDir("graft_incmh_sig_"),
+        graft.core.Smoltable.scratchDir("graft_incmh_out_"),
+        graft.core.Smoltable.scratchDir("graft_incmh_ck_"),
+        docs => docs.unionAll(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))))
+    }),
+
     // ---- near-dup CLUSTERS: minhash pairs -> connected components ----
     // (large-star/small-star; every doc mapped to its cluster's min id,
     // singletons to themselves). The step that turns pairwise evidence
@@ -2228,6 +2248,47 @@ object SparkEntry {
       // survivors return with signatures. Same sig/band derivation as
       // ext_dedup_minhash for the batch, mirrored for the landed slice.
       "ext_dedup_incremental_minhash" ->
+        s"""$plantedSql, pos AS (
+           |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM docs2
+           |), hashed AS (
+           |  SELECT doc_id, ($minhashH0Sql) % 2147483647 AS h0 FROM pos
+           |), sig AS (
+           |  SELECT doc_id,
+           |    min(xor(h0, 0)) AS m1,
+           |    min(xor(h0, 25214903917)) AS m2,
+           |    min(xor(h0, 173961102589770)) AS m3,
+           |    min(xor(h0, 2685821657736338717)) AS m4
+           |  FROM hashed GROUP BY doc_id
+           |), bands AS (
+           |  SELECT doc_id, concat('0_', CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM sig
+           |  UNION ALL SELECT doc_id, concat('1_', CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM sig
+           |), kpos AS (
+           |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), khashed AS (
+           |  SELECT doc_id, ($minhashH0Sql) % 2147483647 AS h0 FROM kpos
+           |), ksig AS (
+           |  SELECT doc_id,
+           |    min(xor(h0, 0)) AS m1,
+           |    min(xor(h0, 25214903917)) AS m2,
+           |    min(xor(h0, 173961102589770)) AS m3,
+           |    min(xor(h0, 2685821657736338717)) AS m4
+           |  FROM khashed GROUP BY doc_id
+           |), kbands AS (
+           |  SELECT DISTINCT band FROM (
+           |    SELECT concat('0_', CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM ksig
+           |    UNION ALL SELECT concat('1_', CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM ksig)
+           |), drop_ids AS (
+           |  SELECT DISTINCT b.doc_id FROM bands b JOIN kbands k ON b.band = k.band
+           |  UNION SELECT a.doc_id FROM bands a JOIN bands c
+           |    ON a.band = c.band AND c.doc_id < a.doc_id
+           |)
+           |SELECT CAST(s.doc_id AS BIGINT) AS doc_id, m1, m2, m3, m4
+           |FROM sig s LEFT JOIN drop_ids d ON d.doc_id = s.doc_id
+           |WHERE d.doc_id IS NULL""".stripMargin,
+      // the streaming twin lands the identical survivor set (multi-batch
+      // ≡ one-shot under the all-seen landing contract) — same oracle
+      "ext_dedup_stream_minhash" ->
         s"""$plantedSql, pos AS (
            |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM docs2
            |), hashed AS (

@@ -86,12 +86,15 @@ object StreamOps {
     * instead of silently falling into the glob branch (a local-only
     * `java.nio.Files.isDirectory` returns false for any remote URI). */
   private def streamSource(s: SparkSession, dir: String, table: String,
-      schema: StructType): DataFrame = {
+      schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val isDir = try fs.getFileStatus(p).isDirectory
       catch { case _: java.io.FileNotFoundException => false }
-    val rs = s.readStream.schema(schema)
+    val rs = options.foldLeft(s.readStream.schema(schema)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
     if (isDir) rs.parquet(p.toString)
     else rs.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
@@ -354,6 +357,65 @@ object StreamOps {
           }
       }
       .toDF("h", "keep_id")
+  }
+
+  /** CONTINUOUS-CRAWL near-dup dedup — the streaming twin of
+    * [[graft.operators.Dedup.incrementalMinhash]]: a document stream is
+    * near-dup-filtered per micro-batch against the LANDED signature
+    * table via `foreachBatch` — survivors append to `outDir`, and the
+    * FULL batch signature table appends to `sigDir` (the all-seen
+    * landing contract that makes sequential batches ≡ one big batch;
+    * why survivors-only would silently re-admit chained near-dups is on
+    * the batch operator's doc).
+    *
+    * The dedup state here is deliberately a parquet TABLE, not operator
+    * state: it is the SAME artifact the batch pipeline maintains, so
+    * batch backfills and streaming ingest share one landed-signature
+    * truth, it survives restarts with the checkpoint, and its size is
+    * ~40 bytes/doc-ever-seen — the fingerprint-table scale class, never
+    * the corpus. Per batch the work is one signature projection
+    * (codegen'd, no shuffle) + the per-band aggregates against the
+    * landed bands.
+    *
+    * `transform` lets the harness apply fixture transforms (dup
+    * planting) to each batch before filtering; production passes
+    * identity. Exactly-once caveat: `foreachBatch` is at-least-once on
+    * retry — a production deployment keys both appends by `batchId`
+    * (idempotent dirs or a MERGE-capable sink); the contract harness
+    * drains once, serially. */
+  def incrementalMinhashToFiles(s: SparkSession, dir: String,
+      knownSigs: DataFrame, sigDir: String, outDir: String,
+      checkpointDir: String,
+      transform: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    knownSigs.write.mode("overwrite").parquet(sigDir)
+    val q = streamSource(s, dir, "documents", docSchema,
+        maxFilesPerTrigger
+          .map(n => Map("maxFilesPerTrigger" -> n.toString))
+          .getOrElse(Map.empty))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val docs = transform(batch.select(col("doc_id"), col("text")))
+        val landed = s.read.parquet(sigDir)
+        graft.operators.Dedup.incrementalMinhash(docs, landed)
+          .write.mode("append").parquet(outDir)
+        graft.operators.Dedup.minhashSignatures(docs, 8,
+          graft.operators.Dedup.DefaultSeeds)
+          .write.mode("append").parquet(sigDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(outDir)
   }
 
   /** Open session carried across micro-batches per user. */

@@ -77,7 +77,12 @@ object ScaleSmoke {
     // shuffles — the update cost is centroid-sized, not corpus-sized)
     "ext_join_asof", "ext_cluster_kmeans", "ext_stream_asof_files",
     "ext_chunk_documents", "ext_split_assign", "ext_rebalance_langs",
-    "ext_pipeline_prep", "ext_ann_ivf_kmeans", "ext_corpus_stats")
+    "ext_pipeline_prep", "ext_ann_ivf_kmeans", "ext_corpus_stats",
+    // round 16: the redaction payload projection, the incremental
+    // near-dup filter (per-band aggregates, no pairs), and the SQL-text
+    // front doors (same plans as their DataFrame twins — pinned here)
+    "ext_pii_redact", "ext_dedup_incremental_minhash",
+    "sql_join_asof", "sql_split_assign")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",

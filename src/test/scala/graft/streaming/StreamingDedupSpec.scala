@@ -100,6 +100,57 @@ class StreamingDedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental MINHASH stream: 3 id-ordered micro-batches land " +
+      "exactly the one-shot batch survivor set (the all-seen signature " +
+      "landing contract, through the real foreachBatch loop)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    withTempDir { tmp =>
+      // id-ordered batch files (the composition precondition: every id
+      // in batch k is smaller than every id in batch k+1), explicit
+      // increasing mtimes so FileStreamSource's order is deterministic
+      val inDir = s"$tmp/in/documents.parquet"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      var mtime = 1700000000000L
+      for ((lo, hi, name) <- Seq((0L, 170L, "b0"), (170L, 340L, "b1"),
+          (340L, 1000000L, "b2"))) {
+        val stage = s"$tmp/stage_$name"
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .repartition(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = java.nio.file.Paths.get(s"$inDir/$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val known = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text")), 8, Dedup.DefaultSeeds)
+      val got = StreamOps.incrementalMinhashToFiles(spark, s"$tmp/in",
+          known, s"$tmp/sig", s"$tmp/out", s"$tmp/ck",
+          maxFilesPerTrigger = Some(1))
+        .collect().map(_.toSeq).toSet
+      // it really ran as multiple micro-batches, not one big one
+      val nBatches = java.nio.file.Files
+        .list(java.nio.file.Paths.get(s"$tmp/ck/offsets")).count()
+      assert(nBatches >= 3, s"expected >=3 micro-batches, got $nBatches")
+      val oneShot = Dedup.incrementalMinhash(
+          docs.select(col("doc_id"), col("text")), known)
+        .collect().map(_.toSeq).toSet
+      assert(got == oneShot,
+        s"streamed ${got.size} vs one-shot ${oneShot.size}; " +
+          s"diff ${(got -- oneShot).take(3)} / ${(oneShot -- got).take(3)}")
+      // the landed signature table holds ALL seen docs (known + every
+      // batch doc), the contract that made the equality above hold
+      val sigCount = spark.read.parquet(s"$tmp/sig").count()
+      assert(sigCount == known.count() + docs.count(), s"sig table $sigCount")
+    }
+  }
+
   test("file-sink dedup survives kill + resume on one checkpoint: " +
       "no duplicate, no lost keys (exactly-once landing)") {
     import org.apache.spark.sql.types._
