@@ -23,13 +23,13 @@ import org.apache.spark.sql.functions._
   * Spark shape, per iteration over n vectors / k centroids / d dims:
   *
   *   - ASSIGNMENT is a narrow projection — centroids travel to every
-  *     task as an `array(struct(cid, cfx))` literal (driver-collected,
-  *     k = n/effectiveStride rows, HARD-CAPPED at `maxCentroids` — see
-  *     [[effectiveStride]]) and `array_min` over per-centroid
-  *     `(dist2, cid)` structs
-  *     picks the winner: struct ordering compares `dist2` then `cid`,
-  *     which IS the tie-break, with expression size linear in k (a
-  *     `when`-chain fold would double the tree per centroid).
+  *     task inside the native [[graft.functions.NearestCentroids]]
+  *     kernel as ONE flat `long[k·d]` reference object
+  *     (driver-collected, k = n/effectiveStride rows, HARD-CAPPED at
+  *     `maxCentroids` — see [[effectiveStride]]): one tight codegen'd
+  *     loop per row, zero per-centroid AST nodes, zero constant-pool
+  *     pressure; ties break to the smallest centroid id inside the
+  *     kernel.
   *   - UPDATE is `posexplode` → partial-aggregated `groupBy(cid, pos)`
   *     sums → a k·d-row shuffle (data-size-independent) → rebuild
   *     ordered arrays. Map-side combine means the exchange carries k·d
@@ -78,26 +78,25 @@ object Clustering {
     transform(emb, x =>
       floor(x.cast("double") * lit(FxScale) + lit(0.5)).cast("long"))
 
-  /** Integer squared-L2 between two fixed-point vectors. */
+  /** Integer squared-L2 between two fixed-point vectors (the pairwise
+    * rescore path; the against-all-centroids path is the native
+    * [[graft.functions.NearestCentroids]] kernel). */
   private def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (s, x) => s + x)
 
-  /** The full `(dist2, cid)` array against every centroid literal —
-    * struct order (d, cid) makes lexicographic sorts/minima implement
-    * the distance-then-smallest-cid tie-break. Linear-size expression,
-    * codegen-friendly. */
-  private def centroidDists(fx: Column,
-      cents: Seq[(Long, Array[Long])]): Column =
-    array(cents.sortBy(_._1).map { case (cid, cfx) =>
-      struct(dist2(fx, array(cfx.map(lit): _*)).as("d"),
-        lit(cid).as("cid"))
-    }: _*)
+  /** The `n` nearest centroids as `array<struct<d, cid>>`, ascending
+    * `(d, cid)` — the native one-loop kernel (centroid matrix travels
+    * as ONE flat reference object, not k·d literal AST nodes; see
+    * [[graft.functions.NearestCentroids]] for the measured history vs
+    * the composed-builtin fold it replaced). */
+  private def nearestN(fx: Column, cents: Seq[(Long, Array[Long])],
+      n: Int): Column =
+    graft.functions.NearestCentroids(fx, cents, n)
 
-  /** `(dist2, cid)` of the nearest centroid — `array_min` over
-    * [[centroidDists]]. */
+  /** `(dist2, cid)` of the nearest centroid. */
   private def nearest(fx: Column, cents: Seq[(Long, Array[Long])]): Column =
-    array_min(centroidDists(fx, cents))
+    element_at(nearestN(fx, cents, 1), 1)
 
   /** One Lloyd update: per-cluster, per-dimension exact sums, then the
     * `floor(sum / count)` re-quantization. Returns the new centroid set
@@ -180,7 +179,12 @@ object Clustering {
     * table (numQueries × nprobe rows) BROADCASTS onto the lists, so
     * the corpus never shuffles for the candidate join — the only
     * exchange is the final per-query window over candidates (probed
-    * lists only, ~nprobe/k of the corpus per query at scale). */
+    * lists only, ~nprobe/k of the corpus per query at scale).
+    *
+    * Caching contract (same as [[kmeansAssign]]): the fx cache covers
+    * only the training collects; the RETURNED frame re-quantizes on
+    * each action (both the lists and the probes branch) — cache the
+    * result before fanning it out. */
   def ivfTopKKmeans(emb: DataFrame, nprobe: Int = 2, k: Int = 5,
       numQueries: Int = 10, stride: Long = 100L, iters: Int = 2,
       maxCentroids: Long = MaxCentroidsDefault): DataFrame = {
@@ -194,8 +198,7 @@ object Clustering {
         nearest(col("fx"), cents).getField("cid").as("cid"))
       val probes = fxDf.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("fx").as("qfx"),
-          explode(slice(array_sort(centroidDists(col("fx"), cents)),
-            1, nprobe)).as("p"))
+          explode(nearestN(col("fx"), cents, nprobe)).as("p"))
         .select(col("query_id"), col("qfx"),
           col("p").getField("cid").as("cid"))
       lists.join(broadcast(probes), Seq("cid"))
