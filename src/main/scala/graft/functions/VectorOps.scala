@@ -294,3 +294,157 @@ object CosineSimilarity {
     GraftColumn(
       CosineSimilarity(GraftColumn.expr(a), GraftColumn.expr(b)))
 }
+
+/** Exact int64 dot product of two integral arrays in one fused loop —
+  * the int8-rescore kernel: replaces the interpreted
+  * `aggregate(zip_with(a·cast·long * b·cast·long))` fold the quantized
+  * ANN family scored with (per pair it allocated a zip array and boxed
+  * every element; at a 100× full-pass rescore that interpretation was
+  * the entire cost — the same HOF lesson as [[CosineSimilarity]] and
+  * `NearestCentroids`). Same left-to-right summation over the common
+  * prefix, exact int64 throughout (64-dim int8: |dot| ≤ 64·127² —
+  * 21 spare bits even at 4k dims), so results are bit-identical to the
+  * composed form and the DuckDB oracle. Squared norms are
+  * `IntDotProduct(q, q)`.
+  *
+  * Same deliberate prefix semantics on malformed (length-mismatched)
+  * input as the other kernels in this file — see the file doc.
+  */
+final case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def code(t: DataType): Int = t match {
+    case ArrayType(org.apache.spark.sql.types.ByteType, _) => 0
+    case ArrayType(org.apache.spark.sql.types.ShortType, _) => 1
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => 2
+    case ArrayType(LongType, _) => 3
+    case _ => -1
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (code(left.dataType) >= 0 && code(right.dataType) >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires integral-array inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_int_dot"
+
+  private lazy val aCode = code(left.dataType)
+  private lazy val bCode = code(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntDotProduct.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], aCode, bCode)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.IntDotProduct.compute(
+         |  $a, $b, $aCode, $bCode);""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntDotProduct {
+
+  @inline private def get(a: ArrayData, i: Int, code: Int): Long =
+    code match {
+      case 0 => a.getByte(i).toLong
+      case 1 => a.getShort(i).toLong
+      case 2 => a.getInt(i).toLong
+      case _ => a.getLong(i)
+    }
+
+  def compute(a: ArrayData, b: ArrayData, aCode: Int, bCode: Int): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += get(a, i, aCode) * get(b, i, bCode)
+      i += 1
+    }
+    s
+  }
+
+  def apply(a: Column, b: Column): Column =
+    GraftColumn(
+      IntDotProduct(GraftColumn.expr(a), GraftColumn.expr(b)))
+}
+
+/** Exact int64 squared-L2 distance of two integral arrays in one fused
+  * loop — the IVF candidate-rescore kernel: replaces the interpreted
+  * `aggregate(zip_with((x-y)·(x-y)))` fold `Clustering.dist2` scored
+  * candidates with, evaluated once per (query × probed-candidate) pair.
+  * Same left-to-right summation over the common prefix, exact int64
+  * throughout (fixed-point components are ≤ ~2^20, so each squared
+  * term fits with >20 spare bits at 4k dims), so results are
+  * bit-identical to the composed form and the DuckDB oracle.
+  *
+  * Same deliberate prefix semantics on malformed (length-mismatched)
+  * input as the other kernels in this file — see the file doc.
+  */
+final case class IntSquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def code(t: DataType): Int = t match {
+    case ArrayType(org.apache.spark.sql.types.ByteType, _) => 0
+    case ArrayType(org.apache.spark.sql.types.ShortType, _) => 1
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => 2
+    case ArrayType(LongType, _) => 3
+    case _ => -1
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (code(left.dataType) >= 0 && code(right.dataType) >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires integral-array inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_int_l2sq"
+
+  private lazy val aCode = code(left.dataType)
+  private lazy val bCode = code(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntSquaredL2.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], aCode, bCode)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.IntSquaredL2.compute(
+         |  $a, $b, $aCode, $bCode);""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntSquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntSquaredL2 {
+
+  @inline private def get(a: ArrayData, i: Int, code: Int): Long =
+    code match {
+      case 0 => a.getByte(i).toLong
+      case 1 => a.getShort(i).toLong
+      case 2 => a.getInt(i).toLong
+      case _ => a.getLong(i)
+    }
+
+  def compute(a: ArrayData, b: ArrayData, aCode: Int, bCode: Int): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = get(a, i, aCode) - get(b, i, bCode)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def apply(a: Column, b: Column): Column =
+    GraftColumn(
+      IntSquaredL2(GraftColumn.expr(a), GraftColumn.expr(b)))
+}

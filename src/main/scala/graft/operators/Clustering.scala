@@ -80,10 +80,12 @@ object Clustering {
 
   /** Integer squared-L2 between two fixed-point vectors (the pairwise
     * rescore path; the against-all-centroids path is the native
-    * [[graft.functions.NearestCentroids]] kernel). */
+    * [[graft.functions.NearestCentroids]] kernel). Native
+    * [[graft.functions.IntSquaredL2]] — bit-identical to the
+    * `aggregate(zip_with((x-y)²))` fold it replaced (same fold order,
+    * exact int64). */
   private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (s, x) => s + x)
+    graft.functions.IntSquaredL2(a, b)
 
   /** The `n` nearest centroids as `array<struct<d, cid>>`, ascending
     * `(d, cid)` — the native one-loop kernel (centroid matrix travels

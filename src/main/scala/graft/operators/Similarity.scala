@@ -148,9 +148,8 @@ object Similarity {
   private def withQuantizedCols(df: DataFrame, srcCol: String,
       qAs: String, nAs: String): DataFrame =
     df.withColumn(qAs, scalarQuantize(col(srcCol)))
-      .withColumn(nAs, aggregate(
-        transform(col(qAs), x => x.cast("long") * x.cast("long")),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn(nAs,
+        graft.functions.IntDotProduct(col(qAs), col(qAs)))
       .drop(srcCol)
 
   /** THE int8 scoring+ranking contract, shared by every quantized path
@@ -160,9 +159,7 @@ object Similarity {
     * tiebreak. One definition, so the cross-path spec differentials
     * can never drift on a scoring change. */
   private def rankQuantizedPairs(pairs: DataFrame, k: Int): DataFrame = {
-    val dot = aggregate(
-      zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b.cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    val dot = graft.functions.IntDotProduct(col("qq"), col("cq"))
     val scored = pairs
       .select(col("query_id"), col("neighbor_id"),
         when(col("qn") * col("cn") === 0L, lit(0.0d))
@@ -183,12 +180,8 @@ object Similarity {
     * [[quantizedTopK]] does. */
   def quantizedSim(a: Column, b: Column): Column = {
     val qa = scalarQuantize(a); val qb = scalarQuantize(b)
-    def norm(q: Column) = aggregate(
-      transform(q, x => x.cast("long") * x.cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    val dot = aggregate(
-      zip_with(qa, qb, (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    def norm(q: Column) = graft.functions.IntDotProduct(q, q)
+    val dot = graft.functions.IntDotProduct(qa, qb)
     val nn = norm(qa) * norm(qb)
     when(nn === 0L, lit(0.0d))
       .otherwise(dot / sqrt(nn.cast("double")))

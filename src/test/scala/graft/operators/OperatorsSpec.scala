@@ -769,6 +769,64 @@ class OperatorsSpec extends SparkSuite {
     assert(projDiff == 0L, s"$projDiff projection rows differ from HOF fold")
   }
 
+  test("round-16 native kernels (IntDotProduct, NearestCentroids) are " +
+      "bit-exact with the composed-builtin folds they replaced") {
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(200)
+    import org.apache.spark.sql.Column
+    // IntDotProduct vs the zip_with/aggregate long fold, over int8
+    // quantized pairs (the quantized-rescore shape)
+    val pairs = e.select(col("vec_id").as("id1"),
+        Similarity.scalarQuantize(col("embedding")).as("q1"))
+      .join(e.select((col("vec_id") + 1).as("id1"),
+        Similarity.scalarQuantize(col("embedding")).as("q2")), "id1")
+    val hofIntDot = aggregate(
+      zip_with(col("q1"), col("q2"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val dotDiff = pairs.select(
+        graft.functions.IntDotProduct(col("q1"), col("q2")).as("native"),
+        hofIntDot.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(dotDiff == 0L, s"$dotDiff int-dot rows differ from HOF fold")
+    // IntSquaredL2 vs the zip_with/aggregate (x-y)^2 fold on the same
+    // quantized pairs (the IVF candidate-rescore shape)
+    val hofL2 = aggregate(
+      zip_with(col("q1"), col("q2"),
+        (a, b) => (a.cast("long") - b.cast("long")) *
+          (a.cast("long") - b.cast("long"))),
+      lit(0L), (acc, x) => acc + x)
+    val l2Diff = pairs.select(
+        graft.functions.IntSquaredL2(col("q1"), col("q2")).as("native"),
+        hofL2.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(l2Diff == 0L, s"$l2Diff int-l2 rows differ from HOF fold")
+    // NearestCentroids vs array_min / slice(array_sort) over the
+    // per-centroid struct array (the k-means assignment + probe shapes)
+    val fx = e.select(col("vec_id"),
+      Clustering.quantize(col("embedding")).as("fx"))
+    val cents = fx.filter(col("vec_id") % 37 === 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).toSeq
+    assert(cents.size >= 3, s"fixture too small: ${cents.size} centroids")
+    def d2(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, x) => s + x)
+    val hofDists = array(cents.map { case (cid, cfx) =>
+      struct(d2(col("fx"), array(cfx.map(lit): _*)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val nnDiff = fx.select(
+        element_at(graft.functions.NearestCentroids(col("fx"), cents, 1), 1)
+          .as("native"),
+        array_min(hofDists).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(nnDiff == 0L, s"$nnDiff nearest rows differ from array_min fold")
+    val topNDiff = fx.select(
+        graft.functions.NearestCentroids(col("fx"), cents, 2).as("native"),
+        slice(array_sort(hofDists), 1, 2).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(topNDiff == 0L, s"$topNDiff top-2 rows differ from sorted slice")
+  }
+
   test("multimodal feature extraction is deterministic and bounded") {
     val d = Seq((1L, "payload-one"), (2L, "payload-two"))
       .toDF("doc_id", "text")
