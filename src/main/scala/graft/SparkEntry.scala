@@ -1234,6 +1234,23 @@ object SparkEntry {
     "ext_pii_redact" -> ((s, dir) =>
       graft.operators.TextAnalysis.piiRedact(plantedPiiDocs(s, dir))),
 
+    // ---- Gopher-style rule-based quality gate -------------------------
+    // five pre-training filter rules (token bounds, mean token length,
+    // symbol ratio, distinct ratio, stopword occurrences) + the 0/1
+    // verdict, all from ONE shuffle-free codegen'd projection
+    "ext_quality_gate" -> ((s, dir) =>
+      graft.operators.TextAnalysis.qualityGate(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull))),
+
+    // ---- integer-exact mean-pooled embedding per label group ----------
+    // chunk-vectors -> one vector per group, exploded to scalar rows;
+    // fixed-point quantize + floor(sum/count) so every value is
+    // cross-engine exact (the Lloyd-update arithmetic as an operator)
+    "ext_embed_pool" -> ((s, dir) =>
+      graft.operators.Clustering.meanPool(
+        s.read.parquet(s"$dir/embeddings.parquet"))),
+
     // ---- multimodal: binary payload -> batched decode stub -> features
     "ext_multimodal_features" -> ((s, dir) =>
       graft.operators.Multimodal.documentFeatures(s, dir)),
@@ -2790,6 +2807,46 @@ object SparkEntry {
           |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
           |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS text_redacted
           |FROM planted""".stripMargin),
+      // every ratio = one IEEE divide of two exact int64 counts; the
+      // stopword list interpolates from the SAME Scala value the
+      // operator uses (one source of truth); occurrence count via
+      // list_filter (distinct-intersection builtins differ across
+      // engines on dedup order)
+      "ext_quality_gate" ->
+        (s"""WITH sig AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+          |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_chars,
+          |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_sym,
+          |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_distinct,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |      x -> x IN (${graft.operators.TextAnalysis.DefaultStopwords
+                 .map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS stopword_hits
+          |  FROM documents WHERE text IS NOT NULL
+          |) SELECT doc_id, n_tokens,
+          |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+          |  CAST(n_sym AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS symbol_ratio,
+          |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+          |  stopword_hits,
+          |  CAST((n_tokens >= 10 AND n_tokens <= 100000
+          |    AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 2.0
+          |    AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 12.0
+          |    AND CAST(n_sym AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.25
+          |    AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.3
+          |    AND stopword_hits >= 1) AS BIGINT) AS passes
+          |FROM sig""".stripMargin),
+      // quantize + floor(sum/count): the Lloyd-update arithmetic —
+      // exact int64 sums, one correctly-rounded IEEE divide per cell
+      "ext_embed_pool" ->
+        """WITH fx AS (
+          |  SELECT label, unnest(list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))) AS v,
+          |    unnest(range(0, len(embedding))) AS pos
+          |  FROM embeddings WHERE embedding IS NOT NULL
+          |) SELECT label AS grp, CAST(pos AS BIGINT) AS pos,
+          |  CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS pooled_fx,
+          |  CAST(count(*) AS BIGINT) AS n_vecs
+          |FROM fx GROUP BY label, pos""".stripMargin,
       "ext_multimodal_features" ->
         """SELECT doc_id,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -238,6 +238,35 @@ object Clustering {
       maxCentroids = maxCentroids)
   }
 
+  /** Element-wise mean-pooled embedding per group, integer-exact — the
+    * "one vector per document/label from many chunk vectors" step a
+    * multimodal/RAG pipeline runs after chunk-level embedding (and the
+    * same arithmetic that makes a k-means Lloyd update: fixed-point
+    * quantize, exact int64 per-dimension sums, `floor(sum/count)`
+    * re-quantize — every value cross-engine exact). Emits the pooled
+    * vector EXPLODED as `(grp, pos, pooled_fx, n_vecs)` rows: scalar
+    * int64 outputs hash-gate cleanly and downstream consumers regroup
+    * with one `collect_list` when they want the array back.
+    *
+    * Shape at 100 TB: posexplode → ONE exchange on (grp, pos) with
+    * map-side partial sums — dimension count multiplies rows, not
+    * shuffle rounds; no window, no join, no collect. Exactness bound:
+    * per-(group, dim) `sum(fx)` must stay under 2^53 for the IEEE
+    * divide to be correctly rounded from an exact integer — fx
+    * components are O(2^10), so safe to ~2^42 vectors per group
+    * (trillions; far past any real group). */
+  def meanPool(emb: DataFrame, groupCol: String = "label",
+      embCol: String = "embedding"): DataFrame =
+    emb.filter(col(embCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        posexplode(quantize(col(embCol))).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n_vecs"))
+      .select(col("grp"), col("pos").cast("long").as("pos"),
+        floor(col("s").cast("double") / col("n_vecs")).cast("long")
+          .as("pooled_fx"),
+        col("n_vecs"))
+
   /** Integer brute-force top-k (fixed-point L2, id tie-break) — the
     * exact reference the kmeans-IVF recall telemetry compares against.
     * Queries broadcast (numQueries rows); one pass over the corpus. */

@@ -169,6 +169,61 @@ object TextAnalysis {
         col("score"), col("rnk"))
   }
 
+  /** Union of the per-language lexicons, sorted — the default stopword
+    * list for [[qualityGate]]'s "contains real function words" rule. */
+  val DefaultStopwords: Seq[String] =
+    DefaultLexicons.values.flatten.toSeq.distinct.sorted
+
+  /** Gopher-style rule-based quality gate — the standard pre-training
+    * document filter (Rae et al. 2021 §A1.1 shape): token-count bounds,
+    * mean-token-length bounds, symbol-to-token ratio, distinct-token
+    * ratio (repetition), and a minimum stopword occurrence count. Emits
+    * every signal plus the 0/1 verdict so downstream policy (drop vs
+    * quarantine vs reweight) stays a filter over this frame, not a
+    * rescan.
+    *
+    * Shape at 100 TB: ONE narrow shuffle-free projection — all five
+    * rules compute per row from `split` + array builtins
+    * (`array_distinct`, `filter`, `regexp_replace`), codegen'd, no
+    * explode, no groupBy, no UDF. Chains directly onto the scan like
+    * [[piiScan]].
+    *
+    * Determinism: every ratio is one IEEE division of two exact int64
+    * counts, so the oracle reproduces values bit-for-bit. The stopword
+    * rule counts OCCURRENCES (not distinct hits) — `filter` + `size`,
+    * identical in both engines, where distinct-intersection builtins
+    * differ on dedup order across engines.
+    */
+  def qualityGate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Long = 10L, maxTokens: Long = 100000L,
+      minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.25, minDistinctRatio: Double = 0.3,
+      minStopwordHits: Long = 1L,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val nTok = size(toks).cast("long")
+    // total non-whitespace chars: exact however many spaces separate
+    val nChars = length(regexp_replace(col(textCol), "\\s+", "")).cast("long")
+    val nSym = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+        nTok.as("n_tokens"),
+        (nChars.cast("double") / nTok.cast("double")).as("mean_token_len"),
+        (nSym.cast("double") / nTok.cast("double")).as("symbol_ratio"),
+        (nDistinct.cast("double") / nTok.cast("double")).as("distinct_ratio"),
+        nStop.as("stopword_hits"))
+      .withColumn("passes",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("mean_token_len") >= minMeanTokLen &&
+          col("mean_token_len") <= maxMeanTokLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("distinct_ratio") >= minDistinctRatio &&
+          col("stopword_hits") >= minStopwordHits).cast("long"))
+  }
+
   /** PII patterns shared by detection and redaction. Deliberately
     * restricted to constructs Java regex (Spark) and RE2 (DuckDB,
     * Go/Rust scanners) interpret identically — character classes,

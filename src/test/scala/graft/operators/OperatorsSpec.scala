@@ -708,6 +708,59 @@ class OperatorsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"redaction must not shuffle:\n$plan")
   }
 
+  test("qualityGate: each rule rejects its violation class, clean text " +
+      "passes, and the whole gate is one shuffle-free projection") {
+    val d = Seq(
+      // passes every rule: long enough, normal words, stopwords present
+      (1L, "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away into the quiet green woods tonight again"),
+      (2L, "too short"),                                    // < 10 tokens
+      (3L, ("spam " * 20).trim),                            // distinct 1/20
+      (4L, "@@ ## $$ %% ^^ && ** (( )) !! ~~ ++ == ;; :: " +
+        "the of and to in is that a of to"),                // symbol-heavy
+      (5L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp"))  // no stopwords
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityGate(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("passes") == 1L, s"clean doc must pass: ${r(1L)}")
+    assert(r(2L).getAs[Long]("n_tokens") < 10L &&
+      r(2L).getAs[Long]("passes") == 0L)
+    assert(r(3L).getAs[Double]("distinct_ratio") < 0.3 &&
+      r(3L).getAs[Long]("passes") == 0L)
+    assert(r(4L).getAs[Double]("symbol_ratio") > 0.25 &&
+      r(4L).getAs[Long]("passes") == 0L)
+    assert(r(5L).getAs[Long]("stopword_hits") == 0L &&
+      r(5L).getAs[Long]("passes") == 0L)
+    val plan = TextAnalysis.qualityGate(d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
+  }
+
+  test("meanPool: per-(group, dim) floor(sum/count) matches a driver-side " +
+      "recompute exactly, through one exchange") {
+    val d = Seq(
+      (0L, Array(0.5f, -1.25f), 1),
+      (1L, Array(1.5f, 0.25f), 1),
+      (2L, Array(-0.5f, 2.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Clustering.meanPool(d).collect()
+      .map(x => (x.getInt(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    def fx(x: Double): Long = math.floor(x * 1024.0 + 0.5).toLong
+    // group 1: dims pooled over 2 vectors, floor division
+    assert(r((1, 0L)) ==
+      (math.floorDiv(fx(0.5) + fx(1.5), 2L), 2L), s"got ${r((1, 0L))}")
+    assert(r((1, 1L)) ==
+      (math.floorDiv(fx(-1.25) + fx(0.25), 2L), 2L))
+    // group 2: singleton passes through re-quantized unchanged
+    assert(r((2, 0L)) == (fx(-0.5), 1L) && r((2, 1L)) == (fx(2.0), 1L))
+    val plan = Clustering.meanPool(d).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges <= 2, // partial+final of ONE logical exchange (AQE
+      s"expected one logical exchange, plan:\n$plan") // may show 2 nodes)
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val d = Seq(
       (1L, "hello   world"), (2L, "hello world"), (3L, "hello worlds"))
