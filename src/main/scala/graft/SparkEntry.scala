@@ -1251,6 +1251,13 @@ object SparkEntry {
       graft.operators.Clustering.meanPool(
         s.read.parquet(s"$dir/embeddings.parquet"))),
 
+    // ---- BM25-style retrieval scoring (rational idf, no libm ln) ------
+    // top-25 docs for a fixed query; every score a fixed-order chain of
+    // correctly-rounded IEEE ops on exact int64 products
+    "ext_bm25" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bm25TopK(
+        s.read.parquet(s"$dir/documents.parquet"), bm25Terms, k = 25)),
+
     // ---- multimodal: binary payload -> batched decode stub -> features
     "ext_multimodal_features" -> ((s, dir) =>
       graft.operators.Multimodal.documentFeatures(s, dir)),
@@ -1648,6 +1655,11 @@ object SparkEntry {
         "left")
       .groupBy(col("query_id"))
       .agg(count(col("bn")).as("n_hit"), count(lit(1)).as("n_ret"))
+
+  /** The BM25 query for `ext_bm25` — three corpus terms with distinct
+    * document frequencies (one source of truth: the oracle SQL
+    * interpolates this same value term by term). */
+  private val bm25Terms: Seq[String] = Seq("spark", "customer", "merge")
 
   /** The PII fixture: the synthetic corpus carries no PII, so plant
     * deterministic addresses/phones/IPs from doc_id (same arithmetic in
@@ -2835,6 +2847,37 @@ object SparkEntry {
           |    AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.3
           |    AND stopword_hits >= 1) AS BIGINT) AS passes
           |FROM sig""".stripMargin),
+      // the rational-BM25 arithmetic mirrored term by term: idf and
+      // tfpart are each ONE int64 ratio; the per-term products sum
+      // left-to-right in the same fixed order as the Scala reduce
+      "ext_bm25" -> {
+        def termSql(i: Int): String =
+          s"""CAST(2*st.n_docs - 2*st.df$i + 1 AS DOUBLE) / CAST(2*st.df$i + 1 AS DOUBLE)
+             |    * (CAST(22*pd.tf$i*st.tt AS DOUBLE) / CAST(10*st.tt*pd.tf$i + 3*st.tt + 9*pd.dl*st.n_docs AS DOUBLE))""".stripMargin
+        s"""WITH d AS (
+          |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          |), toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d
+          |), pd AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+          |${bm25Terms.zipWithIndex.map { case (t, i) =>
+              s"    CAST(sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+            }.mkString(",\n")}
+          |  FROM toks WHERE term != '' GROUP BY doc_id
+          |), st AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tt,
+          |${bm25Terms.indices.map(i =>
+              s"    CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+            ).mkString(",\n")}
+          |  FROM pd
+          |) SELECT doc_id, dl,
+          |  ${bm25Terms.indices.map(termSql).mkString("\n  + ")} AS score
+          |FROM pd, st
+          |WHERE ${bm25Terms.indices.map(i => s"pd.tf$i").mkString(" + ")} > 0
+          |ORDER BY score DESC, doc_id ASC
+          |LIMIT 25""".stripMargin
+      },
+
       // quantize + floor(sum/count): the Lloyd-update arithmetic —
       // exact int64 sums, one correctly-rounded IEEE divide per cell
       "ext_embed_pool" ->

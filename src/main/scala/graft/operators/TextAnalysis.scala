@@ -169,6 +169,71 @@ object TextAnalysis {
         col("score"), col("rnk"))
   }
 
+  /** BM25-style top-k document relevance for a fixed query-term list —
+    * the retrieval scorer a curation pipeline uses to mine topical
+    * subsets ("find the k docs most about X") without an external
+    * index.
+    *
+    * Cross-engine exactness dictates a RATIONAL variant of BM25
+    * (k1 = 6/5, b = 3/4 — the classic dials as exact rationals, and a
+    * ratio idf instead of the `ln` form, which would hang scores on
+    * libm ulp differences):
+    *
+    *   idf(t)    = (2·D − 2·df + 1) / (2·df + 1)
+    *   tfpart(t) = 22·tf·T / (10·T·tf + 3·T + 9·dl·D)
+    *   score     = Σ_t idf(t) · tfpart(t)      (fixed term order)
+    *
+    * where the tfpart fraction is tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with avgdl = T/D cleared of nested divisions: numerator and
+    * denominator are each ONE exact int64 product/sum, so the score is
+    * a fixed-order chain of correctly-rounded IEEE divides/multiplies/
+    * adds — bit-identical in any engine. Both idf and tfpart are
+    * monotone the same way as the `ln` forms, so rankings track
+    * textbook BM25. Overflow bound: `10·T·tf` needs T·tf < 9.2×10^17 —
+    * safe to ~10^13 corpus tokens × 10^4 per-doc tf.
+    *
+    * D and T count docs/tokens among docs with ≥1 token (empty docs
+    * can't match anyway). Docs with no query term are excluded (their
+    * score is exactly 0).
+    *
+    * Shape at 100 TB: one explode → per-doc aggregate (map-side
+    * combined, conditional tf columns so there is no per-term shuffle),
+    * ONE 1-row global stats aggregate broadcast back, top-k planned as
+    * `TakeOrderedAndProject` (per-partition k, never a global sort). */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 25,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms && k > 0)
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val perDoc = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
+      }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("tt") +: queryTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))): _*)
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"tf_$i"); val df = col(s"df_$i")
+      val idf =
+        (lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
+          (lit(2L) * df + lit(1L)).cast("double")
+      val tfp = (lit(22L) * tf * col("tt")).cast("double") /
+        (lit(10L) * col("tt") * tf + lit(3L) * col("tt") +
+          lit(9L) * col("dl") * col("n_docs")).cast("double")
+      idf * tfp
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(queryTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("dl"), col("score"))
+  }
+
   /** Union of the per-language lexicons, sorted — the default stopword
     * list for [[qualityGate]]'s "contains real function words" rule. */
   val DefaultStopwords: Seq[String] =

@@ -761,6 +761,42 @@ class OperatorsSpec extends SparkSuite {
       s"expected one logical exchange, plan:\n$plan") // may show 2 nodes)
   }
 
+  test("bm25TopK: scores match a driver-side recompute bit-for-bit, " +
+      "no-term docs are excluded, top-k plans as TakeOrderedAndProject") {
+    val d = Seq(
+      (1L, "spark spark fast"),
+      (2L, "spark slow"),
+      (3L, "customer data here now"),
+      (4L, "merge merge merge merge"),
+      (5L, "nothing relevant words"))
+      .toDF("doc_id", "text")
+    val terms = Seq("spark", "customer", "merge")
+    val q = TextAnalysis.bm25TopK(d, terms, k = 25)
+    val got = q.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // same fixed-order IEEE chain as the operator and the oracle
+    val D = 5L; val T = 16L
+    val df = Map("spark" -> 2L, "customer" -> 1L, "merge" -> 1L)
+    def score(dl: Long, tfs: Seq[Long]): Double =
+      terms.zip(tfs).map { case (t, tf) =>
+        val idf = (2 * D - 2 * df(t) + 1).toDouble / (2 * df(t) + 1).toDouble
+        val tfp = (22 * tf * T).toDouble /
+          (10 * T * tf + 3 * T + 9 * dl * D).toDouble
+        idf * tfp
+      }.reduce(_ + _)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"doc 5 must be excluded: $got")
+    assert(got(1L) == ((3L, score(3, Seq(2, 0, 0)))))
+    assert(got(2L) == ((2L, score(2, Seq(1, 0, 0)))))
+    assert(got(3L) == ((4L, score(4, Seq(0, 1, 0)))))
+    assert(got(4L) == ((4L, score(4, Seq(0, 0, 4)))))
+    // rare terms outrank the common one at comparable tf: customer
+    // (df=1, tf=1) must beat spark (df=2, tf=1)
+    assert(got(3L)._2 > got(2L)._2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val d = Seq(
       (1L, "hello   world"), (2L, "hello world"), (3L, "hello worlds"))
