@@ -2835,18 +2835,20 @@ object SparkEntry {
           |      x -> x IN (${graft.operators.TextAnalysis.DefaultStopwords
                  .map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS stopword_hits
           |  FROM documents WHERE text IS NOT NULL
-          |) SELECT doc_id, n_tokens,
-          |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
-          |  CAST(n_sym AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS symbol_ratio,
-          |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
-          |  stopword_hits,
+          |), rat AS (
+          |  SELECT doc_id, n_tokens,
+          |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS mean_token_len,
+          |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS symbol_ratio,
+          |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS distinct_ratio,
+          |    stopword_hits
+          |  FROM sig
+          |) SELECT doc_id, n_tokens, mean_token_len, symbol_ratio,
+          |  distinct_ratio, stopword_hits,
           |  CAST((n_tokens >= 10 AND n_tokens <= 100000
-          |    AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 2.0
-          |    AND CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 12.0
-          |    AND CAST(n_sym AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.25
-          |    AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.3
+          |    AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+          |    AND symbol_ratio <= 0.25 AND distinct_ratio >= 0.3
           |    AND stopword_hits >= 1) AS BIGINT) AS passes
-          |FROM sig""".stripMargin),
+          |FROM rat""".stripMargin),
       // the rational-BM25 arithmetic mirrored term by term: idf and
       // tfpart are each ONE int64 ratio; the per-term products sum
       // left-to-right in the same fixed order as the Scala reduce

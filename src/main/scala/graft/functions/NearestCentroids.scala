@@ -100,9 +100,32 @@ object NearestCentroids {
   /** One tight loop per row; called from both the interpreted eval and
     * the generated code. Maintains the running n-smallest `(d, cid)`
     * by insertion (n is 1..tens); strict `<` keeps the earlier —
-    * smaller — cid on distance ties. */
+    * smaller — cid on distance ties.
+    *
+    * Input contract (validated ONCE per row, before the k·d loop): the
+    * vector must be dense with at least `dim` non-null elements —
+    * unlike the prefix-tolerant kernels in VectorOps, a short or
+    * null-holed vector here would silently assign to a wrong centroid
+    * (reading 0s / garbage), so it fails fast with a diagnostic
+    * instead. Validation also COPIES the dim-long query prefix into a
+    * primitive array, so the hot k·d loop indexes a local `long[]`
+    * rather than virtual-dispatching `ArrayData.getLong` k·dim times. */
   def compute(arr: ArrayData, cids: Array[Long], flat: Array[Long],
       dim: Int, n: Int): ArrayData = {
+    if (arr.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"graft_nearest_centroids requires dense vectors of >= $dim " +
+          s"elements, got ${arr.numElements()}")
+    val q = new Array[Long](dim)
+    var j0 = 0
+    while (j0 < dim) {
+      if (arr.isNullAt(j0))
+        throw new IllegalArgumentException(
+          s"graft_nearest_centroids requires non-null vector elements; " +
+            s"element $j0 is null")
+      q(j0) = arr.getLong(j0)
+      j0 += 1
+    }
     val k = cids.length
     val m = math.min(n, k)
     val bestD = new Array[Long](m)
@@ -114,7 +137,7 @@ object NearestCentroids {
       var s = 0L
       var j = 0
       while (j < dim) {
-        val diff = arr.getLong(j) - flat(base + j)
+        val diff = q(j) - flat(base + j)
         s += diff * diff
         j += 1
       }

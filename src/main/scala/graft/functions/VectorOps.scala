@@ -31,9 +31,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * Deliberate divergence on MALFORMED input: a length-mismatched pair (or
   * an embedding shorter than the plane dimension) computes over the common
   * prefix, where the `zip_with` formulation would null-pad and propagate
-  * NULL through the fold. Embeddings are fixed-width by schema, so a
-  * mismatch means corruption; prefix semantics keep the kernels
-  * codegen-simple (primitive, non-nullable outputs).
+  * NULL through the fold. Likewise a NULL ELEMENT inside an array is
+  * SKIPPED (contributes 0 to the accumulator) — checked explicitly with
+  * `isNullAt`, so GenericArrayData and UnsafeArrayData agree (unchecked,
+  * Generic would NPE on unboxing while Unsafe silently reads 0) — where
+  * the HOF fold would null the whole result. Embeddings are fixed-width
+  * non-null by schema, so either shape means corruption; pinned
+  * prefix/skip semantics keep the kernels codegen-simple (primitive,
+  * non-nullable outputs) and, unlike engine-dependent NPEs, are at least
+  * deterministic. `NearestCentroids` (assignment, where a wrong answer is
+  * silent) instead validates and throws — see its scaladoc.
   */
 object VectorOps {
 
@@ -362,7 +369,9 @@ object IntDotProduct {
     var s = 0L
     var i = 0
     while (i < n) {
-      s += get(a, i, aCode) * get(b, i, bCode)
+      // null elements skipped (contribute 0) — see the file doc
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        s += get(a, i, aCode) * get(b, i, bCode)
       i += 1
     }
     s
@@ -437,8 +446,11 @@ object IntSquaredL2 {
     var s = 0L
     var i = 0
     while (i < n) {
-      val d = get(a, i, aCode) - get(b, i, bCode)
-      s += d * d
+      // null elements skipped (contribute 0) — see the file doc
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = get(a, i, aCode) - get(b, i, bCode)
+        s += d * d
+      }
       i += 1
     }
     s

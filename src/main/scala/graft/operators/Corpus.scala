@@ -232,10 +232,14 @@ object Corpus {
     // like a huge positive one (possibly to a positive value ≥ 2^60,
     // silently KEEPING a row whose P[keep] should be 0). Floored at 0
     // the product is 0 and the coin (always ≥ 0) never passes — the
-    // exact semantics any non-positive weight deserves.
+    // exact semantics any non-positive weight deserves. NULL weights
+    // coalesce to 0 FIRST: least/greatest skip NULL operands, so an
+    // uncoalesced NULL would resolve to maxSafeWeight and keep the row
+    // with P~1 — the opposite of the non-positive-drops contract.
     df.filter(sampleHash(col(idCol)) <
       greatest(lit(0L),
-        least(col(weightCol).cast("long"), lit(maxSafeWeight))) *
+        least(coalesce(col(weightCol).cast("long"), lit(0L)),
+          lit(maxSafeWeight))) *
         lit(tauPerUnit))
   }
 

@@ -274,11 +274,19 @@ object TextAnalysis {
       length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))).cast("long")
     val nDistinct = size(array_distinct(toks)).cast("long")
     val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    // zero-token docs: ratios pinned to 0.0 explicitly — engine-default
+    // divide-by-zero diverges (Spark non-ANSI → NULL, DuckDB → inf/NaN
+    // per ieee_floating_point_ops), and a pinned value keeps the
+    // telemetry columns oracle-exact. `passes` is 0 either way (the
+    // token-count bound already fails).
+    def ratio(num: Column): Column =
+      when(nTok === 0L, lit(0.0))
+        .otherwise(num.cast("double") / nTok.cast("double"))
     docs.select(col(idCol).as("doc_id"),
         nTok.as("n_tokens"),
-        (nChars.cast("double") / nTok.cast("double")).as("mean_token_len"),
-        (nSym.cast("double") / nTok.cast("double")).as("symbol_ratio"),
-        (nDistinct.cast("double") / nTok.cast("double")).as("distinct_ratio"),
+        ratio(nChars).as("mean_token_len"),
+        ratio(nSym).as("symbol_ratio"),
+        ratio(nDistinct).as("distinct_ratio"),
         nStop.as("stopword_hits"))
       .withColumn("passes",
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&

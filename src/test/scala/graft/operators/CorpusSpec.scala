@@ -320,6 +320,12 @@ class CorpusSpec extends SparkSuite {
         // silently KEEP (the mirror image of the positive wrap)
         (6L, -1L), (7L, Long.MinValue), (8L, Long.MinValue / tau - 7))
       .toDF("doc_id", "w")
+      // NULL weight: least/greatest SKIP null operands, so un-coalesced
+      // it would resolve to maxSafeWeight and keep with P~1; the clamp
+      // coalesces to 0 first ⇒ drops like every non-positive weight
+      .union(Seq(9L).toDF("doc_id")
+        .withColumn("w", org.apache.spark.sql.functions.lit(null)
+          .cast("long")))
     val kept = Corpus.weightedThresholdSample(df, "doc_id", "w", tau)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 3L, 4L),

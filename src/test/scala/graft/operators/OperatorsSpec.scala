@@ -916,6 +916,45 @@ class OperatorsSpec extends SparkSuite {
     assert(topNDiff == 0L, s"$topNDiff top-2 rows differ from sorted slice")
   }
 
+  test("native kernels pin malformed-input semantics: null elements " +
+      "skip in Int kernels, NearestCentroids validates and throws") {
+    // IntDotProduct / IntSquaredL2: a null element contributes 0 —
+    // identical for Generic and Unsafe array data (r16 ADVICE)
+    val withNulls = Seq(1)
+      .toDF("x")
+      .select(
+        array(lit(2L), lit(null).cast("long"), lit(3L)).as("a"),
+        array(lit(5L), lit(7L), lit(11L)).as("b"))
+    val r = withNulls.select(
+      graft.functions.IntDotProduct(col("a"), col("b")).as("dot"),
+      graft.functions.IntSquaredL2(col("a"), col("b")).as("l2")).head()
+    assert(r.getLong(0) == 2L * 5L + 3L * 11L, s"dot with null hole: $r")
+    assert(r.getLong(1) == 9L + 64L, s"l2 with null hole: $r")
+    // NearestCentroids: short vector and null-holed vector both fail
+    // fast with a diagnostic instead of assigning to a wrong centroid
+    val cents = Seq(1L -> Array(0L, 0L, 0L), 2L -> Array(1L, 1L, 1L))
+    val short = Seq(1).toDF("x")
+      .select(array(lit(1L), lit(2L)).as("fx"))
+    val shortErr = intercept[Exception] {
+      short.select(graft.functions.NearestCentroids(col("fx"), cents, 1))
+        .collect()
+    }
+    assert(shortErr.toString.contains("graft_nearest_centroids") ||
+      Option(shortErr.getCause).exists(
+        _.toString.contains("graft_nearest_centroids")),
+      s"short-vector error must carry the kernel name: $shortErr")
+    val holed = Seq(1).toDF("x")
+      .select(array(lit(1L), lit(null).cast("long"), lit(2L)).as("fx"))
+    val holedErr = intercept[Exception] {
+      holed.select(graft.functions.NearestCentroids(col("fx"), cents, 1))
+        .collect()
+    }
+    assert(holedErr.toString.contains("graft_nearest_centroids") ||
+      Option(holedErr.getCause).exists(
+        _.toString.contains("graft_nearest_centroids")),
+      s"null-element error must carry the kernel name: $holedErr")
+  }
+
   test("multimodal feature extraction is deterministic and bounded") {
     val d = Seq((1L, "payload-one"), (2L, "payload-two"))
       .toDF("doc_id", "text")
