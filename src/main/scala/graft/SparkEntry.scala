@@ -117,6 +117,25 @@ object SparkEntry {
       java.lang.Long.toHexString(fp) + suffix
   }
 
+  /** The landed (doc_id % 3 = 0) band store for `dir` — the dedup state
+    * the incremental-store rows probe. Built ONCE per source
+    * fingerprint (the [[engineCachePath]] pattern): store construction
+    * is ingest cost; the contract row measures the per-batch lookup. */
+  private[graft] def landedBandStore(s: SparkSession,
+      dir: String): graft.operators.BandStore = {
+    val fp = sourceFingerprint(s"$dir/documents.parquet")
+    val base = s"/tmp/graft_bandstore_${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp)
+    val store = graft.operators.BandStore.open(s, base)
+    if (store.nonEmpty) store
+    else graft.operators.BandStore.fromSignatures(s, base,
+      graft.operators.Dedup.minhashSignatures(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text")), 8,
+        graft.operators.Dedup.DefaultSeeds))
+  }
+
   private def engineOrders(s: SparkSession, dir: String,
       buckets: Int = 0): graft.core.Smoltable = {
     val base = engineCachePath(dir, buckets)
@@ -309,6 +328,21 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 0), tmp)
       graft.operators.Similarity.appendIvfLayout(
         e.filter(col("vec_id") % 2 =!= 0), tmp)
+    }
+
+  /** Like [[ivfLayoutPath]] but for the LEARNED kmeans-IVF `cid=`
+    * layout (fingerprinted on source snapshot + training geometry).
+    * Package-visible for the staleness spec / scale harness. */
+  private[graft] def kmeansIvfLayoutPath(dir: String): String = {
+    val fp = sourceFingerprint(s"$dir/embeddings.parquet")
+    s"/tmp/graft_kivf_v1_${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp) + "_s100i2"
+  }
+
+  private def kmeansIvfLayoutDir(s: SparkSession, dir: String): String =
+    buildLayoutOnce(kmeansIvfLayoutPath(dir)) { tmp =>
+      graft.operators.Clustering.writeKmeansIvfLayout(
+        s.read.parquet(s"$dir/embeddings.parquet"), tmp)
     }
 
   /** Build a derived layout exactly once per cache path: build into a
@@ -882,6 +916,19 @@ object SparkEntry {
           .select((col("doc_id") + 1000000).as("doc_id"), col("text"))))
     }),
 
+    // ---- the incremental near-dup filter against the BUCKETED band
+    // store (round 17): same drop rule as ext_dedup_incremental_minhash
+    // (same oracle SQL), but the landed side is a BandStore — the
+    // membership lookup prunes (bp partition filters + pushed In(band))
+    // and feeds no exchange, so per-batch cost tracks the batch, not
+    // the landed corpus. Store built in a scratch dir per run (build is
+    // landed-band-sized; the plan shape is what this row pins).
+    "ext_dedup_incremental_store" -> ((s, dir) => {
+      val store = landedBandStore(s, dir)
+      graft.operators.Dedup
+        .incrementalMinhashWithStore(plantedDocs(s, dir), store)._1
+    }),
+
     // ---- near-dup CLUSTERS: minhash pairs -> connected components ----
     // (large-star/small-star; every doc mapped to its cluster's min id,
     // singletons to themselves). The step that turns pairwise evidence
@@ -1433,6 +1480,32 @@ object SparkEntry {
     "ext_ann_ivf_kmeans" -> ((s, dir) =>
       graft.operators.Clustering.ivfTopKKmeans(
         s.read.parquet(s"$dir/embeddings.parquet"))),
+
+    // ---- the same kmeans-IVF probe against the PERSISTED `cid=`
+    //      layout (round 17): training + assignment ran ONCE at build
+    //      (the serving-index shape — ext_ann_ivf_kmeans re-trains per
+    //      query batch); the probe derives driver-side through the same
+    //      NearestCentroids kernel and the candidate scan plans off the
+    //      committed manifest with a static cid IN (...) partition
+    //      filter — same oracle SQL as the logical row ----------------
+    "eng_ann_ivf_persisted" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Clustering.ivfTopKKmeansFromLayout(
+        kmeansIvfLayoutDir(s, dir), e.filter(col("vec_id") < 10))
+    }),
+
+    // ---- kmeans-IVF recall against the PERSISTED layout: the recall
+    //      gate rides the stored index too, so layout staleness or
+    //      pruning bugs surface as a red row, not a quality drop ------
+    "eng_ann_recall_persisted" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val ivf = graft.operators.Clustering.ivfTopKKmeansFromLayout(
+          kmeansIvfLayoutDir(s, dir), e.filter(col("vec_id") < 10))
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = graft.operators.Clustering.bruteTopKInt(e)
+        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+      recallCounts(ivf, brute)
+    }),
 
     // ---- kmeans-IVF with the √lists probe rule -----------------------
     // the dial that keeps probe MASS meaningful as learned list count
@@ -2033,7 +2106,7 @@ object SparkEntry {
          |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.9 * 1152921504606846976.0d).toLong} THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
-    Map(
+    val base = Map(
       "op01_get_row" ->
         s"$oc SELECT row_key, family, qualifier, ts, vs, vd FROM cells WHERE row_key = '0000000001'",
       "op02_multi_get" ->
@@ -3049,6 +3122,10 @@ object SparkEntry {
           |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |  < CAST(floor(CAST(m.mn AS DOUBLE) / cnt * 1152921504606846976.0) AS BIGINT)""".stripMargin,
       "ext_ann_ivf_kmeans" -> annIvfKmeansSql,
+      // the persisted-layout twins answer with the logical rows' SQL —
+      // one semantics, stored vs recomputed index
+      "eng_ann_ivf_persisted" -> annIvfKmeansSql,
+      "eng_ann_recall_persisted" -> annRecallKmeansSql,
       "ext_ann_ivf_kmeans_adaptive" -> annIvfKmeansAdaptiveSql,
       "ext_ann_recall_kmeans" -> annRecallKmeansSql,
       "ext_ann_recall_kmeans_adaptive" -> annRecallKmeansAdaptiveSql,
@@ -3206,5 +3283,10 @@ object SparkEntry {
           |WHERE c_mktsegment = 'BUILDING'
           |GROUP BY l_orderkey""".stripMargin
     )
+    // the band-store path is semantics-identical to the legacy
+    // incremental near-dup filter (one drop rule, two landed-side
+    // layouts) — one oracle, three doors
+    base + ("ext_dedup_incremental_store" ->
+      base("ext_dedup_incremental_minhash"))
   }
 }

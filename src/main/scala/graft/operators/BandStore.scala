@@ -1,0 +1,263 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** The LANDED LSH-band membership store for incremental near-dup dedup
+  * ([[Dedup.incrementalMinhash]] and its streaming twin) — the dedup
+  * state as a PRUNABLE on-disk table instead of a parquet pile that
+  * every batch re-scans and re-distincts.
+  *
+  * Why it exists (the r16 scale gap): the incremental near-dup filter
+  * needs one membership question per batch — "which of THIS BATCH's
+  * bands has the corpus already landed?" — and answering it by reading
+  * the full landed signature table, re-deriving bands, and
+  * re-`distinct`-ing them is O(corpus-ever-seen) work per micro-batch
+  * (a full shuffle of the landed table, every batch, forever). At
+  * 100 B docs that is a TB-class scan per micro-batch and the pipeline
+  * falls behind. The membership question's ANSWER is batch-sized; only
+  * the layout made it corpus-sized.
+  *
+  * Layout: one row per DISTINCT landed band, hash-partitioned into
+  * `nBuckets` fixed `bp=` directories and SORTED by `band` within
+  * every file, appended as atomic `batch=<tag>` sub-dirs:
+  *
+  * {{{ dir/batch=<tag>/bp=<0..nBuckets-1>/part-*.parquet  (band) }}}
+  *
+  * Three pruning levers stack on that layout, so per-batch lookup cost
+  * tracks the BATCH, not the landed corpus:
+  *
+  *  1. `bp` is a PARTITION column and the batch's bucket set is
+  *     collected (bounded by `nBuckets`) into literal partition
+  *     filters — directory-level pruning, visible as
+  *     `PartitionFilters: [bp IN (...)]` in the scan;
+  *  2. small probes (≤ [[pushdownBandLimit]] bands) push their band
+  *     strings as an `In(band, ...)` parquet filter; because every
+  *     file is band-sorted, row-group min/max stats are narrow and
+  *     parquet-mr drops most row groups without reading them —
+  *     dictionary pages prune the rest (larger batches join instead —
+  *     the tier table on [[prunedLookup]]);
+  *  3. nothing on the landed side ever enters an exchange: the lookup
+  *     plan is scan → filter → (tiny) distinct, or scan → broadcast
+  *     semi-join — the only shuffle input is the post-filter result,
+  *     at most the batch's own band count. (Mega-batches past
+  *     [[broadcastBandLimit]] fall back to a shuffled join — at that
+  *     size the batch IS corpus-class work and a sort-merge join is
+  *     the right plan.)
+  *
+  * Appends are batch-tagged atomic directory moves: write to a hidden
+  * temp dir, `ATOMIC_MOVE` into `batch=<tag>`, and a retry of an
+  * already-landed tag is detected by the target's existence and
+  * SKIPPED — which is what makes the streaming twin's `foreachBatch`
+  * state maintenance idempotent under at-least-once replay.
+  *
+  * Single-writer contract (same as the reference's single active
+  * writer per table, `smoltable/src/table/writer/mod.rs`): one
+  * pipeline maintains a store; concurrent appends of the SAME tag are
+  * resolved by the atomic move (one wins), concurrent different-tag
+  * appends compose because rows are add-only and membership tolerates
+  * duplicate bands.
+  *
+  * Compaction: many small per-batch appends accumulate one file per
+  * touched bucket per batch; [[compact]] rewrites the store as ONE
+  * sorted file per bucket (a maintenance pass — same cadence class as
+  * the engine's segment compaction), restoring tight row-group stats.
+  */
+final class BandStore private (
+    private val spark: SparkSession,
+    val dir: String,
+    val nBuckets: Int,
+    val pushdownBandLimit: Int,
+    val broadcastBandLimit: Int) {
+
+  import BandStore._
+
+  /** The bucket of a band — pure function of the band string, shared by
+    * writers and the lookup pruner. */
+  def bucketOf(band: Column): Column =
+    pmod(xxhash64(band), lit(nBuckets.toLong))
+
+  private def storePath: Path = Paths.get(dir)
+
+  /** True when at least one committed batch directory exists. */
+  def nonEmpty: Boolean = {
+    val p = storePath
+    if (!Files.isDirectory(p)) return false
+    val s = Files.list(p)
+    try s.iterator().asScala.exists(
+      _.getFileName.toString.startsWith("batch="))
+    finally s.close()
+  }
+
+  /** True when `batch=<tag>` is already landed — the replay check. */
+  def hasBatch(tag: String): Boolean =
+    Files.exists(storePath.resolve(s"batch=$tag"))
+
+  /** The full landed band table — audit / compaction surface, not the
+    * per-batch path (`band`, plus the `batch`/`bp` partition cols).
+    * Schema is explicit, not inferred: a legitimately-empty append
+    * leaves a data-less `batch=` dir that would wedge inference. */
+  def read(): DataFrame =
+    spark.read
+      .option("basePath", dir)
+      .schema(StructType(Seq(
+        StructField("band", StringType),
+        StructField("batch", StringType),
+        StructField("bp", org.apache.spark.sql.types.LongType))))
+      .parquet(listBatchDirs().map(_.toString): _*)
+
+  private def listBatchDirs(): Seq[Path] = {
+    val p = storePath
+    if (!Files.isDirectory(p)) return Seq.empty
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("batch="))
+    finally s.close()
+  }
+
+  /** The PRUNED membership lookup as a LAZY frame — exposed separately
+    * from [[knownAmong]] so plan tests can assert the pruning shape.
+    * Three tiers by the batch's distinct band count (one bounded count
+    * decides — the driverUnionFind / kmeans-kernel pattern: count
+    * BEFORE any collect):
+    *
+    *  1. ≤ [[pushdownBandLimit]]: `bp` partition filters + a pushed
+    *     `In(band, ...)` parquet predicate — row-group min/max +
+    *     dictionary pruning on the band-sorted files. The limit is a
+    *     STACK bound, not a memory bound: Spark expands a pushed `In`
+    *     into a recursively-evaluated parquet OR-chain, and ~100 k
+    *     values overflows the task stack (measured) — ~1 k is deep
+    *     enough to matter and shallow enough to be safe;
+    *  2. ≤ [[broadcastBandLimit]]: `bp` partition filters + a
+    *     BROADCAST left-semi join (build side = the batch's bands) —
+    *     no row-group skip, but the landed side still streams through
+    *     zero exchanges and reads one column of the touched buckets;
+    *  3. above: a shuffled semi-join — a batch that big IS
+    *     corpus-class work and the sort-merge plan is the honest one.
+    */
+  def prunedLookup(batchBands: DataFrame): DataFrame = {
+    if (!nonEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("band", StringType))))
+    val b = batchBands.select(col("band")).distinct()
+      .withColumn("bp", bucketOf(col("band")))
+    val n = b.count()
+    if (n <= pushdownBandLimit) {
+      val rows = b.collect()
+      val bps = rows.map(_.getLong(1)).distinct.toSeq
+      val bands = rows.map(_.getString(0)).toSeq
+      // raise (never lower) the parquet In-pushdown threshold to the
+      // SAFE cap so the band IN (...) predicate reaches parquet-mr as
+      // a real In filter instead of degrading to a min/max range that
+      // random hashes render useless
+      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val cur = spark.conf.getOption(key).map(_.toInt).getOrElse(10)
+      if (cur < pushdownBandLimit)
+        spark.conf.set(key, pushdownBandLimit.toString)
+      read()
+        .filter(col("bp").isin(bps: _*))
+        .filter(col("band").isInCollection(bands))
+        .select(col("band")).distinct()
+    } else if (n <= broadcastBandLimit) {
+      val bps = b.select(col("bp")).distinct()
+        .collect().map(_.getLong(0)).toSeq // bounded by nBuckets
+      read()
+        .filter(col("bp").isin(bps: _*))
+        .join(broadcast(b.select(col("band"))), Seq("band"), "left_semi")
+        .select(col("band")).distinct()
+    } else {
+      read().join(b.select("band"), Seq("band"), "left_semi")
+        .select(col("band")).distinct()
+    }
+  }
+
+  /** Distinct `batchBands` bands already landed, MATERIALIZED (eager
+    * `localCheckpoint`): callers append to the store right after the
+    * lookup, and a lazy lookup re-run after the append would see the
+    * batch's own bands as landed and drop every batch doc. The result
+    * is at most batch-sized. */
+  def knownAmong(batchBands: DataFrame): DataFrame =
+    prunedLookup(batchBands).localCheckpoint(true)
+
+  /** Land `bands` (deduplicated, bucketed, band-sorted) as the atomic
+    * batch directory `batch=<tag>`. Returns false — and writes NOTHING
+    * — when the tag is already landed (the idempotent-replay path).
+    * Callers pass bands NOT already known (anti-join against
+    * [[knownAmong]]'s result) to keep the store distinct; duplicates
+    * are tolerated by lookups either way. */
+  def append(bands: DataFrame, tag: String): Boolean = {
+    require(tag.nonEmpty && !tag.contains('/') && !tag.contains('='),
+      s"bad batch tag: $tag")
+    val target = storePath.resolve(s"batch=$tag")
+    if (Files.exists(target)) return false
+    Files.createDirectories(storePath)
+    val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
+    val stage = tmp.resolve("stage")
+    bands.select(col("band")).distinct()
+      .withColumn("bp", bucketOf(col("band")))
+      .repartition(col("bp"))
+      .sortWithinPartitions("band")
+      .write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
+    try {
+      Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally deleteRecursively(tmp)
+  }
+
+  /** Rewrite the store as ONE band-sorted file per bucket under a fresh
+    * `batch=<tag>` (old batch dirs removed) — the maintenance pass that
+    * keeps row-group stats tight after many small appends. */
+  def compact(tag: String = "compacted"): Unit = {
+    val old = listBatchDirs()
+    if (old.isEmpty) return
+    val all = read().select(col("band")).distinct()
+      .withColumn("bp", bucketOf(col("band")))
+      .repartition(col("bp"))
+      .sortWithinPartitions("band")
+    val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
+    val stage = tmp.resolve("stage")
+    all.write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
+    old.foreach(deleteRecursively)
+    Files.move(stage, storePath.resolve(s"batch=$tag"),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(tmp)
+  }
+}
+
+object BandStore {
+
+  /** Open (or lazily create at first append) the store at `dir`. */
+  def open(spark: SparkSession, dir: String, nBuckets: Int = 64,
+      pushdownBandLimit: Int = 1024,
+      broadcastBandLimit: Int = 1000000): BandStore = {
+    require(nBuckets > 0 && pushdownBandLimit > 0 &&
+      broadcastBandLimit >= pushdownBandLimit)
+    new BandStore(spark, dir, nBuckets, pushdownBandLimit,
+      broadcastBandLimit)
+  }
+
+  /** Bootstrap a store from an existing signature table (the batch
+    * backfill → streaming handoff): lands the distinct band set as one
+    * `batch=init` append. No-op if `init` is already landed. */
+  def fromSignatures(spark: SparkSession, dir: String, sigs: DataFrame,
+      rowsPerBand: Int = 2, nBuckets: Int = 64): BandStore = {
+    val store = open(spark, dir, nBuckets)
+    store.append(Dedup.bandRows(sigs, rowsPerBand).select("band"), "init")
+    store
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+}

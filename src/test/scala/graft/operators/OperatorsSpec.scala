@@ -637,6 +637,71 @@ class OperatorsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"pairwise plan:\n$plan")
   }
 
+  test("incrementalMinhashWithStore matches incrementalMinhash, lands " +
+      "the all-seen band set, and the landed-side lookup PRUNES " +
+      "(PartitionFilters + pushed In, no landed-side exchange)") {
+    withTempDir { tmp =>
+      val corpus = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val landedSlice = corpus.filter(col("doc_id") % 3 === 0)
+      val known = Dedup.minhashSignatures(landedSlice, 8, Dedup.DefaultSeeds)
+      val store = BandStore.fromSignatures(spark, s"$tmp/bands", known)
+      // batch with planted near-dups of landed docs and of itself
+      val batch = corpus.filter(col("doc_id") % 3 =!= 0)
+        .unionAll(landedSlice.limit(20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val (surv, newBands) = Dedup.incrementalMinhashWithStore(batch, store)
+      val got = surv.collect().map(_.toSeq).toSet
+      val legacy = Dedup.incrementalMinhash(batch, known)
+        .collect().map(_.toSeq).toSet
+      assert(got == legacy,
+        s"store path ${got.size} vs legacy ${legacy.size} survivors")
+      // the pruned lookup's plan: partition pruning on bp, the band IN
+      // predicate pushed to parquet, and NO exchange fed by the landed
+      // scan (the only exchange aggregates the post-filter result) — the
+      // shape that keeps per-batch cost batch-sized at 100 B landed docs
+      val someBands = Dedup.bandRows(
+        Dedup.minhashSignatures(batch.limit(50), 8, Dedup.DefaultSeeds), 2)
+        .select("band")
+      val lookup = store.prunedLookup(someBands)
+      val plan = lookup.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bp".r.findFirstIn(plan).isDefined,
+        s"expected bp PartitionFilters in landed scan:\n$plan")
+      assert(plan.contains("PushedFilters: [In(band"),
+        s"expected pushed In(band, ...) filter:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+        s"landed-side membership must not plan a shuffled join:\n$plan")
+      assert(plan.split("Exchange").length - 1 <= 1,
+        s"expected at most the tiny post-filter distinct exchange:\n$plan")
+      // tier 2 — batch bands past the pushdown stack cap: a BROADCAST
+      // left-semi join (build side = batch bands); the landed side
+      // still streams with zero shuffles. Synthetic distinct bands:
+      // the fixture batch collapses to a few hundred distinct bands,
+      // under the tier-1 cap
+      val manyBands = spark.range(3000)
+        .select(concat(lit("0_"), col("id"), lit("_t2")).as("band"))
+      val plan2 = store.prunedLookup(manyBands)
+        .queryExecution.executedPlan.toString
+      assert(plan2.contains("BroadcastHashJoin") &&
+        plan2.contains("LeftSemi"),
+        s"expected broadcast left-semi membership plan:\n$plan2")
+      assert(!plan2.contains("SortMergeJoin"),
+        s"landed side must not shuffle in the broadcast tier:\n$plan2")
+      // all-seen landing: after appending newBands, rerunning the SAME
+      // batch drops every doc (its own bands are landed now)
+      assert(store.append(newBands, "b1"), "append b1 must commit")
+      assert(!store.append(newBands, "b1"), "replayed tag must be a no-op")
+      val (surv2, nb2) = Dedup.incrementalMinhashWithStore(batch, store)
+      assert(surv2.count() == 0L, "rerun after landing must drop all")
+      assert(nb2.count() == 0L, "no new bands on a rerun")
+      // compaction preserves membership, one file per touched bucket
+      store.compact()
+      val (surv3, _) = Dedup.incrementalMinhashWithStore(batch, store)
+      assert(surv3.count() == 0L, "compaction must preserve membership")
+    }
+  }
+
   test("tfidfTopTerms: hand-computed scores, rare terms outrank common, " +
       "top-k window plans as WindowGroupLimit") {
     val d = Seq(

@@ -151,6 +151,90 @@ class StreamingDedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental minhash stream: a REPLAYED micro-batch cannot " +
+      "double-append survivors, bands, or signatures (batch-keyed " +
+      "atomic commits), including a partial-commit crash replay") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    withTempDir { tmp =>
+      val inDir = s"$tmp/in/documents.parquet"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      var mtime = 1700000000000L
+      for ((lo, hi, name) <- Seq((0L, 170L, "b0"), (170L, 340L, "b1"),
+          (340L, 1000000L, "b2"))) {
+        val stage = s"$tmp/stage_$name"
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .repartition(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = java.nio.file.Paths.get(s"$inDir/$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val known = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text")), 8, Dedup.DefaultSeeds)
+      def run(): Set[Seq[Any]] =
+        StreamOps.incrementalMinhashToFiles(spark, s"$tmp/in",
+            known, s"$tmp/sig", s"$tmp/out", s"$tmp/ck",
+            maxFilesPerTrigger = Some(1))
+          .collect().map(_.toSeq).toSet
+      val first = run()
+      val sigCount = spark.read.parquet(s"$tmp/sig").count()
+      def lastCommit(): java.nio.file.Path = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$tmp/ck/commits"))
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.forall(_.isDigit))
+          .maxBy(_.getFileName.toString.toLong)
+        finally s.close()
+      }
+      // the local FS keeps a .N.crc sidecar next to each commit marker;
+      // it must go too or the replayed commit's rename fails
+      def deleteCommit(p: java.nio.file.Path): Unit = {
+        java.nio.file.Files.delete(p)
+        java.nio.file.Files.deleteIfExists(
+          p.resolveSibling(s".${p.getFileName}.crc"))
+      }
+      // ---- replay 1: fully-committed batch re-fires (commit marker
+      // deleted) — every per-batch output already exists, all skipped
+      val lc = lastCommit()
+      val lastId = lc.getFileName.toString
+      deleteCommit(lc)
+      assert(run() == first, "full replay changed the survivor set")
+      assert(spark.read.parquet(s"$tmp/sig").count() == sigCount,
+        "full replay double-appended signatures")
+      // ---- replay 2: PARTIAL commit — survivors landed but the crash
+      // hit before bands/signatures (the dangerous window: recomputing
+      // survivors now would see the batch's own bands as landed) — the
+      // replay must skip the committed survivors and land only state
+      deleteCommit(lastCommit())
+      def deleteRecursively(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(p)
+        try s.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally s.close()
+      }
+      deleteRecursively(java.nio.file.Paths.get(
+        s"$tmp/sig/_bands/batch=$lastId"))
+      deleteRecursively(java.nio.file.Paths.get(
+        s"$tmp/sig/batch=$lastId"))
+      assert(run() == first, "partial replay changed the survivor set")
+      assert(spark.read.parquet(s"$tmp/sig").count() == sigCount,
+        "partial replay double-appended signatures")
+      val out = spark.read.parquet(s"$tmp/out").drop("batch").collect()
+        .map(_.getLong(0))
+      assert(out.distinct.length == out.length,
+        s"duplicate survivor doc_ids after replays")
+    }
+  }
+
   test("file-sink dedup survives kill + resume on one checkpoint: " +
       "no duplicate, no lost keys (exactly-once landing)") {
     import org.apache.spark.sql.types._
