@@ -988,6 +988,21 @@ object SparkEntry {
       graft.operators.Similarity.nearDupPairs(e, pairs, 0.5)
     }),
 
+    // ---- SEMANTIC dedup (round 17, SemDeDup shape): capped k-means
+    //      clusters × top-2-centroid residual sub-buckets as the
+    //      candidate key — pairs only inside a cluster, never
+    //      all-pairs within one; planted identical embeddings (d2=0)
+    //      must drop, min-id keeps; all-integer end to end ------------
+    "ext_dedup_semantic" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val planted = e.unionAll(e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding")))
+      graft.operators.Clustering.semanticDedup(planted,
+        dist2Threshold = 1000L)
+    }),
+
     // ---- stratified sampling: exact per-language quota (one window
     // shuffle) vs the shuffle-free hash-threshold scale path ----------
     "ext_stratified_sample" -> ((s, dir) =>
@@ -1305,6 +1320,18 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(
         s.read.parquet(s"$dir/documents.parquet"), bm25Terms, k = 25)),
 
+    // ---- MULTI-QUERY BM25 (round 17): a (query_id, term) table scores
+    //      every query in ONE corpus pass — per-term scores quantized
+    //      to fixed-point int64 so the per-(query, doc) sum is exact in
+    //      any aggregation order (the float-sum-order hazard the
+    //      single-query row avoids with its fixed reduce chain) -------
+    "ext_bm25_multi" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextAnalysis.bm25TopKMulti(
+        s.read.parquet(s"$dir/documents.parquet"),
+        bm25MultiQueries.toDF("query_id", "term"), k = 10)
+    }),
+
     // ---- multimodal: binary payload -> batched decode stub -> features
     "ext_multimodal_features" -> ((s, dir) =>
       graft.operators.Multimodal.documentFeatures(s, dir)),
@@ -1469,6 +1496,16 @@ object SparkEntry {
     // dedup's hash-groupBy (32/8 chunking so the corpus multi-chunks)
     "ext_pipeline_prep" -> ((s, dir) =>
       graft.operators.Corpus.prepPipeline(
+        s.read.parquet(s"$dir/documents.parquet"),
+        chunkTokens = 32, overlap = 8)),
+
+    // ---- the COMPLETE prep pipeline (round 17): quality gate + PII
+    //      redaction folded in front of rebalance/dedup/split/chunk —
+    //      both shuffle-free projections, so the fused plan gains ZERO
+    //      exchanges over ext_pipeline_prep (CorpusSpec differential);
+    //      dedup hashes and chunk windows see the REDACTED text -------
+    "ext_pipeline_prep_v2" -> ((s, dir) =>
+      graft.operators.Corpus.prepPipelineV2(
         s.read.parquet(s"$dir/documents.parquet"),
         chunkTokens = 32, overlap = 8)),
 
@@ -1734,6 +1771,16 @@ object SparkEntry {
     * interpolates this same value term by term). */
   private val bm25Terms: Seq[String] = Seq("spark", "customer", "merge")
 
+  /** The multi-query BM25 fixture for `ext_bm25_multi`: query 1 is
+    * [[bm25Terms]] verbatim (the single-query slice differential in
+    * OperatorsSpec rides on that), 2 and 3 are further corpus terms
+    * with distinct frequencies. One source of truth — the oracle SQL
+    * interpolates this same value as its VALUES list. */
+  private val bm25MultiQueries: Seq[(Long, String)] =
+    bm25Terms.map(t => (1L, t)) ++ Seq(
+      (2L, "vector"), (2L, "hash"), (2L, "join"),
+      (3L, "scan"), (3L, "filter"))
+
   /** The PII fixture: the synthetic corpus carries no PII, so plant
     * deterministic addresses/phones/IPs from doc_id (same arithmetic in
     * the oracle's `planted` CTE). Shared by `ext_pii_scan` (telemetry)
@@ -1771,11 +1818,17 @@ object SparkEntry {
     * assign/update x2 -> final pairwise distances `a2_d`), shared by
     * the kmeans/IVF-kmeans oracles below
     * ([[graft.operators.Clustering.kmeansAssign]]'s math). */
-  private val kmeansCtes: String =
-    """WITH v AS (
+  /** [[kmeansCtes]] parameterized on the corpus source: `extraCtes`
+    * (with trailing comma, may be empty) is spliced after WITH so a
+    * fixture CTE (e.g. a planted corpus) can precede `v`, and `source`
+    * names the relation `v` quantizes. Training (stride, seeds, both
+    * Lloyd updates) then runs over THAT corpus — exactly what the
+    * Spark operator does when handed the same frame. */
+  private def kmeansCtesOver(extraCtes: String, source: String): String =
+    s"""WITH $extraCtes v AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS fx
-      |  FROM embeddings
+      |  FROM $source
       |), c0 AS (
       |  -- seed stride mirrors Clustering.effectiveStride: the raw
       |  -- stride 100 floored up so the centroid count never exceeds
@@ -1830,6 +1883,8 @@ object SparkEntry {
       |        FROM v CROSS JOIN c2 c) z
       |  GROUP BY vec_id, cid
       |)""".stripMargin
+
+  private val kmeansCtes: String = kmeansCtesOver("", "embeddings")
 
   private val clusterKmeansSql: String =
     s"""$kmeansCtes,
@@ -2953,6 +3008,50 @@ object SparkEntry {
           |LIMIT 25""".stripMargin
       },
 
+      // multi-query BM25: same rational arithmetic, each factor
+      // floor-quantized (one correctly-rounded IEEE divide of int64
+      // counts < 2^53, ×10^6, +0.5, floor) so the per-(query, doc)
+      // term sum is EXACT int64 in any order; query table interpolated
+      // from the same Scala value (one source of truth)
+      "ext_bm25_multi" ->
+        (s"""WITH d AS (
+          |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          |), tk AS (
+          |  SELECT doc_id, term FROM (
+          |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d
+          |  ) WHERE term != ''
+          |), pd AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id
+          |), st AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tt FROM pd
+          |), q(query_id, term) AS (
+          |  VALUES ${bm25MultiQueries.map { case (qid, t) =>
+               s"(CAST($qid AS BIGINT), '$t')"
+             }.mkString(", ")}
+          |), qtf AS (
+          |  SELECT q.query_id, t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM tk t JOIN q ON t.term = q.term
+          |  GROUP BY q.query_id, t.doc_id, t.term
+          |), dfs AS (
+          |  SELECT query_id, term, CAST(count(*) AS BIGINT) AS df
+          |  FROM qtf GROUP BY query_id, term
+          |), scored AS (
+          |  SELECT f.query_id, f.doc_id, pd.dl,
+          |    CAST(floor(CAST(2*st.n_docs - 2*dfs.df + 1 AS DOUBLE) / CAST(2*dfs.df + 1 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+          |    * CAST(floor(CAST(22*f.tf*st.tt AS DOUBLE) / CAST(10*st.tt*f.tf + 3*st.tt + 9*pd.dl*st.n_docs AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS term_q
+          |  FROM qtf f
+          |  JOIN pd ON f.doc_id = pd.doc_id
+          |  JOIN dfs ON f.query_id = dfs.query_id AND f.term = dfs.term, st
+          |), agg AS (
+          |  SELECT query_id, doc_id, CAST(min(dl) AS BIGINT) AS dl,
+          |    CAST(sum(term_q) AS BIGINT) AS score_q
+          |  FROM scored GROUP BY query_id, doc_id
+          |)
+          |SELECT query_id, doc_id, dl, score_q,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rnk
+          |FROM agg QUALIFY rnk <= 10""".stripMargin),
+
       // quantize + floor(sum/count): the Lloyd-update arithmetic —
       // exact int64 sums, one correctly-rounded IEEE divide per cell
       "ext_embed_pool" ->
@@ -3164,6 +3263,109 @@ object SparkEntry {
            |SELECT doc_id, lang, chunk_idx, chunk_idx * 24 AS start_tok,
            |  least(chunk_idx * 24 + 32, n) AS end_tok
            |FROM e""".stripMargin,
+      // the v1 chain with the quality-gate WHERE + redaction projection
+      // prepended (signals and predicate mirror ext_quality_gate, the
+      // redact fold mirrors ext_pii_redact — one semantics per stage);
+      // every later stage reads the REDACTED text
+      "ext_pipeline_prep_v2" ->
+        (s"""WITH sigq AS (
+           |  SELECT doc_id, lang, text,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+           |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_chars,
+           |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_sym,
+           |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      x -> x IN (${graft.operators.TextAnalysis.DefaultStopwords
+                  .map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS stopword_hits
+           |  FROM documents WHERE text IS NOT NULL
+           |), q AS (
+           |  SELECT doc_id, lang,
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+           |        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+           |      '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS text
+           |  FROM sigq
+           |  WHERE n_tokens >= 10 AND n_tokens <= 100000
+           |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) >= 2.0
+           |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) <= 12.0
+           |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) <= 0.25
+           |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) >= 0.3
+           |    AND stopword_hits >= 1
+           |), c AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM q GROUP BY lang
+           |), m AS (SELECT min(cnt) AS mn FROM c),
+           |bal AS (
+           |  SELECT d.doc_id, d.lang, d.text
+           |  FROM q d JOIN c ON d.lang = c.lang, m
+           |  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |    < CAST(floor(CAST(m.mn AS DOUBLE) / cnt * 1152921504606846976.0) AS BIGINT)
+           |), keep AS (
+           |  SELECT min(doc_id) AS doc_id FROM bal GROUP BY md5(text)
+           |), train AS (
+           |  SELECT b.doc_id, b.lang, b.text
+           |  FROM bal b JOIN keep k ON b.doc_id = k.doc_id
+           |  WHERE CAST(concat('0x', substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < ${(0.8 * 1152921504606846976.0d).toLong}
+           |), t AS (
+           |  SELECT doc_id, lang,
+           |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+           |  FROM train
+           |), cc AS (
+           |  SELECT doc_id, lang, n,
+           |    CASE WHEN n <= 32 THEN 1
+           |         ELSE 1 + (n - 32 + 23) // 24 END AS n_chunks
+           |  FROM t
+           |), e AS (
+           |  SELECT doc_id, lang, n,
+           |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+           |  FROM cc
+           |)
+           |SELECT doc_id, lang, chunk_idx, chunk_idx * 24 AS start_tok,
+           |  least(chunk_idx * 24 + 32, n) AS end_tok
+           |FROM e""".stripMargin),
+      // semantic dedup: the kmeans CTE chain retrained over the
+      // PLANTED corpus (kmeansCtesOver), top-2 centroids pivoted to the
+      // (c1, c2) bucket key, within-bucket integer distances, min-id
+      // drop — every step exact int64, mirror of Clustering.semanticDedup
+      "ext_dedup_semantic" -> {
+        val plantedCte =
+          """pe AS (
+            |  SELECT vec_id, embedding FROM embeddings
+            |  UNION ALL SELECT vec_id + 1000000, embedding
+            |  FROM embeddings WHERE vec_id % 50 = 0
+            |),""".stripMargin
+        s"""${kmeansCtesOver(plantedCte, "pe")},
+          |t2 AS (
+          |  SELECT vec_id, cid, rn FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM a2_d) WHERE rn <= 2
+          |), mem AS (
+          |  SELECT vec_id,
+          |    max(CASE WHEN rn = 1 THEN cid END) AS c1,
+          |    COALESCE(max(CASE WHEN rn = 2 THEN cid END),
+          |      max(CASE WHEN rn = 1 THEN cid END)) AS c2
+          |  FROM t2 GROUP BY vec_id
+          |), prs AS (
+          |  SELECT a.vec_id AS id1, b.vec_id AS id2
+          |  FROM mem a JOIN mem b
+          |    ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.vec_id < b.vec_id
+          |), pd2 AS (
+          |  SELECT id1, id2, CAST(sum((x1 - x2) * (x1 - x2)) AS BIGINT) AS d2
+          |  FROM (
+          |    SELECT p.id1, p.id2, unnest(va.fx) AS x1, unnest(vb.fx) AS x2
+          |    FROM prs p JOIN v va ON va.vec_id = p.id1
+          |                JOIN v vb ON vb.vec_id = p.id2
+          |  ) GROUP BY id1, id2
+          |), drops AS (
+          |  SELECT DISTINCT id2 AS vec_id FROM pd2 WHERE d2 <= 1000
+          |)
+          |SELECT m.vec_id, m.c1 AS cid
+          |FROM mem m LEFT JOIN drops d ON d.vec_id = m.vec_id
+          |WHERE d.vec_id IS NULL""".stripMargin
+      },
+
       // int64 sums of int distances — CAST pins DuckDB's HUGEINT back
       "ext_cluster_inertia" ->
         s"""WITH km AS (

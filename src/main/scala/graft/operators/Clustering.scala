@@ -405,6 +405,102 @@ object Clustering {
           .as("pooled_fx"),
         col("n_vecs"))
 
+  /** Candidate-bucket cap for [[semanticPairs]] — the
+    * [[Dedup.DefaultMaxBandSize]] argument applied to (c1, c2)
+    * residual buckets: a bucket of B members yields B²/2 pairs, so one
+    * degenerate mega-bucket (a corpus of one repeated embedding) would
+    * go quadratic; buckets past the cap are dropped wholesale. Never
+    * binds at test scale (spec-asserted). */
+  val DefaultMaxBucketSize: Int = 100000
+
+  /** SEMANTIC-DEDUP candidate pairs (SemDeDup shape, Abbas et al. 2023
+    * §3, re-expressed integer-exact): cluster with the capped k-means,
+    * then generate candidate pairs ONLY inside a cluster — and not
+    * all-pairs within it either: the pair key is the TOP-2 nearest
+    * centroid ids `(c1, c2)` (the residual sub-bucket — near-identical
+    * vectors agree on both), so a cluster of B members splits into
+    * ~k sub-buckets instead of B²/2 pairs. Pairs further than
+    * `dist2Threshold` (fixed-point squared-L2, the all-integer kernel)
+    * are discarded in the same pass.
+    *
+    * Output: `(id1, id2, cid, d2)` with `id1 < id2`, `cid` = shared
+    * nearest centroid — NEVER a cross-cluster pair by construction.
+    *
+    * Plan shape at 100 TB: training is the bounded kmeans loop; the
+    * self-join is hinted SORT-MERGE on `(c1, c2)` so exchange reuse
+    * executes the quantize+assign pipeline once for both sides (the
+    * [[Dedup.lshCandidates]] pattern); the per-pair distance is the
+    * codegen'd [[graft.functions.IntSquaredL2]] kernel; buckets past
+    * `maxBucketSize` drop wholesale (cap rides the join's own
+    * shuffle+sort — no extra exchange). */
+  def semanticPairs(emb: DataFrame, dist2Threshold: Long,
+      stride: Long = 100L, iters: Int = 2,
+      maxCentroids: Long = MaxCentroidsDefault,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    semanticPairsFrom(semanticMembers(emb, stride, iters, maxCentroids),
+      dist2Threshold, maxBucketSize)
+
+  private def semanticPairsFrom(members: DataFrame, dist2Threshold: Long,
+      maxBucketSize: Int): DataFrame = {
+    require(dist2Threshold >= 0 && maxBucketSize > 0)
+    val capped =
+      if (maxBucketSize == Int.MaxValue) members
+      else members
+        .withColumn("_bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("c1"), col("c2"))))
+        .filter(col("_bn") <= maxBucketSize).drop("_bn")
+    val a = capped.select(col("vec_id").as("id1"), col("fx").as("fx1"),
+      col("c1"), col("c2"))
+    val b = capped.select(col("vec_id").as("id2"), col("fx").as("fx2"),
+      col("c1"), col("c2"))
+    a.hint("merge").join(b.hint("merge"), Seq("c1", "c2"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("d2",
+        graft.functions.IntSquaredL2(col("fx1"), col("fx2")))
+      .filter(col("d2") <= dist2Threshold)
+      .select(col("id1"), col("id2"), col("c1").as("cid"), col("d2"))
+  }
+
+  /** `(vec_id, fx, c1, c2)`: quantized vector + its two nearest
+    * learned centroids (the semantic-dedup bucket key). Degenerate
+    * single-centroid corpora fall back to `c2 = c1`. */
+  private def semanticMembers(emb: DataFrame, stride: Long, iters: Int,
+      maxCentroids: Long): DataFrame = {
+    val fxDf = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("fx"))
+    fxDf.cache()
+    try {
+      val cents = train(fxDf, stride, iters, maxCentroids)
+      val top2 = nearestN(col("fx"), cents, 2)
+      fxDf.select(col("vec_id"), col("fx"),
+        element_at(top2, 1).getField("cid").as("c1"),
+        coalesce(element_at(top2, 2).getField("cid"),
+          element_at(top2, 1).getField("cid")).as("c2"))
+    } finally fxDf.unpersist(blocking = false)
+  }
+
+  /** SEMANTIC DEDUP proper: [[semanticPairs]] + the min-id keep rule —
+    * any vector with a smaller-id near-duplicate in its `(c1, c2)`
+    * bucket drops; survivors return with their cluster id. The
+    * composition production pipelines run between embedding and
+    * packing: exact dedup catches byte-copies, MinHash catches
+    * lexical templates, THIS catches paraphrases the embedding folds
+    * together. All-integer end to end — hash-exact under the oracle. */
+  def semanticDedup(emb: DataFrame, dist2Threshold: Long,
+      stride: Long = 100L, iters: Int = 2,
+      maxCentroids: Long = MaxCentroidsDefault,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // members computed ONCE (training is the expensive half) and
+    // shared by the pair branch and the survivor anti-join
+    val members = semanticMembers(emb, stride, iters, maxCentroids)
+    val dropIds = semanticPairsFrom(members, dist2Threshold,
+        maxBucketSize)
+      .select(col("id2").as("vec_id")).distinct()
+    members.join(dropIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("c1").as("cid"))
+  }
+
   /** Integer brute-force top-k (fixed-point L2, id tie-break) — the
     * exact reference the kmeans-IVF recall telemetry compares against.
     * Queries broadcast (numQueries rows); one pass over the corpus. */

@@ -436,6 +436,33 @@ object Corpus {
           .as("end_tok"))
   }
 
+  /** [[prepPipeline]] with the quality + privacy stages folded in — the
+    * COMPLETE raw-crawl → train-chunks dataflow a pretraining pipeline
+    * actually runs:
+    *
+    *   0. QUALITY GATE ([[TextAnalysis.qualityPasses]] — the gate's own
+    *      verdict expression, one definition): failing / null-text docs
+    *      drop before anything else spends work on them;
+    *   1. PII REDACTION ([[TextAnalysis.redactedText]]): from here on
+    *      `text` IS the redacted text — the dedup hash, token counts,
+    *      and chunk windows all see what the tokenizer will see;
+    *   2..5. rebalance → exact dedup (on the REDACTED text) → split →
+    *      chunk, exactly [[prepPipeline]]'s fused stages (language
+    *      counts are over gate-surviving docs: balance what you keep).
+    *
+    * Both new stages are shuffle-free codegen'd projections, so the
+    * fused plan gains ZERO exchanges over [[prepPipeline]] — pinned by
+    * CorpusSpec's exchange-count differential. Output schema unchanged:
+    * `(doc_id, lang, chunk_idx, start_tok, end_tok)`. */
+  def prepPipelineV2(docs: DataFrame, chunkTokens: Int = 512,
+      overlap: Int = 64): DataFrame = {
+    val gated = docs
+      .filter(TextAnalysis.qualityPasses(col("text")))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.redactedText(col("text")).as("text"))
+    prepPipeline(gated, chunkTokens, overlap)
+  }
+
   /** Deterministic train/val/test split assignment: the 60-bit md5 coin
     * partitioned into `[0, train)`, `[train, train+val)`, rest — every
     * doc lands in exactly one split, stable across runs/engines/corpus

@@ -234,6 +234,71 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"), col("score"))
   }
 
+  /** MULTI-QUERY BM25 — [[bm25TopK]] generalized to a `(query_id,
+    * term)` QUERY TABLE: one pass over the token stream scores every
+    * query at once (the retrieval-evaluation / batched-search shape),
+    * instead of one corpus scan per query.
+    *
+    * Determinism engineering (the difference from the single-query
+    * row): per-(query, doc) scores here SUM OVER ROWS, and a float sum
+    * over an unordered aggregate is partition-order-dependent — so
+    * each per-term score is QUANTIZED first: idf and the tf part are
+    * each one correctly-rounded IEEE division of exact int64 counts
+    * (both < 2^53 — exactness documented below), scaled by 10^6 and
+    * floored to int64, and the per-term products then SUM EXACTLY in
+    * any order. `score_q` is that fixed-point integer (units 10^-12 of
+    * the rational score); ranking ties break to the smaller doc_id.
+    * Exactness bound: per-term numerators stay < 2^53 while
+    * `22 · tf · total_tokens` does — past ~4·10^14 total corpus tokens
+    * shard the stats (the meanPool-class documented bound).
+    *
+    * Shape at 100 TB: one explode; ONE corpus exchange (the per-doc
+    * length aggregate); the query table BROADCASTS onto the token
+    * stream so only matching (term, query) rows survive into the
+    * small keyed aggregates; per-query top-k is a rank window over
+    * per-query candidates (WindowGroupLimit pushes the k cut
+    * map-side). Nothing corpus-sized joins shuffled. */
+  def bm25TopKMulti(docs: DataFrame, queries: DataFrame, k: Int = 25,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0)
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("tt"))
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    val qtf = toks.join(broadcast(q), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // one row per (query, term, matching doc) ⇒ count(*) IS the df
+    val dfs = qtf.groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("df"))
+    def fx6(x: Column): Column = floor(x * lit(1000000.0d) + lit(0.5d))
+    val idfQ = fx6(
+      (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
+        .cast("double") /
+        (lit(2L) * col("df") + lit(1L)).cast("double"))
+    val tfpQ = fx6(
+      (lit(22L) * col("tf") * col("tt")).cast("double") /
+        (lit(10L) * col("tt") * col("tf") + lit(3L) * col("tt") +
+          lit(9L) * col("dl") * col("n_docs")).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    qtf.join(perDoc, Seq("doc_id"))
+      .join(broadcast(dfs), Seq("query_id", "term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_q", (idfQ * tfpQ).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(first(col("dl")).as("dl"), sum(col("term_q")).as("score_q"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("dl"),
+        col("score_q"), col("rnk"))
+  }
+
   /** Union of the per-language lexicons, sorted — the default stopword
     * list for [[qualityGate]]'s "contains real function words" rule. */
   val DefaultStopwords: Seq[String] =
@@ -259,6 +324,53 @@ object TextAnalysis {
     * identical in both engines, where distinct-intersection builtins
     * differ on dedup order across engines.
     */
+  /** The five quality signals of [[qualityGate]] as column expressions
+    * over a text column — ONE definition shared by the gate and the
+    * fused prep pipeline ([[Corpus.prepPipelineV2]]), so the two can
+    * never drift. Zero-token docs: ratios pinned to 0.0 explicitly —
+    * engine-default divide-by-zero diverges (Spark non-ANSI → NULL,
+    * DuckDB → inf/NaN per ieee_floating_point_ops), and a pinned value
+    * keeps the telemetry columns oracle-exact. */
+  private[operators] final case class QualitySignals(
+      nTokens: Column, meanTokenLen: Column, symbolRatio: Column,
+      distinctRatio: Column, stopwordHits: Column)
+
+  private[operators] def qualitySignals(text: Column,
+      stopwords: Seq[String] = DefaultStopwords): QualitySignals = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    val nTok = size(toks).cast("long")
+    // total non-whitespace chars: exact however many spaces separate
+    val nChars = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val nSym = (length(text) -
+      length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    def ratio(num: Column): Column =
+      when(nTok === 0L, lit(0.0))
+        .otherwise(num.cast("double") / nTok.cast("double"))
+    QualitySignals(nTok, ratio(nChars), ratio(nSym), ratio(nDistinct),
+      nStop)
+  }
+
+  /** The [[qualityGate]] verdict as one reusable BOOLEAN column — same
+    * five rules, same pinned zero-token semantics. NULL text yields
+    * NULL (filters drop it, matching the gate's text-not-null
+    * precondition). */
+  def qualityPasses(text: Column,
+      minTokens: Long = 10L, maxTokens: Long = 100000L,
+      minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.25, minDistinctRatio: Double = 0.3,
+      minStopwordHits: Long = 1L,
+      stopwords: Seq[String] = DefaultStopwords): Column = {
+    val s = qualitySignals(text, stopwords)
+    s.nTokens >= minTokens && s.nTokens <= maxTokens &&
+      s.meanTokenLen >= minMeanTokLen &&
+      s.meanTokenLen <= maxMeanTokLen &&
+      s.symbolRatio <= maxSymbolRatio &&
+      s.distinctRatio >= minDistinctRatio &&
+      s.stopwordHits >= minStopwordHits
+  }
+
   def qualityGate(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       minTokens: Long = 10L, maxTokens: Long = 100000L,
@@ -266,28 +378,13 @@ object TextAnalysis {
       maxSymbolRatio: Double = 0.25, minDistinctRatio: Double = 0.3,
       minStopwordHits: Long = 1L,
       stopwords: Seq[String] = DefaultStopwords): DataFrame = {
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
-    val nTok = size(toks).cast("long")
-    // total non-whitespace chars: exact however many spaces separate
-    val nChars = length(regexp_replace(col(textCol), "\\s+", "")).cast("long")
-    val nSym = (length(col(textCol)) -
-      length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))).cast("long")
-    val nDistinct = size(array_distinct(toks)).cast("long")
-    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
-    // zero-token docs: ratios pinned to 0.0 explicitly — engine-default
-    // divide-by-zero diverges (Spark non-ANSI → NULL, DuckDB → inf/NaN
-    // per ieee_floating_point_ops), and a pinned value keeps the
-    // telemetry columns oracle-exact. `passes` is 0 either way (the
-    // token-count bound already fails).
-    def ratio(num: Column): Column =
-      when(nTok === 0L, lit(0.0))
-        .otherwise(num.cast("double") / nTok.cast("double"))
+    val s = qualitySignals(col(textCol), stopwords)
     docs.select(col(idCol).as("doc_id"),
-        nTok.as("n_tokens"),
-        ratio(nChars).as("mean_token_len"),
-        ratio(nSym).as("symbol_ratio"),
-        ratio(nDistinct).as("distinct_ratio"),
-        nStop.as("stopword_hits"))
+        s.nTokens.as("n_tokens"),
+        s.meanTokenLen.as("mean_token_len"),
+        s.symbolRatio.as("symbol_ratio"),
+        s.distinctRatio.as("distinct_ratio"),
+        s.stopwordHits.as("stopword_hits"))
       .withColumn("passes",
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
           col("mean_token_len") >= minMeanTokLen &&
@@ -323,12 +420,20 @@ object TextAnalysis {
     * the regex cost is the only cost. Counts rather than boolean flags
     * so downstream policy (drop vs redact vs quarantine by density)
     * stays a filter, not a rescan. */
+  /** The redacted text as one reusable column expression — the ordered
+    * `regexp_replace` fold shared by [[piiScan]], [[piiRedact]], and
+    * the fused prep pipeline ([[Corpus.prepPipelineV2]]): one
+    * definition of "redacted". */
+  def redactedText(text: Column,
+      patterns: Seq[(String, String, String)] = DefaultPiiPatterns): Column =
+    patterns.foldLeft(text) {
+      case (c, (_, re, repl)) => regexp_replace(c, re, repl)
+    }
+
   def piiScan(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       patterns: Seq[(String, String, String)] = DefaultPiiPatterns): DataFrame = {
-    val redacted = patterns.foldLeft(col(textCol)) {
-      case (c, (_, re, repl)) => regexp_replace(c, re, repl)
-    }
+    val redacted = redactedText(col(textCol), patterns)
     docs.select(col(idCol).as("doc_id") +:
       patterns.map { case (name, re, _) =>
         regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$name")
@@ -347,10 +452,7 @@ object TextAnalysis {
     * chains directly onto the quality-filter scan. */
   def piiRedact(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
-      patterns: Seq[(String, String, String)] = DefaultPiiPatterns): DataFrame = {
-    val redacted = patterns.foldLeft(col(textCol)) {
-      case (c, (_, re, repl)) => regexp_replace(c, re, repl)
-    }
-    docs.select(col(idCol).as("doc_id"), redacted.as("text_redacted"))
-  }
+      patterns: Seq[(String, String, String)] = DefaultPiiPatterns): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      redactedText(col(textCol), patterns).as("text_redacted"))
 }

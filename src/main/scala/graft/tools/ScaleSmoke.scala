@@ -88,7 +88,12 @@ object ScaleSmoke {
     // FLATNESS row (fixed batch, landed corpus grows with the factor:
     // the bucketed sorted store must keep the membership lookup
     // batch-sized, so the ratio target is ~1, not ~factor)
-    "ext_dedup_incremental_store", "ext_dedup_incstore_fixedbatch")
+    "ext_dedup_incremental_store", "ext_dedup_incstore_fixedbatch",
+    // round 17: semantic dedup (kmeans-family band expected), the
+    // one-pass multi-query BM25, the full prep pipeline with quality +
+    // redaction folded in, and the persisted kmeans-IVF serving index
+    "ext_dedup_semantic", "ext_bm25_multi", "ext_pipeline_prep_v2",
+    "eng_ann_ivf_persisted")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",

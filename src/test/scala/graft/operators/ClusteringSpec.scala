@@ -192,6 +192,44 @@ class ClusteringSpec extends SparkSuite {
     assert(adaptive.intersect(brute).size >= fixed.intersect(brute).size)
   }
 
+  test("semanticDedup: planted identical embeddings drop (min-id " +
+      "keeps), candidate pairs NEVER cross clusters, the bucket cap " +
+      "never binds at test scale, and the plan is never cartesian") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = e.unionAll(e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val surv = Clustering.semanticDedup(planted, 1000L)
+      .collect().map(_.getLong(0)).toSet
+    val plantedIds = (0L until 500L by 50L).map(_ + 1000000L).toSet
+    assert(plantedIds.intersect(surv).isEmpty,
+      s"planted byte-copies must drop: ${plantedIds.intersect(surv)}")
+    plantedIds.foreach(p => assert(surv.contains(p - 1000000L),
+      s"smaller-id original of $p must survive"))
+    // zero cross-cluster pairs: both sides of every candidate pair sit
+    // in the pair's own cluster under the independent assignment
+    val assign = Clustering.kmeansAssign(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Clustering.semanticPairs(planted, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty, "fixture must generate candidate pairs")
+    pairs.foreach { case (id1, id2, cid) =>
+      assert(assign(id1) == cid && assign(id2) == cid,
+        s"cross-cluster pair ($id1, $id2) in cid $cid " +
+          s"(${assign(id1)}, ${assign(id2)})")
+    }
+    // the quadratic-insurance cap must not bind on real test data
+    val uncapped = Clustering.semanticPairs(planted, Long.MaxValue,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSet == uncapped.toSet, "bucket cap binds at test scale")
+    val plan = Clustering.semanticPairs(planted, 1000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic candidates must never plan all-pairs:\n$plan")
+  }
+
   test("maxCentroids caps the learned centroid count at a corpus that " +
       "would exceed it, and the capped run ≡ the equivalent raw-stride run") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet") // 500 rows

@@ -463,6 +463,34 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("prepPipelineV2: quality gate drops failing docs, later stages " +
+      "see the redacted text, and the two folded stages add ZERO " +
+      "exchanges to the fused plan") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val v2docs = Corpus.prepPipelineV2(docs, chunkTokens = 32, overlap = 8)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(v2docs.nonEmpty)
+    // every surviving doc passes the gate (one definition of passes)
+    val gatePass = TextAnalysis.qualityGate(
+        docs.filter(col("text").isNotNull))
+      .filter(col("passes") === 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(v2docs.subsetOf(gatePass),
+      s"${(v2docs -- gatePass).take(3)} survived v2 but fail the gate")
+    // ZERO new exchanges: both new stages are narrow projections
+    def exchanges(p: String): Int = "Exchange".r.findAllIn(p).size
+    val p1 = Corpus.prepPipeline(docs, 32, 8)
+      .queryExecution.executedPlan.toString
+    val p2 = Corpus.prepPipelineV2(docs, 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(p2) == exchanges(p1),
+      s"v2 added exchanges: v1=${exchanges(p1)} v2=${exchanges(p2)}\n$p2")
+    assert(!p2.contains("SortMergeJoin"),
+      s"fused v2 plan must not corpus-join:\n$p2")
+  }
+
   test("splitAssign: exhaustive, deterministic, stable under corpus " +
       "growth, ~80/10/10") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

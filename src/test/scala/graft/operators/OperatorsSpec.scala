@@ -1020,6 +1020,35 @@ class OperatorsSpec extends SparkSuite {
       s"null-element error must carry the kernel name: $holedErr")
   }
 
+  test("bm25TopKMulti: the query-1 slice ranks exactly like the " +
+      "single-query operator, the quantized sum is partition-" +
+      "independent, and the plan window-limits per query") {
+    val realDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = Seq((1L, "spark"), (1L, "customer"), (1L, "merge"),
+        (2L, "vector"), (2L, "hash"), (2L, "join"))
+      .toDF("query_id", "term")
+    val multi = TextAnalysis.bm25TopKMulti(realDocs, q, k = 10)
+    val slice = multi.filter(col("query_id") === 1L).orderBy("rnk")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val single = TextAnalysis
+      .bm25TopK(realDocs, Seq("spark", "customer", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(slice == single,
+      s"multi slice $slice != single-query ranking $single")
+    // the fixed-point per-term scores sum exactly in ANY aggregation
+    // order — the property the quantization buys
+    val rep = TextAnalysis.bm25TopKMulti(realDocs.repartition(13), q,
+      k = 10).collect().map(_.toSeq).toSet
+    assert(rep == multi.collect().map(_.toSeq).toSet,
+      "result depends on input partitioning")
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must plan as WindowGroupLimit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the query table must broadcast onto the token stream:\n$plan")
+  }
+
   test("multimodal feature extraction is deterministic and bounded") {
     val d = Seq((1L, "payload-one"), (2L, "payload-two"))
       .toDF("doc_id", "text")
