@@ -857,6 +857,94 @@ object SparkEntry {
         |FROM graft_docs GROUP BY lang""".stripMargin)
     }),
 
+    // the Gopher-style quality gate as pure SQL text over the pipeline
+    // view — same five rules, same pinned zero-token ratios, same
+    // oracle as ext_quality_gate: one semantics, two doors
+    "sql_quality_gate" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      val stop = graft.operators.TextAnalysis.DefaultStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s.sql(s"""SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens = 0 THEN 0.0D
+        |    ELSE CAST(n_chars AS DOUBLE) / n_tokens END AS mean_token_len,
+        |  CASE WHEN n_tokens = 0 THEN 0.0D
+        |    ELSE CAST(n_sym AS DOUBLE) / n_tokens END AS symbol_ratio,
+        |  CASE WHEN n_tokens = 0 THEN 0.0D
+        |    ELSE CAST(n_distinct AS DOUBLE) / n_tokens END AS distinct_ratio,
+        |  stopword_hits,
+        |  CAST(n_tokens >= 10 AND n_tokens <= 100000
+        |    AND (CASE WHEN n_tokens = 0 THEN 0.0D
+        |      ELSE CAST(n_chars AS DOUBLE) / n_tokens END) >= 2.0D
+        |    AND (CASE WHEN n_tokens = 0 THEN 0.0D
+        |      ELSE CAST(n_chars AS DOUBLE) / n_tokens END) <= 12.0D
+        |    AND (CASE WHEN n_tokens = 0 THEN 0.0D
+        |      ELSE CAST(n_sym AS DOUBLE) / n_tokens END) <= 0.25D
+        |    AND (CASE WHEN n_tokens = 0 THEN 0.0D
+        |      ELSE CAST(n_distinct AS DOUBLE) / n_tokens END) >= 0.3D
+        |    AND stopword_hits >= 1 AS BIGINT) AS passes
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\\\\s+', '')) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\\\s]', '')) AS BIGINT) AS n_sym,
+        |    CAST(size(array_distinct(filter(split(text, ' '), x -> x != ''))) AS BIGINT) AS n_distinct,
+        |    CAST(size(filter(split(text, ' '), x -> x IN ($stop))) AS BIGINT) AS stopword_hits
+        |  FROM graft_docs WHERE text IS NOT NULL)""".stripMargin)
+    }),
+
+    // PII redaction as pure SQL text (same ordered regexp_replace
+    // fold, same planted fixture, same oracle as ext_pii_redact)
+    "sql_pii_redact" -> ((s, dir) => {
+      plantedPiiDocs(s, dir).createOrReplaceTempView("graft_pii_docs")
+      // plain (non-interpolated) triple quote: '\\.' here IS the SQL
+      // text \\. which the SQL parser unescapes to the regex \.
+      s.sql("""SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>'),
+        |      '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>'),
+        |    '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>') AS text_redacted
+        |FROM graft_pii_docs""".stripMargin)
+    }),
+
+    // single-query BM25 as pure SQL text — the SAME conditional-tf
+    // columns, 1-row stats cross join, and fixed left-to-right score
+    // chain as TextAnalysis.bm25TopK, under ext_bm25's oracle
+    "sql_bm25" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      def termSql(i: Int): String =
+        s"""(CAST(2L*n_docs - 2L*df_$i + 1L AS DOUBLE) / CAST(2L*df_$i + 1L AS DOUBLE)
+           |    * (CAST(22L*tf_$i*tt AS DOUBLE) / CAST(10L*tt*tf_$i + 3L*tt + 9L*dl*n_docs AS DOUBLE)))""".stripMargin
+      s.sql(s"""WITH tk AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, explode(split(text, ' ')) AS term
+        |    FROM graft_docs WHERE text IS NOT NULL
+        |  ) WHERE term != ''
+        |), pd AS (
+        |  SELECT doc_id, count(1) AS dl,
+        |${bm25Terms.zipWithIndex.map { case (t, i) =>
+            s"    sum(CASE WHEN term = '$t' THEN 1L ELSE 0L END) AS tf_$i"
+          }.mkString(",\n")}
+        |  FROM tk GROUP BY doc_id
+        |), st AS (
+        |  SELECT count(1) AS n_docs, sum(dl) AS tt,
+        |${bm25Terms.indices.map(i =>
+            s"    sum(CASE WHEN tf_$i > 0 THEN 1L ELSE 0L END) AS df_$i"
+          ).mkString(",\n")}
+        |  FROM pd
+        |)
+        |SELECT doc_id, dl,
+        |  ${bm25Terms.indices.map(termSql).mkString("\n  + ")} AS score
+        |FROM pd CROSS JOIN st
+        |WHERE ${bm25Terms.indices.map(i => s"tf_$i").mkString(" + ")} > 0
+        |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin)
+    }),
+
     // ================= large-scale pipeline extensions =================
 
     // ---- exact dedup (hash-groupBy over documents + planted dups) ----
@@ -3487,8 +3575,13 @@ object SparkEntry {
     )
     // the band-store path is semantics-identical to the legacy
     // incremental near-dup filter (one drop rule, two landed-side
-    // layouts) — one oracle, three doors
-    base + ("ext_dedup_incremental_store" ->
-      base("ext_dedup_incremental_minhash"))
+    // layouts) — one oracle, three doors; the SQL-text front doors of
+    // the round-16 text operators likewise reuse their oracles verbatim
+    base +
+      ("ext_dedup_incremental_store" ->
+        base("ext_dedup_incremental_minhash")) +
+      ("sql_bm25" -> base("ext_bm25")) +
+      ("sql_quality_gate" -> base("ext_quality_gate")) +
+      ("sql_pii_redact" -> base("ext_pii_redact"))
   }
 }

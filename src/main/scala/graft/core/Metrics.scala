@@ -88,14 +88,48 @@ final class MetricsTable private (val table: Smoltable) {
     * oldest versions until each metric keeps at most `keepVersions`.
     * The reference gets this from a byte-capped FIFO compaction strategy
     * (`server/src/metrics.rs:14-23`); here it is an explicit maintenance
-    * rewrite, run opportunistically after writes. ONE Spark job: the
-    * dropped count is the GC rewrite's own observed dead-cell metric
-    * ([[CellOps.gcSurvivors]]) — no before/after table counts.
-    */
-  def enforceCap(capBytes: Long = 1024 * 1024, keepVersions: Int = 720): Long =
-    if (table.catalog.diskSpaceUsage(table.name) <= capBytes) 0L
-    else table.runVersionGcWith(Map("value" ->
+    * rewrite, run opportunistically after writes. ONE Spark job in the
+    * common case: the dropped count is the GC rewrite's own observed
+    * dead-cell metric ([[CellOps.gcSurvivors]]) — no before/after table
+    * counts.
+    *
+    * BYTE-driven fallback (round 17 — full FIFO parity): a version
+    * trim alone cannot shrink a WIDE table (many metric rows, few
+    * versions each), while the reference's FIFO drops its oldest
+    * segments regardless of shape. When the table is still over budget
+    * after the version trim, the oldest CELLS across all metrics are
+    * evicted: one tiny aggregate finds the version-timestamp cutoff at
+    * the byte-budget quantile, and a TTL GC pass (explicit clock —
+    * deterministic) drops everything older. Worst case two rewrites
+    * per enforcement, only ever when over budget. */
+  def enforceCap(capBytes: Long = 1024 * 1024, keepVersions: Int = 720): Long = {
+    if (table.catalog.diskSpaceUsage(table.name) <= capBytes) return 0L
+    var dropped = table.runVersionGcWith(Map("value" ->
       GcSettings(versionLimit = Some(keepVersions))))
+    // COMMITTED bytes, not filesystem du: just-retired segments from
+    // the trim above may linger until their read pins drain, and
+    // counting them would overstate the overshoot and evict too deep
+    val after = table.manifest.dataFiles.map(_.size).sum
+    if (after > capBytes && capBytes > 0) {
+      val keepFrac = math.max(0.0, math.min(1.0,
+        capBytes.toDouble / after.toDouble))
+      val cut = table.allCells
+        .agg(org.apache.spark.sql.functions
+          .expr(s"approx_percentile(ts, ${1.0 - keepFrac}d)"))
+        .head()
+      if (!cut.isNullAt(0)) {
+        val cutoffNanos = cut.getLong(0)
+        val now = MetricsTable.nowNanos
+        // TTL death is strict `now - ts > ttl`, so ttl = now - cutoff
+        // keeps ts >= cutoff — the newest ~keepFrac of cells
+        val ttlSecs =
+          math.max(1L, (now - cutoffNanos) / 1000000000L)
+        dropped += table.runVersionGcWith(
+          Map("value" -> GcSettings(ttlSecs = Some(ttlSecs))), now)
+      }
+    }
+    dropped
+  }
 }
 
 object MetricsTable {

@@ -123,7 +123,9 @@ class MaintenanceSpec extends SparkSuite {
     }
   }
 
-  test("metrics FIFO cap trims old versions when over budget, in ONE job") {
+  test("metrics FIFO cap trims old versions when over budget; a cap " +
+      "the trim cannot reach falls through to the byte pass (quantile " +
+      "agg + TTL GC) without touching the kept version window") {
     withTempDir { dir =>
       val cat = new Catalog(dir.toString)
       val m = MetricsTable.open(spark, cat, None)
@@ -148,14 +150,65 @@ class MaintenanceSpec extends SparkSuite {
       }
       spark.listenerManager.register(listener)
       try {
-        // capBytes=1 forces the trim; keepVersions=4. The dropped count is
-        // the GC rewrite's observed dead-cell metric — no before/after
-        // counts, so the whole enforcement is the rewrite job alone.
+        // capBytes=1 forces the trim; keepVersions=4. The dropped count
+        // is the GC rewrites' observed dead-cell metric — no
+        // before/after counts. A 1-byte cap can never be reached, so
+        // after the trim the byte fallback also runs: its quantile agg
+        // + TTL pass are jobs 2 and 3, and with every surviving ts at
+        // the newest end it evicts nothing further.
         val dropped = m.enforceCap(capBytes = 1L, keepVersions = 4)
         assert(dropped == 6L)
-        assert(settled() == 1, "cap enforcement must be a single job")
+        assert(settled() == 3,
+          "trim + quantile + TTL pass: exactly three jobs")
       } finally spark.listenerManager.unregister(listener)
       assert(m.latest("sys#mem").map(_._1) == Seq(10L, 9L, 8L, 7L))
+    }
+  }
+
+  test("metrics FIFO cap, WIDE overfill (reference parity): many " +
+      "metrics with few versions overflow the real 1 MiB cap, version " +
+      "trim can't shrink it, and the byte-driven fallback evicts the " +
+      "OLDEST cells across all metrics down to the budget") {
+    import org.apache.spark.sql.functions._
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val m = MetricsTable.open(spark, cat, None)
+      // 200k single-version metrics with realistic increasing nanos
+      // timestamps — the table shape the reference's segment-FIFO
+      // handles but a per-metric version window cannot
+      val n = 200000L
+      val base = 1700000000000000000L
+      m.table.writeBulk(spark.range(n).select(
+        format_string("m#%06d", col("id")).as("row_key"),
+        lit("value").as("family"),
+        lit("").as("qualifier"),
+        (lit(base) + col("id") * 1000000000L).as("ts"),
+        graft.SparkEntry.cellValueStruct(lit("f64"),
+          lit(null).cast("string"),
+          col("id").cast("double")).as("value")))
+      val before = cat.diskSpaceUsage(m.table.name)
+      val cap = 1024L * 1024
+      assert(before > cap, s"fixture must overfill the cap: $before")
+      val dropped = m.enforceCap(capBytes = cap, keepVersions = 720)
+      assert(dropped > 0L, "over-budget wide table must evict")
+      // committed footprint lands at ~the budget (quantile eviction is
+      // approximate; allow modest overshoot, require real shrinkage)
+      val after = m.table.manifest.dataFiles.map(_.size).sum
+      assert(after <= (cap * 1.5).toLong,
+        s"fallback must shrink to the budget class: $after vs $cap")
+      // eviction is OLDEST-FIRST across metrics: the survivor set is
+      // exactly a SUFFIX of the timestamp order (ids map to ts)
+      val survivors = m.table.allCells.select(col("row_key"))
+        .collect().map(_.getString(0)).toSet
+      assert(survivors.nonEmpty && survivors.size < n)
+      val minKept = survivors.min
+      val expect = (n - survivors.size until n)
+        .map(i => f"m#${i}%06d").toSet
+      assert(survivors == expect,
+        s"survivors must be the newest suffix; min kept $minKept, " +
+          s"kept ${survivors.size}")
+      // the newest point is always retained and still served
+      assert(m.latest(f"m#${n - 1}%06d").map(_._2) == Seq((n - 1).toDouble))
     }
   }
 
