@@ -136,6 +136,23 @@ object SparkEntry {
         graft.operators.Dedup.DefaultSeeds))
   }
 
+  /** The landed (doc_id % 3 = 0) CONTENT-HASH store for `dir` — the
+    * exact-dedup twin of [[landedBandStore]] (the BandStore is
+    * key-agnostic; here the membership key is the doc md5). */
+  private[graft] def landedHashStore(s: SparkSession,
+      dir: String): graft.operators.BandStore = {
+    val fp = sourceFingerprint(s"$dir/documents.parquet")
+    val base = s"/tmp/graft_hashstore_${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp)
+    val store = graft.operators.BandStore.open(s, base)
+    if (!store.nonEmpty)
+      store.append(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 === 0 && col("text").isNotNull)
+          .select(md5(col("text")).as("band")), "init")
+    store
+  }
+
   private def engineOrders(s: SparkSession, dir: String,
       buckets: Int = 0): graft.core.Smoltable = {
     val base = engineCachePath(dir, buckets)
@@ -962,6 +979,14 @@ object SparkEntry {
         .select(md5(col("text")).as("h"))
       graft.operators.Dedup.incrementalExact(plantedDocs(s, dir), known)
     }),
+
+    // ---- the exact incremental filter against the BUCKETED hash
+    //      store: same drop rule as ext_dedup_incremental (same
+    //      oracle), landed side a prunable BandStore of content md5s —
+    //      membership never scans or shuffles the fingerprint table --
+    "ext_dedup_incremental_exact_store" -> ((s, dir) =>
+      graft.operators.Dedup.incrementalExactWithStore(
+        plantedDocs(s, dir), landedHashStore(s, dir))._1),
 
     // ---- MinHash + LSH band-join candidate pairs ---------------------
     // per-doc polynomial window hashes -> 4 XOR-seeded min-hashes -> 2
@@ -3580,6 +3605,8 @@ object SparkEntry {
     base +
       ("ext_dedup_incremental_store" ->
         base("ext_dedup_incremental_minhash")) +
+      ("ext_dedup_incremental_exact_store" ->
+        base("ext_dedup_incremental")) +
       ("sql_bm25" -> base("ext_bm25")) +
       ("sql_quality_gate" -> base("ext_quality_gate")) +
       ("sql_pii_redact" -> base("ext_pii_redact"))

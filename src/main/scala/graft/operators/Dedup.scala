@@ -54,6 +54,36 @@ object Dedup {
       .select(col("doc_id"), col("h"))
   }
 
+  /** [[incrementalExact]] against a [[BandStore]] holding the landed
+    * CONTENT-HASH set — the store is key-agnostic (it lands membership
+    * strings; here the "band" is the doc's md5), so the exact
+    * fingerprint table gets the same prunable layout as the minhash
+    * band store: per-batch membership is the tiered pruned lookup
+    * (pushed `In` + partition filters / broadcast semi-join — zero
+    * landed-side exchanges) instead of a full scan + re-distinct of
+    * the fingerprint table.
+    *
+    * Returns `(survivors, newHashes)`; `newHashes` is exactly the
+    * SURVIVORS' hash set (unlike the minhash twin's all-seen contract,
+    * an exact content hash IS transitive: a batch doc matching a
+    * dropped doc's hash matches the kept doc's hash too, so
+    * survivors-only landing composes — the same contract
+    * [[incrementalExact]]'s maintenance doc states). The caller lands
+    * `newHashes` via `store.append(newHashes, tag)` after committing
+    * survivors. */
+  def incrementalExactWithStore(newDocs: DataFrame, store: BandStore,
+      idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val batch = newDocs
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+    val known = store.knownAmong(batch.select(col("h").as("band")))
+    val survivors = batch
+      .join(known.select(col("band").as("h")), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+    (survivors, survivors.select(col("h").as("band")))
+  }
+
   /** INCREMENTAL near-dup dedup — [[incrementalExact]]'s continuous-
     * ingest shape applied to MinHash: a NEW batch is near-dup-filtered
     * (a) within itself and (b) against the LANDED signature table,

@@ -93,7 +93,7 @@ object ScaleSmoke {
     // one-pass multi-query BM25, the full prep pipeline with quality +
     // redaction folded in, and the persisted kmeans-IVF serving index
     "ext_dedup_semantic", "ext_bm25_multi", "ext_pipeline_prep_v2",
-    "eng_ann_ivf_persisted")
+    "eng_ann_ivf_persisted", "ext_dedup_incremental_exact_store")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",

@@ -603,6 +603,36 @@ class OperatorsSpec extends SparkSuite {
     assert(twoStep == got, s"two-step $twoStep vs one-shot $got")
   }
 
+  test("incrementalExactWithStore matches incrementalExact, and " +
+      "survivors-only landing composes across batch splits (exact " +
+      "hashes are transitive)") {
+    withTempDir { tmp =>
+      val corpus = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+      val landed = corpus.filter(col("doc_id") % 3 === 0)
+      val store = BandStore.open(spark, s"$tmp/hashes")
+      store.append(landed.select(md5(col("text")).as("band")), "init")
+      val batch = corpus.filter(col("doc_id") % 3 =!= 0)
+        .unionAll(landed.limit(20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val (surv, newHashes) =
+        Dedup.incrementalExactWithStore(batch, store)
+      val got = surv.collect().map(_.toSeq).toSet
+      val legacy = Dedup.incrementalExact(batch,
+          landed.select(md5(col("text")).as("h")))
+        .collect().map(_.toSeq).toSet
+      assert(got == legacy,
+        s"store path ${got.size} vs legacy ${legacy.size} survivors")
+      // composition under survivors-only landing: append survivors'
+      // hashes, rerun the same batch → everything drops
+      assert(store.append(newHashes, "b1"))
+      val (surv2, _) = Dedup.incrementalExactWithStore(batch, store)
+      assert(surv2.count() == 0L, "rerun after landing must drop all")
+    }
+  }
+
   test("incrementalMinhash: landed band-matches dropped, within-batch " +
       "smaller-id wins, and batch-then-batch (landing ALL seen " +
       "signatures) equals one big batch") {
