@@ -437,7 +437,16 @@ object StreamOps {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    s.read.parquet(outDir).drop("batch")
+    // explicit schema: a run whose every batch dedups to ZERO
+    // survivors leaves only data-less batch= dirs, which would wedge
+    // schema inference (the BandStore.read precedent)
+    val sigFields = StructField("doc_id", LongType) +:
+      graft.operators.Dedup.DefaultSeeds.indices.map(i =>
+        StructField(s"m${i + 1}", LongType))
+    s.read
+      .schema(StructType(sigFields :+ StructField("batch", StringType)))
+      .parquet(outDir)
+      .drop("batch")
   }
 
   private def batchExists(baseDir: String, tag: String): Boolean =
