@@ -370,13 +370,17 @@ object Corpus {
     */
   def rebalanceGroups(docs: DataFrame, groupCol: String = "lang",
       idCol: String = "doc_id"): DataFrame = {
+    // `_min` via a global window OVER the counts frame (|groups| rows,
+    // one tiny exchange) instead of `counts.agg(min)` — a separate agg
+    // frame re-plans the whole counts subtree, so the corpus (and any
+    // upstream per-doc work, e.g. prepPipelineV2's quality gate) was
+    // scanned a third time just to reduce |groups| rows to one
     val counts = docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("_cnt"))
-    val minDf = counts.agg(min(col("_cnt")).as("_min"))
+      .withColumn("_min", min(col("_cnt")).over(Window.partitionBy()))
     val thr = floor(col("_min").cast("double") / col("_cnt")
       * lit(1152921504606846976.0d)).cast("long")
     docs.join(broadcast(counts), Seq(groupCol))
-      .crossJoin(broadcast(minDf))
       .filter(sampleHash(col(idCol)) < thr)
       .select(col(idCol).as("doc_id"), col(groupCol))
   }
@@ -403,13 +407,16 @@ object Corpus {
     require(overlap >= 0 && chunkTokens > overlap)
     val stride = chunkTokens - overlap
     // stage 1: rebalance — inlined (not `docs.join(rebalanceGroups)`)
-    // so the survivors keep every column without a corpus self-join
+    // so the survivors keep every column without a corpus self-join;
+    // `_min` folds into the counts frame via a global window (see
+    // [[rebalanceGroups]]) so the corpus scans TWICE (main + counts),
+    // not three times — at v2's gate-on-every-branch that third scan
+    // re-ran the quality kernel over the whole corpus
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("_cnt"))
-    val minDf = counts.agg(min(col("_cnt")).as("_min"))
+      .withColumn("_min", min(col("_cnt")).over(Window.partitionBy()))
     val thr = floor(col("_min").cast("double") / col("_cnt")
       * lit(1152921504606846976.0d)).cast("long")
     val balanced = docs.join(broadcast(counts), Seq("lang"))
-      .crossJoin(broadcast(minDf))
       .filter(sampleHash(col("doc_id")) < thr)
     // stage 2: exact dedup as a rank-1 window on the content hash —
     // the pipeline's ONE corpus exchange (a groupBy-then-join-back

@@ -19,8 +19,36 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "de", "es", "un", "una"))
 
   /** Language ID via stopword hits: per-language hit counts + argmax
-    * (ties and all-zero scores → "und"). One shuffle (groupBy doc). */
+    * (ties and all-zero scores → "und").
+    *
+    * SHUFFLE-FREE: the counts come from the one-pass
+    * [[graft.functions.LexiconHits]] kernel, so the whole operator is
+    * a narrow projection — the composed form it replaced exploded the
+    * corpus's entire token stream through a `groupBy(doc_id)` exchange
+    * (at 100 TB: the scan multiplied by mean tokens/doc) to produce
+    * five integers per document. Null-text docs are filtered to match
+    * the composed form exactly (its `explode(split(lower(NULL)))`
+    * dropped them); [[composedLangId]] is retained as the
+    * differential-spec reference. */
   def langId(docs: DataFrame, lexicons: Map[String, Seq[String]] = DefaultLexicons,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val langs = lexicons.keys.toSeq.sorted
+    val sig = graft.functions.LexiconHits(col(textCol),
+      langs.map(l => l -> lexicons(l)))
+    val hits = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id") +:
+        sig.getField("n_tokens").as("n_tokens") +:
+        langs.map(l => sig.getField(s"${l}_hits").as(s"${l}_hits")): _*)
+    val best = langs.map(l => struct(col(s"${l}_hits").as("h"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("h") > a.getField("h"), b).otherwise(a))
+    hits.withColumn("predicted_lang",
+      when(best.getField("h") > 0, best.getField("l")).otherwise("und"))
+  }
+
+  /** The explode + groupBy formulation [[langId]]'s kernel replaced —
+    * retained ONLY as the differential-spec reference. */
+  private[operators] def composedLangId(docs: DataFrame,
+      lexicons: Map[String, Seq[String]] = DefaultLexicons,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(lower(col(textCol)), "\\s+")).as("tok"))
@@ -336,6 +364,26 @@ object TextAnalysis {
       distinctRatio: Column, stopwordHits: Column)
 
   private[operators] def qualitySignals(text: Column,
+      stopwords: Seq[String] = DefaultStopwords): QualitySignals = {
+    // ONE single-pass kernel evaluation per row: the five signals are
+    // fields of the same struct expression, so codegen subexpression
+    // elimination collapses every reference below to one tokenization
+    // (the composed form re-tokenized ~10x — see the kernel scaladoc)
+    val sig = graft.functions.QualitySignalsExpr(text, stopwords)
+    val nTok = sig.getField("n_tokens")
+    def ratio(num: Column): Column =
+      when(nTok === 0L, lit(0.0))
+        .otherwise(num.cast("double") / nTok.cast("double"))
+    QualitySignals(nTok, ratio(sig.getField("n_chars")),
+      ratio(sig.getField("n_sym")), ratio(sig.getField("n_distinct")),
+      sig.getField("n_stop"))
+  }
+
+  /** The composed-builtin formulation [[qualitySignals]]'s kernel
+    * replaced — retained ONLY as the differential-spec reference
+    * (OperatorsSpec pins kernel ≡ composed on the fixture corpus plus
+    * adversarial unicode/whitespace edges). */
+  private[operators] def composedQualitySignals(text: Column,
       stopwords: Seq[String] = DefaultStopwords): QualitySignals = {
     val toks = filter(split(text, " "), t => t =!= "")
     val nTok = size(toks).cast("long")

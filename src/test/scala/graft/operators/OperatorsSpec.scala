@@ -1050,6 +1050,101 @@ class OperatorsSpec extends SparkSuite {
       s"null-element error must carry the kernel name: $holedErr")
   }
 
+  test("QualitySignals kernel is bit-exact with the composed-builtin " +
+      "soup it replaced (corpus + adversarial whitespace/unicode edges)") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+      .limit(300)
+    // adversarial rows: the exact split-on-SPACE-only semantics (tabs
+    // and newlines stay INSIDE tokens), consecutive/leading/trailing
+    // spaces, every Java-regex \s char, multibyte UTF-8 (2/3/4-byte
+    // codepoints — each counts once as char AND symbol), stopwords
+    // with multiplicity, empty and whitespace-only and NULL text
+    val edges = Seq(
+      ("e1", "the the the"),
+      ("e2", "a\tb c\nd"),            // tab/newline inside tokens
+      ("e3", "  leading and   runs  "),
+      ("e4", "café 世界 😀 naïve"),
+      ("e5", "x\u000By\fz\r w"),    // VT, FF, CR are \s for n_chars
+      ("e6", ""),
+      ("e7", "   "),
+      ("e8", null),
+      ("e9", "a-b.c @#$ 12,34 e_f"),
+      ("e10", "is is is of of the und zu"))
+      .toDF("id", "text")
+    val all = real.unionAll(edges)
+    val k = graft.operators.TextAnalysis.qualitySignals(col("text"))
+    val c = graft.operators.TextAnalysis
+      .composedQualitySignals(col("text"))
+    val bad = all.select(col("id"),
+        k.nTokens.as("kn"), c.nTokens.as("cn"),
+        k.meanTokenLen.as("km"), c.meanTokenLen.as("cm"),
+        k.symbolRatio.as("ks"), c.symbolRatio.as("cs"),
+        k.distinctRatio.as("kd"), c.distinctRatio.as("cd"),
+        k.stopwordHits.as("kh"), c.stopwordHits.as("ch"))
+      .filter(!(col("kn") <=> col("cn")) || !(col("km") <=> col("cm")) ||
+        !(col("ks") <=> col("cs")) || !(col("kd") <=> col("cd")) ||
+        !(col("kh") <=> col("ch")))
+    assert(bad.isEmpty, s"kernel != composed:\n${bad.head(5).mkString("\n")}")
+    // the gate verdict built on the kernel matches one built composed
+    val kp = graft.operators.TextAnalysis.qualityPasses(col("text"))
+    val cs = graft.operators.TextAnalysis
+      .composedQualitySignals(col("text"))
+    val cp = cs.nTokens >= 10L && cs.nTokens <= 100000L &&
+      cs.meanTokenLen >= 2.0 && cs.meanTokenLen <= 12.0 &&
+      cs.symbolRatio <= 0.25 && cs.distinctRatio >= 0.3 &&
+      cs.stopwordHits >= 1L
+    val vDiff = all.select(kp.as("k"), cp.as("c"))
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(vDiff == 0L, s"$vDiff verdict rows differ")
+  }
+
+  test("LexiconHits kernel: langId matches the explode+groupBy " +
+      "formulation row-for-row and plans with ZERO exchanges") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .limit(300)
+    // edges: leading/trailing/runs-of whitespace (Java split keeps the
+    // leading and trailing EMPTY parts with limit -1 — n_tokens counts
+    // them), tabs/VT/FF/CR as separators, uppercase stopwords (lower()
+    // first), words shared across lexicons ("de"/"la"/"un"), unicode,
+    // empty text ([""] -> n_tokens=1), all-und, null text (dropped)
+    val edges = Seq(
+      ("e1", " The\tDER la "),
+      ("e2", "zzz qqq"),
+      ("e3", "de de de la la un"),
+      ("e4", "café 世界 THE"),
+      ("e5", "ab\fc\rd\ne"),
+      ("e6", ""),
+      ("e7", "   "),
+      ("e8", null))
+      .toDF("doc_id", "text")
+    val all = real.unionAll(edges)
+    val kern = graft.operators.TextAnalysis.langId(all)
+    val comp = graft.operators.TextAnalysis.composedLangId(all)
+    assert(kern.columns.sameElements(comp.columns))
+    val kk = kern.columns.map(c => kern(c).as(s"k_$c"))
+    val cc = comp.columns.map(c => comp(c).as(s"c_$c"))
+    val joined = kern.select(col("doc_id"), struct(kk.toIndexedSeq: _*).as("k"))
+      .join(comp.select(col("doc_id"), struct(cc.toIndexedSeq: _*).as("c")),
+        Seq("doc_id"), "full_outer")
+    val bad = joined.filter(!(col("k") <=> col("c")))
+    assert(bad.isEmpty,
+      s"kernel != composed:\n${bad.head(5).mkString("\n")}")
+    // null-text doc must be absent from BOTH (the explode-drop parity)
+    assert(kern.filter(col("doc_id") === "e8").isEmpty)
+    // the kernel plan is a narrow projection: zero exchanges (asserted
+    // on the bare scan — the fixture union above carries a limit
+    // exchange of its own)
+    val plan = graft.operators.TextAnalysis.langId(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"langId must plan shuffle-free:\n$plan")
+  }
+
   test("bm25TopKMulti: the query-1 slice ranks exactly like the " +
       "single-query operator, the quantized sum is partition-" +
       "independent, and the plan window-limits per query") {
