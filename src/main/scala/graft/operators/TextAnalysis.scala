@@ -109,6 +109,25 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // SHUFFLE-FREE: all three signals are per-document, computed by
+    // the one-pass [[graft.functions.RepetitionSignals]] kernel — the
+    // composed form (retained as [[composedRepetition]] for the
+    // differential spec) ran three exchanges and a join, the widest
+    // carrying one row per corpus TRIGRAM. Null-text docs filtered to
+    // match its explode-drop exactly.
+    val sig = graft.functions.RepetitionSignals(col(textCol))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        sig.getField("n_tokens").as("n_tokens"),
+        (sig.getField("n_distinct").cast("double") /
+          sig.getField("n_tokens").cast("double")).as("distinct_ratio"),
+        sig.getField("max_trigram_count").as("max_trigram_count"))
+  }
+
+  /** The explode + 3-exchange formulation [[repetition]]'s kernel
+    * replaced — retained ONLY as the differential-spec reference. */
+  private[operators] def composedRepetition(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // ONE trigram construction for the whole library: Corpus.wordNgrams
     // (same tokenization the decontamination oracle is pinned to)
     val triStats = Corpus

@@ -1145,6 +1145,46 @@ class OperatorsSpec extends SparkSuite {
       s"langId must plan shuffle-free:\n$plan")
   }
 
+  test("RepetitionSignals kernel: repetition matches the " +
+      "3-exchange formulation row-for-row and plans with ZERO exchanges") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .limit(300)
+    // edges: empty parts count as tokens AND appear in trigrams
+    // (consecutive spaces), repeated trigram runs (max multiplicity
+    // from overlapping windows), < 3 tokens -> max 0, empty text
+    // ([""] -> n_tokens=1), null text (dropped)
+    val edges = Seq(
+      ("e1", "a a a a a a"),       // "a a a" x4
+      ("e2", "x  y z"),            // empty middle part
+      ("e3", "only two"),
+      ("e4", ""),
+      ("e5", "   "),               // ["","","",""] all empty parts
+      ("e6", null),
+      ("e7", "p q p q p q p q"))   // alternating period-2 repeat
+      .toDF("doc_id", "text")
+    val all = real.unionAll(edges)
+    val kern = graft.operators.TextAnalysis.repetition(all)
+    val comp = graft.operators.TextAnalysis.composedRepetition(all)
+    val kk = kern.columns.map(c => kern(c).as(s"k_$c"))
+    val cc = comp.columns.map(c => comp(c).as(s"c_$c"))
+    val joined = kern.select(col("doc_id"), struct(kk.toIndexedSeq: _*).as("k"))
+      .join(comp.select(col("doc_id"), struct(cc.toIndexedSeq: _*).as("c")),
+        Seq("doc_id"), "full_outer")
+    val bad = joined.filter(!(col("k") <=> col("c")))
+    assert(bad.isEmpty,
+      s"kernel != composed:\n${bad.head(5).mkString("\n")}")
+    // hand-pinned: 6x "a" has trigram "a a a" four times
+    val e1 = kern.filter(col("doc_id") === "e1").head()
+    assert(e1.getLong(1) == 6L && e1.getLong(3) == 4L, s"e1: $e1")
+    val plan = graft.operators.TextAnalysis.repetition(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetition must plan shuffle-free:\n$plan")
+  }
+
   test("bm25TopKMulti: the query-1 slice ranks exactly like the " +
       "single-query operator, the quantized sum is partition-" +
       "independent, and the plan window-limits per query") {
