@@ -1185,6 +1185,69 @@ class OperatorsSpec extends SparkSuite {
       s"repetition must plan shuffle-free:\n$plan")
   }
 
+  test("kernel fuzz: QualitySignals, LexiconHits and RepetitionSignals " +
+      "match their composed forms on 220 random whitespace/unicode-heavy " +
+      "strings (seeded)") {
+    val rnd = new scala.util.Random(0x17C0FFEE)
+    // word pool: every lexicon word (case-variants exercise lower()),
+    // unicode incl. U+212A KELVIN SIGN (lowercases to ASCII 'k' —
+    // byte length CHANGES under toLowerCase), multibyte, punctuation
+    val words = Seq("the", "a", "of", "and", "to", "in", "is", "that",
+      "der", "die", "das", "und", "zu", "ist", "nicht", "ein",
+      "el", "la", "los", "y", "de", "es", "un", "una",
+      "le", "les", "et", "est", "une",
+      "THE", "Der", "zzz", "q1!", "café", "世界",
+      "😀", "ß", "\u212A", "a-b", "x.y", "12,34")
+    val ws = Seq(" ", " ", " ", "\t", "\n", "", "\f", "\r",
+      "  ", " \t ", "   ")
+    def mk(): String = {
+      val sb = new StringBuilder
+      if (rnd.nextBoolean()) sb.append(ws(rnd.nextInt(ws.size)))
+      for (_ <- 0 until rnd.nextInt(30))
+        sb.append(words(rnd.nextInt(words.size)))
+          .append(ws(rnd.nextInt(ws.size)))
+      sb.toString
+    }
+    val fuzz = (0 until 200).map(i => (s"f$i", mk())) ++
+      // high-repetition strings for the trigram max path
+      (0 until 20).map(i =>
+        (s"r$i", Seq.fill(3 + rnd.nextInt(20))(
+          words(rnd.nextInt(6))).mkString(" ")))
+    val docs = fuzz.toDF("doc_id", "text")
+    // 1. quality signals
+    val k1 = graft.operators.TextAnalysis.qualitySignals(col("text"))
+    val c1 = graft.operators.TextAnalysis
+      .composedQualitySignals(col("text"))
+    val bad1 = docs.select(
+        struct(k1.nTokens, k1.meanTokenLen, k1.symbolRatio,
+          k1.distinctRatio, k1.stopwordHits).as("k"),
+        struct(c1.nTokens, c1.meanTokenLen, c1.symbolRatio,
+          c1.distinctRatio, c1.stopwordHits).as("c"))
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(bad1 == 0L, s"$bad1 qualitySignals fuzz rows differ")
+    // 2. language ID
+    val badL = graft.operators.TextAnalysis.langId(docs)
+      .select(col("doc_id"), struct(col("n_tokens"), col("de_hits"),
+        col("en_hits"), col("es_hits"), col("fr_hits"),
+        col("predicted_lang")).as("k"))
+      .join(graft.operators.TextAnalysis.composedLangId(docs)
+        .select(col("doc_id"), struct(col("n_tokens"), col("de_hits"),
+          col("en_hits"), col("es_hits"), col("fr_hits"),
+          col("predicted_lang")).as("c")), Seq("doc_id"), "full_outer")
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(badL == 0L, s"$badL langId fuzz rows differ")
+    // 3. repetition
+    val badR = graft.operators.TextAnalysis.repetition(docs)
+      .select(col("doc_id"), struct(col("n_tokens"),
+        col("distinct_ratio"), col("max_trigram_count")).as("k"))
+      .join(graft.operators.TextAnalysis.composedRepetition(docs)
+        .select(col("doc_id"), struct(col("n_tokens"),
+          col("distinct_ratio"), col("max_trigram_count")).as("c")),
+        Seq("doc_id"), "full_outer")
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(badR == 0L, s"$badR repetition fuzz rows differ")
+  }
+
   test("bm25TopKMulti: the query-1 slice ranks exactly like the " +
       "single-query operator, the quantized sum is partition-" +
       "independent, and the plan window-limits per query") {
