@@ -139,3 +139,100 @@ object LexiconHits {
   def apply(text: Column, lexicons: Seq[(String, Seq[String])]): Column =
     GraftColumn(LexiconHits(GraftColumn.expr(text), lexicons))
 }
+
+/** Per-term frequencies of one document in ONE pass — the BM25 tf
+  * kernel, [[LexiconHits]]'s retrieval-scoring sibling with the OTHER
+  * tokenization the library pins: tokens are non-empty
+  * space-separated parts (`filter(split(text, " "), _ != "")` — the
+  * quality-gate/BM25 convention; a token may contain tabs/newlines),
+  * matching is case-sensitive binary equality.
+  *
+  * Output: `struct<dl, tf_0..tf_{n-1}>` (int64) — document length
+  * (non-empty token count) and one frequency per query term in the
+  * given order.
+  *
+  * Why: BM25's per-document stage exploded the corpus's token stream
+  * through a `groupBy(doc_id)` exchange to compute these integers —
+  * the same waste [[LexiconHits]] removes from language ID. With this
+  * kernel the per-doc frame is a narrow projection; only the 1-row
+  * corpus-stats aggregate and the top-k remain, neither of which
+  * carries per-token rows. NULL text → NULL struct (callers filter
+  * nulls first, reproducing the composed form's pre-explode filter).
+  */
+final case class TermHits(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  require(terms.nonEmpty && terms.distinct == terms,
+    "terms must be non-empty and distinct")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(
+    StructField("dl", LongType, nullable = false) +:
+      terms.indices.map(i =>
+        StructField(s"tf_$i", LongType, nullable = false)))
+  override def prettyName: String = "graft_term_hits"
+
+  @transient private lazy val termIdx: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.put(UTF8String.fromString(t), Integer.valueOf(i))
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TermHits.compute(input.asInstanceOf[UTF8String], termIdx, terms.size)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("termIdx", termIdx,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String,java.lang.Integer>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TermHits.compute(
+         |  $c, $mapRef, ${terms.size});""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TermHits = copy(child = newChild)
+}
+
+object TermHits {
+
+  /** One tight loop per document; called from both the interpreted
+    * eval and the generated code. */
+  def compute(text: UTF8String,
+      termIdx: java.util.HashMap[UTF8String, Integer],
+      k: Int): GenericInternalRow = {
+    val b = text.getBytes
+    val n = b.length
+    var dl = 0L
+    val tfs = new Array[Long](k)
+    var tokStart = -1
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        if (tokStart >= 0) { // close the (non-empty) token
+          dl += 1L
+          val idx = termIdx.get(UTF8String.fromBytes(b, tokStart,
+            i - tokStart))
+          if (idx != null) tfs(idx.intValue()) += 1L
+          tokStart = -1
+        }
+      } else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    val out = new Array[Any](k + 1)
+    out(0) = dl
+    var j = 0
+    while (j < k) { out(j + 1) = tfs(j); j += 1 }
+    new GenericInternalRow(out)
+  }
+
+  def apply(text: Column, terms: Seq[String]): Column =
+    GraftColumn(TermHits(GraftColumn.expr(text), terms))
+}

@@ -243,11 +243,50 @@ object TextAnalysis {
     * can't match anyway). Docs with no query term are excluded (their
     * score is exactly 0).
     *
-    * Shape at 100 TB: one explode → per-doc aggregate (map-side
-    * combined, conditional tf columns so there is no per-term shuffle),
-    * ONE 1-row global stats aggregate broadcast back, top-k planned as
-    * `TakeOrderedAndProject` (per-partition k, never a global sort). */
+    * Shape at 100 TB: the per-doc (dl, tf...) frame is a NARROW
+    * PROJECTION — one pass of the [[graft.functions.TermHits]] kernel
+    * per document (r17; the explode → groupBy(doc) exchange it
+    * replaced is retained as [[composedBm25TopK]] for the differential
+    * spec) — then ONE 1-row global stats aggregate broadcast back,
+    * top-k planned as `TakeOrderedAndProject` (per-partition k, never
+    * a global sort). Nothing in the plan carries per-token rows. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 25,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms && k > 0)
+    val sig = graft.functions.TermHits(col(textCol), queryTerms)
+    // dl > 0 reproduces the composed form exactly: a doc with no
+    // non-empty token produced no explode row, hence no perDoc row
+    val perDoc = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id") +: sig.getField("dl").as("dl") +:
+        queryTerms.indices.map(i =>
+          sig.getField(s"tf_$i").as(s"tf_$i")): _*)
+      .filter(col("dl") > 0L)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("tt") +: queryTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))): _*)
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"tf_$i"); val df = col(s"df_$i")
+      val idf =
+        (lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
+          (lit(2L) * df + lit(1L)).cast("double")
+      val tfp = (lit(22L) * tf * col("tt")).cast("double") /
+        (lit(10L) * col("tt") * tf + lit(3L) * col("tt") +
+          lit(9L) * col("dl") * col("n_docs")).cast("double")
+      idf * tfp
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(queryTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("dl"), col("score"))
+  }
+
+  /** The explode + groupBy per-doc stage [[bm25TopK]]'s kernel
+    * replaced — retained ONLY as the differential-spec reference. */
+  private[operators] def composedBm25TopK(docs: DataFrame,
+      queryTerms: Seq[String], k: Int = 25,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms && k > 0)
     val toks = docs.filter(col(textCol).isNotNull)

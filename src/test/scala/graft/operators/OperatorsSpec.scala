@@ -887,9 +887,19 @@ class OperatorsSpec extends SparkSuite {
     // rare terms outrank the common one at comparable tf: customer
     // (df=1, tf=1) must beat spark (df=2, tf=1)
     assert(got(3L)._2 > got(2L)._2)
-    val plan = q.queryExecution.executedPlan.toString
+    // top-k shape pinned where the limit survives: on this 5-row local
+    // fixture the kernel projection exposes maxRows <= k, so Catalyst
+    // correctly ELIMINATES the limit (small-input-only rewrite) — the
+    // scale shape is asserted against a real scan, where row counts
+    // are unknown and the limit must plan as TakeOrderedAndProject
+    val plan = TextAnalysis.bm25TopK(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        terms, k = 25)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must not global-sort:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"bm25TopK must not explode the token stream:\n$plan")
   }
 
   test("fingerprint is whitespace-insensitive but content-sensitive") {
@@ -1246,6 +1256,38 @@ class OperatorsSpec extends SparkSuite {
         Seq("doc_id"), "full_outer")
       .filter(!(col("k") <=> col("c"))).count()
     assert(badR == 0L, s"$badR repetition fuzz rows differ")
+  }
+
+  test("TermHits kernel: bm25TopK matches the explode+groupBy " +
+      "formulation row-for-row and no longer explodes the token stream") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    // edges planted via union: case sensitivity ("The" != "the"),
+    // empty/whitespace-only docs (dl=0 -> excluded like the composed
+    // explode), multi-space runs, term-only docs, null text
+    val edges = Seq(
+      (900001L, "the the the data"),
+      (900002L, "The THE data"),
+      (900003L, ""),
+      (900004L, "   "),
+      (900005L, "data  vector\tdata"),
+      (900006L, null))
+      .toDF("doc_id", "text")
+    val all = real.unionAll(edges)
+    val terms = Seq("the", "data", "vector", "merge")
+    val kern = graft.operators.TextAnalysis.bm25TopK(all, terms, k = 50)
+    val comp = graft.operators.TextAnalysis
+      .composedBm25TopK(all, terms, k = 50)
+    val kk = kern.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSeq
+    val cc = comp.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSeq
+    assert(kk == cc, s"kernel top-k != composed top-k:\n$kk\nvs\n$cc")
+    // per-token rows are gone: no Generate (explode) in the plan
+    val plan = kern.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"bm25TopK must not explode the token stream:\n$plan")
   }
 
   test("bm25TopKMulti: the query-1 slice ranks exactly like the " +
