@@ -333,13 +333,22 @@ object Dedup {
     * md5-derived token hashes. `nBits` ≤ 60. Near-dup detection then
     * compares fingerprints by hamming distance ([[hammingDistance]]).
     *
-    * One `groupBy(doc_id)` with `nBits` conditional-sum aggregates: every
-    * bit's majority vote rides the same single shuffle (map-side partial
-    * sums), instead of exploding each token hash into `nBits` rows and
-    * paying a second per-(doc, bit) aggregation.
-    */
+    * SHUFFLE-FREE since r17: the whole fingerprint is per-document, so
+    * the one-pass [[graft.functions.SimHashFingerprint]] kernel
+    * replaced the corpus-wide `distinct()` + `groupBy(doc_id)`
+    * exchanges (retained as [[composedSimhash]] for the differential
+    * spec). Null-text docs filtered to match its explode-drop. */
   def simhash(docs: DataFrame, nBits: Int = 60, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.SimHashFingerprint(col(textCol), nBits)
+          .as("simhash"))
+
+  /** The explode + distinct + groupBy formulation [[simhash]]'s kernel
+    * replaced — retained ONLY as the differential-spec reference. */
+  private[operators] def composedSimhash(docs: DataFrame, nBits: Int = 60,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))

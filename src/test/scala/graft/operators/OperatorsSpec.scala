@@ -902,6 +902,39 @@ class OperatorsSpec extends SparkSuite {
       s"bm25TopK must not explode the token stream:\n$plan")
   }
 
+  test("SimHashFingerprint kernel: simhash matches the " +
+      "explode+distinct+groupBy formulation and plans shuffle-free") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    // edges: empty token participation (consecutive/trailing spaces —
+    // explode emitted "" and distinct kept one), duplicate tokens
+    // (distinct-before-vote), empty text ([""] -> one empty token),
+    // null text (dropped), unicode tokens, 16 and 60 bit widths
+    val edges = Seq(
+      (900001L, "a a a b"),
+      (900002L, "a  b "),
+      (900003L, ""),
+      (900004L, null),
+      (900005L, "café 世界 café"))
+      .toDF("doc_id", "text")
+    val all = real.unionAll(edges)
+    for (bits <- Seq(16, 60)) {
+      val bad = Dedup.simhash(all, nBits = bits)
+        .withColumnRenamed("simhash", "k")
+        .join(Dedup.composedSimhash(all, nBits = bits)
+          .withColumnRenamed("simhash", "c"), Seq("doc_id"), "full_outer")
+        .filter(!(col("k") <=> col("c"))).count()
+      assert(bad == 0L, s"$bad simhash rows differ at nBits=$bits")
+    }
+    val plan = Dedup.simhash(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        nBits = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"simhash must plan shuffle-free:\n$plan")
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val d = Seq(
       (1L, "hello   world"), (2L, "hello world"), (3L, "hello worlds"))
