@@ -162,8 +162,9 @@ object LexiconHits {
 final case class TermHits(child: Expression, terms: Seq[String])
     extends UnaryExpression {
 
-  require(terms.nonEmpty && terms.distinct == terms,
-    "terms must be non-empty and distinct")
+  // empty `terms` is allowed: the struct degenerates to just `dl`,
+  // the shape bm25TopKMulti uses for its narrow document-length frame
+  require(terms.distinct == terms, "terms must be distinct")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

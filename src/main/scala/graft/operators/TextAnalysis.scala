@@ -351,7 +351,16 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
-    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl from the one-pass TermHits kernel (empty term list → just dl):
+    // the exchange feeding the perDoc join then carries ONE row per doc
+    // instead of the full token stream the explode → groupBy paid (the
+    // matched-token path below was already broadcast-pruned); dl > 0
+    // reproduces the explode's empty-doc exclusion
+    val perDoc = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TermHits(col(textCol), Seq.empty)
+          .getField("dl").as("dl"))
+      .filter(col("dl") > 0L)
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("tt"))
     val q = queries.select(col("query_id"), col("term")).distinct()
