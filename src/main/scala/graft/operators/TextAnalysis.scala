@@ -198,11 +198,17 @@ object TextAnalysis {
     // time (one long to the driver) — the one non-lazy step in this
     // operator's API.
     val d = docs.filter(col(textCol).isNotNull)
-    val toks = d
+    // (doc, term, tf) as a NARROW projection: the one-pass TermCounts
+    // kernel folds each doc's frequencies locally, so the explode
+    // yields per-doc-unique term rows with no groupBy(doc, term)
+    // exchange (r17; previously the widest shuffle here — one row per
+    // corpus TOKEN). df counts those rows per term exactly as it
+    // counted the groupBy output; the top-k window below is bounded
+    // to k rows/doc pre-exchange by WindowGroupLimit.
+    val tf = d
       .select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term") =!= "")
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        explode(graft.functions.TermCounts(col(textCol)))
+          .as(Seq("term", "tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = d.select(col(idCol)).distinct().count()
     val w = Window.partitionBy(col("doc_id"))

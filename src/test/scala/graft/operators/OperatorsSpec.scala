@@ -935,6 +935,38 @@ class OperatorsSpec extends SparkSuite {
       s"simhash must plan shuffle-free:\n$plan")
   }
 
+  test("TermCounts kernel: the (doc, term, tf) frame matches the " +
+      "explode+groupBy formulation and tfidf drops its widest exchange") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    val edges = Seq(
+      (900001L, "a a  b a"), // multiplicity + empty part skipped
+      (900002L, ""),
+      (900003L, "   "),
+      (900004L, "café café 世界"))
+      .toDF("doc_id", "text")
+    val all = real.unionAll(edges).filter(col("text").isNotNull)
+    val kern = all.select(col("doc_id"),
+      explode(graft.functions.TermCounts(col("text")))
+        .as(Seq("term", "tf")))
+    val comp = all.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val bad = kern.join(comp, Seq("doc_id", "term"), "full_outer")
+      .filter(!(kern("tf") <=> comp("tf"))).count()
+    assert(bad == 0L, s"$bad (doc, term, tf) rows differ")
+    // tfidf's plan: the only aggregation exchange left is the df one —
+    // no HashAggregate keyed on (doc_id, term) anywhere
+    val plan = TextAnalysis.tfidfTopTerms(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .filter(col("text").isNotNull))
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*HashAggregate\\(keys=\\[doc_id[^\\]]*term.*"),
+      s"tfidf must not re-aggregate per (doc, term):\n$plan")
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val d = Seq(
       (1L, "hello   world"), (2L, "hello world"), (3L, "hello worlds"))
