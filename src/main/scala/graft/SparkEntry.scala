@@ -1589,8 +1589,8 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(trim(col("text")), "\\s+")).cast("long"))
-            .as("total_tokens"),
+          sum(graft.functions.SplitCount(trim(col("text")),
+            bySpaceOnly = false)).as("total_tokens"),
           countDistinct(col("source")).as("n_sources"),
           sum(col("n_chars")).as("total_chars"))),
 

@@ -91,3 +91,75 @@ object TermCounts {
   def apply(text: Column): Column =
     GraftColumn(TermCounts(GraftColumn.expr(text)))
 }
+
+/** `size(split(text, sep))` without materializing the token array — a
+  * document's token COUNT as two byte-counting modes:
+  *
+  *  - `bySpaceOnly = true`  ≡ `size(split(text, " "))`: Java split on
+  *    the literal space with limit -1 keeps every empty part, so the
+  *    count is exactly (space bytes) + 1;
+  *  - `bySpaceOnly = false` ≡ `size(split(text, "\s+"))`: parts are
+  *    separated by runs of Java-regex `\s` (ASCII), leading/trailing
+  *    empty parts kept, so the count is (ws runs) + 1.
+  *
+  * Callers wanting `split(trim(text), ...)` wrap `trim` themselves —
+  * the trim stays visible in the plan and keeps its exact
+  * spaces-only semantics. Why: the chunking/packing/corpus-stats
+  * paths evaluated a full `split` — one boxed UTF8String per token,
+  * hundreds per document — only to take the array's length. NULL →
+  * NULL, identical to `size(split(NULL))` under
+  * `legacySizeOfNull=false`.
+  */
+final case class SplitCount(child: Expression, bySpaceOnly: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_split_count"
+
+  override def nullSafeEval(input: Any): Any =
+    SplitCount.compute(input.asInstanceOf[UTF8String], bySpaceOnly)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SplitCount.compute($c, $bySpaceOnly);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SplitCount = copy(child = newChild)
+}
+
+object SplitCount {
+
+  @inline private def isWs(ci: Int): Boolean =
+    ci == 0x20 || ci == 0x09 || ci == 0x0A || ci == 0x0B ||
+      ci == 0x0C || ci == 0x0D
+
+  def compute(text: UTF8String, bySpaceOnly: Boolean): Long = {
+    val b = text.getBytes
+    val n = b.length
+    var cnt = 0L
+    if (bySpaceOnly) {
+      var i = 0
+      while (i < n) { if (b(i) == 0x20) cnt += 1L; i += 1 }
+    } else {
+      var inWs = false
+      var i = 0
+      while (i < n) {
+        val ws = isWs(b(i) & 0xFF)
+        if (ws && !inWs) cnt += 1L
+        inWs = ws
+        i += 1
+      }
+    }
+    cnt + 1L
+  }
+
+  def apply(text: Column, bySpaceOnly: Boolean): Column =
+    GraftColumn(SplitCount(GraftColumn.expr(text), bySpaceOnly))
+}

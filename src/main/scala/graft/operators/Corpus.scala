@@ -178,7 +178,8 @@ object Corpus {
       .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
       .drop("component")
     val qualified = keepers
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_tokens",
+        graft.functions.SplitCount(col("text"), bySpaceOnly = true))
       .filter(col("n_tokens") >= minTokens)
     qualified
       .join(decontaminate(qualified, holdout, ngramN), Seq("doc_id"))
@@ -338,7 +339,8 @@ object Corpus {
     require(overlap >= 0 && chunkTokens > overlap,
       s"need chunk > overlap >= 0: chunk=$chunkTokens overlap=$overlap")
     val stride = chunkTokens - overlap
-    val n = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val n =
+      graft.functions.SplitCount(trim(col(textCol)), bySpaceOnly = false)
     val nChunks = when(col("_n") <= chunkTokens, lit(1L)).otherwise(
       lit(1L) + expr(s"(_n - $chunkTokens + ${stride - 1}) div $stride"))
     docs.select(col(idCol).as("doc_id"), n.as("_n"))
@@ -432,7 +434,8 @@ object Corpus {
       sampleHash(col("doc_id")) < lit((0.8 * 1152921504606846976.0d).toLong))
     // stage 4: chunking ([[chunkDocuments]]'s math), narrow explode
     val withN = train.select(col("doc_id"), col("lang"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("_n"))
+      graft.functions.SplitCount(trim(col("text")), bySpaceOnly = false)
+        .as("_n"))
     val nChunks = when(col("_n") <= chunkTokens, lit(1L)).otherwise(
       lit(1L) + expr(s"(_n - $chunkTokens + ${stride - 1}) div $stride"))
     withN.select(col("doc_id"), col("lang"), col("_n"),

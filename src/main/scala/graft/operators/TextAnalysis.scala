@@ -67,7 +67,9 @@ object TextAnalysis {
     * length. Single narrow projection — no shuffle at all. */
   def qualityFeatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val nTok = size(split(col(textCol), " ")).cast("long")
+    // count-only: the SplitCount kernel avoids materializing a boxed
+    // token array per doc (≡ size(split(text, " ")), long)
+    val nTok = graft.functions.SplitCount(col(textCol), bySpaceOnly = true)
     docs.select(col(idCol).as("doc_id"),
       length(col(textCol)).cast("long").as("n_chars"),
       nTok.as("n_tokens"),
@@ -84,7 +86,8 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      size(split(trim(col(textCol)), "\\s+")).cast("long").as("ws_tokens"),
+      graft.functions.SplitCount(trim(col(textCol)), bySpaceOnly = false)
+        .as("ws_tokens"),
       regexp_count(col(textCol),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
         .as("bpe_ish_tokens"))

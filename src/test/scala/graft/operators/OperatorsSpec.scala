@@ -967,6 +967,26 @@ class OperatorsSpec extends SparkSuite {
       s"tfidf must not re-aggregate per (doc, term):\n$plan")
   }
 
+  test("SplitCount kernel matches size(split(...)) in both modes " +
+      "(corpus + whitespace edges, incl. trim composition)") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("text")).limit(300)
+    val edges = Seq("", " ", "  ", "a", " a ", "a  b", "\ta\nb ",
+      "xy\fz\r w", "é 世界", null).toDF("text")
+    val all = real.unionAll(edges)
+    val bad = all.select(
+        graft.functions.SplitCount(col("text"), bySpaceOnly = true)
+          .as("k1"),
+        size(split(col("text"), " ")).cast("long").as("c1"),
+        graft.functions.SplitCount(trim(col("text")), bySpaceOnly = false)
+          .as("k2"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("c2"))
+      .filter(!(col("k1") <=> col("c1")) || !(col("k2") <=> col("c2")))
+      .count()
+    assert(bad == 0L, s"$bad SplitCount rows differ from size(split)")
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val d = Seq(
       (1L, "hello   world"), (2L, "hello world"), (3L, "hello worlds"))
