@@ -93,6 +93,43 @@ object GraftFunctions {
           litInt(kk, "graft_kmv_distinct", "k"))
       case args => throw new IllegalArgumentException(
         s"graft_kmv_distinct expects 1-2 arguments, got ${args.length}")
+    },
+    fn("graft_quality_signals",
+      "_FUNC_(text) - all five pre-training quality-gate signals " +
+        "(struct<n_tokens, n_chars, n_sym, n_distinct, n_stop>) in one " +
+        "pass over the document; the kernel behind the quality gate " +
+        "(default stopword lexicon).") {
+      case Seq(text) => graft.functions.QualitySignalsExpr(text,
+        graft.operators.TextAnalysis.DefaultStopwords)
+      case args => throw new IllegalArgumentException(
+        s"graft_quality_signals expects 1 argument, got ${args.length}")
+    },
+    fn("graft_simhash",
+      "_FUNC_(text[, nBits]) - the document's SimHash fingerprint " +
+        "(per-bit majority vote of md5 hashes over distinct word " +
+        "tokens) as one int64; default 60 bits.") {
+      case Seq(text) => graft.functions.SimHashFingerprint(text, 60)
+      case Seq(text, bits) =>
+        graft.functions.SimHashFingerprint(text,
+          litInt(bits, "graft_simhash", "nBits"))
+      case args => throw new IllegalArgumentException(
+        s"graft_simhash expects 1-2 arguments, got ${args.length}")
+    },
+    fn("graft_term_counts",
+      "_FUNC_(text) - map<term, count> of the document's non-empty " +
+        "space-separated tokens in one pass; explode it for narrow " +
+        "(doc, term, tf) rows with no per-token shuffle.") {
+      case Seq(text) => graft.functions.TermCounts(text)
+      case args => throw new IllegalArgumentException(
+        s"graft_term_counts expects 1 argument, got ${args.length}")
+    },
+    fn("graft_repetition_signals",
+      "_FUNC_(text) - struct<n_tokens, n_distinct, max_trigram_count> " +
+        "boilerplate signals in one pass (trigrams counted as " +
+        "zero-copy substring slices).") {
+      case Seq(text) => graft.functions.RepetitionSignals(text)
+      case args => throw new IllegalArgumentException(
+        s"graft_repetition_signals expects 1 argument, got ${args.length}")
     })
 
   /** Register every function into an existing session (idempotent:

@@ -186,6 +186,41 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(plan.contains("*(1)"),
       s"expected a WholeStageCodegen stage around the kernel:\n$plan")
 
+    // the round-17 one-pass text kernels: SQL door == Scala API door
+    val qSql = spark.sql(
+      "SELECT doc_id, graft_quality_signals(text).n_tokens AS n, " +
+        "graft_simhash(text, 16) AS sh, " +
+        "graft_repetition_signals(text).max_trigram_count AS tri " +
+        "FROM mh_docs WHERE text IS NOT NULL")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val qApi = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.QualitySignalsExpr(col("text"),
+          graft.operators.TextAnalysis.DefaultStopwords)
+          .getField("n_tokens").as("n"),
+        graft.functions.SimHashFingerprint(col("text"), 16).as("sh"),
+        graft.functions.RepetitionSignals(col("text"))
+          .getField("max_trigram_count").as("tri"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(qSql == qApi)
+    // term-counts map explodes into the same (term, tf) rows the
+    // TF-IDF tf stage consumes
+    val tcSql2 = spark.sql(
+      "SELECT doc_id, t.term, t.tf FROM mh_docs " +
+        "LATERAL VIEW explode(graft_term_counts(text)) t AS term, tf " +
+        "WHERE text IS NOT NULL")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val tcApi2 = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TermCounts(col("text")))
+          .as(Seq("term", "tf")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(tcSql2 == tcApi2)
+
     // arity errors are loud
     intercept[Exception] {
       spark.sql("SELECT graft_cosine_similarity(array(1.0d))").collect()
