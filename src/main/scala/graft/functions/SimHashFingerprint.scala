@@ -66,6 +66,12 @@ final case class SimHashFingerprint(child: Expression, nBits: Int)
 
 object SimHashFingerprint {
 
+  // one digest per executor thread, reset by digest() — getInstance
+  // per row would pay a provider lookup per document
+  private val Md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** One walk per document; called from both the interpreted eval and
     * the generated code. */
   def compute(text: UTF8String, nBits: Int): Long = {
@@ -83,7 +89,7 @@ object SimHashFingerprint {
       }
       i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val votes = new Array[Int](nBits)
     val it = distinct.iterator()
     while (it.hasNext) {

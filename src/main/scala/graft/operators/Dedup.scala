@@ -525,15 +525,30 @@ object Dedup {
     */
   def jaccardCounts(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val dt = docs
-      .select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("tok"))
-      .distinct()
+    // the per-doc DISTINCT token set, NARROW (r17): map keys of the
+    // one-pass TermCounts kernel are the doc's distinct non-empty
+    // tokens — the corpus-wide `explode(split).distinct()` exchange
+    // this replaces also kept the EMPTY token wherever a doc's
+    // space-split had an empty part (leading/trailing/consecutive
+    // spaces or empty text), so that membership is re-added exactly;
+    // null-text docs dropped as the explode dropped them. Doc set
+    // sizes come from the same expressions with no groupBy.
+    val kernel = graft.functions.TermCounts(col(textCol))
+    val hasEmptyPart = col(textCol) === "" ||
+      col(textCol).startsWith(" ") || col(textCol).endsWith(" ") ||
+      col(textCol).contains("  ")
+    val nonNull = docs.filter(col(textCol).isNotNull)
+    val dt = nonNull.select(col(idCol).as("doc_id"),
+      explode(array_union(map_keys(kernel),
+        when(hasEmptyPart, array(lit("")))
+          .otherwise(typedLit(Seq.empty[String])))).as("tok"))
     val x = dt.select(col("doc_id").as("id1"), col("tok"))
     val y = dt.select(col("doc_id").as("id2"), col("tok"))
     val inter = pairs.join(x, "id1").join(y, Seq("id2", "tok"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("intersection"))
-    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = nonNull.select(col(idCol).as("doc_id"),
+      (size(map_keys(kernel)).cast("long") +
+        when(hasEmptyPart, 1L).otherwise(0L)).as("n"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "id1")
         .withColumnRenamed("n", "n1"), "id1")

@@ -902,6 +902,59 @@ class OperatorsSpec extends SparkSuite {
       s"bm25TopK must not explode the token stream:\n$plan")
   }
 
+  test("jaccardCounts narrow distinct-token frame matches the " +
+      "explode+distinct formulation, including empty-token membership") {
+    // docs chosen to exercise the empty-part rule: leading/trailing/
+    // consecutive spaces and empty text all put "" in the token set,
+    // which affects BOTH the intersection and the set sizes
+    val d = Seq(
+      (1L, "a b c"),
+      (2L, "a b  c"),   // "" joins the set -> n=4, shares "" with 3/4
+      (3L, " x "),      // "" + "x"
+      (4L, ""),         // just ""
+      (5L, "a b c"))
+      .toDF("doc_id", "text")
+    val p = Seq((1L, 2L), (1L, 5L), (3L, 4L), (2L, 3L), (1L, 4L))
+      .toDF("id1", "id2")
+    def composed(docs: org.apache.spark.sql.DataFrame,
+        pairs: org.apache.spark.sql.DataFrame) = {
+      val dt = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok")).distinct()
+      val x = dt.select(col("doc_id").as("id1"), col("tok"))
+      val y = dt.select(col("doc_id").as("id2"), col("tok"))
+      val inter = pairs.join(x, "id1").join(y, Seq("id2", "tok"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("intersection"))
+      val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "id1")
+          .withColumnRenamed("n", "n1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2")
+          .withColumnRenamed("n", "n2"), "id2")
+        .join(inter, Seq("id1", "id2"), "left")
+        .select(col("id1"), col("id2"),
+          coalesce(col("intersection"), lit(0L)).as("intersection"),
+          (col("n1") + col("n2") - coalesce(col("intersection"), lit(0L)))
+            .as("union_size"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows(Dedup.jaccardCounts(d, p)) == rows(composed(d, p)))
+    // corpus slice too
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100)
+      .filter(col("text").isNotNull)
+    val rp = Seq((0L, 1L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    assert(rows(Dedup.jaccardCounts(real, rp)) == rows(composed(real, rp)))
+    // the distinct-token frame no longer re-aggregates the corpus: no
+    // aggregate keyed on (doc_id, tok) anywhere in the plan
+    val plan = Dedup.jaccardCounts(real, rp)
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*HashAggregate\\(keys=\\[doc_id[^\\]]*tok.*"),
+      s"jaccardCounts must not distinct per (doc, tok):\n$plan")
+  }
+
   test("SimHashFingerprint kernel: simhash matches the " +
       "explode+distinct+groupBy formulation and plans shuffle-free") {
     val real = spark.read
@@ -1280,9 +1333,10 @@ class OperatorsSpec extends SparkSuite {
       s"repetition must plan shuffle-free:\n$plan")
   }
 
-  test("kernel fuzz: QualitySignals, LexiconHits and RepetitionSignals " +
-      "match their composed forms on 220 random whitespace/unicode-heavy " +
-      "strings (seeded)") {
+  test("kernel fuzz: all seven one-pass text kernels (QualitySignals, " +
+      "LexiconHits, RepetitionSignals, TermHits, TermCounts, SplitCount, " +
+      "SimHashFingerprint) match their composed forms on 220 seeded " +
+      "random whitespace/unicode-heavy strings") {
     val rnd = new scala.util.Random(0x17C0FFEE)
     // word pool: every lexicon word (case-variants exercise lower()),
     // unicode incl. U+212A KELVIN SIGN (lowercases to ASCII 'k' —
@@ -1341,6 +1395,48 @@ class OperatorsSpec extends SparkSuite {
         Seq("doc_id"), "full_outer")
       .filter(!(col("k") <=> col("c"))).count()
     assert(badR == 0L, s"$badR repetition fuzz rows differ")
+    // 4. the scalar kernels: TermHits and SplitCount vs their
+    //    composed-builtin formulas, compared as one aligned struct
+    val terms = Seq("the", "de", "café", "q1!")
+    val kTh = graft.functions.TermHits(col("text"), terms)
+    val kSide = struct(
+      (kTh.getField("dl").as("dl") +:
+        terms.indices.map(i => kTh.getField(s"tf_$i").as(s"tf_$i"))) ++
+      Seq(graft.functions.SplitCount(col("text"), bySpaceOnly = true)
+          .as("sc_space"),
+        graft.functions.SplitCount(trim(col("text")), bySpaceOnly = false)
+          .as("sc_ws")): _*)
+    val cSide = struct(
+      (size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(split(col("text"), " "), x => x === t))
+            .cast("long").as(s"tf_$i")
+        }) ++
+      Seq(size(split(col("text"), " ")).cast("long").as("sc_space"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("sc_ws")): _*)
+    val badS = docs.select(kSide.as("k"), cSide.as("c"))
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(badS == 0L, s"$badS TermHits/SplitCount fuzz rows differ")
+    val badSh = graft.operators.Dedup.simhash(docs, nBits = 24)
+      .withColumnRenamed("simhash", "k")
+      .join(graft.operators.Dedup.composedSimhash(docs, nBits = 24)
+        .withColumnRenamed("simhash", "c"), Seq("doc_id"), "full_outer")
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(badSh == 0L, s"$badSh simhash fuzz rows differ")
+    val badTc = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TermCounts(col("text")))
+          .as(Seq("term", "tf")))
+      .join(docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("ctf")),
+        Seq("doc_id", "term"), "full_outer")
+      .filter(!(col("tf") <=> col("ctf"))).count()
+    assert(badTc == 0L, s"$badTc TermCounts fuzz rows differ")
   }
 
   test("TermHits kernel: bm25TopK matches the explode+groupBy " +
