@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 60-bit positive hash from md5 (portable across engines). */
+  /** 60-bit positive hash from md5 (portable across engines) — the
+    * native digest-bytes kernel since r17 (the composed
+    * `conv(substring(md5(c),1,15),16,10)` hex-formatted and re-parsed
+    * per row; retained as [[composedMd5Hash60]] for the differential
+    * spec). */
   def md5Hash60(c: Column): Column =
+    graft.functions.Md5Hash60(c.cast("string"))
+
+  /** The hex-format-and-reparse formulation [[md5Hash60]]'s kernel
+    * replaced — retained ONLY as the differential-spec reference. */
+  private[graft] def composedMd5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Exact dedup by content hash: one surviving doc id per distinct text,

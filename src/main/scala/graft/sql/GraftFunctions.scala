@@ -68,15 +68,11 @@ object GraftFunctions {
         "samplers'; `WHERE _FUNC_(id) < f * 1152921504606846976` is a " +
         "shuffle-free, reproducible f-fraction sample that selects " +
         "EXACTLY the docs graft.operators.Corpus.thresholdSample keeps.") {
-      // built from resolved catalyst nodes, NOT via the Column API —
-      // Column wraps unresolved ColumnNodes, which cannot be spliced
-      // into a plan mid-analysis. Formula = Corpus.sampleHash/md5Hash60:
+      // the same digest-bytes kernel Corpus.sampleHash uses (r17) —
+      // bit-identical to the composed
       // conv(substring(md5(cast(key as string)), 1, 15), 16, 10)::long
       case Seq(key) =>
-        Cast(Conv(
-          Substring(Md5(Cast(Cast(key, StringType), BinaryType)),
-            Literal(1), Literal(15)),
-          Literal(16), Literal(10)), LongType)
+        graft.functions.Md5Hash60(Cast(key, StringType))
       case args => throw new IllegalArgumentException(
         s"graft_sample_hash expects 1 argument, got ${args.length}")
     },

@@ -1040,6 +1040,33 @@ class OperatorsSpec extends SparkSuite {
     assert(bad == 0L, s"$bad SplitCount rows differ from size(split)")
   }
 
+  test("Md5Hash60 kernel: the 60-bit coin matches the composed " +
+      "conv(substring(md5)) form AND the driver-side PortableHash twin") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("text")).filter(col("text").isNotNull).limit(300)
+    val edges = Seq("", " ", "0", "-1", "café 世界 😀",
+      "a" * 1000).toDF("text")
+    val all = real.unionAll(edges)
+    val bad = all.select(
+        graft.operators.Dedup.md5Hash60(col("text")).as("k"),
+        graft.operators.Dedup.composedMd5Hash60(col("text")).as("c"))
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(bad == 0L, s"$bad md5Hash60 rows differ from composed")
+    // the JVM twin the bucket routers / band stores rely on
+    for (s <- Seq("", "hello", "café 世界", "12345")) {
+      val spark60 = Seq(s).toDF("t")
+        .select(graft.operators.Dedup.md5Hash60(col("t"))).head().getLong(0)
+      assert(spark60 == graft.model.PortableHash.md5Long60(s),
+        s"PortableHash twin diverges on '$s'")
+    }
+    // coins are in [0, 2^60)
+    val range = all.select(graft.operators.Corpus
+        .sampleHash(col("text")).as("h"))
+      .agg(min(col("h")), max(col("h"))).head()
+    assert(range.getLong(0) >= 0L && range.getLong(1) < (1L << 60))
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val d = Seq(
       (1L, "hello   world"), (2L, "hello world"), (3L, "hello worlds"))
