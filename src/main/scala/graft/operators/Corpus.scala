@@ -110,22 +110,34 @@ object Corpus {
       maxBroadcastNgrams: Long = DefaultMaxBroadcastNgrams): DataFrame = {
     val holdoutNgrams = wordNgrams(holdout, n, idCol, textCol)
       .select(col("ngram")).distinct()
-    // Holdout-sized pre-count (never corpus-sized); the distinct is
-    // recomputed by the join job — a second holdout pass, deliberately
-    // traded against caching state the caller would have to manage.
+    // Holdout-sized pre-count (never corpus-sized); kept eager like
+    // the strategy pick always was.
     val broadcastable = holdoutNgrams.count() <= maxBroadcastNgrams
-    val joinSide =
-      if (broadcastable) broadcast(holdoutNgrams)
-      else holdoutNgrams.hint("shuffle_hash")
-    val matched = wordNgrams(corpus, n, idCol, textCol)
-      .join(joinSide, "ngram")
-      .groupBy(col(idCol))
-      .agg(count_distinct(col("ngram")).as("n_matched"))
-    corpus.select(col(idCol))
-      .join(matched, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+    if (broadcastable) {
+      // within the broadcast budget the set rides the NgramMatches
+      // kernel as ONE reference object (the NearestCentroids
+      // bounded-collect precedent — the count above just proved the
+      // collect is bounded), and the membership test answers per
+      // document in one pass: NO corpus n-gram explode, NO
+      // groupBy(doc) exchange, no join — the whole operator is a
+      // narrow projection over the corpus (strategy differential in
+      // CorpusSpec pins kernel ≡ shuffled join)
+      val grams = holdoutNgrams.collect().map(_.getString(0))
+      val matches = coalesce(
+        graft.functions.NgramMatches(col(textCol), n, grams), lit(0L))
+      corpus.select(col(idCol), matches.as("n_matched"),
+        (matches > 0L).as("contaminated"))
+    } else {
+      val matched = wordNgrams(corpus, n, idCol, textCol)
+        .join(holdoutNgrams.hint("shuffle_hash"), "ngram")
+        .groupBy(col(idCol))
+        .agg(count_distinct(col("ngram")).as("n_matched"))
+      corpus.select(col(idCol))
+        .join(matched, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+    }
   }
 
   /** Keep the best `k` docs per group by a score column (ties broken by

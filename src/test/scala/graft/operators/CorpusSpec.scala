@@ -79,12 +79,17 @@ class CorpusSpec extends SparkSuite {
       4L -> ((0L, false)), 5L -> ((0L, false))))
   }
 
-  test("decontaminate broadcasts the holdout n-gram set") {
+  test("decontaminate within the broadcast budget is a NARROW corpus " +
+      "projection (NgramMatches kernel: no explode, no join, no exchange)") {
     val df = Corpus.decontaminate(
       docs.filter(col("doc_id") % 100 =!= 7),
       docs.filter(col("doc_id") % 100 === 7))
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"holdout not broadcast:\n$plan")
+    assert(plan.contains("graft_ngram_matches"),
+      s"expected the membership kernel in the plan:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Generate") &&
+      !plan.contains("Join"),
+      s"kernel path must not explode/join/shuffle the corpus:\n$plan")
   }
 
   test("decontaminate strategy differential: shuffle join ≡ broadcast") {
