@@ -163,3 +163,79 @@ object SplitCount {
   def apply(text: Column, bySpaceOnly: Boolean): Column =
     GraftColumn(SplitCount(GraftColumn.expr(text), bySpaceOnly))
 }
+
+/** `regexp_count(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")` — the
+  * BPE-ish pre-tokenizer count — as one byte walk.
+  *
+  * Java regex alternation is ordered and greedy, so at every position
+  * the match is: a maximal ASCII-letter run, else a maximal digit run,
+  * else exactly ONE codepoint that is neither alphanumeric nor `\s`
+  * (every non-ASCII codepoint lands here); `\s` (ASCII) matches
+  * nothing and is skipped. The walk counts letter runs, digit runs,
+  * and individual symbol codepoints — the same total, without the
+  * regex engine. NULL → NULL.
+  */
+final case class BpeishTokenCount(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpeish_count"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeishTokenCount.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeishTokenCount.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeishTokenCount = copy(child = newChild)
+}
+
+object BpeishTokenCount {
+
+  def compute(text: UTF8String): Long = {
+    val b = text.getBytes
+    val n = b.length
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      val ci = b(i) & 0xFF
+      if (ci < 0x80) {
+        if ((ci >= 'A' && ci <= 'Z') || (ci >= 'a' && ci <= 'z')) {
+          cnt += 1L // letter run
+          i += 1
+          while (i < n && {
+            val c2 = b(i) & 0xFF
+            (c2 >= 'A' && c2 <= 'Z') || (c2 >= 'a' && c2 <= 'z')
+          }) i += 1
+        } else if (ci >= '0' && ci <= '9') {
+          cnt += 1L // digit run
+          i += 1
+          while (i < n && { val c2 = b(i) & 0xFF; c2 >= '0' && c2 <= '9' })
+            i += 1
+        } else {
+          val ws = ci == 0x20 || ci == 0x09 || ci == 0x0A ||
+            ci == 0x0B || ci == 0x0C || ci == 0x0D
+          if (!ws) cnt += 1L // single ASCII symbol
+          i += 1
+        }
+      } else {
+        cnt += 1L // one non-ASCII codepoint = one symbol match
+        i += 1
+        while (i < n && (b(i) & 0xC0) == 0x80) i += 1 // continuations
+      }
+    }
+    cnt
+  }
+
+  def apply(text: Column): Column =
+    GraftColumn(BpeishTokenCount(GraftColumn.expr(text)))
+}

@@ -88,8 +88,10 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
       graft.functions.SplitCount(trim(col(textCol)), bySpaceOnly = false)
         .as("ws_tokens"),
-      regexp_count(col(textCol),
-        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+      // ≡ regexp_count(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]") — one
+      // byte walk instead of the regex engine (kernel differential in
+      // OperatorsSpec)
+      graft.functions.BpeishTokenCount(col(textCol))
         .as("bpe_ish_tokens"))
 
   /** Whitespace-normalized content fingerprint (md5-based 60-bit). Two

@@ -1067,6 +1067,25 @@ class OperatorsSpec extends SparkSuite {
     assert(range.getLong(0) >= 0L && range.getLong(1) < (1L << 60))
   }
 
+  test("BpeishTokenCount kernel matches the regexp_count alternation " +
+      "(corpus + class-boundary edges)") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("text")).limit(300)
+    // edges: run boundaries at every class transition, symbols between
+    // runs, multibyte codepoints (each = ONE symbol match), whitespace
+    // contributing nothing, empty and null text
+    val edges = Seq("", " ", "abc", "abc123", "a1b2", "!@#", "a-b.c",
+      "café 世界 😀", "A1 b!2\tC", "12 34", null).toDF("text")
+    val all = real.unionAll(edges)
+    val bad = all.select(
+        graft.functions.BpeishTokenCount(col("text")).as("k"),
+        regexp_count(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("c"))
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(bad == 0L, s"$bad BpeishTokenCount rows differ from regexp_count")
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val d = Seq(
       (1L, "hello   world"), (2L, "hello world"), (3L, "hello worlds"))
