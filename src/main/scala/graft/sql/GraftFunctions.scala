@@ -119,6 +119,25 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"graft_term_counts expects 1 argument, got ${args.length}")
     },
+    fn("graft_split_count",
+      "_FUNC_(text[, bySpaceOnly]) - size(split(text, ' ')) when " +
+        "bySpaceOnly (default), size(split(text, '\\s+')) otherwise — " +
+        "the token COUNT without materializing the split array.") {
+      case Seq(text) => graft.functions.SplitCount(text, bySpaceOnly = true)
+      case Seq(text, Literal(b: Boolean, _)) =>
+        graft.functions.SplitCount(text, b)
+      case args => throw new IllegalArgumentException(
+        "graft_split_count expects (text[, literal boolean]), got " +
+          args.mkString(", "))
+    },
+    fn("graft_bpeish_count",
+      "_FUNC_(text) - regexp_count(text, " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') as one byte walk — the " +
+        "BPE-ish pre-tokenizer count.") {
+      case Seq(text) => graft.functions.BpeishTokenCount(text)
+      case args => throw new IllegalArgumentException(
+        s"graft_bpeish_count expects 1 argument, got ${args.length}")
+    },
     fn("graft_repetition_signals",
       "_FUNC_(text) - struct<n_tokens, n_distinct, max_trigram_count> " +
         "boilerplate signals in one pass (trigrams counted as " +

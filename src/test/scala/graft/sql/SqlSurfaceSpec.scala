@@ -221,6 +221,21 @@ class SqlSurfaceSpec extends SparkSuite {
       .toSet
     assert(tcSql2 == tcApi2)
 
+    // count kernels: SQL door == the builtin formulas they replace
+    val cnt = spark.sql(
+      "SELECT sum(graft_split_count(text)) AS a, " +
+        "sum(graft_split_count(trim(text), false)) AS b, " +
+        "sum(graft_bpeish_count(text)) AS c FROM mh_docs " +
+        "WHERE text IS NOT NULL").head()
+    val cntRef = spark.sql(
+      "SELECT sum(size(split(text, ' '))) AS a, " +
+        "sum(size(split(trim(text), '\\\\s+'))) AS b, " +
+        "sum(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]')) " +
+        "AS c FROM mh_docs WHERE text IS NOT NULL").head()
+    assert(cnt.getLong(0) == cntRef.getLong(1 - 1) &&
+      cnt.getLong(1) == cntRef.getLong(1) && cnt.getLong(2) == cntRef.getLong(2),
+      s"count doors diverge: $cnt vs $cntRef")
+
     // arity errors are loud
     intercept[Exception] {
       spark.sql("SELECT graft_cosine_similarity(array(1.0d))").collect()
