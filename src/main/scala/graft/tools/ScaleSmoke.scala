@@ -93,7 +93,12 @@ object ScaleSmoke {
     // one-pass multi-query BM25, the full prep pipeline with quality +
     // redaction folded in, and the persisted kmeans-IVF serving index
     "ext_dedup_semantic", "ext_bm25_multi", "ext_pipeline_prep_v2",
-    "eng_ann_ivf_persisted", "ext_dedup_incremental_exact_store")
+    "eng_ann_ivf_persisted", "ext_dedup_incremental_exact_store",
+    // round 17b: the rows rebuilt on one-pass kernels (quality gate,
+    // BM25 single-query, token counting) — in the default slice so
+    // every future campaign regression-gates the kernel family
+    "ext_bm25", "ext_quality_gate", "ext_quality_score",
+    "ext_token_count", "ext_dedup_ngram_jaccard")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
