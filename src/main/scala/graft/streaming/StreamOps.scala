@@ -331,6 +331,39 @@ object StreamOps {
     * Package-visible so the crash-resume spec can drive the REAL operator
     * pipeline under a test-controlled query lifecycle (kill + restart on
     * one checkpoint). */
+  /** Streaming twin of the prep pipeline's quality + privacy front:
+    * gate every arriving document with the one-pass
+    * [[graft.operators.TextAnalysis.qualityPasses]] kernel and emit
+    * the redacted-text length for survivors. Both stages are
+    * STATELESS codegen'd projections, so they run unchanged inside
+    * micro-batches — no state store, no watermark, the streaming
+    * relation is exactly the batch relation (the oracle pins it).
+    * Memory-sink harness like the other `ext_stream_*` contract rows.
+    */
+  def streamingQualityPrep(s: SparkSession, dir: String): DataFrame = {
+    val tableName = s"stream_quality_${System.nanoTime()}"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val out = streamSource(s, dir, "documents", docSchema)
+      .filter(col("text").isNotNull &&
+        graft.operators.TextAnalysis.qualityPasses(col("text")))
+      .select(col("doc_id"), col("lang"),
+        length(graft.operators.TextAnalysis.redactedText(col("text")))
+          .cast("long").as("n_chars_redacted"))
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(tableName)
+  }
+
   private[streaming] def dedupStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._

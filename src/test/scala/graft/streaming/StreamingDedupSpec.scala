@@ -336,4 +336,25 @@ class StreamingDedupSpec extends SparkSuite {
     assert(!stateFiles.exists(_.endsWith(".delta")),
       "default-provider .delta files present — RocksDB was not in effect")
   }
+
+  test("streamingQualityPrep: the stateless gate + redaction stream " +
+      "equals the batch projection row-for-row") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamOps
+      .streamingQualityPrep(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull &&
+        graft.operators.TextAnalysis.qualityPasses(col("text")))
+      .select(col("doc_id"), col("lang"),
+        length(graft.operators.TextAnalysis.redactedText(col("text")))
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch, s"stream != batch: ${
+      (streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    assert(batch.nonEmpty, "fixture must have gate survivors")
+  }
 }
