@@ -1628,6 +1628,17 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         chunkTokens = 32, overlap = 8)),
 
+    // ---- the SAME complete pipeline with the quality + privacy front
+    //      MATERIALIZED to a staging table (r17): one parquet write
+    //      buys never re-gating a scan branch — the production shape
+    //      when multiple consumers read the gated corpus; identical
+    //      relation, so it reuses ext_pipeline_prep_v2's oracle -------
+    "ext_pipeline_prep_staged" -> ((s, dir) =>
+      graft.operators.Corpus.prepPipelineV2Staged(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s"/tmp/graft_prep_staged_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+        chunkTokens = 32, overlap = 8)),
+
     // ---- ANN over the LEARNED k-means layout (all-integer) -----------
     // inverted lists = Lloyd clusters; probe selection AND rescore rank
     // by fixed-point L2 — the one ANN row with zero float-ordering
@@ -3642,6 +3653,9 @@ object SparkEntry {
         base("ext_dedup_incremental")) +
       ("sql_bm25" -> base("ext_bm25")) +
       ("sql_quality_gate" -> base("ext_quality_gate")) +
-      ("sql_pii_redact" -> base("ext_pii_redact"))
+      ("sql_pii_redact" -> base("ext_pii_redact")) +
+      // the staged variant materializes the gated front but computes
+      // the IDENTICAL relation — one oracle, two execution shapes
+      ("ext_pipeline_prep_staged" -> base("ext_pipeline_prep_v2"))
   }
 }

@@ -485,6 +485,26 @@ object Corpus {
     prepPipeline(gated, chunkTokens, overlap)
   }
 
+  /** [[prepPipelineV2]] with the quality + privacy front MATERIALIZED:
+    * writes the gated, redacted corpus ONCE to `stagingDir` and runs
+    * the fused rebalance → dedup → split → chunk pipeline off the
+    * staged table. Identical relation to [[prepPipelineV2]] (same
+    * oracle) — the trade is one parquet write for not re-evaluating
+    * the gate on both of the pipeline's corpus scan branches (the
+    * language-count aggregate and the main flow each re-gate in the
+    * inline form; at 100 TB a production pipeline stages the expensive
+    * front exactly like this, and every downstream consumer — not just
+    * this pipeline — reads the cheap staged table). */
+  def prepPipelineV2Staged(docs: DataFrame, stagingDir: String,
+      chunkTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    docs.filter(TextAnalysis.qualityPasses(col("text")))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.redactedText(col("text")).as("text"))
+      .write.mode("overwrite").parquet(stagingDir)
+    prepPipeline(spark.read.parquet(stagingDir), chunkTokens, overlap)
+  }
+
   /** Deterministic train/val/test split assignment: the 60-bit md5 coin
     * partitioned into `[0, train)`, `[train, train+val)`, rest — every
     * doc lands in exactly one split, stable across runs/engines/corpus

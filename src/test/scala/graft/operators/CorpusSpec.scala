@@ -496,6 +496,23 @@ class CorpusSpec extends SparkSuite {
       s"fused v2 plan must not corpus-join:\n$p2")
   }
 
+  test("prepPipelineV2Staged computes the identical relation to the " +
+      "inline pipeline (one oracle, two execution shapes)") {
+    val stagingDir = java.nio.file.Files
+      .createTempDirectory("graft-prep-staged").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val inline = rows(Corpus.prepPipelineV2(docs, 32, 8))
+    val staged = rows(Corpus.prepPipelineV2Staged(docs, stagingDir, 32, 8))
+    assert(staged == inline)
+    assert(inline.nonEmpty, "fixture must produce chunks")
+    // the staged table holds the gated, REDACTED corpus
+    val stagedDocs = spark.read.parquet(stagingDir)
+    assert(stagedDocs.columns.sorted.sameElements(
+      Array("doc_id", "lang", "text")))
+  }
+
   test("splitAssign: exhaustive, deterministic, stable under corpus " +
       "growth, ~80/10/10") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
