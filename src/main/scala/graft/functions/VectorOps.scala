@@ -460,3 +460,139 @@ object IntSquaredL2 {
     GraftColumn(
       IntSquaredL2(GraftColumn.expr(a), GraftColumn.expr(b)))
 }
+
+/** `transform(emb, x -> floor(x * scale + 0.5))` as one fused loop —
+  * the fixed-point quantizer feeding the k-means / IVF integer
+  * kernels. Same IEEE arithmetic per element (widen to double,
+  * multiply, add, floor — deterministic everywhere, no HALF_UP
+  * ambiguity), null elements stay null; replaces an interpreted
+  * per-element lambda evaluated once per corpus row.
+  */
+final case class FixedPointQuantize(child: Expression, scale: Double)
+    extends UnaryExpression {
+
+  private def code(t: DataType): Int = t match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case _ => -1
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (code(child.dataType) >= 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got " +
+        child.dataType.catalogString)
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "graft_fx_quantize"
+
+  private lazy val tCode = code(child.dataType)
+
+  override def nullSafeEval(input: Any): Any =
+    FixedPointQuantize.compute(input.asInstanceOf[ArrayData], scale, tCode)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.FixedPointQuantize.compute(
+         |  $c, $scale, $tCode);""".stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FixedPointQuantize = copy(child = newChild)
+}
+
+object FixedPointQuantize {
+
+  def compute(a: ArrayData, scale: Double, tCode: Int): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val d = if (tCode == 0) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = java.lang.Math.floor(d * scale + 0.5d).toLong
+      } // else: null element stays null (transform's per-element null)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(emb: Column, scale: Double): Column =
+    GraftColumn(FixedPointQuantize(GraftColumn.expr(emb), scale))
+}
+
+/** `Similarity.scalarQuantize`'s int8 quantizer as one fused loop:
+  * maxabs over `|coalesce(x, 0)|`, all-zero when the max is 0 (or the
+  * array is empty), else `floor(x·127/maxabs + 0.5)` per element —
+  * the exact composed arithmetic (null elements quantize as 0.0, the
+  * float kernels' `toD` contract), byte output always in [-127, 127].
+  * Replaces three interpreted per-element lambdas per corpus row in
+  * the quantized-ANN family.
+  */
+final case class ScalarQuantizeInt8(child: Expression)
+    extends UnaryExpression {
+
+  private def code(t: DataType): Int = t match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case _ => -1
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (code(child.dataType) >= 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got " +
+        child.dataType.catalogString)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def prettyName: String = "graft_int8_quantize"
+
+  private lazy val tCode = code(child.dataType)
+
+  override def nullSafeEval(input: Any): Any =
+    ScalarQuantizeInt8.compute(input.asInstanceOf[ArrayData], tCode)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ScalarQuantizeInt8.compute(
+         |  $c, $tCode);""".stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ScalarQuantizeInt8 = copy(child = newChild)
+}
+
+object ScalarQuantizeInt8 {
+
+  def compute(a: ArrayData, tCode: Int): ArrayData = {
+    val n = a.numElements()
+    @inline def toD(i: Int): Double =
+      if (a.isNullAt(i)) 0.0d
+      else if (tCode == 0) a.getFloat(i).toDouble
+      else a.getDouble(i)
+    var maxabs = 0.0d
+    var i = 0
+    while (i < n) {
+      val v = java.lang.Math.abs(toD(i))
+      // array_max orders NaN greatest: one NaN element poisons maxabs
+      // (the composed form then floors NaN per element -> all zeros)
+      if (java.lang.Double.isNaN(v)) { maxabs = Double.NaN; i = n }
+      else if (v > maxabs) maxabs = v
+      i += 1
+    }
+    val out = new Array[Any](n)
+    if (maxabs == 0.0d) {
+      var j = 0
+      while (j < n) { out(j) = 0.toByte; j += 1 }
+    } else {
+      var j = 0
+      while (j < n) {
+        out(j) = java.lang.Math.floor(toD(j) * 127.0d / maxabs + 0.5d)
+          .toByte
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(emb: Column): Column =
+    GraftColumn(ScalarQuantizeInt8(GraftColumn.expr(emb)))
+}

@@ -73,10 +73,13 @@ object Clustering {
     math.max(stride, (n + maxCentroids - 1L) / maxCentroids)
   }
 
-  /** `floor(x * 1024 + 0.5)` per component, as int64. */
+  /** `floor(x * 1024 + 0.5)` per component, as int64 — the one-pass
+    * [[graft.functions.FixedPointQuantize]] kernel since r17 (the
+    * `transform` lambda it replaced was interpreted per corpus row;
+    * identical IEEE arithmetic, pinned by the ClusteringSpec
+    * differential). */
   def quantize(emb: Column): Column =
-    transform(emb, x =>
-      floor(x.cast("double") * lit(FxScale) + lit(0.5)).cast("long"))
+    graft.functions.FixedPointQuantize(emb, FxScale)
 
   /** Integer squared-L2 between two fixed-point vectors (the pairwise
     * rescore path; the against-all-centroids path is the native

@@ -105,11 +105,19 @@ object Similarity {
     * behavior differs across engines (Spark HALF_UP, others
     * HALF_EVEN); the floor form is IEEE-deterministic everywhere, so
     * quantized vectors are bit-identical cross-engine. */
-  def scalarQuantize(embedding: Column): Column = {
+  def scalarQuantize(embedding: Column): Column =
     // a null ELEMENT quantizes as 0.0 — the same contract as the float
     // kernels' toD, so a malformed vector ranks identically through the
     // quantized and float paths instead of carrying null components
-    // (null dot/norm) that sort last only by accident of null ordering
+    // (null dot/norm) that sort last only by accident of null ordering.
+    // One-pass kernel since r17 (the three interpreted per-element
+    // lambdas it replaced are retained as [[composedScalarQuantize]]
+    // for the differential spec).
+    graft.functions.ScalarQuantizeInt8(embedding)
+
+  /** The transform-lambda formulation [[scalarQuantize]]'s kernel
+    * replaced — retained ONLY as the differential-spec reference. */
+  private[graft] def composedScalarQuantize(embedding: Column): Column = {
     def toD(x: Column) = coalesce(x.cast("double"), lit(0.0d))
     val maxabs = array_max(transform(embedding, x => abs(toD(x))))
     when(maxabs.isNull || maxabs === 0d,

@@ -1086,6 +1086,39 @@ class OperatorsSpec extends SparkSuite {
     assert(bad == 0L, s"$bad BpeishTokenCount rows differ from regexp_count")
   }
 
+  test("quantizer kernels are bit-exact with the transform-lambda " +
+      "forms (incl. NaN-poisoned maxabs, null elements, zero vectors)") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("embedding")).limit(200)
+    val edges = Seq(
+      Array(0.0f, 0.0f, 0.0f),               // all-zero -> zero bytes
+      Array(-1.0f, 0.5f, 1.0f),
+      Array(Float.NaN, 1.0f, -2.0f),         // NaN poisons maxabs
+      Array(Float.PositiveInfinity, 1.0f),
+      Array(-0.0f, 1e-30f, -1e30f))
+      .toDF("embedding")
+    val all = real.unionAll(edges)
+    val badQ = all.select(
+        graft.operators.Similarity.scalarQuantize(col("embedding"))
+          .as("k"),
+        graft.operators.Similarity
+          .composedScalarQuantize(col("embedding")).as("c"))
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(badQ == 0L, s"$badQ int8-quantize rows differ")
+    // fixed-point: kernel vs the transform form, with a null element
+    val withNull = all.select(col("embedding")).unionAll(
+      Seq(1).toDF("x").select(array(lit(0.25f),
+        lit(null).cast("float"), lit(-0.75f)).as("embedding")))
+    val badF = withNull.select(
+        graft.operators.Clustering.quantize(col("embedding")).as("k"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * lit(1024.0d) + lit(0.5d)).cast("long"))
+          .as("c"))
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(badF == 0L, s"$badF fixed-point-quantize rows differ")
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val d = Seq(
       (1L, "hello   world"), (2L, "hello world"), (3L, "hello worlds"))
