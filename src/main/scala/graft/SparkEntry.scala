@@ -881,8 +881,8 @@ object SparkEntry {
       graft.sql.SqlSurface.registerPipeline(s,
         s.read.parquet(s"$dir/documents.parquet"),
         includeClusters = false)
-      val stop = graft.operators.TextAnalysis.DefaultStopwords
-        .map(w => s"'$w'").mkString(", ")
+      // the stopword lexicon now travels INSIDE graft_quality_signals
+      // (one definition — the kernel's), not as interpolated literals
       s.sql(s"""SELECT doc_id, n_tokens,
         |  CASE WHEN n_tokens = 0 THEN 0.0D
         |    ELSE CAST(n_chars AS DOUBLE) / n_tokens END AS mean_token_len,
@@ -902,13 +902,39 @@ object SparkEntry {
         |      ELSE CAST(n_distinct AS DOUBLE) / n_tokens END) >= 0.3D
         |    AND stopword_hits >= 1 AS BIGINT) AS passes
         |FROM (
-        |  SELECT doc_id,
-        |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
-        |    CAST(length(regexp_replace(text, '\\\\s+', '')) AS BIGINT) AS n_chars,
-        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\\\s]', '')) AS BIGINT) AS n_sym,
-        |    CAST(size(array_distinct(filter(split(text, ' '), x -> x != ''))) AS BIGINT) AS n_distinct,
-        |    CAST(size(filter(split(text, ' '), x -> x IN ($stop))) AS BIGINT) AS stopword_hits
-        |  FROM graft_docs WHERE text IS NOT NULL)""".stripMargin)
+        |  SELECT doc_id, sig.n_tokens AS n_tokens, sig.n_chars AS n_chars,
+        |    sig.n_sym AS n_sym, sig.n_distinct AS n_distinct,
+        |    sig.n_stop AS stopword_hits
+        |  FROM (SELECT doc_id, graft_quality_signals(text) AS sig
+        |        FROM graft_docs WHERE text IS NOT NULL))""".stripMargin)
+    }),
+
+    // TF-IDF top terms as pure SQL text — the graft_term_counts kernel
+    // door: narrow (doc, term, tf) rows from the map explode, exactly
+    // the DataFrame operator's plan; same oracle as ext_tfidf
+    "sql_tfidf" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      s.sql("""WITH tf AS (
+        |  SELECT doc_id, t.term AS term, t.tf AS tf
+        |  FROM graft_docs
+        |  LATERAL VIEW explode(graft_term_counts(text)) t AS term, tf
+        |  WHERE text IS NOT NULL
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT count(*) AS n
+        |  FROM (SELECT DISTINCT doc_id FROM graft_docs WHERE text IS NOT NULL)
+        |)
+        |SELECT doc_id, term, tf, df, score, rnk FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE)
+        |        DESC, tf.term ASC) AS BIGINT) AS rnk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |) WHERE rnk <= 3""".stripMargin)
     }),
 
     // PII redaction as pure SQL text (same ordered regexp_replace
@@ -3656,6 +3682,7 @@ object SparkEntry {
       ("sql_pii_redact" -> base("ext_pii_redact")) +
       // the staged variant materializes the gated front but computes
       // the IDENTICAL relation — one oracle, two execution shapes
-      ("ext_pipeline_prep_staged" -> base("ext_pipeline_prep_v2"))
+      ("ext_pipeline_prep_staged" -> base("ext_pipeline_prep_v2")) +
+      ("sql_tfidf" -> base("ext_tfidf"))
   }
 }
