@@ -909,6 +909,49 @@ object SparkEntry {
         |        FROM graft_docs WHERE text IS NOT NULL))""".stripMargin)
     }),
 
+    // language ID / repetition / SimHash as pure SQL text — the
+    // remaining kernel doors, each a narrow projection reusing its
+    // DataFrame twin's oracle
+    "sql_lang_id" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      s.sql("""SELECT doc_id, sig.n_tokens AS n_tokens,
+        |  sig.de_hits AS de_hits, sig.en_hits AS en_hits,
+        |  sig.es_hits AS es_hits, sig.fr_hits AS fr_hits,
+        |  CASE
+        |    WHEN greatest(sig.de_hits, sig.en_hits, sig.es_hits,
+        |      sig.fr_hits) = 0 THEN 'und'
+        |    WHEN sig.de_hits >= sig.en_hits AND sig.de_hits >= sig.es_hits
+        |      AND sig.de_hits >= sig.fr_hits THEN 'de'
+        |    WHEN sig.en_hits >= sig.es_hits AND sig.en_hits >= sig.fr_hits
+        |      THEN 'en'
+        |    WHEN sig.es_hits >= sig.fr_hits THEN 'es'
+        |    ELSE 'fr' END AS predicted_lang
+        |FROM (SELECT doc_id, graft_lexicon_hits(text) AS sig
+        |      FROM graft_docs WHERE text IS NOT NULL)""".stripMargin)
+    }),
+
+    "sql_repetition" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      s.sql("""SELECT doc_id, sig.n_tokens AS n_tokens,
+        |  CAST(sig.n_distinct AS DOUBLE) / CAST(sig.n_tokens AS DOUBLE)
+        |    AS distinct_ratio,
+        |  sig.max_trigram_count AS max_trigram_count
+        |FROM (SELECT doc_id, graft_repetition_signals(text) AS sig
+        |      FROM graft_docs WHERE text IS NOT NULL)""".stripMargin)
+    }),
+
+    "sql_simhash" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      s.sql("""SELECT doc_id, graft_simhash(text, 16) AS simhash
+        |FROM graft_docs WHERE text IS NOT NULL""".stripMargin)
+    }),
+
     // TF-IDF top terms as pure SQL text — the graft_term_counts kernel
     // door: narrow (doc, term, tf) rows from the map explode, exactly
     // the DataFrame operator's plan; same oracle as ext_tfidf
@@ -3683,6 +3726,9 @@ object SparkEntry {
       // the staged variant materializes the gated front but computes
       // the IDENTICAL relation — one oracle, two execution shapes
       ("ext_pipeline_prep_staged" -> base("ext_pipeline_prep_v2")) +
-      ("sql_tfidf" -> base("ext_tfidf"))
+      ("sql_tfidf" -> base("ext_tfidf")) +
+      ("sql_lang_id" -> base("ext_lang_id")) +
+      ("sql_repetition" -> base("ext_repetition")) +
+      ("sql_simhash" -> base("ext_dedup_simhash"))
   }
 }

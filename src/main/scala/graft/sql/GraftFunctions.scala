@@ -138,6 +138,18 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"graft_bpeish_count expects 1 argument, got ${args.length}")
     },
+    fn("graft_lexicon_hits",
+      "_FUNC_(text) - per-language stopword hit counts " +
+        "(struct<n_tokens, de_hits, en_hits, es_hits, fr_hits>) in one " +
+        "pass; the kernel behind shuffle-free language ID (default " +
+        "lexicons).") {
+      case Seq(text) =>
+        val lex = graft.operators.TextAnalysis.DefaultLexicons
+        graft.functions.LexiconHits(text,
+          lex.keys.toSeq.sorted.map(l => l -> lex(l)))
+      case args => throw new IllegalArgumentException(
+        s"graft_lexicon_hits expects 1 argument, got ${args.length}")
+    },
     fn("graft_repetition_signals",
       "_FUNC_(text) - struct<n_tokens, n_distinct, max_trigram_count> " +
         "boilerplate signals in one pass (trigrams counted as " +
