@@ -108,36 +108,47 @@ object Corpus {
   def decontaminate(corpus: DataFrame, holdout: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       maxBroadcastNgrams: Long = DefaultMaxBroadcastNgrams): DataFrame = {
+    holdoutNgramSet(holdout, n, idCol, textCol, maxBroadcastNgrams) match {
+      case Some(grams) =>
+        // within the broadcast budget the set rides the NgramMatches
+        // kernel as ONE reference object (the NearestCentroids
+        // bounded-collect precedent — the strategy count just proved
+        // the collect is bounded), and the membership test answers per
+        // document in one pass: NO corpus n-gram explode, NO
+        // groupBy(doc) exchange, no join — the whole operator is a
+        // narrow projection over the corpus (strategy differential in
+        // CorpusSpec pins kernel ≡ shuffled join)
+        val matches = coalesce(
+          graft.functions.NgramMatches(col(textCol), n, grams), lit(0L))
+        corpus.select(col(idCol), matches.as("n_matched"),
+          (matches > 0L).as("contaminated"))
+      case None =>
+        val holdoutNgrams = wordNgrams(holdout, n, idCol, textCol)
+          .select(col("ngram")).distinct()
+        val matched = wordNgrams(corpus, n, idCol, textCol)
+          .join(holdoutNgrams.hint("shuffle_hash"), "ngram")
+          .groupBy(col(idCol))
+          .agg(count_distinct(col("ngram")).as("n_matched"))
+        corpus.select(col(idCol))
+          .join(matched, Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+            (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+    }
+  }
+
+  /** The holdout's distinct word n-grams IF they fit the broadcast
+    * budget (the eager count IS the strategy pick) — `None` means the
+    * caller must take the shuffled-join path. Shared by
+    * [[decontaminate]] and [[curate]] so both agree on the cutover. */
+  private[operators] def holdoutNgramSet(holdout: DataFrame, n: Int,
+      idCol: String, textCol: String,
+      maxBroadcastNgrams: Long): Option[Array[String]] = {
     val holdoutNgrams = wordNgrams(holdout, n, idCol, textCol)
       .select(col("ngram")).distinct()
-    // Holdout-sized pre-count (never corpus-sized); kept eager like
-    // the strategy pick always was.
-    val broadcastable = holdoutNgrams.count() <= maxBroadcastNgrams
-    if (broadcastable) {
-      // within the broadcast budget the set rides the NgramMatches
-      // kernel as ONE reference object (the NearestCentroids
-      // bounded-collect precedent — the count above just proved the
-      // collect is bounded), and the membership test answers per
-      // document in one pass: NO corpus n-gram explode, NO
-      // groupBy(doc) exchange, no join — the whole operator is a
-      // narrow projection over the corpus (strategy differential in
-      // CorpusSpec pins kernel ≡ shuffled join)
-      val grams = holdoutNgrams.collect().map(_.getString(0))
-      val matches = coalesce(
-        graft.functions.NgramMatches(col(textCol), n, grams), lit(0L))
-      corpus.select(col(idCol), matches.as("n_matched"),
-        (matches > 0L).as("contaminated"))
-    } else {
-      val matched = wordNgrams(corpus, n, idCol, textCol)
-        .join(holdoutNgrams.hint("shuffle_hash"), "ngram")
-        .groupBy(col(idCol))
-        .agg(count_distinct(col("ngram")).as("n_matched"))
-      corpus.select(col(idCol))
-        .join(matched, Seq(idCol), "left")
-        .select(col(idCol),
-          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-          (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
-    }
+    if (holdoutNgrams.count() <= maxBroadcastNgrams)
+      Some(holdoutNgrams.collect().map(_.getString(0)))
+    else None
   }
 
   /** Keep the best `k` docs per group by a score column (ties broken by
@@ -193,10 +204,26 @@ object Corpus {
       .withColumn("n_tokens",
         graft.functions.SplitCount(col("text"), bySpaceOnly = true))
       .filter(col("n_tokens") >= minTokens)
-    qualified
-      .join(decontaminate(qualified, holdout, ngramN), Seq("doc_id"))
-      .filter(!col("contaminated"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    // contamination as an INLINE kernel filter when the holdout fits
+    // the broadcast budget: `qualified.join(decontaminate(qualified))`
+    // re-planned the whole upstream (minhash candidates + the CC
+    // rounds) on BOTH join sides — at 100x that doubled the pipeline's
+    // dominant cost. Same cutover rule as [[decontaminate]]; oversized
+    // holdouts keep the join-back shape.
+    holdoutNgramSet(holdout.select(col("doc_id"), col("text")), ngramN,
+        "doc_id", "text", DefaultMaxBroadcastNgrams) match {
+      case Some(grams) =>
+        val m = coalesce(
+          graft.functions.NgramMatches(col("text"), ngramN, grams),
+          lit(0L))
+        qualified.filter(m === 0L)
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+      case None =>
+        qualified
+          .join(decontaminate(qualified, holdout, ngramN), Seq("doc_id"))
+          .filter(!col("contaminated"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }
   }
 
   /** Deterministic approximate-distinct aggregate column: the bounded
