@@ -1139,6 +1139,12 @@ object SparkEntry {
     "ext_stream_quality" -> ((s, dir) =>
       graft.streaming.StreamOps.streamingQualityPrep(s, dir)),
 
+    // ---- the COMPLETE streaming prep front (r17): gate -> redact ->
+    // stateful exact dedup on the redacted content hash, one stream —
+    // the kernels feeding the keeper state ----------------------------
+    "ext_stream_prep" -> ((s, dir) =>
+      graft.streaming.StreamOps.streamingPrepFront(s, dir)),
+
     // ---- horizon-BOUNDED streaming dedup (dropDuplicatesWithinWatermark
     // — state expires 1h past each key's event time; re-occurrences
     // beyond the horizon re-emit, so the deterministic relation is the
@@ -2721,6 +2727,36 @@ object SparkEntry {
       // file, so the emitted keeper is the global min per hash.
       "ext_dedup_stream" ->
         "SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id FROM documents GROUP BY md5(text)",
+      // The full prep front: gate conjuncts + min-id keeper per
+      // REDACTED-content hash (the streaming dedup caveat from
+      // ext_dedup_stream applies — one source file, one micro-batch).
+      "ext_stream_prep" ->
+        (s"""WITH sig AS (
+          |  SELECT doc_id, text,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+          |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_chars,
+          |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_sym,
+          |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_distinct,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |      x -> x IN (${graft.operators.TextAnalysis.DefaultStopwords
+                 .map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stop
+          |  FROM documents WHERE text IS NOT NULL
+          |), gated AS (
+          |  SELECT doc_id,
+          |    md5(regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+          |      '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')) AS h
+          |  FROM sig
+          |  WHERE n_tokens >= 10 AND n_tokens <= 100000
+          |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) >= 2.0
+          |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) <= 12.0
+          |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) <= 0.25
+          |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) >= 0.3
+          |    AND n_stop >= 1
+          |) SELECT h, CAST(min(doc_id) AS BIGINT) AS keep_id
+          |FROM gated GROUP BY h""".stripMargin),
       // Stateless gate + redaction: the streaming relation equals the
       // batch relation — same signals CTE as ext_quality_gate, same
       // ordered redaction fold as ext_pii_redact, composed.

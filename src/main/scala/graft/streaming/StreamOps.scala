@@ -364,6 +364,55 @@ object StreamOps {
     s.table(tableName)
   }
 
+  /** The COMPLETE streaming prep front: quality gate → PII redaction →
+    * stateful exact dedup on the REDACTED content hash, one stream —
+    * what a continuous-ingest pipeline actually runs before chunking.
+    * The gate/redaction kernels are stateless projections feeding the
+    * same flatMapGroupsWithState keeper state as [[streamingDedup]];
+    * the dedup hash sees what the tokenizer will see (the redacted
+    * text — the prepPipelineV2 contract). Emits `(h, keep_id)`; with
+    * the one-file harness source the single micro-batch makes keep_id
+    * the global min per hash, same caveat as [[streamingDedup]]. */
+  def streamingPrepFront(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val tableName = s"stream_prep_${System.nanoTime()}"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val gated = streamSource(s, dir, "documents", docSchema)
+      .filter(col("text").isNotNull &&
+        graft.operators.TextAnalysis.qualityPasses(col("text")))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          graft.operators.TextAnalysis.redactedText(col("text")))
+          .as("h"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[(Long, String)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((hash, rows.map(_._1).min))
+          }
+      }
+      .toDF("h", "keep_id")
+    val q = gated.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(tableName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(tableName)
+  }
+
   private[streaming] def dedupStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._

@@ -357,4 +357,23 @@ class StreamingDedupSpec extends SparkSuite {
       (streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
     assert(batch.nonEmpty, "fixture must have gate survivors")
   }
+
+  test("streamingPrepFront: gate -> redact -> keeper dedup equals the " +
+      "batch composition row-for-row") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamOps
+      .streamingPrepFront(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull &&
+        graft.operators.TextAnalysis.qualityPasses(col("text")))
+      .groupBy(md5(graft.operators.TextAnalysis.redactedText(col("text")))
+        .as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream != batch: ${
+      (streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    assert(batch.nonEmpty)
+  }
 }
