@@ -71,3 +71,75 @@ object Md5Hash60 {
   def apply(text: Column): Column =
     GraftColumn(Md5Hash60(GraftColumn.expr(text)))
 }
+
+/** The whitespace-normalized content fingerprint —
+  * `md5Hash60(regexp_replace(lower(text), "\s+", " "))` — without
+  * materializing the normalized string: lowercase once
+  * (`UTF8String.toLowerCase`, the exact `lower()`), then stream the
+  * bytes into the digest collapsing every Java-`\s` run (ASCII) to a
+  * single space as they pass (runs at the edges included, exactly as
+  * the regex replaced them). Same 60-bit digest read as [[Md5Hash60]].
+  * NULL → NULL, as the composed chain propagated it.
+  */
+final case class NormalizedFingerprint(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_normalized_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizedFingerprint.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NormalizedFingerprint.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormalizedFingerprint = copy(child = newChild)
+}
+
+object NormalizedFingerprint {
+
+  private val Md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private val Space = Array[Byte](0x20)
+
+  @inline private def isWs(ci: Int): Boolean =
+    ci == 0x20 || ci == 0x09 || ci == 0x0A || ci == 0x0B ||
+      ci == 0x0C || ci == 0x0D
+
+  def compute(text: UTF8String): Long = {
+    val b = text.toLowerCase.getBytes
+    val n = b.length
+    val md = Md5.get()
+    var i = 0
+    while (i < n) {
+      if (isWs(b(i) & 0xFF)) {
+        md.update(Space, 0, 1) // one space per \s-run
+        i += 1
+        while (i < n && isWs(b(i) & 0xFF)) i += 1
+      } else {
+        val seg = i
+        i += 1
+        while (i < n && !isWs(b(i) & 0xFF)) i += 1
+        md.update(b, seg, i - seg)
+      }
+    }
+    val d = md.digest()
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+
+  def apply(text: Column): Column =
+    GraftColumn(NormalizedFingerprint(GraftColumn.expr(text)))
+}

@@ -95,9 +95,21 @@ object TextAnalysis {
         .as("bpe_ish_tokens"))
 
   /** Whitespace-normalized content fingerprint (md5-based 60-bit). Two
-    * docs differing only in whitespace share a fingerprint. */
+    * docs differing only in whitespace share a fingerprint.
+    * One-pass kernel since r17: lowercase once, stream the bytes into
+    * the digest collapsing `\s` runs as they pass — no normalized
+    * intermediate string, no regex engine ([[composedFingerprint]]
+    * retained as the differential reference). */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.NormalizedFingerprint(col(textCol))
+        .as("fingerprint"))
+
+  /** The lower + regexp_replace + hex-md5 chain [[fingerprint]]'s
+    * kernel replaced — retained ONLY as the differential reference. */
+  private[operators] def composedFingerprint(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       Dedup.md5Hash60(
         regexp_replace(lower(col(textCol)), "\\s+", " "))

@@ -1119,6 +1119,28 @@ class OperatorsSpec extends SparkSuite {
     assert(badF == 0L, s"$badF fixed-point-quantize rows differ")
   }
 
+  test("NormalizedFingerprint kernel matches the lower + regex + " +
+      "md5Hash60 chain (corpus + whitespace/unicode edges)") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    val edges = Seq(
+      (900001L, "  A\t\tB  "),       // edge runs -> edge single spaces
+      (900002L, "a b"),
+      (900003L, ""),
+      (900004L, null),
+      (900005L, "CAFÉ\n世界K"))  // Kelvin sign lowercases to 'k'
+      .toDF("doc_id", "text")
+    val all = real.unionAll(edges)
+    val bad = all
+      .select(col("doc_id"),
+        graft.functions.NormalizedFingerprint(col("text")).as("k"))
+      .join(graft.operators.TextAnalysis.composedFingerprint(all)
+        .withColumnRenamed("fingerprint", "c"), Seq("doc_id"), "full_outer")
+      .filter(!(col("k") <=> col("c"))).count()
+    assert(bad == 0L, s"$bad fingerprint rows differ from composed")
+  }
+
   test("fingerprint is whitespace-insensitive but content-sensitive") {
     val d = Seq(
       (1L, "hello   world"), (2L, "hello world"), (3L, "hello worlds"))
