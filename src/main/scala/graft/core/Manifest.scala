@@ -176,14 +176,41 @@ private[core] object PathIO {
   def nonEmptyDir(p: Path): Boolean =
     Files.exists(p) && withStream(Files.list(p))(_.hasNext)
 
-  def walkCount(p: Path)(pred: Path => Boolean): Int =
+  /** `Files.walk` throws `UncheckedIOException(NoSuchFileException)`
+    * when an entry vanishes between the directory listing and its
+    * attribute read. Under snapshot isolation that is an EXPECTED race:
+    * the ReadGuard's reader-drain cleanup deletes RETIRED segments
+    * without the mutation lock, so a mutation-side walk (append diff,
+    * recovery sweep, disk accounting) can see a retired file vanish
+    * mid-walk. A vanished entry is by construction never a live file
+    * (live files are only replaced by rewrites, which serialize with
+    * every walker on the mutation lock), so the walk simply RETRIES —
+    * the next pass sees a consistent listing. Bounded: each retry needs
+    * another batch mid-delete, and the retired backlog is finite. */
+  private def retryOnVanish[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException]
+              && attempt < 8 =>
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  def walkCount(p: Path)(pred: Path => Boolean): Int = retryOnVanish {
     if (!Files.exists(p)) 0
     else withStream(Files.walk(p))(_.count(pred))
+  }
 
-  def walkFiles(p: Path)(pred: Path => Boolean): Seq[Path] =
+  def walkFiles(p: Path)(pred: Path => Boolean): Seq[Path] = retryOnVanish {
     if (!Files.exists(p)) Nil
     else withStream(Files.walk(p))(
       _.filter(f => Files.isRegularFile(f) && pred(f)).toSeq)
+  }
 
   def listDirNames(p: Path): Seq[String] =
     if (!Files.exists(p)) Nil
@@ -195,10 +222,15 @@ private[core] object PathIO {
       withStream(Files.walk(p))(_.toSeq).reverse
         .foreach(Files.deleteIfExists(_))
 
-  def sizeSum(p: Path): Long =
+  def sizeSum(p: Path): Long = retryOnVanish {
     if (!Files.exists(p)) 0L
     else withStream(Files.walk(p))(
-      _.filter(Files.isRegularFile(_)).map(Files.size).sum)
+      // stat inside the SAME retry scope: the file can vanish between
+      // the walk's attribute read and this size() too
+      _.filter(Files.isRegularFile(_)).map(f =>
+        try Files.size(f)
+        catch { case _: java.nio.file.NoSuchFileException => 0L }).sum)
+  }
 }
 
 /** Server-level catalog of tables (the `app_state.rs:21-48` registry):
