@@ -1711,7 +1711,12 @@ object SparkEntry {
     "ext_pipeline_prep_staged" -> ((s, dir) =>
       graft.operators.Corpus.prepPipelineV2Staged(
         s.read.parquet(s"$dir/documents.parquet"),
-        s"/tmp/graft_prep_staged_${dir.replaceAll("[^a-zA-Z0-9]", "_")}",
+        // fingerprint-keyed like every derived layout: a regenerated
+        // documents.parquet stages fresh instead of serving the stale
+        // table (r18; was keyed on the dir string alone)
+        s"/tmp/graft_prep_staged_${Integer.toHexString(dir.hashCode)}_" +
+          java.lang.Long.toHexString(
+            sourceFingerprint(s"$dir/documents.parquet")),
         chunkTokens = 32, overlap = 8)),
 
     // ---- ANN over the LEARNED k-means layout (all-integer) -----------

@@ -108,25 +108,38 @@ final class MetricsTable private (val table: Smoltable) {
       GcSettings(versionLimit = Some(keepVersions))))
     // COMMITTED bytes, not filesystem du: just-retired segments from
     // the trim above may linger until their read pins drain, and
-    // counting them would overstate the overshoot and evict too deep
-    val after = table.manifest.dataFiles.map(_.size).sum
-    if (after > capBytes && capBytes > 0) {
+    // counting them would overstate the overshoot and evict too deep.
+    // The byte→cell mapping is nonlinear (parquet framing, encoding),
+    // so one quantile pass can undershoot — re-check the committed
+    // footprint and iterate, bounded, until under budget or no pass
+    // makes progress (round 18; r17 ran exactly one pass unchecked).
+    var passes = 0
+    var after = table.manifest.dataFiles.map(_.size).sum
+    while (after > capBytes && capBytes > 0 && passes < 4) {
       val keepFrac = math.max(0.0, math.min(1.0,
         capBytes.toDouble / after.toDouble))
       val cut = table.allCells
         .agg(org.apache.spark.sql.functions
           .expr(s"approx_percentile(ts, ${1.0 - keepFrac}d)"))
         .head()
-      if (!cut.isNullAt(0)) {
-        val cutoffNanos = cut.getLong(0)
-        val now = MetricsTable.nowNanos
-        // TTL death is strict `now - ts > ttl`, so ttl = now - cutoff
-        // keeps ts >= cutoff — the newest ~keepFrac of cells
-        val ttlSecs =
-          math.max(1L, (now - cutoffNanos) / 1000000000L)
-        dropped += table.runVersionGcWith(
-          Map("value" -> GcSettings(ttlSecs = Some(ttlSecs))), now)
-      }
+      if (cut.isNullAt(0)) return dropped // empty table: nothing to evict
+      val cutoffNanos = cut.getLong(0)
+      // TTL death is strict `clock - ts > ttl`, so ttl = clock - cutoff
+      // keeps ts >= cutoff — the newest ~keepFrac of cells. The GC
+      // clock is max(wall-now, cutoff): with wall-now alone, a FUTURE-
+      // stamped cutoff (clock skew / future-dated writes reaching the
+      // budget quantile) made the subtraction negative, the 1 s floor
+      // took over, and the pass evicted essentially every cell; anchored
+      // at the cutoff, the eviction boundary tracks the cutoff itself.
+      val clock = math.max(MetricsTable.nowNanos, cutoffNanos)
+      val ttlSecs =
+        math.max(1L, (clock - cutoffNanos) / 1000000000L)
+      val got = table.runVersionGcWith(
+        Map("value" -> GcSettings(ttlSecs = Some(ttlSecs))), clock)
+      dropped += got
+      if (got == 0L) return dropped // no progress: stop rather than spin
+      after = table.manifest.dataFiles.map(_.size).sum
+      passes += 1
     }
     dropped
   }

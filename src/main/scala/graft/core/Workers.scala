@@ -50,6 +50,40 @@ final class Workers(spark: SparkSession, catalog: Catalog,
     metricsFor(name).dataPoint("gc#del_cnt", deleted.toDouble)
   }
 
+  /** Registered auxiliary maintenance tasks (round 18): operator-layer
+    * state that needs the same background cadence as table GC — e.g. a
+    * dedup [[graft.operators.BandStore]]'s expire+compact pass
+    * (`store.maintenanceTask(...)`) — without the core layer depending
+    * on the operator layer. Registration is idempotent per name
+    * (re-register to replace). Tasks run inside the GC worker's sweep,
+    * each failure isolated and reported to the global metrics table
+    * (`task#<name>_err`), so one wedged store cannot stall table GC. */
+  private val maintenance =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
+
+  def registerMaintenance(name: String)(task: () => Unit): Unit = {
+    maintenance.put(name, task); ()
+  }
+
+  def unregisterMaintenance(name: String): Unit = {
+    maintenance.remove(name); ()
+  }
+
+  /** One pass over every registered maintenance task (also runs inside
+    * the scheduled GC cadence). */
+  def maintenanceSweep(): Unit = {
+    import scala.jdk.CollectionConverters._
+    maintenance.asScala.toSeq.sortBy(_._1).foreach { case (name, task) =>
+      try task()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[workers] maintenance $name: ${e.getMessage}")
+          MetricsTable.open(spark, catalog, None)
+            .dataPoint(s"task#${name}_err", 1.0)
+      }
+    }
+  }
+
   /** One counting pass (`worker/row_count.rs:16-32`). */
   def rowCountSweep(): Unit = userTables.foreach { name =>
     val (rows, cells) =
@@ -87,7 +121,8 @@ final class Workers(spark: SparkSession, catalog: Catalog,
 
   /** Start all three workers (daemon thread). */
   def start(initialDelaySecs: Long = 15L): Unit = {
-    pool.scheduleWithFixedDelay(safely(() => gcSweep()),
+    pool.scheduleWithFixedDelay(
+      safely(() => { gcSweep(); maintenanceSweep() }),
       initialDelaySecs, 24L * 3600, TimeUnit.SECONDS)
     pool.scheduleWithFixedDelay(safely(() => systemSweep()),
       initialDelaySecs, 60L, TimeUnit.SECONDS)

@@ -102,14 +102,50 @@ final class BandStore private (
     * per-batch path (`band`, plus the `batch`/`bp` partition cols).
     * Schema is explicit, not inferred: a legitimately-empty append
     * leaves a data-less `batch=` dir that would wedge inference. */
-  def read(): DataFrame =
-    spark.read
+  def read(): DataFrame = readOn(spark)
+
+  /** [[read]] against an explicit session — the tier-1 lookup reads on
+    * a session CLONE carrying the raised In-pushdown threshold, so the
+    * shared session's conf is never mutated (round 18; the r17 version
+    * raised `spark.sql.parquet.pushdown.inFilterThreshold` session-wide
+    * as a hidden side effect of a membership read).
+    *
+    * `ignoreMissingFiles` (per-read option, not session conf) makes
+    * lookups tolerate a maintenance pass retiring batch dirs between
+    * file listing and scan: compaction commits its replacement dir
+    * BEFORE deleting the dirs it folded in ([[compact]]), so any file
+    * that vanishes mid-scan was duplicate membership by construction. */
+  private def readOn(s: SparkSession): DataFrame =
+    s.read
       .option("basePath", dir)
+      .option("ignoreMissingFiles", "true")
       .schema(StructType(Seq(
         StructField("band", StringType),
         StructField("batch", StringType),
         StructField("bp", org.apache.spark.sql.types.LongType))))
       .parquet(listBatchDirs().map(_.toString): _*)
+
+  /** Session clone for tier-1 lookups: identical state, but with the
+    * parquet In-pushdown threshold raised to the SAFE cap — capped at
+    * [[BandStore.SafeInPushdownCap]] regardless of the caller's
+    * `pushdownBandLimit` (the threshold governs a recursively-evaluated
+    * parquet OR-chain; ~1k is a measured stack-safety bound, ~100k
+    * overflows task stacks), and never lowered below the parent's
+    * setting. Confined to frames built from it: the cloned conf travels
+    * with the relation, so the raise applies exactly to store lookups
+    * and to nothing else on the shared session. */
+  private lazy val lookupSession: SparkSession = {
+    val (c, isolated) =
+      org.apache.spark.sql.graft.SessionClone.cloneOrSelf(spark)
+    if (isolated) {
+      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val cur = c.conf.getOption(key).map(_.toInt).getOrElse(10)
+      val want = math.min(pushdownBandLimit, BandStore.SafeInPushdownCap)
+      if (cur < want) c.conf.set(key, want.toString)
+    } // non-classic session: no clone available — skip the raise
+    // (lookups stay correct; the pushed In degrades to a range filter)
+    c
+  }
 
   private def listBatchDirs(): Seq[Path] = {
     val p = storePath
@@ -119,6 +155,16 @@ final class BandStore private (
       .filter(_.getFileName.toString.startsWith("batch="))
     finally s.close()
   }
+
+  /** Committed batch directory names (the `<tag>` part), oldest first
+    * by directory modification time (append commit time — ATOMIC_MOVE
+    * carries the staged dir's stamp), name as the deterministic
+    * tie-break. */
+  def batchTags(): Seq[String] =
+    listBatchDirs()
+      .map(p => (Files.getLastModifiedTime(p).toMillis,
+        p.getFileName.toString.stripPrefix("batch=")))
+      .sortBy(identity).map(_._2)
 
   /** The PRUNED membership lookup as a LAZY frame — exposed separately
     * from [[knownAmong]] so plan tests can assert the pruning shape.
@@ -152,15 +198,12 @@ final class BandStore private (
       val rows = b.collect()
       val bps = rows.map(_.getLong(1)).distinct.toSeq
       val bands = rows.map(_.getString(0)).toSeq
-      // raise (never lower) the parquet In-pushdown threshold to the
-      // SAFE cap so the band IN (...) predicate reaches parquet-mr as
-      // a real In filter instead of degrading to a min/max range that
-      // random hashes render useless
-      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
-      val cur = spark.conf.getOption(key).map(_.toInt).getOrElse(10)
-      if (cur < pushdownBandLimit)
-        spark.conf.set(key, pushdownBandLimit.toString)
-      read()
+      // read on the session CLONE whose In-pushdown threshold is raised
+      // (and capped — see lookupSession) so the band IN (...) predicate
+      // reaches parquet-mr as a real In filter instead of degrading to
+      // a min/max range that random hashes render useless; the shared
+      // session's conf is untouched
+      readOn(lookupSession)
         .filter(col("bp").isin(bps: _*))
         .filter(col("band").isInCollection(bands))
         .select(col("band")).distinct()
@@ -214,25 +257,104 @@ final class BandStore private (
 
   /** Rewrite the store as ONE band-sorted file per bucket under a fresh
     * `batch=<tag>` (old batch dirs removed) — the maintenance pass that
-    * keeps row-group stats tight after many small appends. */
-  def compact(tag: String = "compacted"): Unit = {
+    * keeps row-group stats tight after many small appends.
+    *
+    * Crash-safe order (round 18; the r17 version deleted the old dirs
+    * FIRST, so a crash in the window left an empty store — silently
+    * re-admitting every future duplicate): the compacted replacement is
+    * staged and ATOMIC_MOVE-committed BEFORE any old dir is deleted.
+    * A crash after the commit leaves duplicate bands, which lookups
+    * tolerate by contract and the next compaction folds away; a crash
+    * before it leaves the store exactly as it was. The tag is fresh per
+    * compaction ([[nextCompactTag]] — `compacted-<n>`, n above every
+    * landed index) so the commit can never collide with a previous
+    * compaction's surviving dir.
+    *
+    * Returns the number of batch dirs folded away (0 = nothing to do:
+    * empty store, or already a single batch dir). */
+  def compact(): Int = compact(nextCompactTag())
+
+  private[operators] def compact(tag: String): Int = {
     val old = listBatchDirs()
-    if (old.isEmpty) return
+    if (old.size <= 1) return 0
+    require(!Files.exists(storePath.resolve(s"batch=$tag")),
+      s"compaction tag already landed: $tag")
     val all = read().select(col("band")).distinct()
       .withColumn("bp", bucketOf(col("band")))
       .repartition(col("bp"))
       .sortWithinPartitions("band")
     val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
     val stage = tmp.resolve("stage")
-    all.write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
+    try {
+      all.write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
+      Files.move(stage, storePath.resolve(s"batch=$tag"),
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally deleteRecursively(tmp)
     old.foreach(deleteRecursively)
-    Files.move(stage, storePath.resolve(s"batch=$tag"),
-      StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(tmp)
+    old.size
+  }
+
+  /** Fresh, collision-free compaction tag: `compacted-<n>` with `n`
+    * one above the largest index among landed compaction dirs. */
+  private def nextCompactTag(): String = {
+    val prev = listBatchDirs().map(_.getFileName.toString)
+      .collect { case CompactedTag(n) => n.toLong }
+    s"compacted-${if (prev.isEmpty) 0L else prev.max + 1L}"
+  }
+
+  /** RETENTION: drop the oldest committed batch dirs until at most
+    * `retainNewest` remain — the dedup-state analog of the reference's
+    * FIFO metrics eviction (`server/src/metrics.rs:14-21`): membership
+    * older than the horizon expires, and a re-occurrence of an expired
+    * document is re-admitted BY DESIGN (bounded state beats unbounded
+    * perfect memory at 100 TB). Age = directory commit time, oldest
+    * first ([[batchTags]] order). Returns the expired tags.
+    *
+    * Horizon is counted in BATCH DIRS, and a compacted dir counts as
+    * one — so a maintenance sweep expires BEFORE it compacts
+    * ([[maintenanceTask]] order): the horizon then applies to the
+    * individual recent appends, not to an age-flattened merge. */
+  def expireBatches(retainNewest: Int): Seq[String] = {
+    require(retainNewest >= 0, s"retainNewest: $retainNewest")
+    val tags = batchTags()
+    val drop = tags.dropRight(retainNewest)
+    drop.foreach(t => deleteRecursively(storePath.resolve(s"batch=$t")))
+    drop
+  }
+
+  /** The store's maintenance pass as a schedulable task — registered
+    * with the engine's background workers
+    * ([[graft.core.Workers.registerMaintenance]]), the same cadence
+    * class as segment GC (the reference's worker loop,
+    * `server/src/worker/mod.rs:11-44`). Per sweep: expire past the
+    * retention horizon first (if configured), then compact when the
+    * store has fragmented past `compactAtBatches` dirs — so steady
+    * small appends cost one merge per threshold crossing, not one per
+    * sweep, and lookups keep tight row-group stats forever. */
+  def maintenanceTask(compactAtBatches: Int = 16,
+      retainBatches: Option[Int] = None): () => Unit = {
+    require(compactAtBatches >= 2, s"compactAtBatches: $compactAtBatches")
+    () => {
+      retainBatches.foreach(n => expireBatches(n))
+      if (listBatchDirs().size > compactAtBatches) compact()
+      ()
+    }
   }
 }
 
 object BandStore {
+
+  /** Hard cap on the parquet In-pushdown threshold a lookup may raise
+    * to, independent of the caller's `pushdownBandLimit`: Spark expands
+    * a pushed `In` into a recursively-evaluated parquet OR-chain, and
+    * ~100 k values overflows the task stack (measured) — ~1 k is deep
+    * enough to matter and shallow enough to be safe. A store opened
+    * with a larger `pushdownBandLimit` still pushes the `In` predicate,
+    * but past this cap parquet-mr degrades it to a (useless) min/max
+    * range rather than a stack hazard. */
+  val SafeInPushdownCap: Int = 1024
+
+  private val CompactedTag = "batch=compacted-([0-9]+)".r
 
   /** Open (or lazily create at first append) the store at `dir`. */
   def open(spark: SparkSession, dir: String, nBuckets: Int = 64,

@@ -525,10 +525,31 @@ object Corpus {
   def prepPipelineV2Staged(docs: DataFrame, stagingDir: String,
       chunkTokens: Int = 512, overlap: Int = 64): DataFrame = {
     val spark = docs.sparkSession
-    docs.filter(TextAnalysis.qualityPasses(col("text")))
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.redactedText(col("text")).as("text"))
-      .write.mode("overwrite").parquet(stagingDir)
+    // Build-once, ATOMIC (round 18; the r17 version overwrote the
+    // staging table in place — a concurrent run on the same dir could
+    // clobber the table mid-read, and a crashed overwrite left a
+    // partial table every later read consumed): stage into a unique
+    // temp dir, rename into place; exactly one concurrent builder
+    // wins, the loser discards its copy and reads the winner's. The
+    // CALLER keys `stagingDir` on the source corpus fingerprint —
+    // reusing a path for a different corpus serves the stale table by
+    // design (it is a cache key contract, same as the ANN layouts).
+    if (!new java.io.File(stagingDir, "_SUCCESS").exists()) {
+      val tmp = stagingDir + ".tmp-" + java.util.UUID.randomUUID()
+      docs.filter(TextAnalysis.qualityPasses(col("text")))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.redactedText(col("text")).as("text"))
+        .write.mode("overwrite").parquet(tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(stagingDir))) {
+        require(new java.io.File(stagingDir, "_SUCCESS").exists(),
+          s"staging rename $tmp -> $stagingDir failed but the " +
+            "destination is not a complete table (no _SUCCESS)")
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        val all = try st.iterator().asScala.toSeq finally st.close()
+        all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     prepPipeline(spark.read.parquet(stagingDir), chunkTokens, overlap)
   }
 

@@ -212,6 +212,47 @@ class MaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("metrics FIFO cap with FUTURE-stamped cells (clock skew): the " +
+      "byte pass anchors its GC clock at the cutoff, evicts oldest-" +
+      "first, and cannot near-totally evict the table (r18 fix)") {
+    import org.apache.spark.sql.functions._
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val m = MetricsTable.open(spark, cat, None)
+      // the wide-overfill shape, but every timestamp is ~11 days in the
+      // FUTURE of the wall clock: with the r17 wall-now anchor the TTL
+      // clamped to 1 s and the pass evicted essentially every cell
+      val n = 200000L
+      val base = MetricsTable.nowNanos + 1000000000000000L
+      m.table.writeBulk(spark.range(n).select(
+        format_string("m#%06d", col("id")).as("row_key"),
+        lit("value").as("family"),
+        lit("").as("qualifier"),
+        (lit(base) + col("id") * 1000000000L).as("ts"),
+        graft.SparkEntry.cellValueStruct(lit("f64"),
+          lit(null).cast("string"),
+          col("id").cast("double")).as("value")))
+      val cap = 1024L * 1024
+      assert(cat.diskSpaceUsage(m.table.name) > cap)
+      val dropped = m.enforceCap(capBytes = cap, keepVersions = 720)
+      assert(dropped > 0L, "over-budget table must evict")
+      val after = m.table.manifest.dataFiles.map(_.size).sum
+      assert(after <= (cap * 1.5).toLong,
+        s"must shrink to the budget class: $after vs $cap")
+      // the fix's point: a healthy newest fraction SURVIVES (the r17
+      // behavior left at most a second's worth of cells)
+      val survivors = m.table.allCells.select(col("row_key"))
+        .collect().map(_.getString(0)).toSet
+      assert(survivors.size > 10000,
+        s"future-stamped cells must not trigger near-total eviction: " +
+          s"${survivors.size} of $n kept")
+      // still strict FIFO: survivors are the newest suffix
+      assert(survivors == (n - survivors.size until n)
+        .map(i => f"m#${i}%06d").toSet,
+        "survivors must be the newest suffix")
+    }
+  }
+
   test("open recovers from a crashed rewrite (data.old / data.tmp debris)") {
     withTempDir { dir =>
       val cat = new Catalog(dir.toString)

@@ -103,6 +103,89 @@ class WorkersSpec extends SparkSuite {
     }
   }
 
+  test("registered band-store maintenance: the sweep expires past the " +
+      "retention horizon, compacts fragmentation away, and the pruned " +
+      "lookup keeps its bp-PartitionFilters / pushed-In plan shape") {
+    import org.apache.spark.sql.functions._
+    withTempDir { dir =>
+      val cat = new Catalog(s"$dir/cat")
+      val store = graft.operators.BandStore.open(spark, s"$dir/bands")
+      // 50 tiny appends — the fragmentation a per-micro-batch dedup
+      // store accumulates (one file per touched bucket per batch)
+      for (i <- 0 until 50) {
+        store.append(
+          spark.range(i * 10, i * 10 + 10)
+            .select(concat(lit("b"), col("id")).as("band")), s"t$i")
+        // deterministic ages for the expiry assertion (append commit
+        // times can tie at filesystem timestamp resolution)
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(s"$dir/bands", s"batch=t$i"),
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000L))
+      }
+      assert(store.batchTags().size == 50)
+      val w = new Workers(spark, cat)
+      w.registerMaintenance("bands")(
+        store.maintenanceTask(compactAtBatches = 8,
+          retainBatches = Some(40)))
+      w.maintenanceSweep()
+      // expiry dropped the 10 oldest batch dirs, compaction folded the
+      // surviving 40 into one
+      val tags = store.batchTags()
+      assert(tags.size == 1 && tags.head.startsWith("compacted-"),
+        s"expected one compacted dir, got $tags")
+      val bands = store.read().select("band").collect()
+        .map(_.getString(0)).toSet
+      assert(!bands.contains("b0") && !bands.contains("b99"),
+        "expired bands must be gone")
+      assert(bands.contains("b100") && bands.contains("b499") &&
+        bands.size == 400, s"retained 40 batches x 10 bands: ${bands.size}")
+      // post-compaction, the tier-1 lookup still prunes: bp partition
+      // filters + the pushed In(band) predicate, no landed-side join
+      val probe = spark.range(3)
+        .select(concat(lit("b"), col("id") + 200).as("band"))
+      val plan = store.prunedLookup(probe)
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bp".r.findFirstIn(plan).isDefined,
+        s"expected bp PartitionFilters after compaction:\n$plan")
+      assert(plan.contains("PushedFilters: [In(band"),
+        s"expected pushed In(band, ...) after compaction:\n$plan")
+      assert(!plan.contains("Join"), s"no join in tier 1:\n$plan")
+      // a second sweep is a no-op (1 dir: under horizon, under the
+      // fragmentation threshold)
+      w.maintenanceSweep()
+      assert(store.batchTags() == tags)
+      // a follow-up compaction tag never collides with the landed one
+      for (i <- 0 until 9)
+        store.append(spark.range(1000 + i, 1001 + i)
+          .select(concat(lit("n"), col("id")).as("band")), s"n$i")
+      w.maintenanceSweep()
+      val tags2 = store.batchTags()
+      assert(tags2.size == 1 && tags2.head != tags.head &&
+        tags2.head.startsWith("compacted-"),
+        s"fresh compaction tag expected, got $tags2 after $tags")
+      assert(store.read().count() == 409)
+    }
+  }
+
+  test("a throwing maintenance task is isolated (other tasks still " +
+      "run, error recorded to the global metrics table)") {
+    withTempDir { dir =>
+      val cat = new Catalog(dir.toString)
+      val w = new Workers(spark, cat)
+      var ran = false
+      w.registerMaintenance("aaa_boom")(() =>
+        throw new RuntimeException("boom"))
+      w.registerMaintenance("zzz_ok")(() => { ran = true })
+      w.maintenanceSweep() // must not throw
+      assert(ran, "later tasks must run after an earlier one throws")
+      val g = MetricsTable.open(spark, cat, None)
+      assert(g.latest("task#aaa_boom_err").map(_._2) == Seq(1.0))
+      w.unregisterMaintenance("aaa_boom")
+      w.maintenanceSweep()
+      assert(g.latest("task#aaa_boom_err").map(_._2) == Seq(1.0))
+    }
+  }
+
   test("start/stop schedule without throwing") {
     withTempDir { dir =>
       val w = new Workers(spark, new Catalog(dir.toString))

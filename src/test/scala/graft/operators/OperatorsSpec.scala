@@ -726,9 +726,43 @@ class OperatorsSpec extends SparkSuite {
       assert(surv2.count() == 0L, "rerun after landing must drop all")
       assert(nb2.count() == 0L, "no new bands on a rerun")
       // compaction preserves membership, one file per touched bucket
-      store.compact()
+      assert(store.compact() == 2, "compaction folds both batch dirs")
       val (surv3, _) = Dedup.incrementalMinhashWithStore(batch, store)
       assert(surv3.count() == 0L, "compaction must preserve membership")
+      // an already-compacted store is a no-op (nothing to fold)
+      assert(store.compact() == 0)
+    }
+  }
+
+  test("BandStore tier-1 lookup never mutates the shared session's " +
+      "parquet In-pushdown threshold (r18: the raise is scoped to a " +
+      "session clone), and the raise is capped at the safe constant") {
+    withTempDir { tmp =>
+      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val before = spark.conf.getOption(key)
+      try {
+        spark.conf.set(key, "10")
+        // a store opened with a pushdownBandLimit far past the stack-
+        // safety cap: the tier-1 raise must clamp to SafeInPushdownCap
+        val store = BandStore.open(spark, s"$tmp/bands",
+          pushdownBandLimit = 100000)
+        store.append(spark.range(100)
+          .select(concat(lit("b"), col("id")).as("band")), "init")
+        val probe = spark.range(5)
+          .select(concat(lit("b"), col("id")).as("band"))
+        // materialized lookup (the real read path) + lazy plan check
+        val known = store.knownAmong(probe)
+        assert(known.count() == 5)
+        assert(spark.conf.get(key) == "10",
+          "tier-1 lookup leaked the threshold raise into the session")
+        val plan = store.prunedLookup(probe)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("PushedFilters: [In(band"),
+          s"pushed In must survive the conf scoping:\n$plan")
+      } finally before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 
