@@ -362,6 +362,32 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), tmp)
     }
 
+  /** Cache location of the APPEND-BUILT kmeans-IVF layout
+    * (`eng_ann_ivf_persisted_append`): same fingerprint inputs as
+    * [[kmeansIvfLayoutPath]], distinct prefix. */
+  private[graft] def kmeansIvfAppendLayoutPath(dir: String): String =
+    kmeansIvfLayoutPath(dir).replace("/graft_kivf_v", "/graft_kivfapp_v")
+
+  /** Build (once) the kmeans-IVF layout INCREMENTALLY: TRAIN on the even
+    * half ([[graft.operators.Clustering.writeKmeansIvfLayout]] — Lloyd
+    * runs only over the base corpus), then land the odd half via
+    * [[graft.operators.Clustering.appendKmeansIvfLayout]] against the
+    * frozen centroid sidecar — the serving-index ingest path: no
+    * retraining, no rebuild, new vectors into existing `cid=`
+    * partitions. Unlike the stride-IVF append twin the trained
+    * centroids DIFFER from a union one-shot (Lloyd updates see only the
+    * base half), so this row carries its own oracle
+    * ([[annIvfKmeansAppendSql]]: training CTEs over the even half,
+    * assignment + probe over the union). */
+  private def kmeansIvfAppendLayoutDir(s: SparkSession, dir: String): String =
+    buildLayoutOnce(kmeansIvfAppendLayoutPath(dir)) { tmp =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Clustering.writeKmeansIvfLayout(
+        e.filter(col("vec_id") % 2 === 0), tmp)
+      graft.operators.Clustering.appendKmeansIvfLayout(
+        e.filter(col("vec_id") % 2 =!= 0), tmp)
+    }
+
   /** Build a derived layout exactly once per cache path: build into a
     * temp dir, atomically rename into place — a concurrent builder can
     * never expose (or probe) a half-written layout: exactly one rename
@@ -1741,6 +1767,19 @@ object SparkEntry {
         kmeansIvfLayoutDir(s, dir), e.filter(col("vec_id") < 10))
     }),
 
+    // ---- the persisted kmeans-IVF layout built INCREMENTALLY (round
+    //      18): Lloyd trains once on the even half, the odd half lands
+    //      by frozen-sidecar assignment into the existing cid=
+    //      partitions (Clustering.appendKmeansIvfLayout — no rebuild,
+    //      manifest extended atomically); probed with the same pruned
+    //      plan as eng_ann_ivf_persisted, oracle trains on the even
+    //      half and assigns/probes the union --------------------------
+    "eng_ann_ivf_persisted_append" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Clustering.ivfTopKKmeansFromLayout(
+        kmeansIvfAppendLayoutDir(s, dir), e.filter(col("vec_id") < 10))
+    }),
+
     // ---- kmeans-IVF recall against the PERSISTED layout: the recall
     //      gate rides the stored index too, so layout staleness or
     //      pruning bugs surface as a red row, not a quality drop ------
@@ -2095,6 +2134,82 @@ object SparkEntry {
       |)""".stripMargin
 
   private val kmeansCtes: String = kmeansCtesOver("", "embeddings")
+
+  /** [[kmeansCtes]] with SPLIT training and assignment corpora — the
+    * oracle shape of the frozen-centroid append path
+    * (`eng_ann_ivf_persisted_append`): the seed stride, both Lloyd
+    * updates, and the carried-forward empty-cluster rule run over `vt`
+    * (the even half — exactly the base build's training corpus), while
+    * the final assignment distances `a2_d` — what the probe chain and
+    * the layout's `cid=` partitions are derived from — cover the FULL
+    * corpus `v` (base + appended vectors against the frozen `c2`
+    * centroids). Same arithmetic as [[kmeansCtesOver]] everywhere
+    * else. */
+  private val kmeansCtesTrainedOnEven: String =
+    s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS fx
+      |  FROM embeddings
+      |), vt AS (
+      |  SELECT vec_id, fx FROM v WHERE vec_id % 2 = 0
+      |), c0 AS (
+      |  SELECT vec_id AS cid, fx AS cfx FROM vt
+      |  WHERE vec_id % (SELECT greatest(100, (count(*) + 1023) // 1024)
+      |                  FROM vt) = 0
+      |), a0_d AS (
+      |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
+      |  FROM (SELECT t.vec_id, c.cid, unnest(t.fx) AS vf, unnest(c.cfx) AS cf
+      |        FROM vt t CROSS JOIN c0 c) z
+      |  GROUP BY vec_id, cid
+      |), a0 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM a0_d) WHERE rn = 1
+      |), c1_u AS (
+      |  SELECT cid, list(nv ORDER BY i) AS cfx FROM (
+      |    SELECT a.cid, t.i,
+      |      CAST(floor(CAST(CAST(sum(tv.fx[t.i]) AS BIGINT) AS DOUBLE)
+      |        / count(*)) AS BIGINT) AS nv
+      |    FROM a0 a JOIN vt tv ON tv.vec_id = a.vec_id, range(1, 65) t(i)
+      |    GROUP BY a.cid, t.i) GROUP BY cid
+      |), c1 AS (
+      |  SELECT c.cid, COALESCE(u.cfx, c.cfx) AS cfx
+      |  FROM c0 c LEFT JOIN c1_u u ON u.cid = c.cid
+      |), a1_d AS (
+      |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
+      |  FROM (SELECT t.vec_id, c.cid, unnest(t.fx) AS vf, unnest(c.cfx) AS cf
+      |        FROM vt t CROSS JOIN c1 c) z
+      |  GROUP BY vec_id, cid
+      |), a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM a1_d) WHERE rn = 1
+      |), c2_u AS (
+      |  SELECT cid, list(nv ORDER BY i) AS cfx FROM (
+      |    SELECT a.cid, t.i,
+      |      CAST(floor(CAST(CAST(sum(tv.fx[t.i]) AS BIGINT) AS DOUBLE)
+      |        / count(*)) AS BIGINT) AS nv
+      |    FROM a1 a JOIN vt tv ON tv.vec_id = a.vec_id, range(1, 65) t(i)
+      |    GROUP BY a.cid, t.i) GROUP BY cid
+      |), c2 AS (
+      |  SELECT c.cid, COALESCE(u.cfx, c.cfx) AS cfx
+      |  FROM c1 c LEFT JOIN c2_u u ON u.cid = c.cid
+      |), a2_d AS (
+      |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
+      |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
+      |        FROM v CROSS JOIN c2 c) z
+      |  GROUP BY vec_id, cid
+      |)""".stripMargin
+
+  /** Oracle for `eng_ann_ivf_persisted_append`: training on the even
+    * half, assignment and probe over the union — the frozen-centroid
+    * append contract in SQL. */
+  private val annIvfKmeansAppendSql: String =
+    s"""$kmeansCtesTrainedOnEven,
+      |${ivfKmeansCtes("2")}
+      |SELECT query_id, neighbor_id, rnk FROM ivfk""".stripMargin
 
   private val clusterKmeansSql: String =
     s"""$kmeansCtes,
@@ -3491,6 +3606,7 @@ object SparkEntry {
       // the persisted-layout twins answer with the logical rows' SQL —
       // one semantics, stored vs recomputed index
       "eng_ann_ivf_persisted" -> annIvfKmeansSql,
+      "eng_ann_ivf_persisted_append" -> annIvfKmeansAppendSql,
       "eng_ann_recall_persisted" -> annRecallKmeansSql,
       "ext_ann_ivf_kmeans_adaptive" -> annIvfKmeansAdaptiveSql,
       "ext_ann_recall_kmeans" -> annRecallKmeansSql,

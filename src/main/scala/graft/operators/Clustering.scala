@@ -270,26 +270,62 @@ object Clustering {
     fxDf.cache()
     try {
       val cents = train(fxDf, stride, iters, maxCentroids)
-      val frame = fxDf.select(col("vec_id"), col("fx"),
-        nearest(col("fx"), cents).getField("cid").as("cid"))
-      frame.write.mode("overwrite").partitionBy("cid").parquet(dir)
-      Similarity.writeLayoutManifest(dir,
-        org.apache.spark.sql.types.StructType(
-          frame.schema.fields.filterNot(_.name == "cid")))
-      val lines = cents.map { case (cid, v) =>
-        s"$cid\t${v.mkString(",")}"
-      }
-      val p = java.nio.file.Paths.get(dir, KmeansCentroidsName)
-      val tmp = java.nio.file.Paths.get(dir, KmeansCentroidsName + ".tmp")
-      java.nio.file.Files.write(tmp, lines.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      writeKmeansIvfLayoutFrozen(emb, dir, cents)
     } finally fxDf.unpersist(blocking = false)
   }
 
-  private def readKmeansCentroids(dir: String): Seq[(Long, Array[Long])] = {
+  /** Assign-only layout build against an EXPLICIT (already-trained)
+    * centroid set — [[writeKmeansIvfLayout]] minus the training loop.
+    * This is also the differential anchor for the append path: a base
+    * build plus [[appendKmeansIvfLayout]] batches must probe
+    * identically to one frozen-centroid build over the union corpus
+    * (same centroids in, same assignment kernel, same layout —
+    * ClusteringSpec pins it). */
+  private[graft] def writeKmeansIvfLayoutFrozen(emb: DataFrame,
+      dir: String, cents: Seq[(Long, Array[Long])]): Unit = {
+    val frame = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("fx"))
+      .select(col("vec_id"), col("fx"),
+        nearest(col("fx"), cents).getField("cid").as("cid"))
+    frame.write.mode("overwrite").partitionBy("cid").parquet(dir)
+    Similarity.writeLayoutManifest(dir,
+      org.apache.spark.sql.types.StructType(
+        frame.schema.fields.filterNot(_.name == "cid")))
+    val lines = cents.map { case (cid, v) =>
+      s"$cid\t${v.mkString(",")}"
+    }
+    val p = java.nio.file.Paths.get(dir, KmeansCentroidsName)
+    val tmp = java.nio.file.Paths.get(dir, KmeansCentroidsName + ".tmp")
+    java.nio.file.Files.write(tmp, lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Incrementally add vectors to a [[writeKmeansIvfLayout]] directory
+    * (round 18 — the persisted twin of the LSH/stride-IVF append
+    * contract): assignment runs against the FROZEN fixed-point centroid
+    * sidecar, so appended vectors land in existing `cid=` partitions
+    * and a probe of (build + appends) equals a probe of a one-shot
+    * frozen-centroid build on the union corpus
+    * ([[writeKmeansIvfLayoutFrozen]]; ClusteringSpec differential).
+    * The commit is the shared stage-move-extend path
+    * ([[Similarity.appendPartitioned]]): new files staged, moved into
+    * the `cid=` dirs, then the sharded manifest extended — a probe
+    * planning from the manifest never sees a half-landed append.
+    * Re-centroiding after heavy drift is a rebuild, by design —
+    * identical to every production IVF index. */
+  def appendKmeansIvfLayout(emb: DataFrame, dir: String): Unit = {
+    val cents = readKmeansCentroids(dir)
+    val assigned = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("fx"))
+      .select(col("vec_id"), col("fx"),
+        nearest(col("fx"), cents).getField("cid").as("cid"))
+    Similarity.appendPartitioned(assigned, dir, Seq("cid"))
+  }
+
+  private[graft] def readKmeansCentroids(dir: String): Seq[(Long, Array[Long])] = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(dir, KmeansCentroidsName),

@@ -516,7 +516,7 @@ object Similarity {
     * collide with committed files), then extend the manifest atomically.
     * The staging dir's leading underscore keeps any non-manifest
     * directory read from picking up in-flight files. */
-  private def appendPartitioned(frame: DataFrame, dir: String,
+  private[operators] def appendPartitioned(frame: DataFrame, dir: String,
       partitionCols: Seq[String]): Unit = {
     val root = Paths.get(dir)
     require(manifestCommitted(dir),

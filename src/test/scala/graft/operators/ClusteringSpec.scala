@@ -174,6 +174,49 @@ class ClusteringSpec extends SparkSuite {
     }
   }
 
+  test("appendKmeansIvfLayout: base build + frozen-centroid append " +
+      "probes identically to a one-shot frozen build on the union, the " +
+      "manifest extends atomically, and the pruned plan shape holds") {
+    import org.apache.spark.sql.functions.col
+    withTempDir { tmp =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val odd = emb.filter(col("vec_id") % 2 =!= 0)
+      val appended = s"$tmp/kivf_app"
+      Clustering.writeKmeansIvfLayout(even, appended)
+      val baseFiles = Similarity.manifestFiles(appended)._2.size
+      Clustering.appendKmeansIvfLayout(odd, appended)
+      // manifest grew (append committed) and still covers every file
+      val extFiles = Similarity.manifestFiles(appended)._2
+      assert(extFiles.size > baseFiles, "append must extend the manifest")
+      // one-shot differential: same frozen centroids, union corpus
+      val cents = Clustering.readKmeansCentroids(appended)
+      val oneShot = s"$tmp/kivf_union"
+      Clustering.writeKmeansIvfLayoutFrozen(emb, oneShot, cents)
+      val q = emb.filter(col("vec_id") < 10)
+      val fromAppended = Clustering.ivfTopKKmeansFromLayout(appended, q)
+      val got = fromAppended.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ref = Clustering.ivfTopKKmeansFromLayout(oneShot, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == ref,
+        s"append-built probe ${got.size} vs one-shot ${ref.size} rows")
+      // appended rows are actually reachable: some odd vec_id surfaces
+      // as a neighbor (the odd half is half the corpus)
+      assert(got.exists(_._2 % 2 == 1),
+        "no appended (odd) vector ever surfaced as a neighbor")
+      // pruned plan shape survives the append: static cid IN (...)
+      // partition filters, probes broadcast, corpus never shuffles
+      val plan = fromAppended.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan)
+        .isDefined, s"expected cid PartitionFilters post-append:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") &&
+        !plan.contains("SortMergeJoin"),
+        s"candidate join must broadcast the probes:\n$plan")
+    }
+  }
+
   test("adaptive probes = ceil(√lists): at 5 test lists that is 3, and " +
       "recall dominates the pinned nprobe=2 run") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
