@@ -153,6 +153,56 @@ object SparkEntry {
     store
   }
 
+  /** The planted embedding corpus shared by the semantic-dedup rows:
+    * the base vectors plus an exact copy of every 50th, shifted to ids
+    * ≥ 1,000,000 (planted d2=0 near-dups that must drop). */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    e.unionAll(e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  /** The landed id-prefix boundary for the incremental semantic row:
+    * `(max base vec_id + 1) / 2` — exact int64, derived identically by
+    * the oracle's scalar subquery. Landed = planted ids below it (a
+    * strict id PREFIX, so "near any landed vector" coincides with the
+    * one-shot's smaller-id drop rule); the batch is everything at or
+    * above, including every planted copy. */
+  private def semanticSplitId(s: SparkSession, dir: String): Long =
+    (s.read.parquet(s"$dir/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max(col("vec_id"))).head()
+      .getLong(0) + 1L) / 2L
+
+  /** The landed semantic-dedup state for `dir`, built ONCE per source
+    * fingerprint (the [[landedBandStore]] pattern): a persisted kmeans
+    * layout TRAINED on the landed id-prefix (frozen centroids — the
+    * serving sidecar every batch assigns from) plus a
+    * [[graft.operators.ClusterVecStore]] holding the landed members'
+    * `(bucket key, vec_id, fx)` rows, bootstrapped as batch 0 of the
+    * incremental operator itself (all-seen landing from day one). */
+  private[graft] def landedSemanticState(s: SparkSession, dir: String)
+      : (String, graft.operators.ClusterVecStore) = {
+    val fp = sourceFingerprint(s"$dir/embeddings.parquet")
+    val suffix = s"${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp)
+    val t = semanticSplitId(s, dir)
+    val layout = buildLayoutOnce(s"/tmp/graft_semk_v1_$suffix") { tmp =>
+      graft.operators.Clustering.writeKmeansIvfLayout(
+        plantedEmbeddings(s, dir).filter(col("vec_id") < t), tmp)
+    }
+    val store = graft.operators.ClusterVecStore.open(s,
+      s"/tmp/graft_vecstore_v1_$suffix")
+    if (!store.nonEmpty) {
+      val (_, members) = graft.operators.Clustering
+        .incrementalSemanticWithStore(
+          plantedEmbeddings(s, dir).filter(col("vec_id") < t),
+          layout, store, dist2Threshold = 1000L)
+      store.append(members, "init")
+    }
+    (layout, store)
+  }
+
   private def engineOrders(s: SparkSession, dir: String,
       buckets: Int = 0): graft.core.Smoltable = {
     val base = engineCachePath(dir, buckets)
@@ -1213,14 +1263,24 @@ object SparkEntry {
     //      candidate key — pairs only inside a cluster, never
     //      all-pairs within one; planted identical embeddings (d2=0)
     //      must drop, min-id keeps; all-integer end to end ------------
-    "ext_dedup_semantic" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"))
-      val planted = e.unionAll(e.filter(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          col("embedding")))
-      graft.operators.Clustering.semanticDedup(planted,
-        dist2Threshold = 1000L)
+    "ext_dedup_semantic" -> ((s, dir) =>
+      graft.operators.Clustering.semanticDedup(
+        plantedEmbeddings(s, dir), dist2Threshold = 1000L)),
+
+    // ---- INCREMENTAL semantic dedup (round 18): frozen centroids
+    //      from the persisted kmeans layout trained on the landed
+    //      id-prefix; the landed members live in a ClusterVecStore
+    //      (bp partition filters + pushed In(ck), zero landed-side
+    //      exchanges), so a batch is deduped against the corpus
+    //      without rescanning it — batch-split ≡ one-shot pinned by
+    //      the ClusteringSpec differential; the oracle trains on the
+    //      prefix and applies the one-shot drop rule to the batch ----
+    "ext_dedup_semantic_incremental" -> ((s, dir) => {
+      val (layout, store) = landedSemanticState(s, dir)
+      val batch = plantedEmbeddings(s, dir)
+        .filter(col("vec_id") >= semanticSplitId(s, dir))
+      graft.operators.Clustering.incrementalSemanticWithStore(
+        batch, layout, store, dist2Threshold = 1000L)._1
     }),
 
     // ---- stratified sampling: exact per-language quota (one window
@@ -2136,22 +2196,23 @@ object SparkEntry {
   private val kmeansCtes: String = kmeansCtesOver("", "embeddings")
 
   /** [[kmeansCtes]] with SPLIT training and assignment corpora — the
-    * oracle shape of the frozen-centroid append path
-    * (`eng_ann_ivf_persisted_append`): the seed stride, both Lloyd
-    * updates, and the carried-forward empty-cluster rule run over `vt`
-    * (the even half — exactly the base build's training corpus), while
-    * the final assignment distances `a2_d` — what the probe chain and
-    * the layout's `cid=` partitions are derived from — cover the FULL
-    * corpus `v` (base + appended vectors against the frozen `c2`
-    * centroids). Same arithmetic as [[kmeansCtesOver]] everywhere
-    * else. */
-  private val kmeansCtesTrainedOnEven: String =
-    s"""WITH v AS (
+    * oracle shape of every frozen-centroid path: the seed stride, both
+    * Lloyd updates, and the carried-forward empty-cluster rule run over
+    * `vt` (the rows of `source` matching `trainPred` — the base build's
+    * training corpus), while the final assignment distances `a2_d` —
+    * what probe chains, layout partitions, and semantic buckets are
+    * derived from — cover the FULL corpus `v` against the frozen `c2`
+    * centroids. Same arithmetic as [[kmeansCtesOver]] everywhere else.
+    * Shared by `eng_ann_ivf_persisted_append` (train = even half) and
+    * `ext_dedup_semantic_incremental` (train = landed id-prefix). */
+  private def kmeansCtesTrainAssign(extraCtes: String, source: String,
+      trainPred: String): String =
+    s"""WITH $extraCtes v AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS fx
-      |  FROM embeddings
+      |  FROM $source
       |), vt AS (
-      |  SELECT vec_id, fx FROM v WHERE vec_id % 2 = 0
+      |  SELECT vec_id, fx FROM v WHERE $trainPred
       |), c0 AS (
       |  SELECT vec_id AS cid, fx AS cfx FROM vt
       |  WHERE vec_id % (SELECT greatest(100, (count(*) + 1023) // 1024)
@@ -2207,7 +2268,7 @@ object SparkEntry {
     * half, assignment and probe over the union — the frozen-centroid
     * append contract in SQL. */
   private val annIvfKmeansAppendSql: String =
-    s"""$kmeansCtesTrainedOnEven,
+    s"""${kmeansCtesTrainAssign("", "embeddings", "vec_id % 2 = 0")},
       |${ivfKmeansCtes("2")}
       |SELECT query_id, neighbor_id, rnk FROM ivfk""".stripMargin
 
@@ -3747,6 +3808,51 @@ object SparkEntry {
           |SELECT m.vec_id, m.c1 AS cid
           |FROM mem m LEFT JOIN drops d ON d.vec_id = m.vec_id
           |WHERE d.vec_id IS NULL""".stripMargin
+      },
+
+      // incremental semantic dedup: the SAME bucket/pair/min-id chain,
+      // but kmeans trains ONLY on the landed id-prefix (the frozen
+      // layout's training corpus) while assignment covers the full
+      // planted corpus; with the landed set an id-PREFIX, "near any
+      // landed vector" ≡ the one-shot smaller-id rule, so the batch's
+      // survivors are the one-shot survivors at-or-above the boundary
+      "ext_dedup_semantic_incremental" -> {
+        val plantedCte =
+          """pe AS (
+            |  SELECT vec_id, embedding FROM embeddings
+            |  UNION ALL SELECT vec_id + 1000000, embedding
+            |  FROM embeddings WHERE vec_id % 50 = 0
+            |),""".stripMargin
+        val split = "(SELECT (max(vec_id) + 1) // 2 FROM embeddings)"
+        s"""${kmeansCtesTrainAssign(plantedCte, "pe", s"vec_id < $split")},
+          |t2 AS (
+          |  SELECT vec_id, cid, rn FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM a2_d) WHERE rn <= 2
+          |), mem AS (
+          |  SELECT vec_id,
+          |    max(CASE WHEN rn = 1 THEN cid END) AS c1,
+          |    COALESCE(max(CASE WHEN rn = 2 THEN cid END),
+          |      max(CASE WHEN rn = 1 THEN cid END)) AS c2
+          |  FROM t2 GROUP BY vec_id
+          |), prs AS (
+          |  SELECT a.vec_id AS id1, b.vec_id AS id2
+          |  FROM mem a JOIN mem b
+          |    ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.vec_id < b.vec_id
+          |), pd2 AS (
+          |  SELECT id1, id2, CAST(sum((x1 - x2) * (x1 - x2)) AS BIGINT) AS d2
+          |  FROM (
+          |    SELECT p.id1, p.id2, unnest(va.fx) AS x1, unnest(vb.fx) AS x2
+          |    FROM prs p JOIN v va ON va.vec_id = p.id1
+          |                JOIN v vb ON vb.vec_id = p.id2
+          |  ) GROUP BY id1, id2
+          |), drops AS (
+          |  SELECT DISTINCT id2 AS vec_id FROM pd2 WHERE d2 <= 1000
+          |)
+          |SELECT m.vec_id, m.c1 AS cid
+          |FROM mem m LEFT JOIN drops d ON d.vec_id = m.vec_id
+          |WHERE d.vec_id IS NULL AND m.vec_id >= $split""".stripMargin
       },
 
       // int64 sums of int distances — CAST pins DuckDB's HUGEINT back

@@ -1,0 +1,257 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** The LANDED per-cluster embedding store for INCREMENTAL semantic
+  * dedup ([[Clustering.incrementalSemanticWithStore]]) — the
+  * [[BandStore]] pattern generalized from membership STRINGS to keyed
+  * VECTOR payloads: semantic dedup cannot answer "is this batch doc a
+  * near-dup of the landed corpus?" from key equality alone (equal
+  * `(c1, c2)` residual buckets only make a candidate); it needs the
+  * landed vectors in the touched buckets to compute the fixed-point
+  * distances. So the store lands `(ck, vec_id, fx)` rows — cluster key,
+  * id, quantized embedding — hash-bucketed into fixed `bp=` dirs,
+  * ck-sorted within every file, appended as atomic `batch=<tag>`
+  * sub-dirs:
+  *
+  * {{{ dir/batch=<tag>/bp=<0..nBuckets-1>/part-*.parquet  (ck, vec_id, fx) }}}
+  *
+  * The same three pruning tiers as [[BandStore.prunedLookup]] apply to
+  * the batch's cluster-key set (bounded by the batch's distinct
+  * `(c1, c2)` pairs): `bp` partition filters + a pushed `In(ck)`
+  * parquet predicate for small key sets, a broadcast left-semi join
+  * past the pushdown stack cap, a shuffled join for corpus-class
+  * batches — the landed side never enters an exchange in tiers 1-2, so
+  * per-batch lookup cost tracks the TOUCHED BUCKETS, not the landed
+  * corpus. Appends, idempotent-replay tags, crash-safe compaction
+  * (replacement committed before old dirs are deleted), FIFO batch
+  * retention, and the scheduled [[maintenanceTask]] all follow the
+  * BandStore contract verbatim — see that class for the rationale on
+  * each.
+  *
+  * Like the band store, this extends the reference's dedup surface (it
+  * has none) with the continuous-curation state layout the brief's
+  * LLM-pipeline pillar needs at 100 TB.
+  */
+final class ClusterVecStore private (
+    private val spark: SparkSession,
+    val dir: String,
+    val nBuckets: Int,
+    val pushdownKeyLimit: Int,
+    val broadcastKeyLimit: Int) {
+
+  /** Bucket of a cluster key — pure function, shared by writers and the
+    * lookup pruner. */
+  def bucketOf(ck: Column): Column =
+    pmod(xxhash64(ck), lit(nBuckets.toLong))
+
+  private def storePath: Path = Paths.get(dir)
+
+  def nonEmpty: Boolean = {
+    val p = storePath
+    if (!Files.isDirectory(p)) return false
+    val s = Files.list(p)
+    try s.iterator().asScala.exists(
+      _.getFileName.toString.startsWith("batch="))
+    finally s.close()
+  }
+
+  /** True when `batch=<tag>` is already landed — the replay check. */
+  def hasBatch(tag: String): Boolean =
+    Files.exists(storePath.resolve(s"batch=$tag"))
+
+  private val dataSchema = StructType(Seq(
+    StructField("ck", StringType),
+    StructField("vec_id", LongType),
+    StructField("fx", ArrayType(LongType))))
+
+  /** The full landed table (audit / compaction surface): `(ck, vec_id,
+    * fx)` plus the `batch`/`bp` partition cols. Explicit schema — an
+    * empty append must not wedge inference; per-read
+    * `ignoreMissingFiles` tolerates a concurrent maintenance pass
+    * retiring batch dirs (the replacement is always committed first). */
+  def read(): DataFrame = readOn(spark)
+
+  private def readOn(s: SparkSession): DataFrame =
+    s.read
+      .option("basePath", dir)
+      .option("ignoreMissingFiles", "true")
+      .schema(StructType(dataSchema.fields ++ Seq(
+        StructField("batch", StringType),
+        StructField("bp", LongType))))
+      .parquet(listBatchDirs().map(_.toString): _*)
+
+  /** Conf-scoped clone for tier-1 lookups (see
+    * [[BandStore.lookupSession]] — same raise, same
+    * [[BandStore.SafeInPushdownCap]] cap, never the shared session). */
+  private lazy val lookupSession: SparkSession = {
+    val (c, isolated) =
+      org.apache.spark.sql.graft.SessionClone.cloneOrSelf(spark)
+    if (isolated) {
+      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val cur = c.conf.getOption(key).map(_.toInt).getOrElse(10)
+      val want = math.min(pushdownKeyLimit, BandStore.SafeInPushdownCap)
+      if (cur < want) c.conf.set(key, want.toString)
+    }
+    c
+  }
+
+  private def listBatchDirs(): Seq[Path] = {
+    val p = storePath
+    if (!Files.isDirectory(p)) return Seq.empty
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("batch="))
+    finally s.close()
+  }
+
+  /** Committed batch tags, oldest first (commit mtime, name
+    * tie-break). */
+  def batchTags(): Seq[String] =
+    listBatchDirs()
+      .map(p => (Files.getLastModifiedTime(p).toMillis,
+        p.getFileName.toString.stripPrefix("batch=")))
+      .sortBy(identity).map(_._2)
+
+  /** The landed `(ck, vec_id, fx)` rows in the buckets `batchKeys`
+    * touches — LAZY, so plan tests can assert the pruning shape. Tiers
+    * as [[BandStore.prunedLookup]], keyed on `ck`. */
+  def prunedLookup(batchKeys: DataFrame): DataFrame = {
+    if (!nonEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+    val k = batchKeys.select(col("ck")).distinct()
+      .withColumn("bp", bucketOf(col("ck")))
+    val n = k.count()
+    if (n <= pushdownKeyLimit) {
+      val rows = k.collect()
+      val bps = rows.map(_.getLong(1)).distinct.toSeq
+      val cks = rows.map(_.getString(0)).toSeq
+      readOn(lookupSession)
+        .filter(col("bp").isin(bps: _*))
+        .filter(col("ck").isInCollection(cks))
+        .select(col("ck"), col("vec_id"), col("fx"))
+    } else if (n <= broadcastKeyLimit) {
+      val bps = k.select(col("bp")).distinct()
+        .collect().map(_.getLong(0)).toSeq // bounded by nBuckets
+      read()
+        .filter(col("bp").isin(bps: _*))
+        .join(broadcast(k.select(col("ck"))), Seq("ck"), "left_semi")
+        .select(col("ck"), col("vec_id"), col("fx"))
+    } else {
+      read().join(k.select("ck"), Seq("ck"), "left_semi")
+        .select(col("ck"), col("vec_id"), col("fx"))
+    }
+  }
+
+  /** [[prunedLookup]] MATERIALIZED (eager localCheckpoint): callers
+    * append the batch's own members right after the lookup, and a lazy
+    * lookup re-run after the append would see them as landed and drop
+    * every batch doc. Bounded by the touched buckets' landed rows. */
+  def landedAmong(batchKeys: DataFrame): DataFrame =
+    prunedLookup(batchKeys).localCheckpoint(true)
+
+  /** Land `members` (`ck`, `vec_id`, `fx`; deduplicated on (ck,
+    * vec_id), bucketed, ck-sorted) as the atomic `batch=<tag>` dir.
+    * Returns false — writing NOTHING — when the tag is already landed
+    * (idempotent replay). The landing contract is ALL-SEEN (survivors
+    * and dropped alike): semantic distance is not transitive, so a
+    * survivors-only store re-admits chained near-duplicates — the
+    * [[Dedup.incrementalMinhash]] argument verbatim. */
+  def append(members: DataFrame, tag: String): Boolean = {
+    require(tag.nonEmpty && !tag.contains('/') && !tag.contains('='),
+      s"bad batch tag: $tag")
+    val target = storePath.resolve(s"batch=$tag")
+    if (Files.exists(target)) return false
+    Files.createDirectories(storePath)
+    val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
+    val stage = tmp.resolve("stage")
+    members.select(col("ck"), col("vec_id"), col("fx"))
+      .dropDuplicates("ck", "vec_id")
+      .withColumn("bp", bucketOf(col("ck")))
+      .repartition(col("bp"))
+      .sortWithinPartitions("ck")
+      .write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
+    try {
+      Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally ClusterVecStore.deleteRecursively(tmp)
+  }
+
+  /** Crash-safe compaction: fold all batch dirs into ONE ck-sorted file
+    * per bucket — replacement committed BEFORE old dirs are deleted
+    * ([[BandStore.compact]]'s contract). Returns dirs folded (0 = no-op). */
+  def compact(): Int = {
+    val old = listBatchDirs()
+    if (old.size <= 1) return 0
+    val prev = old.map(_.getFileName.toString)
+      .collect { case ClusterVecStore.CompactedTag(n) => n.toLong }
+    val tag = s"compacted-${if (prev.isEmpty) 0L else prev.max + 1L}"
+    val all = read().select(col("ck"), col("vec_id"), col("fx"))
+      .dropDuplicates("ck", "vec_id")
+      .withColumn("bp", bucketOf(col("ck")))
+      .repartition(col("bp"))
+      .sortWithinPartitions("ck")
+    val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
+    val stage = tmp.resolve("stage")
+    try {
+      all.write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
+      Files.move(stage, storePath.resolve(s"batch=$tag"),
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally ClusterVecStore.deleteRecursively(tmp)
+    old.foreach(ClusterVecStore.deleteRecursively)
+    old.size
+  }
+
+  /** FIFO retention — drop the oldest batch dirs past the horizon
+    * ([[BandStore.expireBatches]]'s contract). Returns expired tags. */
+  def expireBatches(retainNewest: Int): Seq[String] = {
+    require(retainNewest >= 0, s"retainNewest: $retainNewest")
+    val drop = batchTags().dropRight(retainNewest)
+    drop.foreach(t => ClusterVecStore.deleteRecursively(
+      storePath.resolve(s"batch=$t")))
+    drop
+  }
+
+  /** Schedulable maintenance pass (expire, then compact-if-fragmented)
+    * for [[graft.core.Workers.registerMaintenance]]. */
+  def maintenanceTask(compactAtBatches: Int = 16,
+      retainBatches: Option[Int] = None): () => Unit = {
+    require(compactAtBatches >= 2, s"compactAtBatches: $compactAtBatches")
+    () => {
+      retainBatches.foreach(n => expireBatches(n))
+      if (listBatchDirs().size > compactAtBatches) compact()
+      ()
+    }
+  }
+}
+
+object ClusterVecStore {
+
+  private val CompactedTag = "batch=compacted-([0-9]+)".r
+
+  /** Open (or lazily create at first append) the store at `dir`. */
+  def open(spark: SparkSession, dir: String, nBuckets: Int = 64,
+      pushdownKeyLimit: Int = 1024,
+      broadcastKeyLimit: Int = 1000000): ClusterVecStore = {
+    require(nBuckets > 0 && pushdownKeyLimit > 0 &&
+      broadcastKeyLimit >= pushdownKeyLimit)
+    new ClusterVecStore(spark, dir, nBuckets, pushdownKeyLimit,
+      broadcastKeyLimit)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+}

@@ -511,12 +511,21 @@ object Clustering {
     fxDf.cache()
     try {
       val cents = train(fxDf, stride, iters, maxCentroids)
-      val top2 = nearestN(col("fx"), cents, 2)
-      fxDf.select(col("vec_id"), col("fx"),
-        element_at(top2, 1).getField("cid").as("c1"),
-        coalesce(element_at(top2, 2).getField("cid"),
-          element_at(top2, 1).getField("cid")).as("c2"))
+      semanticMembersFrozen(fxDf, cents)
     } finally fxDf.unpersist(blocking = false)
+  }
+
+  /** [[semanticMembers]] against an EXPLICIT centroid set — the
+    * frozen-centroid assignment a continuously-ingesting pipeline runs
+    * (centroids from a persisted layout's sidecar, no retraining).
+    * Input is the already-quantized `(vec_id, fx)` frame. */
+  private def semanticMembersFrozen(fxDf: DataFrame,
+      cents: Seq[(Long, Array[Long])]): DataFrame = {
+    val top2 = nearestN(col("fx"), cents, 2)
+    fxDf.select(col("vec_id"), col("fx"),
+      element_at(top2, 1).getField("cid").as("c1"),
+      coalesce(element_at(top2, 2).getField("cid"),
+        element_at(top2, 1).getField("cid")).as("c2"))
   }
 
   /** SEMANTIC DEDUP proper: [[semanticPairs]] + the min-id keep rule —
@@ -538,6 +547,101 @@ object Clustering {
       .select(col("id2").as("vec_id")).distinct()
     members.join(dropIds, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("c1").as("cid"))
+  }
+
+  /** [[semanticDedup]] against an EXPLICIT (frozen) centroid set — the
+    * batch anchor the incremental path's differential compares against:
+    * same bucket key, same pair rule, same min-id keep, but assignment
+    * from given centroids instead of in-query training. */
+  private[graft] def semanticDedupFrozen(emb: DataFrame,
+      cents: Seq[(Long, Array[Long])], dist2Threshold: Long,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val fxDf = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("fx"))
+    val members = semanticMembersFrozen(fxDf, cents)
+    val dropIds = semanticPairsFrom(members, dist2Threshold,
+        maxBucketSize)
+      .select(col("id2").as("vec_id")).distinct()
+    members.join(dropIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("c1").as("cid"))
+  }
+
+  /** INCREMENTAL semantic dedup (round 18 — the continuous-curation
+    * shape the batch-only [[semanticDedup]] cannot run): a NEW batch of
+    * embeddings is semantically deduplicated (a) within itself and (b)
+    * against the LANDED corpus, without ever rescanning it. Centroids
+    * come FROZEN from a persisted kmeans layout's sidecar
+    * ([[writeKmeansIvfLayout]] — no retraining per batch); the landed
+    * state is a [[ClusterVecStore]] of `(bucket key, vec_id, fx)` rows,
+    * so the membership+distance question touches only the batch's own
+    * `(c1, c2)` buckets (partition filters + pushed `In(ck)`, zero
+    * landed-side exchanges — the [[BandStore]] lookup tiers).
+    *
+    * Drop rule (the [[semanticDedup]] rule split across the landing
+    * boundary): a batch doc drops when some landed vector in its bucket
+    * is within `dist2Threshold`, or a smaller-id batch doc is. With
+    * id-ordered batches and the ALL-SEEN landing contract (append the
+    * full returned member set — semantic distance is not transitive,
+    * so survivors-only landing re-admits chained near-dups; the
+    * [[Dedup.incrementalMinhash]] argument), a batch split at any id
+    * boundary composes to exactly the one-shot
+    * [[semanticDedupFrozen]] survivor set (ClusteringSpec
+    * differential).
+    *
+    * The bucket cap guards the candidate joins like
+    * [[semanticPairs]]'s: buckets whose landed+batch size exceeds
+    * `maxBucketSize` generate NO candidates (their batch docs survive
+    * and still land). When the cap binds, incremental and one-shot may
+    * diverge — the cap is a quadratic-join guard, not part of the
+    * landing contract; it never binds at test scale.
+    *
+    * Returns `(survivors, newMembers)`: survivors as `(vec_id, cid)`
+    * (cid = nearest frozen centroid), and the batch's FULL member set
+    * `(ck, vec_id, fx)` for the caller to land via
+    * `store.append(newMembers, tag)` AFTER committing survivors — the
+    * order that keeps a replay from seeing the batch's own vectors as
+    * landed (the store lookup is materialized, so the returned
+    * survivors frame stays safe to consume lazily either way). */
+  def incrementalSemanticWithStore(newEmb: DataFrame, layoutDir: String,
+      store: ClusterVecStore, dist2Threshold: Long,
+      maxBucketSize: Int = DefaultMaxBucketSize)
+      : (DataFrame, DataFrame) = {
+    require(dist2Threshold >= 0 && maxBucketSize > 0)
+    val cents = readKmeansCentroids(layoutDir)
+    val fxDf = newEmb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("fx"))
+    val m = semanticMembersFrozen(fxDf, cents)
+      .withColumn("ck", concat_ws("_", col("c1"), col("c2")))
+    val landed = store.landedAmong(m.select("ck")) // materialized
+    // one cap rule over the UNION bucket size (landed + batch): an
+    // over-cap bucket generates no candidates from either join
+    val okBuckets = m.groupBy("ck").agg(count(lit(1)).as("_bn"))
+      .join(landed.groupBy("ck").agg(count(lit(1)).as("_ln")),
+        Seq("ck"), "left")
+      .filter(col("_bn") + coalesce(col("_ln"), lit(0L))
+        <= maxBucketSize)
+      .select("ck")
+    val mOk = m.join(okBuckets, Seq("ck"), "left_semi")
+    val dropVsLanded = mOk.select(col("ck"), col("vec_id"), col("fx"))
+      .join(landed.join(okBuckets, Seq("ck"), "left_semi")
+        .select(col("ck"), col("fx").as("lfx")), Seq("ck"))
+      .filter(graft.functions.IntSquaredL2(col("fx"), col("lfx"))
+        <= dist2Threshold)
+      .select(col("vec_id"))
+    val a = mOk.select(col("vec_id").as("id1"), col("fx").as("fx1"),
+      col("ck"))
+    val b = mOk.select(col("vec_id").as("id2"), col("fx").as("fx2"),
+      col("ck"))
+    val dropWithin = a.hint("merge").join(b.hint("merge"), Seq("ck"))
+      .filter(col("id1") < col("id2"))
+      .filter(graft.functions.IntSquaredL2(col("fx1"), col("fx2"))
+        <= dist2Threshold)
+      .select(col("id2").as("vec_id"))
+    val drops = dropVsLanded.unionAll(dropWithin).distinct()
+    val survivors = m.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("c1").as("cid"))
+    val newMembers = m.select(col("ck"), col("vec_id"), col("fx"))
+    (survivors, newMembers)
   }
 
   /** Integer brute-force top-k (fixed-point L2, id tie-break) — the

@@ -235,6 +235,74 @@ class ClusteringSpec extends SparkSuite {
     assert(adaptive.intersect(brute).size >= fixed.intersect(brute).size)
   }
 
+  test("incrementalSemanticWithStore: id-ordered batch splits compose " +
+      "to the one-shot frozen-centroid dedup, landing is all-seen " +
+      "(rerun drops everything), and the landed lookup prunes") {
+    import org.apache.spark.sql.functions.col
+    withTempDir { tmp =>
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      // planted copies land at high ids (exact near-dups, d2 = 0)
+      val planted = e.unionAll(e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding")))
+      val maxId = e.agg(org.apache.spark.sql.functions.max("vec_id"))
+        .head().getLong(0)
+      val layout = s"$tmp/semk"
+      // centroids frozen from the low third — every batch assigns from
+      // the same sidecar, like a production serving layout
+      Clustering.writeKmeansIvfLayout(
+        planted.filter(col("vec_id") < maxId / 3), layout)
+      val cents = Clustering.readKmeansCentroids(layout)
+      val oneShot = Clustering
+        .semanticDedupFrozen(planted, cents, dist2Threshold = 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // three id-ordered batches through a fresh store, all-seen landing
+      val store = ClusterVecStore.open(spark, s"$tmp/vecs")
+      val bounds = Seq(
+        col("vec_id") < maxId / 3,
+        col("vec_id") >= maxId / 3 && col("vec_id") < 1000000L,
+        col("vec_id") >= 1000000L)
+      val got = scala.collection.mutable.Set.empty[(Long, Long)]
+      bounds.zipWithIndex.foreach { case (pred, i) =>
+        val (surv, members) = Clustering.incrementalSemanticWithStore(
+          planted.filter(pred), layout, store, dist2Threshold = 1000L)
+        got ++= surv.collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(store.append(members, s"b$i"), s"append b$i must commit")
+        assert(!store.append(members, s"b$i"), "replay tag is a no-op")
+      }
+      assert(got.toSet == oneShot,
+        s"batch-split ${got.size} vs one-shot ${oneShot.size} survivors")
+      // planted copies actually dropped (their base has a smaller id)
+      assert(!got.exists(_._1 >= 1000000L),
+        "planted d2=0 copies must never survive")
+      // all-seen landing: rerunning the last batch drops every doc
+      // (each doc is now within distance 0 of its own landed vector)
+      val (rerun, _) = Clustering.incrementalSemanticWithStore(
+        planted.filter(bounds.last), layout, store,
+        dist2Threshold = 1000L)
+      assert(rerun.count() == 0L, "rerun after landing must drop all")
+      // the landed-side lookup prunes: bp partition filters + pushed
+      // In(ck), and no join on the landed scan path
+      val keys = spark.range(3).select(
+        org.apache.spark.sql.functions.concat_ws("_",
+          col("id"), col("id")).as("ck"))
+      val plan = store.prunedLookup(keys)
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bp".r.findFirstIn(plan)
+        .isDefined, s"expected bp PartitionFilters:\n$plan")
+      assert(plan.contains("PushedFilters: [In(ck"),
+        s"expected pushed In(ck, ...):\n$plan")
+      assert(!plan.contains("Join"), s"no join in tier 1:\n$plan")
+      // compaction preserves the landed state (rerun still drops all)
+      assert(store.compact() == 3)
+      val (rerun2, _) = Clustering.incrementalSemanticWithStore(
+        planted.filter(bounds.last), layout, store,
+        dist2Threshold = 1000L)
+      assert(rerun2.count() == 0L, "compaction must preserve membership")
+    }
+  }
+
   test("semanticDedup: planted identical embeddings drop (min-id " +
       "keeps), candidate pairs NEVER cross clusters, the bucket cap " +
       "never binds at test scale, and the plan is never cartesian") {
