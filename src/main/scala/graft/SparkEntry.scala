@@ -1612,6 +1612,21 @@ object SparkEntry {
         bm25MultiQueries.toDF("query_id", "term"), k = 10)
     }),
 
+    // ---- HYBRID retrieval (round 18): BM25 top-10 fused with the
+    //      persisted kmeans-IVF neighbors of each query's top-1 BM25
+    //      anchor by pure-int64 RRF (1000000 div (60 + rnk)) — both
+    //      systems already integer-exact, so the fused ranking is
+    //      hash-exact; the semantic side rides the committed cid=
+    //      layout (PartitionFilters), never the corpus ----------------
+    "ext_retrieve_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Retrieval.hybridTopK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        bm25MultiQueries.toDF("query_id", "term"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        kmeansIvfLayoutDir(s, dir), k = 10)
+    }),
+
     // ---- multimodal: binary payload -> batched decode stub -> features
     "ext_multimodal_features" -> ((s, dir) =>
       graft.operators.Multimodal.documentFeatures(s, dir)),
@@ -2089,6 +2104,45 @@ object SparkEntry {
     bm25Terms.map(t => (1L, t)) ++ Seq(
       (2L, "vector"), (2L, "hash"), (2L, "join"),
       (3L, "scan"), (3L, "filter"))
+
+  /** The bm25-multi oracle CTE chain up to the per-(query, doc) exact
+    * scores `agg` — one definition, shared by the `ext_bm25_multi`
+    * oracle and nested verbatim inside `ext_retrieve_hybrid`'s (the
+    * recall-telemetry composition pattern). */
+  private lazy val bm25MultiCtesSql: String =
+    s"""d AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      |), tk AS (
+      |  SELECT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d
+      |  ) WHERE term != ''
+      |), pd AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id
+      |), st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tt FROM pd
+      |), q(query_id, term) AS (
+      |  VALUES ${bm25MultiQueries.map { case (qid, t) =>
+           s"(CAST($qid AS BIGINT), '$t')"
+         }.mkString(", ")}
+      |), qtf AS (
+      |  SELECT q.query_id, t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tk t JOIN q ON t.term = q.term
+      |  GROUP BY q.query_id, t.doc_id, t.term
+      |), dfs AS (
+      |  SELECT query_id, term, CAST(count(*) AS BIGINT) AS df
+      |  FROM qtf GROUP BY query_id, term
+      |), scored AS (
+      |  SELECT f.query_id, f.doc_id, pd.dl,
+      |    CAST(floor(CAST(2*st.n_docs - 2*dfs.df + 1 AS DOUBLE) / CAST(2*dfs.df + 1 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+      |    * CAST(floor(CAST(22*f.tf*st.tt AS DOUBLE) / CAST(10*st.tt*f.tf + 3*st.tt + 9*pd.dl*st.n_docs AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS term_q
+      |  FROM qtf f
+      |  JOIN pd ON f.doc_id = pd.doc_id
+      |  JOIN dfs ON f.query_id = dfs.query_id AND f.term = dfs.term, st
+      |), agg AS (
+      |  SELECT query_id, doc_id, CAST(min(dl) AS BIGINT) AS dl,
+      |    CAST(sum(term_q) AS BIGINT) AS score_q
+      |  FROM scored GROUP BY query_id, doc_id
+      |)""".stripMargin
 
   /** The PII fixture: the synthetic corpus carries no PII, so plant
     * deterministic addresses/phones/IPs from doc_id (same arithmetic in
@@ -3457,43 +3511,70 @@ object SparkEntry {
       // term sum is EXACT int64 in any order; query table interpolated
       // from the same Scala value (one source of truth)
       "ext_bm25_multi" ->
-        (s"""WITH d AS (
-          |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
-          |), tk AS (
-          |  SELECT doc_id, term FROM (
-          |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d
-          |  ) WHERE term != ''
-          |), pd AS (
-          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id
-          |), st AS (
-          |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tt FROM pd
-          |), q(query_id, term) AS (
-          |  VALUES ${bm25MultiQueries.map { case (qid, t) =>
-               s"(CAST($qid AS BIGINT), '$t')"
-             }.mkString(", ")}
-          |), qtf AS (
-          |  SELECT q.query_id, t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
-          |  FROM tk t JOIN q ON t.term = q.term
-          |  GROUP BY q.query_id, t.doc_id, t.term
-          |), dfs AS (
-          |  SELECT query_id, term, CAST(count(*) AS BIGINT) AS df
-          |  FROM qtf GROUP BY query_id, term
-          |), scored AS (
-          |  SELECT f.query_id, f.doc_id, pd.dl,
-          |    CAST(floor(CAST(2*st.n_docs - 2*dfs.df + 1 AS DOUBLE) / CAST(2*dfs.df + 1 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
-          |    * CAST(floor(CAST(22*f.tf*st.tt AS DOUBLE) / CAST(10*st.tt*f.tf + 3*st.tt + 9*pd.dl*st.n_docs AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS term_q
-          |  FROM qtf f
-          |  JOIN pd ON f.doc_id = pd.doc_id
-          |  JOIN dfs ON f.query_id = dfs.query_id AND f.term = dfs.term, st
-          |), agg AS (
-          |  SELECT query_id, doc_id, CAST(min(dl) AS BIGINT) AS dl,
-          |    CAST(sum(term_q) AS BIGINT) AS score_q
-          |  FROM scored GROUP BY query_id, doc_id
-          |)
+        (s"""WITH $bm25MultiCtesSql
           |SELECT query_id, doc_id, dl, score_q,
           |  CAST(row_number() OVER (PARTITION BY query_id
           |    ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rnk
           |FROM agg QUALIFY rnk <= 10""".stripMargin),
+
+      // hybrid retrieval: the bm25-multi chain nested verbatim (top-10
+      // lexical ranking `bm`, per-query top-1 anchors), the kmeans CTE
+      // chain assigning the full corpus, the anchors' nprobe=2 IVF
+      // neighbors, and pure-int64 RRF fusion `1000000 // (60 + rnk)` —
+      // no float anywhere, so the fused ranking is hash-exact
+      "ext_retrieve_hybrid" ->
+        s"""${kmeansCtesOver(
+             s"""$bm25MultiCtesSql, bm AS (
+               |  SELECT query_id, doc_id,
+               |    CAST(row_number() OVER (PARTITION BY query_id
+               |      ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rnk
+               |  FROM agg QUALIFY rnk <= 10
+               |), anchors AS (
+               |  SELECT query_id, doc_id AS anchor_id FROM bm WHERE rnk = 1
+               |),""".stripMargin, "embeddings")},
+          |aprobes AS (
+          |  SELECT vec_id AS anchor_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM a2_d
+          |    WHERE vec_id IN (SELECT anchor_id FROM anchors)) WHERE rn <= 2
+          |), km AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM a2_d) WHERE rn = 1
+          |), acand AS (
+          |  SELECT p.anchor_id, l.vec_id AS neighbor_id
+          |  FROM aprobes p JOIN km l
+          |    ON l.cid = p.cid AND l.vec_id != p.anchor_id
+          |), acd AS (
+          |  SELECT anchor_id, neighbor_id,
+          |    CAST(sum((qf - nf) * (qf - nf)) AS BIGINT) AS dd
+          |  FROM (SELECT c.anchor_id, c.neighbor_id,
+          |          unnest(q.fx) AS qf, unnest(n.fx) AS nf
+          |        FROM acand c JOIN v q ON q.vec_id = c.anchor_id
+          |                     JOIN v n ON n.vec_id = c.neighbor_id) z
+          |  GROUP BY anchor_id, neighbor_id
+          |), ann AS (
+          |  SELECT anchor_id, neighbor_id, rnk FROM (
+          |    SELECT anchor_id, neighbor_id,
+          |      CAST(row_number() OVER (PARTITION BY anchor_id
+          |        ORDER BY dd, neighbor_id) AS BIGINT) AS rnk
+          |    FROM acd) WHERE rnk <= 10
+          |), fused AS (
+          |  SELECT query_id, doc_id,
+          |    CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS score
+          |  FROM (
+          |    SELECT query_id, doc_id, rnk FROM bm
+          |    UNION ALL
+          |    SELECT a.query_id, n.neighbor_id AS doc_id, n.rnk
+          |    FROM anchors a JOIN ann n ON n.anchor_id = a.anchor_id
+          |  ) GROUP BY query_id, doc_id
+          |)
+          |SELECT query_id, doc_id, score,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+          |FROM fused QUALIFY rnk <= 10""".stripMargin,
 
       // quantize + floor(sum/count): the Lloyd-update arithmetic —
       // exact int64 sums, one correctly-rounded IEEE divide per cell
