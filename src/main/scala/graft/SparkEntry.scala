@@ -1318,6 +1318,24 @@ object SparkEntry {
             size(split(col("text"), " ")).as("n_tokens")),
         "doc_id", "n_tokens", 2048L)),
 
+    // ---- MULTIMODAL sequence packing (round 18): interleaved
+    //      image+text budgets — a doc costs its whitespace tokens PLUS
+    //      ceil(w/16)*ceil(h/16) ViT patch tokens from the multimodal
+    //      feature dims (the real mapPartitions extraction path), and
+    //      the greedy contiguous packer bins on the combined cost;
+    //      8192-token bins so the stub dims' up-to-4096-patch images
+    //      still pack multi-doc ----------------------------------------
+    "ext_pack_multimodal" -> ((s, dir) => {
+      val feats = graft.operators.Multimodal.documentFeatures(s, dir)
+        .select(col("doc_id"), col("width"), col("height"))
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("text_tokens"))
+      graft.operators.Corpus.packMultimodal(
+        toks.join(feats, Seq("doc_id")))
+    }),
+
     // ---- deterministic WEIGHTED sampling (P[keep] ∝ n_chars) ---------
     // shuffle-free like ext_sample_threshold, integer-exact long
     // compare; tau = 1e15 per char ≈ 26% expected mass at this corpus's
@@ -3126,6 +3144,29 @@ object SparkEntry {
           |  FROM t
           |)
           |SELECT doc_id, shard, CAST(tokens_before // 2048 AS BIGINT) AS bin, n_tokens FROM c""".stripMargin,
+      // multimodal packing: the same cumsum binning with the combined
+      // text + ViT-patch cost; stub dims reproduced from md5(text) as
+      // in the ext_multimodal_features oracle, patch count by exact
+      // integer ceiling division
+      "ext_pack_multimodal" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS text_tokens,
+          |    CAST(((CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1024 + 15) // 16)
+          |      * ((CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1024 + 15) // 16) AS BIGINT) AS patch_tokens,
+          |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS shard
+          |  FROM documents WHERE text IS NOT NULL
+          |), c AS (
+          |  SELECT doc_id, shard, text_tokens, patch_tokens,
+          |    text_tokens + patch_tokens AS n_tokens,
+          |    coalesce(sum(text_tokens + patch_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+          |  FROM t
+          |)
+          |SELECT doc_id, shard, CAST(tokens_before // 8192 AS BIGINT) AS bin,
+          |  CAST(n_tokens AS BIGINT) AS n_tokens, text_tokens, patch_tokens
+          |FROM c""".stripMargin,
+
       "ext_sample_weighted" ->
         """SELECT doc_id, lang, n_chars FROM documents
           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < n_chars * 1000000000000000""".stripMargin,

@@ -303,10 +303,21 @@ object Corpus {
     * exactly how packed pretraining shards are laid out on disk.
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-      budgetTokens: Long, shards: Int = 32): DataFrame = {
+      budgetTokens: Long, shards: Int = 32): DataFrame =
+    packByCumsum(
+      df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens")),
+      idCol, budgetTokens, shards, Seq.empty)
+
+  /** The shared greedy-contiguous packer: md5-shard, per-shard id-order
+    * running token sum, `bin = tokens_before div budget`. `carryCols`
+    * ride through to the output (the multimodal packer's per-modality
+    * decomposition). Input must already carry an exact long
+    * `n_tokens`. */
+  private def packByCumsum(df: DataFrame, idCol: String,
+      budgetTokens: Long, shards: Int,
+      carryCols: Seq[String]): DataFrame = {
     require(budgetTokens > 0 && shards > 0)
-    val sharded = df.select(col(idCol), col(tokensCol).cast("long")
-        .as("n_tokens"))
+    val sharded = df
       .withColumn("shard", pmod(sampleHash(col(idCol)), lit(shards.toLong)))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     sharded
@@ -314,7 +325,44 @@ object Corpus {
         coalesce(sum(col("n_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("bin", expr(s"tokens_before div $budgetTokens"))
-      .select(col(idCol), col("shard"), col("bin"), col("n_tokens"))
+      .select((Seq(col(idCol), col("shard"), col("bin"),
+        col("n_tokens")) ++ carryCols.map(col)): _*)
+  }
+
+  /** MULTIMODAL sequence packing (round 18 — the interleaved
+    * image+text budget a vision-language pretraining batch layout
+    * needs): a document's budget cost is its whitespace text tokens
+    * PLUS its image's ViT patch tokens `ceil(w/P) · ceil(h/P)`
+    * (patch size `P`, the standard vision-transformer accounting — an
+    * image enters the sequence as one token per patch), and the greedy
+    * contiguous packer ([[packSequences]]) bins on the combined cost.
+    * Output carries the per-modality decomposition
+    * `(text_tokens, patch_tokens)` next to the packed `n_tokens` so a
+    * loader can budget projector capacity per bin.
+    *
+    * Input: `(idCol, textTokensCol, widthCol, heightCol)` — dimensions
+    * from the multimodal feature extraction
+    * ([[Multimodal.extractFeatures]]); all arithmetic is exact int64
+    * (ceiling division `(x + P - 1) div P`), so bins are
+    * oracle-reproducible. Scale shape identical to [[packSequences]]:
+    * one shuffle on the md5 shard, per-task cumsum, no collect. */
+  def packMultimodal(df: DataFrame, idCol: String = "doc_id",
+      textTokensCol: String = "text_tokens",
+      widthCol: String = "width", heightCol: String = "height",
+      patchSize: Int = 16, budgetTokens: Long = 8192L,
+      shards: Int = 32): DataFrame = {
+    require(patchSize > 0)
+    val p = patchSize.toLong
+    val patches =
+      (expr(s"($widthCol + ${p - 1}) div $p") *
+        expr(s"($heightCol + ${p - 1}) div $p")).cast("long")
+    packByCumsum(
+      df.select(col(idCol),
+        col(textTokensCol).cast("long").as("text_tokens"),
+        patches.as("patch_tokens"))
+        .withColumn("n_tokens",
+          col("text_tokens") + col("patch_tokens")),
+      idCol, budgetTokens, shards, Seq("text_tokens", "patch_tokens"))
   }
 
   /** Deterministic sampled quantiles: nearest-rank percentiles of an

@@ -281,6 +281,49 @@ class CorpusSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("packMultimodal: patch accounting is exact ceil(w/P)*ceil(h/P), " +
+      "bins follow the combined cost, and zero-size images reduce to " +
+      "the text packer") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // hand-check: P=16. (w,h)=(1,1)->1 patch; (16,16)->1; (17,16)->2;
+    // (1023,1023)->64*64=4096 patches
+    val tiny = Seq(
+      (1L, 100L, 1L, 1L), (2L, 100L, 16L, 16L),
+      (3L, 100L, 17L, 16L), (4L, 100L, 1023L, 1023L))
+      .toDF("doc_id", "text_tokens", "width", "height")
+    val got = Corpus.packMultimodal(tiny, budgetTokens = 8192L,
+        shards = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("text_tokens"),
+          r.getAs[Long]("patch_tokens"), r.getAs[Long]("bin"))).toMap
+    assert(got(1L) == ((101L, 100L, 1L, 0L)), s"${got(1L)}")
+    assert(got(2L) == ((101L, 100L, 1L, 0L)))
+    assert(got(3L) == ((102L, 100L, 2L, 0L)))
+    // tokens_before for doc 4 = 101+101+102 = 304 -> bin 0; its own
+    // 4196 tokens spill past the boundary only for FOLLOWING docs
+    assert(got(4L) == ((4196L, 100L, 4096L, 0L)))
+    // degenerate images (0x0 -> 0 patches): multimodal packing must
+    // equal the text packer bit-for-bit (same shards, same cumsum)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("text_tokens"))
+    val zeroImg = docs.withColumn("width",
+        org.apache.spark.sql.functions.lit(0L))
+      .withColumn("height", org.apache.spark.sql.functions.lit(0L))
+    val mm = Corpus.packMultimodal(zeroImg, budgetTokens = 2048L)
+      .select("doc_id", "shard", "bin", "n_tokens")
+      .collect().map(_.toSeq).toSet
+    val txt = Corpus.packSequences(docs, "doc_id", "text_tokens", 2048L)
+      .collect().map(_.toSeq).toSet
+    assert(mm == txt, "zero-image multimodal packing must equal the " +
+      "text packer")
+  }
+
   test("weightedThresholdSample: deterministic, subset, monotone in " +
       "weight, and proportional in aggregate") {
     import org.apache.spark.sql.functions.{col, lit}
