@@ -876,8 +876,13 @@ object SparkEntry {
         |  SELECT doc_id, n, explode(sequence(0L,
         |    CASE WHEN n <= 32L THEN 0L ELSE (n - 9L) DIV 24L END)) AS chunk_idx
         |  FROM (
+        |    -- the one-pass token-count kernel through its SQL door
+        |    -- (r18: the regex split(trim(text), '\s+') this replaces
+        |    -- was the row's last interpreted per-doc tokenization —
+        |    -- the DataFrame twin moved to the kernel in r17, this door
+        |    -- had not; kernel ≡ regex pinned by SplitCountSpec)
         |    SELECT doc_id,
-        |      CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n
+        |      CAST(graft_split_count(trim(text), false) AS BIGINT) AS n
         |    FROM graft_docs))""".stripMargin)
     }),
 

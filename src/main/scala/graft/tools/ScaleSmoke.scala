@@ -89,6 +89,13 @@ object ScaleSmoke {
     // the bucketed sorted store must keep the membership lookup
     // batch-sized, so the ratio target is ~1, not ~factor)
     "ext_dedup_incremental_store", "ext_dedup_incstore_fixedbatch",
+    // round 18: the maintained-store flatness twin (50 small appends +
+    // scheduled compaction ≡ one-append cost), the incremental semantic
+    // dedup (fixed batch vs the landed per-cluster store), the hybrid
+    // BM25×IVF fusion, and the multimodal packer
+    "ext_dedup_incstore_maintained", "ext_dedup_semantic_incremental",
+    "ext_retrieve_hybrid", "ext_pack_multimodal",
+    "eng_ann_ivf_persisted_append",
     // round 17: semantic dedup (kmeans-family band expected), the
     // one-pass multi-query BM25, the full prep pipeline with quality +
     // redaction folded in, and the persisted kmeans-IVF serving index
@@ -240,6 +247,24 @@ object ScaleSmoke {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       graft.operators.Dedup.incrementalMinhashWithStore(batch, store)._1
     }),
+    // the MAINTAINED-store twin (round 18): same fixed batch, but the
+    // landed store was built as 50 SMALL appends (the fragmentation a
+    // per-micro-batch pipeline accumulates) and then run through the
+    // scheduled maintenance pass (expire none, compact) — the lookup
+    // must cost what the single-append store's does (flat vs
+    // ext_dedup_incstore_fixedbatch, ~1 vs the factor), proving the
+    // Workers-cadence compaction restores tight row-group stats
+    // instead of merely shrinking the file count. Store build is
+    // one-time ingest cost, cached per (dir, fingerprint)
+    "ext_dedup_incstore_maintained" -> ((s, dir) => {
+      val store = maintainedBandStore(s, dir)
+      val copy0 = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 100000000L)
+      val batch = copy0.unionAll(copy0.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Dedup.incrementalMinhashWithStore(batch, store)._1
+    }),
     "ext_dedup_cluster_dist" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -281,6 +306,38 @@ object ScaleSmoke {
     * [[graft.core.Smoltable]]). Built once per (dir, source fingerprint)
     * like SparkEntry's engine caches; the maintenance rows clone it per
     * run (the verbs mutate). */
+  /** The fragmented-then-maintained band store for
+    * `ext_dedup_incstore_maintained`: the SAME landed slice as
+    * [[graft.SparkEntry.landedBandStore]] (docs with `doc_id % 3 = 0`),
+    * but landed as 50 id-sliced `batch=` appends and then compacted by
+    * the scheduled maintenance task — identical membership, different
+    * on-disk history. Built once per (dir, source fingerprint). */
+  private def maintainedBandStore(s: SparkSession,
+      dir: String): graft.operators.BandStore = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val fp = java.lang.Long.toHexString(31L * src.length + src.lastModified)
+    val base = s"/tmp/graft_bandstore_maint_" +
+      s"${Integer.toHexString(dir.hashCode)}_$fp"
+    val store = graft.operators.BandStore.open(s, base)
+    if (!store.nonEmpty) {
+      val landed = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val sigs = graft.operators.Dedup.minhashSignatures(landed, 8,
+        graft.operators.Dedup.DefaultSeeds)
+      // 50 small id-sliced appends, then the maintenance pass compacts
+      val banded = graft.operators.Dedup.bandRows(sigs, 2)
+        .withColumn("_sub", pmod(col("doc_id"), lit(50L)))
+      for (i <- 0 until 50)
+        store.append(banded.filter(col("_sub") === i).select("band"),
+          s"sub$i")
+      store.maintenanceTask(compactAtBatches = 8)()
+      require(store.batchTags().size == 1,
+        s"maintenance must compact to one dir: ${store.batchTags()}")
+    }
+    store
+  }
+
   private def engineEventsBase(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val fp = java.lang.Long.toHexString(31L * src.length + src.lastModified)
