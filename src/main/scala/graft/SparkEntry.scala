@@ -1288,6 +1288,31 @@ object SparkEntry {
         batch, layout, store, dist2Threshold = 1000L)._1
     }),
 
+    // ---- STREAMING semantic dedup (round 18): the same frozen-
+    //      centroid + landed-store composition through a real
+    //      readStream → foreachBatch loop with exactly-once batch-
+    //      keyed commits (survivors first, all-seen member landing
+    //      after) — multi-batch ≡ one-shot, so it shares the batch
+    //      row's oracle; fresh store per run, seeded from the landed
+    //      prefix as batch=init ------------------------------------
+    "ext_dedup_stream_semantic" -> ((s, dir) => {
+      val (layout, _) = landedSemanticState(s, dir)
+      val t = semanticSplitId(s, dir)
+      graft.streaming.StreamOps.incrementalSemanticToFiles(s, dir,
+        layout,
+        plantedEmbeddings(s, dir).filter(col("vec_id") < t),
+        graft.core.Smoltable.scratchDir("graft_incsem_store_"),
+        graft.core.Smoltable.scratchDir("graft_incsem_out_"),
+        graft.core.Smoltable.scratchDir("graft_incsem_ck_"),
+        dist2Threshold = 1000L,
+        transform = emb => {
+          val planted = emb.unionAll(emb.filter(col("vec_id") % 50 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              col("embedding")))
+          planted.filter(col("vec_id") >= t)
+        })
+    }),
+
     // ---- stratified sampling: exact per-language quota (one window
     // shuffle) vs the shuffle-free hash-threshold scale path ----------
     "ext_stratified_sample" -> ((s, dir) =>
@@ -4116,6 +4141,10 @@ object SparkEntry {
       // the staged variant materializes the gated front but computes
       // the IDENTICAL relation — one oracle, two execution shapes
       ("ext_pipeline_prep_staged" -> base("ext_pipeline_prep_v2")) +
+      // the streaming semantic twin shares the batch incremental
+      // row's oracle: multi-batch ≡ one-shot under all-seen landing
+      ("ext_dedup_stream_semantic" ->
+        base("ext_dedup_semantic_incremental")) +
       ("sql_tfidf" -> base("ext_tfidf")) +
       ("sql_lang_id" -> base("ext_lang_id")) +
       ("sql_repetition" -> base("ext_repetition")) +

@@ -531,6 +531,81 @@ object StreamOps {
       .drop("batch")
   }
 
+  /** CONTINUOUS-CURATION semantic dedup — the streaming twin of
+    * [[graft.operators.Clustering.incrementalSemanticWithStore]]: an
+    * embedding stream is semantically deduplicated per micro-batch
+    * against the landed corpus via `foreachBatch`. Centroids come
+    * FROZEN from the persisted kmeans layout at `layoutDir` (no
+    * per-batch retraining); the landed state is a
+    * [[graft.operators.ClusterVecStore]] at `storeDir`, seeded once
+    * from `landedEmb` as `batch=init` (skipped when already landed —
+    * the restart path), so per-batch work touches only the batch's own
+    * `(c1, c2)` buckets — never the corpus.
+    *
+    * Exactly-once landing, the [[incrementalMinhashToFiles]] contract
+    * verbatim: survivors commit first (`batch=<batchId>` temp +
+    * ATOMIC_MOVE — recomputable only while the batch's own members are
+    * NOT yet landed), the member append after; a `foreachBatch` retry
+    * that finds both committed skips entirely, one that finds only
+    * survivors lands just the state. The landing is ALL-SEEN (the full
+    * member set, survivors and dropped — semantic distance is not
+    * transitive), which is what makes id-ordered micro-batches compose
+    * to the one-shot batch operator (StreamingDedupSpec differential).
+    *
+    * `transform` lets the harness plant fixtures / select the batch
+    * slice per micro-batch; production passes identity. */
+  def incrementalSemanticToFiles(s: SparkSession, dir: String,
+      layoutDir: String, landedEmb: DataFrame, storeDir: String,
+      outDir: String, checkpointDir: String, dist2Threshold: Long,
+      transform: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+      StructField("label", org.apache.spark.sql.types.IntegerType)))
+    val store = graft.operators.ClusterVecStore.open(s, storeDir)
+    if (!store.hasBatch("init")) {
+      val (_, initMembers) = graft.operators.Clustering
+        .incrementalSemanticWithStore(landedEmb, layoutDir, store,
+          dist2Threshold)
+      store.append(initMembers, "init")
+    }
+    val q = streamSource(s, dir, "embeddings", embSchema,
+        maxFilesPerTrigger
+          .map(n => Map("maxFilesPerTrigger" -> n.toString))
+          .getOrElse(Map.empty))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val tag = batchId.toString
+        val fullReplay = batchExists(outDir, tag) && store.hasBatch(tag)
+        if (!fullReplay) {
+          val emb = transform(
+            batch.select(col("vec_id"), col("embedding")))
+          val (survivors, members) = graft.operators.Clustering
+            .incrementalSemanticWithStore(emb, layoutDir, store,
+              dist2Threshold)
+          atomicBatchWrite(survivors, outDir, tag)
+          store.append(members, tag)
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // explicit schema: an all-duplicate run leaves only data-less
+    // batch= dirs that would wedge inference (the BandStore precedent)
+    s.read
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("cid", LongType),
+        StructField("batch", StringType))))
+      .parquet(outDir)
+      .drop("batch")
+  }
+
   private def batchExists(baseDir: String, tag: String): Boolean =
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(baseDir, s"batch=$tag"))

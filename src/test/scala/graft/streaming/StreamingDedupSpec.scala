@@ -235,6 +235,116 @@ class StreamingDedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental SEMANTIC stream: 3 id-ordered micro-batches land " +
+      "exactly the one-shot batch operator's survivor set through the " +
+      "real foreachBatch loop, and a replayed micro-batch (full AND " +
+      "partial commit) cannot double-land survivors or members") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Clustering, ClusterVecStore}
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    withTempDir { tmp =>
+      // id-ordered batch files with deterministic source order
+      val inDir = s"$tmp/in/embeddings.parquet"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      var mtime = 1700000000000L
+      for ((lo, hi, name) <- Seq((0L, 170L, "b0"), (170L, 340L, "b1"),
+          (340L, 1000000L, "b2"))) {
+        val stage = s"$tmp/stage_$name"
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .repartition(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = java.nio.file.Paths.get(s"$inDir/$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      // frozen centroids from a layout trained on the landed prefix;
+      // landed state = vec_id < 100
+      val layout = s"$tmp/semk"
+      val landed = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      Clustering.writeKmeansIvfLayout(landed, layout, stride = 20L)
+      // the stream filters each batch to the un-landed slice and
+      // plants an exact copy of every 25th doc at ids >= 1,000,000
+      def plant(df: org.apache.spark.sql.DataFrame) = {
+        val p = df.unionAll(df.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")))
+        p.filter(col("vec_id") >= 100)
+      }
+      def run(): Set[(Long, Long)] =
+        StreamOps.incrementalSemanticToFiles(spark, s"$tmp/in",
+            layout, landed, s"$tmp/store", s"$tmp/out", s"$tmp/ck",
+            dist2Threshold = 1000L, transform = plant,
+            maxFilesPerTrigger = Some(1))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = run()
+      val nBatches = java.nio.file.Files
+        .list(java.nio.file.Paths.get(s"$tmp/ck/offsets")).count()
+      assert(nBatches >= 3, s"expected >=3 micro-batches, got $nBatches")
+      // one-shot batch-operator equivalent: the same slices as ONE
+      // batch against a fresh store seeded with the same landed state
+      val oneStore = ClusterVecStore.open(spark, s"$tmp/store_oneshot")
+      val (_, initMembers) = Clustering.incrementalSemanticWithStore(
+        landed, layout, oneStore, 1000L)
+      oneStore.append(initMembers, "init")
+      val oneShot = Clustering.incrementalSemanticWithStore(
+          plant(emb.select(col("vec_id"), col("embedding"))),
+          layout, oneStore, 1000L)._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == oneShot,
+        s"streamed ${got.size} vs one-shot ${oneShot.size}; " +
+          s"diff ${(got -- oneShot).take(3)} / ${(oneShot -- got).take(3)}")
+      // planted d2=0 copies never survive (their base is landed or a
+      // smaller id in the same or an earlier batch)
+      assert(!got.exists(_._1 >= 1000000L), "a planted copy survived")
+      val store = ClusterVecStore.open(spark, s"$tmp/store")
+      val tagsBefore = store.batchTags().toSet
+      def lastCommit(): java.nio.file.Path = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$tmp/ck/commits"))
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.forall(_.isDigit))
+          .maxBy(_.getFileName.toString.toLong)
+        finally s.close()
+      }
+      def deleteCommit(p: java.nio.file.Path): Unit = {
+        java.nio.file.Files.delete(p)
+        java.nio.file.Files.deleteIfExists(
+          p.resolveSibling(s".${p.getFileName}.crc"))
+      }
+      // full replay: everything committed, all skipped
+      val lc = lastCommit()
+      val lastId = lc.getFileName.toString
+      deleteCommit(lc)
+      assert(run() == got, "full replay changed the survivor set")
+      assert(store.batchTags().toSet == tagsBefore,
+        "full replay double-appended members")
+      // partial replay: survivors landed, member append missing — the
+      // dangerous window (recomputing survivors now would see the
+      // batch's own vectors as landed); replay must land ONLY state
+      deleteCommit(lastCommit())
+      val s2 = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        s"$tmp/store/batch=$lastId"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s2.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally s2.close()
+      assert(run() == got, "partial replay changed the survivor set")
+      assert(store.batchTags().toSet == tagsBefore,
+        "partial replay lost or duplicated a member batch")
+      val out = spark.read.parquet(s"$tmp/out").drop("batch").collect()
+        .map(_.getLong(0))
+      assert(out.distinct.length == out.length,
+        "duplicate survivor vec_ids after replays")
+    }
+  }
+
   test("file-sink dedup survives kill + resume on one checkpoint: " +
       "no duplicate, no lost keys (exactly-once landing)") {
     import org.apache.spark.sql.types._
