@@ -1366,6 +1366,36 @@ object SparkEntry {
         toks.join(feats, Seq("doc_id")))
     }),
 
+    // ---- the multimodal packer as pure SQL TEXT (two doors, one
+    //      semantics): stub dims replayed from md5(text) exactly as the
+    //      mapPartitions decode stub computes them, patch cost by
+    //      integer ceiling div, shard by the registered graft_sample_
+    //      hash kernel, cumsum window — same oracle as the ext row ----
+    "sql_pack_multimodal" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      s.sql("""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS text_tokens,
+        |    ((CAST(conv(substring(md5(text), 1, 4), 16, 10) AS BIGINT) % 1024 + 15) DIV 16)
+        |      * ((CAST(conv(substring(md5(text), 5, 4), 16, 10) AS BIGINT) % 1024 + 15) DIV 16) AS patch_tokens,
+        |    pmod(graft_sample_hash(doc_id), 32L) AS shard
+        |  FROM graft_docs WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, shard, text_tokens, patch_tokens,
+        |    text_tokens + patch_tokens AS n_tokens,
+        |    coalesce(sum(text_tokens + patch_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+        |      AS tokens_before
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, tokens_before DIV 8192 AS bin, n_tokens,
+        |  text_tokens, patch_tokens
+        |FROM c""".stripMargin)
+    }),
+
     // ---- deterministic WEIGHTED sampling (P[keep] ∝ n_chars) ---------
     // shuffle-free like ext_sample_threshold, integer-exact long
     // compare; tau = 1e15 per char ≈ 26% expected mass at this corpus's
@@ -4145,6 +4175,7 @@ object SparkEntry {
       // row's oracle: multi-batch ≡ one-shot under all-seen landing
       ("ext_dedup_stream_semantic" ->
         base("ext_dedup_semantic_incremental")) +
+      ("sql_pack_multimodal" -> base("ext_pack_multimodal")) +
       ("sql_tfidf" -> base("ext_tfidf")) +
       ("sql_lang_id" -> base("ext_lang_id")) +
       ("sql_repetition" -> base("ext_repetition")) +

@@ -610,8 +610,14 @@ object Clustering {
     val cents = readKmeansCentroids(layoutDir)
     val fxDf = newEmb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), quantize(col("embedding")).as("fx"))
+    // members MATERIALIZED (eager localCheckpoint, batch-sized): the
+    // frame feeds six plan branches (lookup keys, both bucket counts,
+    // both candidate joins, the survivor anti-join, the landing set) —
+    // lazy, each branch re-runs the quantize + nearest-centroids
+    // kernels over the batch; checkpointed, assignment runs once
     val m = semanticMembersFrozen(fxDf, cents)
       .withColumn("ck", concat_ws("_", col("c1"), col("c2")))
+      .localCheckpoint(true)
     val landed = store.landedAmong(m.select("ck")) // materialized
     // one cap rule over the UNION bucket size (landed + batch): an
     // over-cap bucket generates no candidates from either join
