@@ -203,6 +203,47 @@ object SparkEntry {
     (layout, store)
   }
 
+  /** The landed seed state for `ext_dedup_stream_minhash`, built ONCE
+    * per source fingerprint: `batch=init` signatures + the band store's
+    * `_bands/batch=init`, exactly what
+    * [[graft.streaming.StreamOps.incrementalMinhashToFiles]] would
+    * build into a fresh sigDir — per-run scratch dirs clone this
+    * instead of recomputing the landed-corpus signature pass. */
+  private[graft] def streamMinhashSeed(s: SparkSession, dir: String,
+      known: DataFrame): String = {
+    val fp = sourceFingerprint(s"$dir/documents.parquet")
+    val seed = s"/tmp/graft_incmh_seed_${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(seed, "batch=init"))) {
+      graft.streaming.StreamOps.atomicBatchWrite(known, seed, "init")
+      graft.operators.BandStore.fromSignatures(s, s"$seed/_bands",
+        s.read.parquet(s"$seed/batch=init"))
+    }
+    seed
+  }
+
+  /** Recursive file-tree copy (seed cloning for per-run scratch
+    * stores). No-op when the source is absent (the first-ever run races
+    * nothing: the callee then seeds from data). */
+  private def copyDirInto(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(src)) return
+    val w = java.nio.file.Files.walk(src)
+    val all = try w.iterator().asScala.toSeq finally w.close()
+    all.foreach { p =>
+      val to = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(to)
+      else {
+        java.nio.file.Files.createDirectories(to.getParent)
+        java.nio.file.Files.copy(p, to,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
   private def engineOrders(s: SparkSession, dir: String,
       buckets: Int = 0): graft.core.Smoltable = {
     val base = engineCachePath(dir, buckets)
@@ -1171,8 +1212,18 @@ object SparkEntry {
           .filter(col("doc_id") % 3 === 0)
           .select(col("doc_id"), col("text")), 8,
         graft.operators.Dedup.DefaultSeeds)
+      // fresh sig/store dirs per run (the stream appends batch state),
+      // seeded by CLONING a fingerprint-cached landed state (r18): the
+      // known-signature compute + band landing run once per corpus
+      // snapshot, not once per run — the callee's batch=init commits
+      // are existence-gated, so the clone short-circuits them without
+      // executing the frames
+      val sigDir = graft.core.Smoltable.scratchDir("graft_incmh_sig_")
+      copyDirInto(
+        java.nio.file.Paths.get(streamMinhashSeed(s, dir, known)),
+        java.nio.file.Paths.get(sigDir))
       graft.streaming.StreamOps.incrementalMinhashToFiles(s, dir, known,
-        graft.core.Smoltable.scratchDir("graft_incmh_sig_"),
+        sigDir,
         graft.core.Smoltable.scratchDir("graft_incmh_out_"),
         graft.core.Smoltable.scratchDir("graft_incmh_ck_"),
         docs => docs.unionAll(docs.filter(col("doc_id") % 50 === 0)
@@ -1296,12 +1347,21 @@ object SparkEntry {
     //      row's oracle; fresh store per run, seeded from the landed
     //      prefix as batch=init ------------------------------------
     "ext_dedup_stream_semantic" -> ((s, dir) => {
-      val (layout, _) = landedSemanticState(s, dir)
+      val (layout, landedStore) = landedSemanticState(s, dir)
       val t = semanticSplitId(s, dir)
+      // fresh store per run (the stream appends batch state), but the
+      // landed init dir CLONES from the fingerprint-cached store — a
+      // file copy, not a per-run recompute of the landed assignment
+      // (incrementalSemanticToFiles seeds from landedEmb only when
+      // batch=init is absent)
+      val storeDir = graft.core.Smoltable.scratchDir("graft_incsem_store_")
+      copyDirInto(
+        java.nio.file.Paths.get(landedStore.dir, "batch=init"),
+        java.nio.file.Paths.get(storeDir, "batch=init"))
       graft.streaming.StreamOps.incrementalSemanticToFiles(s, dir,
         layout,
         plantedEmbeddings(s, dir).filter(col("vec_id") < t),
-        graft.core.Smoltable.scratchDir("graft_incsem_store_"),
+        storeDir,
         graft.core.Smoltable.scratchDir("graft_incsem_out_"),
         graft.core.Smoltable.scratchDir("graft_incsem_ck_"),
         dist2Threshold = 1000L,

@@ -615,7 +615,7 @@ object StreamOps {
     * false, computing nothing) when the target already exists — the
     * idempotent-replay primitive shared by the incremental-dedup sinks
     * (same commit discipline as [[graft.operators.BandStore.append]]). */
-  private def atomicBatchWrite(df: DataFrame, baseDir: String,
+  private[graft] def atomicBatchWrite(df: DataFrame, baseDir: String,
       tag: String): Boolean = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Paths.get(baseDir)

@@ -303,6 +303,55 @@ class ClusteringSpec extends SparkSuite {
     }
   }
 
+  test("ClusterVecStore retention: expiring landed batches re-admits " +
+      "their near-dups BY DESIGN (the bounded-state horizon), and the " +
+      "maintenance task composes expire + compact") {
+    import org.apache.spark.sql.functions.col
+    withTempDir { tmp =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val layout = s"$tmp/semk"
+      Clustering.writeKmeansIvfLayout(
+        emb.filter(col("vec_id") < 100), layout, stride = 20L)
+      val store = ClusterVecStore.open(spark, s"$tmp/vecs")
+      val batch = emb.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+      def run(): Set[Long] = Clustering.incrementalSemanticWithStore(
+          batch, layout, store, dist2Threshold = 1000L)._1
+        .collect().map(_.getLong(0)).toSet
+      val (surv0, members) = Clustering.incrementalSemanticWithStore(
+        batch, layout, store, dist2Threshold = 1000L)
+      val first = surv0.collect().map(_.getLong(0)).toSet
+      assert(store.append(members, "b0"))
+      assert(run().isEmpty, "landed batch must drop on rerun")
+      // FIFO horizon: expire everything — the batch's membership is
+      // forgotten and its docs re-admit (bounded state beats unbounded
+      // perfect memory at 100 TB; the re-admission is the contract)
+      assert(store.expireBatches(0) == Seq("b0"))
+      assert(run() == first,
+        "expired membership must re-admit the batch's survivors")
+      // maintenance composition: several small appends, then one sweep
+      // task expires past the horizon and compacts the rest
+      import spark.implicits._
+      for (i <- 0 until 6)
+        store.append(Seq((s"k$i", 7000L + i, Seq(1L, 2L)))
+          .toDF("ck", "vec_id", "fx"), s"t$i")
+      store.batchTags().zipWithIndex.foreach { case (t, i) =>
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(s"$tmp/vecs", s"batch=$t"),
+          java.nio.file.attribute.FileTime.fromMillis(2000000L + i * 1000L))
+      }
+      store.maintenanceTask(compactAtBatches = 2,
+        retainBatches = Some(4))()
+      val tags = store.batchTags()
+      assert(tags.size == 1 && tags.head.startsWith("compacted-"),
+        s"sweep must expire + compact, got $tags")
+      val kept = store.read().select("ck").collect()
+        .map(_.getString(0)).toSet
+      assert(kept == Set("k2", "k3", "k4", "k5"),
+        s"retention must keep the newest 4: $kept")
+    }
+  }
+
   test("semanticDedup: planted identical embeddings drop (min-id " +
       "keeps), candidate pairs NEVER cross clusters, the bucket cap " +
       "never binds at test scale, and the plan is never cartesian") {
