@@ -25,6 +25,22 @@ class RetrievalSpec extends SparkSuite {
       (40L, 16129L, 3L), (30L, 15873L, 4L)), s"got $got")
   }
 
+  test("hybridTopK with no lexical hits returns an empty, correctly " +
+      "typed frame (no anchor, no evidence — never a crash)") {
+    withTempDir { tmp =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val layout = s"$tmp/kivf"
+      Clustering.writeKmeansIvfLayout(emb, layout)
+      val queries = Seq((1L, "zzzzunmatchableterm"))
+        .toDF("query_id", "term")
+      val out = Retrieval.hybridTopK(docs, queries, emb, layout, k = 5)
+      assert(out.columns.toSeq ==
+        Seq("query_id", "doc_id", "score", "rnk"))
+      assert(out.count() == 0L)
+    }
+  }
+
   test("hybridTopK: every fused doc has lexical or semantic evidence, " +
       "ranks are per-query dense from 1, the ANN side partition-prunes " +
       "off the persisted layout, and no global sort appears") {
