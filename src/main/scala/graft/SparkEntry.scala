@@ -1339,6 +1339,18 @@ object SparkEntry {
         batch, layout, store, dist2Threshold = 1000L)._1
     }),
 
+    // ---- assignment-DRIFT telemetry (round 18): the new batch's
+    //      per-cluster count / exact inertia / max d2 against the
+    //      FROZEN layout centroids — the ingest-time signal that the
+    //      persisted layout needs a re-train; all int64, one kernel
+    //      pass + one k-row aggregate --------------------------------
+    "ext_semantic_drift" -> ((s, dir) => {
+      val (layout, _) = landedSemanticState(s, dir)
+      graft.operators.Clustering.assignmentDrift(
+        plantedEmbeddings(s, dir)
+          .filter(col("vec_id") >= semanticSplitId(s, dir)), layout)
+    }),
+
     // ---- STREAMING semantic dedup (round 18): the same frozen-
     //      centroid + landed-store composition through a real
     //      readStream → foreachBatch loop with exactly-once batch-
@@ -3677,6 +3689,30 @@ object SparkEntry {
           |  CAST(row_number() OVER (PARTITION BY query_id
           |    ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rnk
           |FROM agg QUALIFY rnk <= 10""".stripMargin),
+
+      // assignment drift: nearest frozen centroid per batch vector
+      // (split-trained kmeans chain), then exact per-cluster integer
+      // aggregates over the batch slice
+      "ext_semantic_drift" -> {
+        val plantedCte =
+          """pe AS (
+            |  SELECT vec_id, embedding FROM embeddings
+            |  UNION ALL SELECT vec_id + 1000000, embedding
+            |  FROM embeddings WHERE vec_id % 50 = 0
+            |),""".stripMargin
+        val split = "(SELECT (max(vec_id) + 1) // 2 FROM embeddings)"
+        s"""${kmeansCtesTrainAssign(plantedCte, "pe", s"vec_id < $split")},
+          |km AS (
+          |  SELECT vec_id, cid, d FROM (
+          |    SELECT vec_id, cid, d,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM a2_d) WHERE rn = 1
+          |)
+          |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+          |  CAST(sum(d) AS BIGINT) AS inertia,
+          |  CAST(max(d) AS BIGINT) AS max_d2
+          |FROM km WHERE vec_id >= $split GROUP BY cid""".stripMargin
+      },
 
       // hybrid retrieval: the bm25-multi chain nested verbatim (top-10
       // lexical ranking `bm`, per-query top-1 anchors), the kmeans CTE

@@ -650,6 +650,30 @@ object Clustering {
     (survivors, newMembers)
   }
 
+  /** ASSIGNMENT-DRIFT telemetry for a frozen-centroid layout (round
+    * 18): per-cluster count / exact inertia / max squared distance of
+    * a NEW batch assigned from the persisted sidecar — the signal that
+    * tells a continuously-ingesting pipeline when the frozen centroids
+    * have drifted from the data and the layout needs a re-train
+    * (rising batch inertia against a static layout = drift;
+    * [[ivfTopKKmeansFromLayout]]'s recall row gates quality at query
+    * time, this gates it at INGEST time). All int64 — count, exact
+    * distance sums, max — so the row is hash-exact under the oracle.
+    * One narrow kernel pass + one k-row aggregate; no joins, no
+    * corpus state touched. */
+  def assignmentDrift(emb: DataFrame, layoutDir: String): DataFrame = {
+    val cents = readKmeansCentroids(layoutDir)
+    val fxDf = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("fx"))
+    val best = nearest(col("fx"), cents)
+    fxDf.select(best.getField("cid").as("cid"),
+        best.getField("d").as("d2"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2")).as("inertia"),
+        max(col("d2")).as("max_d2"))
+  }
+
   /** Integer brute-force top-k (fixed-point L2, id tie-break) — the
     * exact reference the kmeans-IVF recall telemetry compares against.
     * Queries broadcast (numQueries rows); one pass over the corpus. */

@@ -303,6 +303,52 @@ class ClusteringSpec extends SparkSuite {
     }
   }
 
+  test("assignmentDrift: exact per-cluster inertia against the frozen " +
+      "sidecar, planted far-out vectors surface in max_d2, and the " +
+      "plan is one kernel pass + one k-row aggregate (no join)") {
+    import org.apache.spark.sql.functions._
+    withTempDir { tmp =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val layout = s"$tmp/kivf"
+      Clustering.writeKmeansIvfLayout(
+        emb.filter(col("vec_id") < 250), layout)
+      val batch = emb.filter(col("vec_id") >= 250)
+      val drift = Clustering.assignmentDrift(batch, layout)
+      val rows = drift.collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // totals must cover the batch exactly
+      assert(rows.values.map(_._1).sum == batch.count())
+      // differential: per-row nearest-centroid distances re-derived
+      // through the layout probe path's own centroid reader
+      val cents = Clustering.readKmeansCentroids(layout)
+      val fx = batch.select(col("vec_id"),
+          graft.functions.FixedPointQuantize(col("embedding"),
+            Clustering.FxScale).as("fx"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val want = fx.map { case (_, v) =>
+        cents.map { case (cid, c) => (d2(v, c), cid) }.min
+      }.groupBy(_._2).map { case (cid, ds) =>
+        cid -> ((ds.length.toLong, ds.map(_._1).sum, ds.map(_._1).max))
+      }
+      assert(rows == want, s"drift $rows vs recomputed $want")
+      // a planted far-out vector dominates its cluster's max_d2
+      val outlier = batch.limit(1)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x + lit(30.0f)).as("embedding"))
+      val spiked = Clustering.assignmentDrift(outlier, layout)
+        .collect().map(_.getLong(3)).max
+      assert(spiked > rows.values.map(_._3).max,
+        "a far-out vector must dominate max_d2")
+      // plan: no join anywhere — one kernel projection, one aggregate
+      val plan = drift.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"drift must not plan a join:\n$plan")
+    }
+  }
+
   test("ClusterVecStore retention: expiring landed batches re-admits " +
       "their near-dups BY DESIGN (the bounded-state horizon), and the " +
       "maintenance task composes expire + compact") {
