@@ -1777,6 +1777,23 @@ object SparkEntry {
         kmeansIvfLayoutDir(s, dir), k = 10)
     }),
 
+    // ---- hybrid retrieval with EXPLICIT query vectors (the RAG
+    //      shape — an encoder produced a query embedding): semantic
+    //      side = persisted-IVF top-k of the query's own vector (here
+    //      the fixture reuses corpus vectors 1..3 as the "encoder
+    //      output"; identical corpus docs self-exclude like every ANN
+    //      row), fused with the same int64 RRF -----------------------
+    "ext_retrieve_hybrid_qvec" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Retrieval.hybridTopKWithVectors(
+        s.read.parquet(s"$dir/documents.parquet"),
+        bm25MultiQueries.toDF("query_id", "term"),
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        kmeansIvfLayoutDir(s, dir), k = 10)
+    }),
+
     // ---- multimodal: binary payload -> batched decode stub -> features
     "ext_multimodal_features" -> ((s, dir) =>
       graft.operators.Multimodal.documentFeatures(s, dir)),
@@ -3713,6 +3730,60 @@ object SparkEntry {
           |  CAST(max(d) AS BIGINT) AS max_d2
           |FROM km WHERE vec_id >= $split GROUP BY cid""".stripMargin
       },
+
+      // query-vector hybrid: identical chain, but the probe set is the
+      // literal query-vector ids (no anchor derivation) and fusion
+      // joins ann directly on query_id = the query's own vec_id
+      "ext_retrieve_hybrid_qvec" ->
+        s"""${kmeansCtesOver(
+             s"""$bm25MultiCtesSql, bm AS (
+               |  SELECT query_id, doc_id,
+               |    CAST(row_number() OVER (PARTITION BY query_id
+               |      ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rnk
+               |  FROM agg QUALIFY rnk <= 10
+               |),""".stripMargin, "embeddings")},
+          |aprobes AS (
+          |  SELECT vec_id AS anchor_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM a2_d WHERE vec_id IN (1, 2, 3)) WHERE rn <= 2
+          |), km AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM a2_d) WHERE rn = 1
+          |), acand AS (
+          |  SELECT p.anchor_id, l.vec_id AS neighbor_id
+          |  FROM aprobes p JOIN km l
+          |    ON l.cid = p.cid AND l.vec_id != p.anchor_id
+          |), acd AS (
+          |  SELECT anchor_id, neighbor_id,
+          |    CAST(sum((qf - nf) * (qf - nf)) AS BIGINT) AS dd
+          |  FROM (SELECT c.anchor_id, c.neighbor_id,
+          |          unnest(q.fx) AS qf, unnest(n.fx) AS nf
+          |        FROM acand c JOIN v q ON q.vec_id = c.anchor_id
+          |                     JOIN v n ON n.vec_id = c.neighbor_id) z
+          |  GROUP BY anchor_id, neighbor_id
+          |), ann AS (
+          |  SELECT anchor_id, neighbor_id, rnk FROM (
+          |    SELECT anchor_id, neighbor_id,
+          |      CAST(row_number() OVER (PARTITION BY anchor_id
+          |        ORDER BY dd, neighbor_id) AS BIGINT) AS rnk
+          |    FROM acd) WHERE rnk <= 10
+          |), fused AS (
+          |  SELECT query_id, doc_id,
+          |    CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS score
+          |  FROM (
+          |    SELECT query_id, doc_id, rnk FROM bm
+          |    UNION ALL
+          |    SELECT anchor_id AS query_id, neighbor_id AS doc_id, rnk
+          |    FROM ann
+          |  ) GROUP BY query_id, doc_id
+          |)
+          |SELECT query_id, doc_id, score,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+          |FROM fused QUALIFY rnk <= 10""".stripMargin,
 
       // hybrid retrieval: the bm25-multi chain nested verbatim (top-10
       // lexical ranking `bm`, per-query top-1 anchors), the kmeans CTE

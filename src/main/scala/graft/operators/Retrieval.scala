@@ -64,6 +64,28 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score"), col("rnk"))
   }
 
+  /** Hybrid top-k with EXPLICIT query vectors — the RAG shape, where
+    * the caller has an embedding for each query (an encoder ran on the
+    * query text): the semantic system is the persisted-IVF top-k of
+    * the query's OWN vector, no anchor derivation. `queryVectors` is
+    * `(query_id, embedding)` — `query_id` must match the term table's
+    * and be disjoint from corpus `vec_id`s or self-matches are the
+    * caller's intent. Fusion and exactness identical to
+    * [[hybridTopK]]. */
+  def hybridTopKWithVectors(docs: DataFrame, queries: DataFrame,
+      queryVectors: DataFrame, layoutDir: String, k: Int = 10,
+      nprobe: Int = 2, k0: Long = DefaultRrfK0): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    val lex = TextAnalysis.bm25TopKMulti(docs, queries, k)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val sem = Clustering.ivfTopKKmeansFromLayout(layoutDir,
+        queryVectors.select(col("query_id").as("vec_id"),
+          col("embedding")), nprobe, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk"))
+    rrfFuse(lex, sem, k, k0)
+  }
+
   /** Hybrid top-k: BM25 candidates ([[TextAnalysis.bm25TopKMulti]] over
     * `queries` = `(query_id, term)` rows) RRF-fused with the persisted
     * kmeans-IVF neighbors of each query's top-1 BM25 anchor.

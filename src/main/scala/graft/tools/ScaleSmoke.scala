@@ -94,7 +94,8 @@ object ScaleSmoke {
     // dedup (fixed batch vs the landed per-cluster store), the hybrid
     // BM25×IVF fusion, and the multimodal packer
     "ext_dedup_incstore_maintained", "ext_dedup_semantic_incremental",
-    "ext_retrieve_hybrid", "ext_pack_multimodal",
+    "ext_retrieve_hybrid", "ext_retrieve_hybrid_qvec",
+    "ext_pack_multimodal", "ext_semantic_drift",
     "eng_ann_ivf_persisted_append",
     // round 17: semantic dedup (kmeans-family band expected), the
     // one-pass multi-query BM25, the full prep pipeline with quality +
