@@ -1339,6 +1339,20 @@ object SparkEntry {
         batch, layout, store, dist2Threshold = 1000L)._1
     }),
 
+    // ---- SEMANTIC-MIXTURE rebalance (round 18): the cluster twin of
+    //      ext_rebalance_langs — uniform training mix across semantic
+    //      clusters, with assignments read STRAIGHT OFF the persisted
+    //      kmeans layout (zero assignment compute: the serving index's
+    //      cid= partition column IS the group key); P[keep] =
+    //      min_cluster/cluster via the shared md5 coin ----------------
+    "ext_rebalance_clusters" -> ((s, dir) =>
+      graft.operators.Corpus.rebalanceGroups(
+        s.read.parquet(kmeansIvfLayoutDir(s, dir))
+          // partition-column inference narrows cid to int32; the
+          // logical cid is a vec_id (long) — restore it for the oracle
+          .select(col("vec_id"), col("cid").cast("long").as("cid")),
+        groupCol = "cid", idCol = "vec_id")),
+
     // ---- assignment-DRIFT telemetry (round 18): the new batch's
     //      per-cluster count / exact inertia / max d2 against the
     //      FROZEN layout centroids — the ingest-time signal that the
@@ -4012,6 +4026,23 @@ object SparkEntry {
           |FROM documents d JOIN c ON d.lang = c.lang, m
           |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |  < CAST(floor(CAST(m.mn AS DOUBLE) / cnt * 1152921504606846976.0) AS BIGINT)""".stripMargin,
+      // cluster-mixture rebalance: the kmeans chain's final assignment
+      // as the group key, then the identical rebalance coin rule
+      "ext_rebalance_clusters" ->
+        s"""$kmeansCtes,
+          |km AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM a2_d) WHERE rn = 1
+          |), cc AS (
+          |  SELECT cid, CAST(count(*) AS BIGINT) AS cnt FROM km GROUP BY cid
+          |), m AS (SELECT min(cnt) AS mn FROM cc)
+          |SELECT k.vec_id AS doc_id, k.cid
+          |FROM km k JOIN cc ON k.cid = cc.cid, m
+          |WHERE CAST(concat('0x', substr(md5(CAST(k.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |  < CAST(floor(CAST(m.mn AS DOUBLE) / cnt * 1152921504606846976.0) AS BIGINT)""".stripMargin,
+
       "ext_ann_ivf_kmeans" -> annIvfKmeansSql,
       // the persisted-layout twins answer with the logical rows' SQL —
       // one semantics, stored vs recomputed index

@@ -96,6 +96,7 @@ object ScaleSmoke {
     "ext_dedup_incstore_maintained", "ext_dedup_semantic_incremental",
     "ext_retrieve_hybrid", "ext_retrieve_hybrid_qvec",
     "ext_pack_multimodal", "ext_semantic_drift",
+    "ext_rebalance_clusters",
     "eng_ann_ivf_persisted_append",
     // round 17: semantic dedup (kmeans-family band expected), the
     // one-pass multi-query BM25, the full prep pipeline with quality +

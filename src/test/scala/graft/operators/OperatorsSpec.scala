@@ -734,6 +734,45 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("BandStore membership fuzz: across all three lookup tiers " +
+      "(pushed-In / broadcast-semi / shuffled join), knownAmong is " +
+      "exactly landed ∩ probe, regardless of batch-split history") {
+    val rng = new scala.util.Random(20260815L)
+    withTempDir { tmp =>
+      // landed universe: 400 bands, committed as 1-4 random batch splits
+      val all = (0 until 400).map(i => s"band_${rng.nextInt(100000)}_$i")
+      val store = BandStore.open(spark, s"$tmp/fuzz",
+        pushdownBandLimit = 32, broadcastBandLimit = 128)
+      val splits = 1 + rng.nextInt(4)
+      all.grouped((all.size + splits - 1) / splits).zipWithIndex
+        .foreach { case (g, i) =>
+          import spark.implicits._
+          assert(store.append(g.toDF("band"), s"f$i"))
+        }
+      val landed = all.toSet
+      // probe sizes chosen to land in each tier: ≤32 pushes In,
+      // ≤128 broadcasts, >128 shuffles
+      for (n <- Seq(1, 31, 32, 33, 100, 128, 129, 300)) {
+        val hit = rng.shuffle(all).take(n / 2)
+        val miss = (0 until (n - hit.size)).map(i => s"nothere_${i}_$n")
+        import spark.implicits._
+        val probe = rng.shuffle(hit ++ miss).toDF("band")
+        val got = store.knownAmong(probe).collect()
+          .map(_.getString(0)).toSet
+        assert(got == hit.toSet,
+          s"tier for n=$n: got ${got.size}, want ${hit.size}")
+      }
+      // compaction + expiry of a superseded split preserve the rule
+      store.compact()
+      val probe2 = {
+        import spark.implicits._
+        (all.take(10) ++ Seq("gone_a", "gone_b")).toDF("band")
+      }
+      assert(store.knownAmong(probe2).collect()
+        .map(_.getString(0)).toSet == all.take(10).toSet)
+    }
+  }
+
   test("BandStore tier-1 lookup never mutates the shared session's " +
       "parquet In-pushdown threshold (r18: the raise is scoped to a " +
       "session clone), and the raise is capped at the safe constant") {
