@@ -36,9 +36,11 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** One RRF contribution: `1000000 div (k0 + rank)` — exact int64
-    * floor division (DuckDB `//`), monotone in rank. */
+    * floor division (DuckDB `//`), monotone in rank. `div` resolves to
+    * Catalyst's IntegralDivide through the function registry, so the
+    * arithmetic is integer end to end (no IEEE quotient anywhere). */
   def rrfTerm(rnk: Column, k0: Long = DefaultRrfK0): Column =
-    expr(s"1000000L div ($k0 + rnk)")
+    call_function("div", lit(1000000L), lit(k0) + rnk)
 
   /** The conventional RRF dampener (k0 = 60, from the original paper);
     * scaled by 10^6 into int64 so rank reciprocals stay exact. */
