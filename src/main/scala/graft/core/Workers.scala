@@ -70,16 +70,26 @@ final class Workers(spark: SparkSession, catalog: Catalog,
   }
 
   /** One pass over every registered maintenance task (also runs inside
-    * the scheduled GC cadence). */
+    * the scheduled GC cadence). Only `NonFatal` failures are absorbed —
+    * interrupts and VM errors propagate (a cancelled worker thread must
+    * actually stop) — and the error-metrics write is itself guarded, so
+    * a wedged metrics table cannot abort the sweep and skip the
+    * remaining tasks (round 19; the r18 version caught `Throwable` and
+    * let a throwing `dataPoint` defeat the per-task isolation). */
   def maintenanceSweep(): Unit = {
     import scala.jdk.CollectionConverters._
+    import scala.util.control.NonFatal
     maintenance.asScala.toSeq.sortBy(_._1).foreach { case (name, task) =>
       try task()
       catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           System.err.println(s"[workers] maintenance $name: ${e.getMessage}")
-          MetricsTable.open(spark, catalog, None)
+          try MetricsTable.open(spark, catalog, None)
             .dataPoint(s"task#${name}_err", 1.0)
+          catch {
+            case NonFatal(e2) => System.err.println(
+              s"[workers] maintenance $name: error metric failed: ${e2.getMessage}")
+          }
       }
     }
   }

@@ -110,11 +110,16 @@ final class BandStore private (
     * raised `spark.sql.parquet.pushdown.inFilterThreshold` session-wide
     * as a hidden side effect of a membership read).
     *
-    * `ignoreMissingFiles` (per-read option, not session conf) makes
-    * lookups tolerate a maintenance pass retiring batch dirs between
-    * file listing and scan: compaction commits its replacement dir
-    * BEFORE deleting the dirs it folded in ([[compact]]), so any file
-    * that vanishes mid-scan was duplicate membership by construction. */
+    * Concurrency (round 19): an IN-process maintenance pass is
+    * serialized against the materialized lookup entry points by the
+    * store's read/write lock ([[StoreState]] — [[knownAmong]] holds
+    * the read lock across plan+scan, [[compact]]/[[expireBatches]]
+    * hold the write lock), so a lookup can never lose deleted dirs'
+    * bands mid-scan. `ignoreMissingFiles` (per-read option, not
+    * session conf) is only best-effort tolerance for OUT-of-process
+    * deletes, which the single-writer contract puts out of scope —
+    * it suppresses the read error, it does not preserve the missed
+    * membership, which is why the lock exists. */
   private def readOn(s: SparkSession): DataFrame =
     s.read
       .option("basePath", dir)
@@ -157,14 +162,16 @@ final class BandStore private (
   }
 
   /** Committed batch directory names (the `<tag>` part), oldest first
-    * by directory modification time (append commit time — ATOMIC_MOVE
-    * carries the staged dir's stamp), name as the deterministic
-    * tie-break. */
-  def batchTags(): Seq[String] =
-    listBatchDirs()
-      .map(p => (Files.getLastModifiedTime(p).toMillis,
-        p.getFileName.toString.stripPrefix("batch=")))
-      .sortBy(identity).map(_._2)
+    * by COMMIT ORDER: the `_commitlog` sequence ([[StoreState]],
+    * round 19 — mtime-independent, so a backup restore or `cp -r`
+    * cannot scramble what "oldest" means to retention), with unlogged
+    * dirs (crash between move and log write, or a pre-log store)
+    * ordered after every logged one by (mtime, name). */
+  def batchTags(): Seq[String] = {
+    val seqs = StoreState.loggedSeq(dir)
+    listBatchDirs().map(p => StoreState.orderKey(seqs, p))
+      .sortBy(identity).map(_._3)
+  }
 
   /** The PRUNED membership lookup as a LAZY frame — exposed separately
     * from [[knownAmong]] so plan tests can assert the pruning shape.
@@ -224,9 +231,17 @@ final class BandStore private (
     * `localCheckpoint`): callers append to the store right after the
     * lookup, and a lazy lookup re-run after the append would see the
     * batch's own bands as landed and drop every batch doc. The result
-    * is at most batch-sized. */
+    * is at most batch-sized.
+    *
+    * Holds the store's READ lock across plan + scan ([[StoreState]]):
+    * a concurrent maintenance pass cannot delete the planned batch
+    * dirs mid-scan, so landed membership is never silently missed.
+    * ([[prunedLookup]] stays lazy and unlocked — it is the plan-shape
+    * audit surface; this is the concurrency-safe lookup.) */
   def knownAmong(batchBands: DataFrame): DataFrame =
-    prunedLookup(batchBands).localCheckpoint(true)
+    StoreState.withRead(dir) {
+      prunedLookup(batchBands).localCheckpoint(true)
+    }
 
   /** Land `bands` (deduplicated, bucketed, band-sorted) as the atomic
     * batch directory `batch=<tag>`. Returns false — and writes NOTHING
@@ -249,6 +264,7 @@ final class BandStore private (
       .write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
     try {
       Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+      StoreState.logCommit(dir, tag)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
@@ -272,27 +288,33 @@ final class BandStore private (
     *
     * Returns the number of batch dirs folded away (0 = nothing to do:
     * empty store, or already a single batch dir). */
-  def compact(): Int = compact(nextCompactTag())
+  def compact(): Int = StoreState.withWrite(dir) { compact(nextCompactTag()) }
 
-  private[operators] def compact(tag: String): Int = {
-    val old = listBatchDirs()
-    if (old.size <= 1) return 0
-    require(!Files.exists(storePath.resolve(s"batch=$tag")),
-      s"compaction tag already landed: $tag")
-    val all = read().select(col("band")).distinct()
-      .withColumn("bp", bucketOf(col("band")))
-      .repartition(col("bp"))
-      .sortWithinPartitions("band")
-    val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
-    val stage = tmp.resolve("stage")
-    try {
-      all.write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
-      Files.move(stage, storePath.resolve(s"batch=$tag"),
-        StandardCopyOption.ATOMIC_MOVE)
-    } finally deleteRecursively(tmp)
-    old.foreach(deleteRecursively)
-    old.size
-  }
+  private[operators] def compact(tag: String): Int =
+    StoreState.withWrite(dir) {
+      val old = listBatchDirs()
+      if (old.size <= 1) 0
+      else {
+        require(!Files.exists(storePath.resolve(s"batch=$tag")),
+          s"compaction tag already landed: $tag")
+        val all = read().select(col("band")).distinct()
+          .withColumn("bp", bucketOf(col("band")))
+          .repartition(col("bp"))
+          .sortWithinPartitions("band")
+        val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
+        val stage = tmp.resolve("stage")
+        try {
+          all.write.mode("overwrite").partitionBy("bp")
+            .parquet(stage.toString)
+          Files.move(stage, storePath.resolve(s"batch=$tag"),
+            StandardCopyOption.ATOMIC_MOVE)
+          StoreState.logCommit(dir, tag)
+        } finally deleteRecursively(tmp)
+        old.foreach(deleteRecursively)
+        StoreState.pruneLog(dir, liveTags())
+        old.size
+      }
+    }
 
   /** Fresh, collision-free compaction tag: `compacted-<n>` with `n`
     * one above the largest index among landed compaction dirs. */
@@ -313,14 +335,33 @@ final class BandStore private (
     * Horizon is counted in BATCH DIRS, and a compacted dir counts as
     * one — so a maintenance sweep expires BEFORE it compacts
     * ([[maintenanceTask]] order): the horizon then applies to the
-    * individual recent appends, not to an age-flattened merge. */
-  def expireBatches(retainNewest: Int): Seq[String] = {
-    require(retainNewest >= 0, s"retainNewest: $retainNewest")
-    val tags = batchTags()
-    val drop = tags.dropRight(retainNewest)
-    drop.foreach(t => deleteRecursively(storePath.resolve(s"batch=$t")))
-    drop
-  }
+    * individual recent appends, not to an age-flattened merge.
+    *
+    * `batch=init` is PROTECTED by default (round 19): the bootstrap
+    * seed ([[BandStore.fromSignatures]]) holds the ENTIRE landed
+    * corpus as one dir, so a dir-counted horizon smaller than the dir
+    * count would silently drop all pre-stream membership. The
+    * protection window closes itself: the first compaction folds
+    * `init` into merged `compacted-<n>` state, which then ages as one
+    * unit per the paragraph above. Pass `protectInit = false` to
+    * expire a bootstrap seed deliberately. */
+  def expireBatches(retainNewest: Int,
+      protectInit: Boolean = true): Seq[String] =
+    StoreState.withWrite(dir) {
+      require(retainNewest >= 0, s"retainNewest: $retainNewest")
+      val tags = batchTags()
+      val candidates =
+        if (protectInit) tags.filterNot(_ == "init") else tags
+      val drop = candidates.dropRight(retainNewest)
+      drop.foreach(t => deleteRecursively(storePath.resolve(s"batch=$t")))
+      StoreState.pruneLog(dir, liveTags())
+      drop
+    }
+
+  /** Tags of the batch dirs currently on disk (unordered). */
+  private def liveTags(): Set[String] =
+    listBatchDirs()
+      .map(_.getFileName.toString.stripPrefix("batch=")).toSet
 
   /** The store's maintenance pass as a schedulable task — registered
     * with the engine's background workers

@@ -73,9 +73,11 @@ final class ClusterVecStore private (
 
   /** The full landed table (audit / compaction surface): `(ck, vec_id,
     * fx)` plus the `batch`/`bp` partition cols. Explicit schema — an
-    * empty append must not wedge inference; per-read
-    * `ignoreMissingFiles` tolerates a concurrent maintenance pass
-    * retiring batch dirs (the replacement is always committed first). */
+    * empty append must not wedge inference. In-process maintenance is
+    * serialized against the materialized lookup ([[landedAmong]] reads,
+    * [[compact]]/[[expireBatches]] write — [[StoreState]], round 19);
+    * per-read `ignoreMissingFiles` is only best-effort tolerance for
+    * OUT-of-process deletes, outside the single-writer contract. */
   def read(): DataFrame = readOn(spark)
 
   private def readOn(s: SparkSession): DataFrame =
@@ -111,13 +113,14 @@ final class ClusterVecStore private (
     finally s.close()
   }
 
-  /** Committed batch tags, oldest first (commit mtime, name
-    * tie-break). */
-  def batchTags(): Seq[String] =
-    listBatchDirs()
-      .map(p => (Files.getLastModifiedTime(p).toMillis,
-        p.getFileName.toString.stripPrefix("batch=")))
-      .sortBy(identity).map(_._2)
+  /** Committed batch tags, oldest first by COMMIT ORDER (the
+    * `_commitlog` sequence — mtime-independent; unlogged dirs order
+    * last by (mtime, name). [[BandStore.batchTags]]'s contract). */
+  def batchTags(): Seq[String] = {
+    val seqs = StoreState.loggedSeq(dir)
+    listBatchDirs().map(p => StoreState.orderKey(seqs, p))
+      .sortBy(identity).map(_._3)
+  }
 
   /** The landed `(ck, vec_id, fx)` rows in the buckets `batchKeys`
     * touches — LAZY, so plan tests can assert the pruning shape. Tiers
@@ -153,9 +156,14 @@ final class ClusterVecStore private (
   /** [[prunedLookup]] MATERIALIZED (eager localCheckpoint): callers
     * append the batch's own members right after the lookup, and a lazy
     * lookup re-run after the append would see them as landed and drop
-    * every batch doc. Bounded by the touched buckets' landed rows. */
+    * every batch doc. Bounded by the touched buckets' landed rows.
+    * Holds the store's READ lock across plan + scan
+    * ([[BandStore.knownAmong]]'s contract — maintenance cannot retire
+    * the planned dirs mid-scan). */
   def landedAmong(batchKeys: DataFrame): DataFrame =
-    prunedLookup(batchKeys).localCheckpoint(true)
+    StoreState.withRead(dir) {
+      prunedLookup(batchKeys).localCheckpoint(true)
+    }
 
   /** Land `members` (`ck`, `vec_id`, `fx`; deduplicated on (ck,
     * vec_id), bucketed, ck-sorted) as the atomic `batch=<tag>` dir.
@@ -180,6 +188,7 @@ final class ClusterVecStore private (
       .write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
     try {
       Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+      StoreState.logCommit(dir, tag)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
@@ -189,37 +198,64 @@ final class ClusterVecStore private (
   /** Crash-safe compaction: fold all batch dirs into ONE ck-sorted file
     * per bucket — replacement committed BEFORE old dirs are deleted
     * ([[BandStore.compact]]'s contract). Returns dirs folded (0 = no-op). */
-  def compact(): Int = {
+  def compact(): Int = StoreState.withWrite(dir) {
     val old = listBatchDirs()
-    if (old.size <= 1) return 0
-    val prev = old.map(_.getFileName.toString)
-      .collect { case ClusterVecStore.CompactedTag(n) => n.toLong }
-    val tag = s"compacted-${if (prev.isEmpty) 0L else prev.max + 1L}"
-    val all = read().select(col("ck"), col("vec_id"), col("fx"))
-      .dropDuplicates("ck", "vec_id")
-      .withColumn("bp", bucketOf(col("ck")))
-      .repartition(col("bp"))
-      .sortWithinPartitions("ck")
-    val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
-    val stage = tmp.resolve("stage")
-    try {
-      all.write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
-      Files.move(stage, storePath.resolve(s"batch=$tag"),
-        StandardCopyOption.ATOMIC_MOVE)
-    } finally ClusterVecStore.deleteRecursively(tmp)
-    old.foreach(ClusterVecStore.deleteRecursively)
-    old.size
+    if (old.size <= 1) 0
+    else {
+      val prev = old.map(_.getFileName.toString)
+        .collect { case ClusterVecStore.CompactedTag(n) => n.toLong }
+      val tag = s"compacted-${if (prev.isEmpty) 0L else prev.max + 1L}"
+      // Tag-collision guard (round 19, mirroring [[BandStore.compact]]):
+      // two racing compactions derive the same `compacted-<n>` — fail
+      // the loser up front instead of dying mid-move with an unhandled
+      // FileAlreadyExistsException after the rewrite work is spent.
+      // (In-process races are already excluded by the write lock; this
+      // guards the out-of-contract cross-process case.)
+      require(!Files.exists(storePath.resolve(s"batch=$tag")),
+        s"compaction tag already landed: $tag")
+      val all = read().select(col("ck"), col("vec_id"), col("fx"))
+        .dropDuplicates("ck", "vec_id")
+        .withColumn("bp", bucketOf(col("ck")))
+        .repartition(col("bp"))
+        .sortWithinPartitions("ck")
+      val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
+      val stage = tmp.resolve("stage")
+      try {
+        all.write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
+        Files.move(stage, storePath.resolve(s"batch=$tag"),
+          StandardCopyOption.ATOMIC_MOVE)
+        StoreState.logCommit(dir, tag)
+      } finally ClusterVecStore.deleteRecursively(tmp)
+      old.foreach(ClusterVecStore.deleteRecursively)
+      StoreState.pruneLog(dir, liveTags())
+      old.size
+    }
   }
 
   /** FIFO retention — drop the oldest batch dirs past the horizon
-    * ([[BandStore.expireBatches]]'s contract). Returns expired tags. */
-  def expireBatches(retainNewest: Int): Seq[String] = {
-    require(retainNewest >= 0, s"retainNewest: $retainNewest")
-    val drop = batchTags().dropRight(retainNewest)
-    drop.foreach(t => ClusterVecStore.deleteRecursively(
-      storePath.resolve(s"batch=$t")))
-    drop
-  }
+    * ([[BandStore.expireBatches]]'s contract, including the round-19
+    * `batch=init` protection: the bootstrap seed holds the entire
+    * landed corpus as one dir and must not fall to a dir-counted
+    * horizon; the first compaction folds it into merged state which
+    * then ages normally). Returns expired tags. */
+  def expireBatches(retainNewest: Int,
+      protectInit: Boolean = true): Seq[String] =
+    StoreState.withWrite(dir) {
+      require(retainNewest >= 0, s"retainNewest: $retainNewest")
+      val tags = batchTags()
+      val candidates =
+        if (protectInit) tags.filterNot(_ == "init") else tags
+      val drop = candidates.dropRight(retainNewest)
+      drop.foreach(t => ClusterVecStore.deleteRecursively(
+        storePath.resolve(s"batch=$t")))
+      StoreState.pruneLog(dir, liveTags())
+      drop
+    }
+
+  /** Tags of the batch dirs currently on disk (unordered). */
+  private def liveTags(): Set[String] =
+    listBatchDirs()
+      .map(_.getFileName.toString.stripPrefix("batch=")).toSet
 
   /** Schedulable maintenance pass (expire, then compact-if-fragmented)
     * for [[graft.core.Workers.registerMaintenance]]. */

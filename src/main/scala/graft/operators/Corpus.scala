@@ -588,14 +588,23 @@ object Corpus {
         .select(col("doc_id"), col("lang"),
           TextAnalysis.redactedText(col("text")).as("text"))
         .write.mode("overwrite").parquet(tmp)
+      // Rename with DEBRIS RECOVERY (round 19; the r18 version
+      // require-failed here, so staging-dir debris — an incomplete
+      // destination without _SUCCESS, left by a pre-r18 in-place
+      // overwrite crash or a killed run — wedged every subsequent call
+      // until someone removed the dir by hand): when the rename loses
+      // to a dir that is NOT a complete table, sweep the debris and
+      // retry once; only a COMPLETE concurrent winner makes this
+      // builder the loser.
       if (!new java.io.File(tmp).renameTo(new java.io.File(stagingDir))) {
+        if (!new java.io.File(stagingDir, "_SUCCESS").exists()) {
+          deleteTree(java.nio.file.Paths.get(stagingDir))
+          new java.io.File(tmp).renameTo(new java.io.File(stagingDir))
+        }
         require(new java.io.File(stagingDir, "_SUCCESS").exists(),
-          s"staging rename $tmp -> $stagingDir failed but the " +
+          s"staging rename $tmp -> $stagingDir failed and the " +
             "destination is not a complete table (no _SUCCESS)")
-        import scala.jdk.CollectionConverters._
-        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-        val all = try st.iterator().asScala.toSeq finally st.close()
-        all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        deleteTree(java.nio.file.Paths.get(tmp))
       }
     }
     prepPipeline(spark.read.parquet(stagingDir), chunkTokens, overlap)
@@ -617,5 +626,13 @@ object Corpus {
     docs.select(col(idCol).as("doc_id"),
       when(h < t1, lit("train")).when(h < t2, lit("val"))
         .otherwise(lit("test")).as("split"))
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(p)
+    val all = try st.iterator().asScala.toSeq finally st.close()
+    all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }

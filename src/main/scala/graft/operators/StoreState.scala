@@ -1,0 +1,147 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.locks.ReentrantReadWriteLock
+
+import scala.jdk.CollectionConverters._
+
+/** Shared per-directory coordination for the landed dedup-state stores
+  * ([[BandStore]], [[ClusterVecStore]]) — two small mechanisms, both
+  * round-19 hardening of the r18 lifecycle work:
+  *
+  * '''1. A read/write lock per store directory.''' A membership lookup
+  * plans its parquet file list from the batch dirs present at
+  * read-planning time; a maintenance pass (compaction folding dirs
+  * away, retention expiring them) that deletes those dirs while the
+  * lookup's scan is in flight makes the scan silently MISS landed
+  * membership — and a missed member is a re-admitted duplicate (for
+  * the band store) or a silently weakened semantic-dedup pass (for the
+  * vector store). `ignoreMissingFiles` does NOT close that window: it
+  * suppresses the error, it cannot resurrect the bands the deleted
+  * dirs held, and the replacement dir committed by compaction is never
+  * in the already-planned list. So the materialized lookup entry
+  * points hold the READ lock for the span of list-plan-scan, and every
+  * maintenance mutation holds the WRITE lock — lookups see the store
+  * before a sweep or after it, never half. Lock scope is the JVM,
+  * matching the stores' single-writer contract (one pipeline maintains
+  * a store — the reference's single active writer per table,
+  * `smoltable/src/table/writer/mod.rs`); `ignoreMissingFiles` remains
+  * as best-effort tolerance for OUT-of-process administrative deletes,
+  * which are outside the contract.
+  *
+  * '''2. A commit log per store directory''' (`_commitlog`: one
+  * `<seq> <tag>` line per committed batch, append-only, rewritten on
+  * maintenance). FIFO retention must drop OLDEST-BY-COMMIT, and the
+  * r18 stores derived age from directory mtimes — which lie after a
+  * backup restore, an rsync/cp -r relocation, or filesystem timestamp
+  * drift, silently turning "expire the oldest membership" into
+  * "expire arbitrary membership". The log pins the commit order
+  * explicitly: a monotonic sequence is assigned under the log mutex
+  * when the batch dir's ATOMIC_MOVE lands. Dirs missing from the log
+  * (a crash between move and log write, or a pre-r19 store) order
+  * AFTER all logged dirs by (mtime, name) — i.e. they are treated as
+  * newest, which errs on the side of retaining membership.
+  */
+private[graft] object StoreState {
+
+  private val locks = new ConcurrentHashMap[String, ReentrantReadWriteLock]()
+  private val logMutexes = new ConcurrentHashMap[String, Object]()
+
+  private def canonical(dir: String): String =
+    Paths.get(dir).toAbsolutePath.normalize.toString
+
+  private def lockFor(dir: String): ReentrantReadWriteLock =
+    locks.computeIfAbsent(canonical(dir), _ => new ReentrantReadWriteLock())
+
+  private def logMutex(dir: String): Object =
+    logMutexes.computeIfAbsent(canonical(dir), _ => new Object)
+
+  /** Run `f` holding the store's READ lock: materialized lookups — many
+    * may run concurrently, none while maintenance holds the write
+    * lock. */
+  def withRead[A](dir: String)(f: => A): A = {
+    val l = lockFor(dir).readLock(); l.lock()
+    try f finally l.unlock()
+  }
+
+  /** Run `f` holding the store's WRITE lock: maintenance mutations
+    * (compaction, retention) — excludes lookups and other maintenance.
+    * Reentrant, so a locked public entry point may call another. */
+  def withWrite[A](dir: String)(f: => A): A = {
+    val l = lockFor(dir).writeLock(); l.lock()
+    try f finally l.unlock()
+  }
+
+  // ---- commit log ----
+
+  private def logPath(dir: String): Path =
+    Paths.get(dir).resolve("_commitlog")
+
+  private def readLog(dir: String): Seq[(Long, String)] = {
+    val p = logPath(dir)
+    if (!Files.exists(p)) return Seq.empty
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq.flatMap {
+      line =>
+        line.split(" ", 2) match {
+          case Array(s, t) if t.nonEmpty => s.toLongOption.map((_, t))
+          case _ => None
+        }
+    }
+  }
+
+  /** Record `tag` as the next commit in the store's log — idempotent
+    * (an already-logged tag is not re-appended). Call right AFTER the
+    * batch dir's ATOMIC_MOVE; a crash between the two leaves an
+    * unlogged dir, which [[orderKey]] treats as newest. */
+  def logCommit(dir: String, tag: String): Unit =
+    logMutex(dir).synchronized {
+      val entries = readLog(dir)
+      if (!entries.exists(_._2 == tag)) {
+        val next = (0L +: entries.map(_._1)).max + 1L
+        Files.createDirectories(Paths.get(dir))
+        Files.write(logPath(dir),
+          s"$next $tag\n".getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+      ()
+    }
+
+  /** The logged commit sequence per tag. */
+  def loggedSeq(dir: String): Map[String, Long] =
+    logMutex(dir).synchronized {
+      readLog(dir).map { case (s, t) => (t, s) }.toMap
+    }
+
+  /** Drop log entries for batch dirs that no longer exist (compaction /
+    * retention hygiene — keeps the log proportional to the LIVE dirs,
+    * not to every batch ever landed). Atomic rewrite (temp + move). */
+  def pruneLog(dir: String, liveTags: Set[String]): Unit =
+    logMutex(dir).synchronized {
+      val entries = readLog(dir)
+      val kept = entries.filter(e => liveTags(e._2))
+      if (kept.size != entries.size) {
+        val tmp = Files.createTempFile(Paths.get(dir), "._commitlog", ".tmp")
+        Files.write(tmp,
+          kept.map { case (s, t) => s"$s $t\n" }.mkString
+            .getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, logPath(dir), StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      ()
+    }
+
+  /** Oldest-first ordering key for a committed batch dir: logged
+    * commit sequence when present, else (after every logged dir) by
+    * commit mtime with the tag as deterministic tie-break. */
+  def orderKey(seqs: Map[String, Long], p: Path)
+      : (Long, Long, String) = {
+    val tag = p.getFileName.toString.stripPrefix("batch=")
+    seqs.get(tag) match {
+      case Some(s) => (s, 0L, tag)
+      case None =>
+        (Long.MaxValue, Files.getLastModifiedTime(p).toMillis, tag)
+    }
+  }
+}

@@ -556,6 +556,30 @@ class CorpusSpec extends SparkSuite {
       Array("doc_id", "lang", "text")))
   }
 
+  test("prepPipelineV2Staged recovers from staging debris: a non-empty " +
+      "destination without _SUCCESS (crashed build) is swept and " +
+      "rebuilt instead of wedging every call (r18 advice)") {
+    val stagingDir = java.nio.file.Files
+      .createTempDirectory("graft-prep-debris").toString
+    // plant debris: a partial table — parquet fragment, no _SUCCESS
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stagingDir, "part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val staged = rows(Corpus.prepPipelineV2Staged(docs, stagingDir, 32, 8))
+    assert(staged == rows(Corpus.prepPipelineV2(docs, 32, 8)),
+      "debris recovery must rebuild the staged table")
+    assert(new java.io.File(stagingDir, "_SUCCESS").exists())
+    // and a second call reuses the now-complete table untouched
+    val mtime = new java.io.File(stagingDir, "_SUCCESS").lastModified
+    assert(rows(Corpus.prepPipelineV2Staged(docs, stagingDir, 32, 8))
+      == staged)
+    assert(new java.io.File(stagingDir, "_SUCCESS").lastModified == mtime,
+      "complete table must not be rebuilt")
+  }
+
   test("splitAssign: exhaustive, deterministic, stable under corpus " +
       "growth, ~80/10/10") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

@@ -805,6 +805,105 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("BandStore retention is mtime-independent: scrambled directory " +
+      "mtimes still expire oldest-by-COMMIT (the _commitlog order)") {
+    withTempDir { tmp =>
+      val store = BandStore.open(spark, s"$tmp/bands")
+      for (i <- 0 until 4)
+        assert(store.append(spark.range(i * 10, i * 10 + 10)
+          .select(concat(lit("c"), col("id")).as("band")), s"t$i"))
+      // scramble: oldest commit gets the NEWEST mtime and vice versa —
+      // a backup restore / cp -r scenario where mtimes lie
+      for (i <- 0 until 4)
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(s"$tmp/bands", s"batch=t$i"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            9000000L - i * 1000L))
+      assert(store.batchTags() == Seq("t0", "t1", "t2", "t3"),
+        "batchTags must follow commit order, not the scrambled mtimes")
+      assert(store.expireBatches(2) == Seq("t0", "t1"),
+        "retention must drop the two oldest-by-commit")
+      val left = store.read().select("band").collect()
+        .map(_.getString(0)).toSet
+      assert(left == (20 until 40).map(i => s"c$i").toSet,
+        s"t2+t3 bands must survive: ${left.size}")
+      // the pruned log only names live dirs
+      val log = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmp/bands", "_commitlog")), "UTF-8")
+      assert(!log.contains("t0") && !log.contains("t1") &&
+        log.contains("t2") && log.contains("t3"), s"stale log:\n$log")
+    }
+  }
+
+  test("batch=init is protected from FIFO retention by default: a " +
+      "1-dir horizon never drops the bootstrap seed's membership") {
+    withTempDir { tmp =>
+      val corpus = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text")).limit(60)
+      val sigs = Dedup.minhashSignatures(corpus, 8, Dedup.DefaultSeeds)
+      val store = BandStore.fromSignatures(spark, s"$tmp/bands", sigs)
+      assert(store.append(spark.range(3)
+        .select(concat(lit("x"), col("id")).as("band")), "t0"))
+      assert(store.append(spark.range(3, 6)
+        .select(concat(lit("x"), col("id")).as("band")), "t1"))
+      // horizon 1: t0 expires, init survives (protected), t1 survives
+      assert(store.expireBatches(1) == Seq("t0"))
+      assert(store.batchTags() == Seq("init", "t1"))
+      // the landed corpus still drops on a rerun — membership intact
+      val (surv, _) = Dedup.incrementalMinhashWithStore(corpus, store)
+      assert(surv.count() == 0L,
+        "init membership lost: landed docs re-admitted")
+      // even horizon 0 keeps the seed...
+      assert(store.expireBatches(0) == Seq("t1"))
+      assert(store.batchTags() == Seq("init"))
+      // ...until a caller opts out explicitly
+      assert(store.expireBatches(0, protectInit = false) == Seq("init"))
+      assert(store.batchTags().isEmpty)
+    }
+  }
+
+  test("store lookups are serialized against maintenance: concurrent " +
+      "expire+compact sweeps never make knownAmong miss landed bands") {
+    withTempDir { tmp =>
+      val store = BandStore.open(spark, s"$tmp/race")
+      val landed = (0 until 200).map(i => s"rb_$i")
+      landed.grouped(25).zipWithIndex.foreach { case (g, i) =>
+        assert(store.append(g.toDF("band"), s"r$i"))
+      }
+      val probe = landed.toDF("band")
+      val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val maint = new Thread(() => {
+        var i = 0
+        while (!stop.get) {
+          try {
+            // keep the store churning: fresh fragmentation, then a
+            // sweep that expires nothing but compacts it all away —
+            // every cycle deletes the dirs a racing lookup planned
+            store.append(Seq(s"extra_$i").toDF("band"), s"x$i")
+            store.maintenanceTask(compactAtBatches = 2)()
+          } catch {
+            case e: Throwable => errors.add(s"maint: ${e.getMessage}")
+          }
+          i += 1
+        }
+      })
+      maint.start()
+      try {
+        for (_ <- 0 until 12) {
+          val got = store.knownAmong(probe).collect()
+            .map(_.getString(0)).toSet
+          if (!landed.forall(got.contains)) misses.incrementAndGet()
+        }
+      } finally { stop.set(true); maint.join(30000) }
+      assert(errors.isEmpty, s"maintenance errors: $errors")
+      assert(misses.get == 0,
+        s"${misses.get}/12 lookups missed landed membership mid-sweep")
+    }
+  }
+
   test("tfidfTopTerms: hand-computed scores, rare terms outrank common, " +
       "top-k window plans as WindowGroupLimit") {
     val d = Seq(
