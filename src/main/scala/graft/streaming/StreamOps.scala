@@ -479,12 +479,30 @@ object StreamOps {
     * Commit ORDER is survivors → bands → signatures: survivors are
     * recomputable only while the batch's own bands are NOT yet landed,
     * so they commit first; a retry that finds them committed skips
-    * straight to landing state. */
+    * straight to landing state.
+    *
+    * INLINE STATE MAINTENANCE (round 19): `maintainAtBatches ≥ 2` runs
+    * the band store's maintenance pass (expire past `retainBatches`,
+    * compact past the fragmentation threshold) INSIDE the loop after
+    * each batch lands — a minutes-cadence stream fragments by hundreds
+    * of `batch=` dirs before the background workers' 24 h sweep would
+    * ever fire, so the stream that creates the fragmentation pays for
+    * its own cleanup: one cheap directory count per batch, one merge
+    * per threshold crossing, dir count bounded by `maintainAtBatches+1`
+    * forever. Exactly-once survives because maintenance is idempotent
+    * by construction — compaction is commit-then-delete and changes
+    * MEMBERSHIP not content, so a replay whose `batch=<id>` dir was
+    * folded away recomputes against the compacted store, finds its
+    * survivors already committed (skip), and its re-append lands an
+    * empty dir (its bands are all landed) — effects unchanged. Default
+    * 0 keeps maintenance with the scheduled workers. */
   def incrementalMinhashToFiles(s: SparkSession, dir: String,
       knownSigs: DataFrame, sigDir: String, outDir: String,
       checkpointDir: String,
       transform: DataFrame => DataFrame = identity,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      maintainAtBatches: Int = 0,
+      retainBatches: Option[Int] = None): DataFrame = {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -514,6 +532,8 @@ object StreamOps {
           atomicBatchWrite(graft.operators.Dedup.minhashSignatures(docs,
             8, graft.operators.Dedup.DefaultSeeds), sigDir, tag)
         }
+        if (maintainAtBatches >= 2)
+          store.maintenanceTask(maintainAtBatches, retainBatches)()
         ()
       }
       .start()
@@ -553,12 +573,19 @@ object StreamOps {
     * to the one-shot batch operator (StreamingDedupSpec differential).
     *
     * `transform` lets the harness plant fixtures / select the batch
-    * slice per micro-batch; production passes identity. */
+    * slice per micro-batch; production passes identity.
+    *
+    * `maintainAtBatches` / `retainBatches`: inline per-batch store
+    * maintenance, the [[incrementalMinhashToFiles]] contract verbatim
+    * (the `batch=init` seed is retention-protected by the store
+    * default, so a tight horizon never drops the landed corpus). */
   def incrementalSemanticToFiles(s: SparkSession, dir: String,
       layoutDir: String, landedEmb: DataFrame, storeDir: String,
       outDir: String, checkpointDir: String, dist2Threshold: Long,
       transform: DataFrame => DataFrame = identity,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      maintainAtBatches: Int = 0,
+      retainBatches: Option[Int] = None): DataFrame = {
     val embSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", org.apache.spark.sql.types.ArrayType(
@@ -590,6 +617,8 @@ object StreamOps {
           atomicBatchWrite(survivors, outDir, tag)
           store.append(members, tag)
         }
+        if (maintainAtBatches >= 2)
+          store.maintenanceTask(maintainAtBatches, retainBatches)()
         ()
       }
       .start()

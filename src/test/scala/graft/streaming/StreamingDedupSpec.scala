@@ -151,6 +151,69 @@ class StreamingDedupSpec extends SparkSuite {
     }
   }
 
+  test("INLINE maintenance keeps a 50-micro-batch stream's band store " +
+      "bounded (dir count <= compactAtBatches+1 throughout) without " +
+      "changing the survivor set") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    withTempDir { tmp =>
+      // 50 id-ordered batch files of 10 docs each — the minutes-cadence
+      // crawl shape that outruns any scheduled background sweep
+      val inDir = s"$tmp/in/documents.parquet"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      var mtime = 1700000000000L
+      for (b <- 0 until 50) {
+        val stage = s"$tmp/stage_$b"
+        docs.filter(col("doc_id") >= b * 10 && col("doc_id") < b * 10 + 10)
+          .repartition(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = java.nio.file.Paths.get(f"$inDir/b$b%03d.parquet")
+        java.nio.file.Files.move(part, dest)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val known = Dedup.minhashSignatures(
+        docs.limit(0).select(col("doc_id"), col("text")),
+        8, Dedup.DefaultSeeds)
+      // observe store fragmentation at every batch start via the
+      // transform hook (runs inside foreachBatch, before the filter)
+      val bandsDir = java.nio.file.Paths.get(s"$tmp/sig/_bands")
+      val observed = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      def dirCount(): Int =
+        if (!java.nio.file.Files.isDirectory(bandsDir)) 0
+        else {
+          val s = java.nio.file.Files.list(bandsDir)
+          try s.filter(_.getFileName.toString.startsWith("batch="))
+            .count().toInt
+          finally s.close()
+        }
+      val got = StreamOps.incrementalMinhashToFiles(spark, s"$tmp/in",
+          known, s"$tmp/sig", s"$tmp/out", s"$tmp/ck",
+          transform = df => { observed.add(dirCount()); df },
+          maxFilesPerTrigger = Some(1), maintainAtBatches = 5)
+        .collect().map(_.toSeq).toSet
+      val nBatches = java.nio.file.Files
+        .list(java.nio.file.Paths.get(s"$tmp/ck/offsets")).count()
+      assert(nBatches >= 50, s"expected >=50 micro-batches, got $nBatches")
+      import scala.jdk.CollectionConverters._
+      val counts = observed.asScala.toSeq
+      assert(counts.size >= 50 && counts.max <= 6,
+        s"store fragmentation must stay <= compactAtBatches+1: " +
+          s"max ${counts.max} over ${counts.size} batches")
+      assert(dirCount() <= 6, s"final dir count ${dirCount()}")
+      // and the maintained stream still lands the one-shot survivor set
+      val oneShot = Dedup.incrementalMinhash(
+          docs.select(col("doc_id"), col("text")), known)
+        .collect().map(_.toSeq).toSet
+      assert(got == oneShot,
+        s"streamed ${got.size} vs one-shot ${oneShot.size}")
+    }
+  }
+
   test("incremental minhash stream: a REPLAYED micro-batch cannot " +
       "double-append survivors, bands, or signatures (batch-keyed " +
       "atomic commits), including a partial-commit crash replay") {
