@@ -479,6 +479,39 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 =!= 0), tmp)
     }
 
+  /** Cache location of the VERSIONED drift→retrain layout root
+    * (`eng_ann_ivf_retrained`): same fingerprint inputs, distinct
+    * prefix. */
+  private[graft] def kmeansIvfRetrainRootPath(dir: String): String =
+    kmeansIvfLayoutPath(dir).replace("/graft_kivf_v", "/graft_kivfrt_v")
+
+  /** Build (once) the drift→RETRAINED versioned layout
+    * ([[graft.operators.IvfVersions]], round 19 — the close of the
+    * continuous-operation loop that r18's telemetry only signalled):
+    * `v=0` trains on the even half (the serving index gone stale), the
+    * odd half plays the drifted ingest whose assignment drift trips
+    * the maintenance task, and the task retrains on the FULL corpus
+    * into `v=1` with an atomic pointer cutover. The threshold here is
+    * zero — the contract row pins the CUTOVER semantics (a post-cutover
+    * probe is bit-identical to a fresh one-shot build on the drifted
+    * corpus, so the oracle is the full-corpus kmeans SQL); threshold
+    * CALIBRATION is deployment telemetry, pinned separately by
+    * WorkersSpec's below/above-threshold differential. */
+  private def kmeansIvfRetrainRootDir(s: SparkSession, dir: String): String =
+    buildLayoutOnce(kmeansIvfRetrainRootPath(dir)) { tmp =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.IvfVersions.init(
+        e.filter(col("vec_id") % 2 === 0), tmp)
+      var cut = -1L
+      graft.operators.IvfVersions.driftRetrainTask(tmp,
+        recentBatch = () => e.filter(col("vec_id") % 2 =!= 0),
+        corpus = () => e, meanD2Threshold = 0L,
+        onRetrain = v => cut = v)()
+      require(cut == 1L, s"drift must trip the v=1 cutover, got $cut")
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(tmp, "_SUCCESS"))
+    }
+
   /** Build a derived layout exactly once per cache path: build into a
     * temp dir, atomically rename into place — a concurrent builder can
     * never expose (or probe) a half-written layout: exactly one rename
@@ -2034,6 +2067,31 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Clustering.ivfTopKKmeansFromLayout(
         kmeansIvfAppendLayoutDir(s, dir), e.filter(col("vec_id") < 10))
+    }),
+
+    // ---- the drift→RETRAIN loop closed (round 19): v=0 trains on the
+    //      even half, the odd half's assignment drift trips the
+    //      scheduled retrain, and the probe rides the atomically
+    //      cut-over v=1 — which is BY CONTRACT a fresh full-corpus
+    //      build, so the oracle is the same full-corpus kmeans SQL as
+    //      eng_ann_ivf_persisted ---------------------------------------
+    "eng_ann_ivf_retrained" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.IvfVersions.probe(
+        kmeansIvfRetrainRootDir(s, dir), e.filter(col("vec_id") < 10))
+    }),
+
+    // ---- recall gate off the RETRAINED layout: post-cutover quality
+    //      rides the versioned pointer, so a half-cutover or stale
+    //      pointer surfaces as a red row ------------------------------
+    "eng_ann_recall_retrained" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val ivf = graft.operators.IvfVersions.probe(
+          kmeansIvfRetrainRootDir(s, dir), e.filter(col("vec_id") < 10))
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = graft.operators.Clustering.bruteTopKInt(e)
+        .select(col("query_id").as("bq"), col("neighbor_id").as("bn"))
+      recallCounts(ivf, brute)
     }),
 
     // ---- kmeans-IVF recall against the PERSISTED layout: the recall
@@ -4049,6 +4107,9 @@ object SparkEntry {
       "eng_ann_ivf_persisted" -> annIvfKmeansSql,
       "eng_ann_ivf_persisted_append" -> annIvfKmeansAppendSql,
       "eng_ann_recall_persisted" -> annRecallKmeansSql,
+      // retrained ≡ fresh full-corpus build — the cutover contract
+      "eng_ann_ivf_retrained" -> annIvfKmeansSql,
+      "eng_ann_recall_retrained" -> annRecallKmeansSql,
       "ext_ann_ivf_kmeans_adaptive" -> annIvfKmeansAdaptiveSql,
       "ext_ann_recall_kmeans" -> annRecallKmeansSql,
       "ext_ann_recall_kmeans_adaptive" -> annRecallKmeansAdaptiveSql,

@@ -186,6 +186,98 @@ class WorkersSpec extends SparkSuite {
     }
   }
 
+  test("drift-gated IVF retrain through the workers: below-threshold " +
+      "drift is a no-op, planted drift trips an ATOMIC cutover (probes " +
+      "racing it see old XOR new, never half), and stale versions " +
+      "retire one generation later") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfVersions
+    withTempDir { dir =>
+      val emb = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val base = emb.filter(col("vec_id") < 150)
+      // planted drift: the same vectors uniformly shifted +1.0 per
+      // dim — ~dim*(2^10)^2 of squared fixed-point distance nothing
+      // trained on `base` can explain
+      val drifted = emb.filter(col("vec_id") >= 150 && col("vec_id") < 300)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+      val union = base.unionAll(drifted)
+      val root = s"$dir/ivf"
+      IvfVersions.init(base, root, stride = 30L)
+      assert(IvfVersions.currentVersion(root).contains(0L))
+      // queries from BOTH regimes: drifted queries are what makes the
+      // two snapshots differ (v=0 has no drifted vectors to return)
+      val queries = union.filter(col("vec_id") < 5 ||
+        (col("vec_id") >= 10150L && col("vec_id") < 10155L))
+      def probeSet(): Set[(Long, Long, Long)] =
+        IvfVersions.probe(root, queries).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val v0Res = probeSet()
+      assert(v0Res.nonEmpty)
+
+      val cat = new Catalog(s"$dir/cat")
+      val w = new Workers(spark, cat)
+      var retrained = List.empty[Long]
+      // 1. below threshold: the SAME distribution the layout was
+      // trained on, judged against a generous bound — no cutover
+      w.registerMaintenance("ivf")(IvfVersions.driftRetrainTask(root,
+        recentBatch = () => base, corpus = () => union,
+        meanD2Threshold = 1000000000000L, stride = 30L,
+        onRetrain = v => retrained ::= v))
+      w.maintenanceSweep()
+      assert(IvfVersions.currentVersion(root).contains(0L) &&
+        retrained.isEmpty, "below-threshold drift must not retrain")
+
+      // 2. planted drift + racing probes: the sweep retrains on the
+      // union and swaps the pointer while reader threads loop — every
+      // observed result must equal the old snapshot XOR the new one
+      val observed =
+        new java.util.concurrent.ConcurrentLinkedQueue[Set[(Long, Long, Long)]]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val readers = (1 to 2).map(_ => new Thread(() => {
+        while (!stop.get) observed.add(probeSet())
+      }))
+      readers.foreach(_.start())
+      try {
+        w.registerMaintenance("ivf")(IvfVersions.driftRetrainTask(root,
+          recentBatch = () => drifted, corpus = () => union,
+          meanD2Threshold = 1000000L, stride = 30L,
+          onRetrain = v => retrained ::= v))
+        w.maintenanceSweep()
+      } finally { stop.set(true); readers.foreach(_.join(30000)) }
+      assert(retrained == List(1L), s"planted drift must trip: $retrained")
+      assert(IvfVersions.currentVersion(root).contains(1L))
+      val v1Res = probeSet()
+      assert(v1Res != v0Res,
+        "retrained layout must change the probe (drifted corpus landed)")
+      // the cutover contract: the post-cutover probe IS a fresh
+      // one-shot build on the drifted corpus
+      graft.operators.Clustering.writeKmeansIvfLayout(
+        union, s"$dir/fresh", stride = 30L)
+      val fresh = graft.operators.Clustering
+        .ivfTopKKmeansFromLayout(s"$dir/fresh", queries).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(v1Res == fresh,
+        "post-cutover probe must hash-match a fresh build on the union")
+      import scala.jdk.CollectionConverters._
+      val bad = observed.asScala.filterNot(r => r == v0Res || r == v1Res)
+      assert(bad.isEmpty,
+        s"${bad.size}/${observed.size} probes saw a half-cutover state")
+      // one-generation grace: v=0 survives the first cutover...
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$root/v=0")))
+      // ...and retires on the next one; v=1 stays for in-flight probes
+      IvfVersions.retrain(union, root, stride = 30L)
+      assert(IvfVersions.currentVersion(root).contains(2L))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/v=0")), "v=0 must retire")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$root/v=1")), "grace version must stay")
+    }
+  }
+
   test("start/stop schedule without throwing") {
     withTempDir { dir =>
       val w = new Workers(spark, new Catalog(dir.toString))
