@@ -1824,6 +1824,37 @@ object SparkEntry {
         kmeansIvfLayoutDir(s, dir), k = 10)
     }),
 
+    // ---- the hybrid fusion as a SQL DOOR (round 19): the two
+    //      candidate rankings stay the audited kernel pipelines
+    //      (registered as temp views), and the RRF fusion itself is
+    //      SQL TEXT — `1000000 div (60 + rnk)` is the same
+    //      IntegralDivide the Column door calls through the registry,
+    //      so both doors are bit-identical and share one oracle -------
+    "sql_retrieve_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val (lex, sem) = graft.operators.Retrieval.hybridRankings(
+        s.read.parquet(s"$dir/documents.parquet"),
+        bm25MultiQueries.toDF("query_id", "term"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        kmeansIvfLayoutDir(s, dir), k = 10)
+      lex.createOrReplaceTempView("graft_hybrid_lex")
+      sem.createOrReplaceTempView("graft_hybrid_sem")
+      s.sql("""WITH u AS (
+        |  SELECT query_id, doc_id, rnk FROM graft_hybrid_lex
+        |  UNION ALL
+        |  SELECT query_id, doc_id, rnk FROM graft_hybrid_sem
+        |), sc AS (
+        |  SELECT query_id, doc_id,
+        |    sum(1000000L div (60L + rnk)) AS score
+        |  FROM u GROUP BY query_id, doc_id
+        |)
+        |SELECT query_id, doc_id, score, rnk FROM (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+        |  FROM sc) WHERE rnk <= 10""".stripMargin)
+    }),
+
     // ---- hybrid retrieval with EXPLICIT query vectors (the RAG
     //      shape — an encoder produced a query embedding): semantic
     //      side = persisted-IVF top-k of the query's own vector (here
@@ -4438,6 +4469,9 @@ object SparkEntry {
       ("sql_tfidf" -> base("ext_tfidf")) +
       ("sql_lang_id" -> base("ext_lang_id")) +
       ("sql_repetition" -> base("ext_repetition")) +
-      ("sql_simhash" -> base("ext_dedup_simhash"))
+      ("sql_simhash" -> base("ext_dedup_simhash")) +
+      // the SQL fusion door computes the identical relation to the
+      // Column-API hybrid row (same kernels, same int64 RRF)
+      ("sql_retrieve_hybrid" -> base("ext_retrieve_hybrid"))
   }
 }

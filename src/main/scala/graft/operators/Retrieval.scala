@@ -98,6 +98,18 @@ object Retrieval {
   def hybridTopK(docs: DataFrame, queries: DataFrame,
       embeddings: DataFrame, layoutDir: String, k: Int = 10,
       nprobe: Int = 2, k0: Long = DefaultRrfK0): DataFrame = {
+    val (lex, sem) = hybridRankings(docs, queries, embeddings,
+      layoutDir, k, nprobe)
+    rrfFuse(lex, sem, k, k0)
+  }
+
+  /** The two rankings [[hybridTopK]] fuses, as separate frames
+    * (`query_id`, `doc_id`, `rnk` each) — split out (round 19) so the
+    * SQL door can run the RRF fusion as SQL TEXT over them while the
+    * candidate systems stay the audited kernel pipelines. */
+  def hybridRankings(docs: DataFrame, queries: DataFrame,
+      embeddings: DataFrame, layoutDir: String, k: Int = 10,
+      nprobe: Int = 2): (DataFrame, DataFrame) = {
     require(k > 0 && nprobe > 0)
     // materialized: reused as the anchor source (driver-collected,
     // query-count-sized) and as the lexical fusion input — one
@@ -109,17 +121,15 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     if (anchorOf.isEmpty)
-      return lex.sparkSession.createDataFrame(
+      return (lex, lex.sparkSession.createDataFrame(
         lex.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("query_id",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("score",
-            org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("rnk",
-            org.apache.spark.sql.types.LongType))))
+            org.apache.spark.sql.types.LongType)))))
     val anchorIds = anchorOf.map(_._2).distinct
     // the anchor vectors probe the persisted layout; the isin predicate
     // pushes to the embeddings scan (anchor set is query-count-sized)
@@ -137,6 +147,6 @@ object Retrieval {
       col("neighbor_id").as("doc_id"), col("rnk"))
     val semRank = aMap.join(annR, col("anchor_id") === col("anchor_id_r"))
       .select(col("query_id"), col("doc_id"), col("rnk"))
-    rrfFuse(lex, semRank, k, k0)
+    (lex, semRank)
   }
 }
