@@ -1321,6 +1321,25 @@ object SparkEntry {
     "ext_dedup_simhash" -> ((s, dir) => graft.operators.Dedup.simhash(
       s.read.parquet(s"$dir/documents.parquet"), nBits = 16)),
 
+    // ---- PERCEPTUAL image dedup (round 19): 60-bit profile dHash over
+    //      the payloads (real pixel decode for claimable images, byte
+    //      profile for the stub path — all-stub on this text corpus, so
+    //      the oracle recomputes every bit), Hamming-banded 4×15 with
+    //      exact recall at distance ≤ 3; planted variants replace the
+    //      LAST 8 bytes in place, landing within a few bits of their
+    //      base — real "near-identical image" geometry, not exact-dup --
+    "ext_dedup_images" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val payloads = graft.operators.Multimodal.textPayloads(s, dir)
+        .unionAll(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            encode(concat(
+              expr("substring(text, 1, length(text) - 8)"),
+              lit("zzzzzzzz")), "utf-8").as("payload")))
+      graft.operators.Multimodal.imageNearDupPairs(
+        graft.operators.Multimodal.perceptualHashes(payloads))
+    }),
+
     // ---- LINE-level dedup (C4/RefinedWeb boilerplate removal) --------
     // multi-line docs built from 8-token chunks + two planted footer
     // lines (in ~1/3 and ~1/4 of docs); lines in >20 distinct docs are
@@ -3331,6 +3350,55 @@ object SparkEntry {
            |  FROM tokh, (SELECT unnest(range(16)) AS bit) b GROUP BY doc_id, b.bit
            |) SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
            |FROM bits GROUP BY doc_id""".stripMargin,
+      // Perceptual profile-dHash recomputed bit-for-bit: the ASCII
+      // corpus makes unicode(char) == utf-8 byte, segment-of-byte is
+      // the closed form k*61 div n, levels floor-divide, bit j =
+      // (level[j] < level[j+1]) << j, then the 4x15 banded pair join
+      // and the bit_count(xor) verify — the exact Spark pipeline.
+      "ext_dedup_images" ->
+        """WITH pd AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 8) || 'zzzzzzzz'
+          |  FROM documents WHERE doc_id < 20
+          |), ch AS (
+          |  SELECT doc_id, length(text) AS n,
+          |    unnest(generate_series(1, length(text))) AS i, text
+          |  FROM pd WHERE text IS NOT NULL AND length(text) > 0
+          |), cv AS (
+          |  SELECT doc_id, ((i - 1) * 61) // n AS s,
+          |    unicode(substr(text, CAST(i AS INTEGER), 1)) AS v
+          |  FROM ch
+          |), sa AS (
+          |  SELECT doc_id, s, CAST(sum(v) // count(*) AS BIGINT) AS a
+          |  FROM cv GROUP BY doc_id, s
+          |), spine AS (
+          |  SELECT p.doc_id, g.s, COALESCE(sa.a, 0) AS a
+          |  FROM (SELECT DISTINCT doc_id FROM pd) p
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS s) g
+          |  LEFT JOIN sa ON sa.doc_id = p.doc_id AND sa.s = g.s
+          |), hv AS (
+          |  SELECT x.doc_id,
+          |    CAST(sum(CASE WHEN x.a < y.a
+          |      THEN (CAST(1 AS BIGINT) << CAST(x.s AS INTEGER))
+          |      ELSE 0 END) AS BIGINT) AS phash
+          |  FROM spine x JOIN spine y
+          |    ON y.doc_id = x.doc_id AND y.s = x.s + 1
+          |  WHERE x.s < 60
+          |  GROUP BY x.doc_id
+          |), bv AS (
+          |  SELECT doc_id, phash, b,
+          |    (phash >> CAST(15 * b AS INTEGER)) & 32767 AS v
+          |  FROM (SELECT doc_id, phash,
+          |          unnest(generate_series(0, 3)) AS b FROM hv)
+          |), cand AS (
+          |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+          |    x.phash AS h1, y.phash AS h2
+          |  FROM bv x JOIN bv y
+          |    ON y.b = x.b AND y.v = x.v AND x.doc_id < y.doc_id
+          |)
+          |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+          |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin,
       "ext_dedup_ngram_jaccard" ->
         s"""WITH dt AS (
            |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -343,6 +343,138 @@ object Multimodal {
     StructField("ts_ms", LongType, nullable = false),
     StructField("frame_md5", StringType, nullable = false)))
 
+  // ------------------------------------------------- perceptual dedup
+
+  /** Output schema of [[perceptualHashes]]. */
+  val phashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  private val ProfileSegments = 61 // 60 adjacent comparisons = 60 bits
+
+  /** 60-bit DIFFERENCE HASH over a 61-sample luminance profile — the
+    * dHash idea (gradient signs survive re-encoding, brightness shifts,
+    * small local edits) applied to a 1-D profile so ONE arithmetic
+    * serves both decode paths: segment `j` of an N-value sequence is
+    * the values at positions `k` with `k*61 div N = j` (closed form,
+    * engine-portable), its level is `floor(sum/count)` (0 for an empty
+    * segment when N < 61), and bit `j` is set iff `level[j] <
+    * level[j+1]`. 60 bits keeps the hash positive int64 (the
+    * [[graft.operators.Dedup.simhash]] convention — bit 63 would
+    * overflow a DuckDB BIGINT literal shift). A local edit that
+    * PRESERVES LENGTH perturbs only the segments it touches, so
+    * near-identical payloads land within a few bits — which is what
+    * makes the banded lookup below work. */
+  private[operators] def profileHash60(vals: Array[Int]): Long = {
+    val n = vals.length
+    val sums = new Array[Long](ProfileSegments)
+    val cnts = new Array[Long](ProfileSegments)
+    var k = 0
+    while (k < n) {
+      val s = (k.toLong * ProfileSegments / n).toInt
+      sums(s) += vals(k); cnts(s) += 1; k += 1
+    }
+    val avg = Array.tabulate(ProfileSegments)(j =>
+      if (cnts(j) == 0L) 0L else sums(j) / cnts(j))
+    var h = 0L
+    var j = 0
+    while (j < ProfileSegments - 1) {
+      if (avg(j) < avg(j + 1)) h |= 1L << j
+      j += 1
+    }
+    h
+  }
+
+  /** Full pixel decode to a row-major luminance sequence (integer
+    * ITU-R 601 luma, `(299r+587g+114b)/1000`) for payloads a JRE
+    * reader claims; None otherwise — the [[resizeReal]] gating. */
+  private def decodeLuma(payload: Array[Byte]): Option[Array[Int]] = {
+    if (!looksLikeImage(payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Int](w * h)
+        var y = 0
+        var i = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(i) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+              + 114 * (rgb & 0xff)) / 1000
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Perceptual 60-bit hashes over (doc_id, payload binary) rows
+    * (round 19 — the multimodal × dedup intersection): REAL images
+    * hash their decoded luminance sequence, unclaimable payloads hash
+    * their unsigned byte values (the deterministic stub convention —
+    * for a text corpus the profile is the character stream, so the
+    * oracle recomputes every bit in SQL and a planted in-place edit is
+    * genuinely "near" in Hamming space). Same `mapPartitions`
+    * production shape as the other decoders. */
+  def perceptualHashes(binaryDocs: DataFrame): DataFrame = {
+    implicit val enc = RowEncoder.encoderFor(phashSchema)
+    binaryDocs.select(col("doc_id").cast("long"), col("payload"))
+      .filter(col("payload").isNotNull) // dropped, like the other decoders
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val vals = decodeLuma(payload)
+            .getOrElse(payload.map(b => (b & 0xff): Int))
+          Row(id, profileHash60(vals))
+        }
+      }
+  }
+
+  /** Hamming-banded near-duplicate pairs over [[perceptualHashes]]
+    * output — the SimHash LSH-banding machinery applied to image
+    * hashes: the 60-bit hash splits into 4 bands of 15 bits, and by
+    * pigeonhole any pair within Hamming distance 3 shares at least one
+    * untouched band, so the banded equality join has EXACT recall at
+    * `maxHamming ≤ 3` (the supported range) — never an all-pairs
+    * comparison. Candidates sharing a band verify by
+    * `bit_count(xor) ≤ maxHamming`. Output: `(id1, id2, hamming)`,
+    * `id1 < id2`.
+    *
+    * Scale shape: the hash table is 16 bytes/doc; the only exchanges
+    * are the band-value join and the pair distinct — candidate count
+    * tracks true near-dups plus the 2^-15-rate random band
+    * collisions, not corpus². Landed-store composable: the hashes are
+    * single-long rows, so an incremental pipeline lands them in a
+    * [[BandStore]]-shaped table keyed by band value exactly like the
+    * minhash bands. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding guarantees recall only to Hamming 3: $maxHamming")
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(i =>
+        expr(s"shiftright(phash, ${15 * i}) & 32767")): _*)))
+      .toDF("doc_id", "phash", "b", "v")
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        col("x.phash").as("h1"), col("y.phash").as("h2"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Every-`every`-th-frame sampling over (doc_id, payload binary) video
     * rows — the one-row-in / many-rows-out batch shape of a frame
     * extractor. The DECODE IS A STUB (video codecs are not in this

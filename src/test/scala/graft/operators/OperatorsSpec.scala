@@ -904,6 +904,59 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("perceptual image dedup: REAL PNG decode — a lightly edited " +
+      "image lands within Hamming 3 of its original, an unrelated one " +
+      "far away; the stub path matches a hand-computed profile hash") {
+    import graft.operators.Multimodal
+    // deterministic gradient image + a near-identical variant (one
+    // corner block brightened) + a structurally different image
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val base = png((x, y) => x * 3 + y)
+    val nearDup = png((x, y) =>
+      if (x >= 60 && y >= 60) 255 else x * 3 + y) // 16-pixel corner edit
+    val different = png((x, y) => 255 - (x * 3 + y))
+    val rows = Seq((1L, base), (2L, nearDup), (3L, different))
+    val payloads = spark.createDataFrame(
+      java.util.Arrays.asList(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val hashes = Multimodal.perceptualHashes(payloads)
+    val h = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 3,
+      s"near-identical images must land close: ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) > 3,
+      s"a structurally different image must not: ${ham(h(1L), h(3L))}")
+    // the banded pair join surfaces exactly the near pair
+    val pairs = Multimodal.imageNearDupPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"pairs: $pairs")
+    // stub differential: profile hash of raw bytes, hand-computed on a
+    // sequence engineered per segment (61 segs over 122 values: seg j
+    // = values {2j, 2j+1})
+    val bytes = Array.tabulate(122)(k =>
+      (if ((k / 2) % 2 == 0) 10 else 200).toByte)
+    val got = Multimodal.profileHash60(bytes.map(b => (b & 0xff): Int))
+    var want = 0L
+    for (j <- 0 until 60) // avg alternates 10,200: bit set iff j even
+      if (j % 2 == 0) want |= 1L << j
+    assert(got == want, s"stub hash ${got.toBinaryString}")
+  }
+
   test("tfidfTopTerms: hand-computed scores, rare terms outrank common, " +
       "top-k window plans as WindowGroupLimit") {
     val d = Seq(
