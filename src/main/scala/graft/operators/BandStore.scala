@@ -120,7 +120,8 @@ final class BandStore private (
     * deletes, which the single-writer contract puts out of scope —
     * it suppresses the read error, it does not preserve the missed
     * membership, which is why the lock exists. */
-  private def readOn(s: SparkSession): DataFrame =
+  private def readOn(s: SparkSession,
+      excludeBatch: Option[String] = None): DataFrame =
     s.read
       .option("basePath", dir)
       .option("ignoreMissingFiles", "true")
@@ -128,7 +129,7 @@ final class BandStore private (
         StructField("band", StringType),
         StructField("batch", StringType),
         StructField("bp", org.apache.spark.sql.types.LongType))))
-      .parquet(listBatchDirs().map(_.toString): _*)
+      .parquet(listBatchDirs(excludeBatch).map(_.toString): _*)
 
   /** Session clone for tier-1 lookups: identical state, but with the
     * parquet In-pushdown threshold raised to the SAFE cap — capped at
@@ -152,12 +153,15 @@ final class BandStore private (
     c
   }
 
-  private def listBatchDirs(): Seq[Path] = {
+  private def listBatchDirs(
+      excludeBatch: Option[String] = None): Seq[Path] = {
     val p = storePath
     if (!Files.isDirectory(p)) return Seq.empty
     val s = Files.list(p)
     try s.iterator().asScala.toSeq
       .filter(_.getFileName.toString.startsWith("batch="))
+      .filterNot(d => excludeBatch.exists(t =>
+        d.getFileName.toString == s"batch=$t"))
     finally s.close()
   }
 
@@ -193,8 +197,22 @@ final class BandStore private (
     *  3. above: a shuffled semi-join — a batch that big IS
     *     corpus-class work and the sort-merge plan is the honest one.
     */
-  def prunedLookup(batchBands: DataFrame): DataFrame = {
-    if (!nonEmpty)
+  def prunedLookup(batchBands: DataFrame): DataFrame =
+    prunedLookup(batchBands, None)
+
+  /** [[prunedLookup]] with `excludeBatch` (round 19): the named
+    * `batch=<tag>` dir is dropped from the scan's directory list, so
+    * the lookup sees the store AS IF that batch were not landed. This
+    * is the replay-correctness primitive for COMPOSED streaming
+    * pipelines: when stage N's store append committed but stage N+1's
+    * didn't, a replay must recompute every stage against the
+    * PRE-BATCH state — excluding the batch's own tag restores exactly
+    * that state. (After maintenance folds the tag away the exclusion
+    * is a no-op — by then every downstream commit of the batch exists,
+    * so the recompute's outputs are all skipped by existence gates.) */
+  def prunedLookup(batchBands: DataFrame,
+      excludeBatch: Option[String]): DataFrame = {
+    if (listBatchDirs(excludeBatch).isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("band", StringType))))
@@ -210,19 +228,20 @@ final class BandStore private (
       // reaches parquet-mr as a real In filter instead of degrading to
       // a min/max range that random hashes render useless; the shared
       // session's conf is untouched
-      readOn(lookupSession)
+      readOn(lookupSession, excludeBatch)
         .filter(col("bp").isin(bps: _*))
         .filter(col("band").isInCollection(bands))
         .select(col("band")).distinct()
     } else if (n <= broadcastBandLimit) {
       val bps = b.select(col("bp")).distinct()
         .collect().map(_.getLong(0)).toSeq // bounded by nBuckets
-      read()
+      readOn(spark, excludeBatch)
         .filter(col("bp").isin(bps: _*))
         .join(broadcast(b.select(col("band"))), Seq("band"), "left_semi")
         .select(col("band")).distinct()
     } else {
-      read().join(b.select("band"), Seq("band"), "left_semi")
+      readOn(spark, excludeBatch)
+        .join(b.select("band"), Seq("band"), "left_semi")
         .select(col("band")).distinct()
     }
   }
@@ -238,9 +257,10 @@ final class BandStore private (
     * dirs mid-scan, so landed membership is never silently missed.
     * ([[prunedLookup]] stays lazy and unlocked — it is the plan-shape
     * audit surface; this is the concurrency-safe lookup.) */
-  def knownAmong(batchBands: DataFrame): DataFrame =
+  def knownAmong(batchBands: DataFrame,
+      excludeBatch: Option[String] = None): DataFrame =
     StoreState.withRead(dir) {
-      prunedLookup(batchBands).localCheckpoint(true)
+      prunedLookup(batchBands, excludeBatch).localCheckpoint(true)
     }
 
   /** Land `bands` (deduplicated, bucketed, band-sorted) as the atomic

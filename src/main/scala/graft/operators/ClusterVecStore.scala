@@ -80,14 +80,15 @@ final class ClusterVecStore private (
     * OUT-of-process deletes, outside the single-writer contract. */
   def read(): DataFrame = readOn(spark)
 
-  private def readOn(s: SparkSession): DataFrame =
+  private def readOn(s: SparkSession,
+      excludeBatch: Option[String] = None): DataFrame =
     s.read
       .option("basePath", dir)
       .option("ignoreMissingFiles", "true")
       .schema(StructType(dataSchema.fields ++ Seq(
         StructField("batch", StringType),
         StructField("bp", LongType))))
-      .parquet(listBatchDirs().map(_.toString): _*)
+      .parquet(listBatchDirs(excludeBatch).map(_.toString): _*)
 
   /** Conf-scoped clone for tier-1 lookups (see
     * [[BandStore.lookupSession]] — same raise, same
@@ -104,12 +105,15 @@ final class ClusterVecStore private (
     c
   }
 
-  private def listBatchDirs(): Seq[Path] = {
+  private def listBatchDirs(
+      excludeBatch: Option[String] = None): Seq[Path] = {
     val p = storePath
     if (!Files.isDirectory(p)) return Seq.empty
     val s = Files.list(p)
     try s.iterator().asScala.toSeq
       .filter(_.getFileName.toString.startsWith("batch="))
+      .filterNot(d => excludeBatch.exists(t =>
+        d.getFileName.toString == s"batch=$t"))
     finally s.close()
   }
 
@@ -125,8 +129,15 @@ final class ClusterVecStore private (
   /** The landed `(ck, vec_id, fx)` rows in the buckets `batchKeys`
     * touches — LAZY, so plan tests can assert the pruning shape. Tiers
     * as [[BandStore.prunedLookup]], keyed on `ck`. */
-  def prunedLookup(batchKeys: DataFrame): DataFrame = {
-    if (!nonEmpty)
+  def prunedLookup(batchKeys: DataFrame): DataFrame =
+    prunedLookup(batchKeys, None)
+
+  /** [[prunedLookup]] with `excludeBatch` — the replay-correctness
+    * primitive for composed streaming pipelines
+    * ([[BandStore.prunedLookup]]'s round-19 contract verbatim). */
+  def prunedLookup(batchKeys: DataFrame,
+      excludeBatch: Option[String]): DataFrame = {
+    if (listBatchDirs(excludeBatch).isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
     val k = batchKeys.select(col("ck")).distinct()
@@ -136,19 +147,20 @@ final class ClusterVecStore private (
       val rows = k.collect()
       val bps = rows.map(_.getLong(1)).distinct.toSeq
       val cks = rows.map(_.getString(0)).toSeq
-      readOn(lookupSession)
+      readOn(lookupSession, excludeBatch)
         .filter(col("bp").isin(bps: _*))
         .filter(col("ck").isInCollection(cks))
         .select(col("ck"), col("vec_id"), col("fx"))
     } else if (n <= broadcastKeyLimit) {
       val bps = k.select(col("bp")).distinct()
         .collect().map(_.getLong(0)).toSeq // bounded by nBuckets
-      read()
+      readOn(spark, excludeBatch)
         .filter(col("bp").isin(bps: _*))
         .join(broadcast(k.select(col("ck"))), Seq("ck"), "left_semi")
         .select(col("ck"), col("vec_id"), col("fx"))
     } else {
-      read().join(k.select("ck"), Seq("ck"), "left_semi")
+      readOn(spark, excludeBatch)
+        .join(k.select("ck"), Seq("ck"), "left_semi")
         .select(col("ck"), col("vec_id"), col("fx"))
     }
   }
@@ -160,9 +172,10 @@ final class ClusterVecStore private (
     * Holds the store's READ lock across plan + scan
     * ([[BandStore.knownAmong]]'s contract — maintenance cannot retire
     * the planned dirs mid-scan). */
-  def landedAmong(batchKeys: DataFrame): DataFrame =
+  def landedAmong(batchKeys: DataFrame,
+      excludeBatch: Option[String] = None): DataFrame =
     StoreState.withRead(dir) {
-      prunedLookup(batchKeys).localCheckpoint(true)
+      prunedLookup(batchKeys, excludeBatch).localCheckpoint(true)
     }
 
   /** Land `members` (`ck`, `vec_id`, `fx`; deduplicated on (ck,

@@ -604,7 +604,11 @@ object Clustering {
     * survivors frame stays safe to consume lazily either way). */
   def incrementalSemanticWithStore(newEmb: DataFrame, layoutDir: String,
       store: ClusterVecStore, dist2Threshold: Long,
-      maxBucketSize: Int = DefaultMaxBucketSize)
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      /** Exclude `batch=<tag>` from the landed lookup — a composed
+        * streaming replay's pre-batch-state restore
+        * ([[BandStore.prunedLookup]]'s round-19 contract). */
+      excludeTag: Option[String] = None)
       : (DataFrame, DataFrame) = {
     require(dist2Threshold >= 0 && maxBucketSize > 0)
     val cents = readKmeansCentroids(layoutDir)
@@ -618,7 +622,7 @@ object Clustering {
     val m = semanticMembersFrozen(fxDf, cents)
       .withColumn("ck", concat_ws("_", col("c1"), col("c2")))
       .localCheckpoint(true)
-    val landed = store.landedAmong(m.select("ck")) // materialized
+    val landed = store.landedAmong(m.select("ck"), excludeTag) // materialized
     // one cap rule over the UNION bucket size (landed + batch): an
     // over-cap bucket generates no candidates from either join
     val okBuckets = m.groupBy("ck").agg(count(lit(1)).as("_bn"))

@@ -81,12 +81,17 @@ object Dedup {
     * `newHashes` via `store.append(newHashes, tag)` after committing
     * survivors. */
   def incrementalExactWithStore(newDocs: DataFrame, store: BandStore,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      /** Exclude `batch=<tag>` from the landed lookup — a composed
+        * streaming replay's pre-batch-state restore
+        * ([[BandStore.prunedLookup]]'s round-19 contract). */
+      excludeTag: Option[String] = None)
       : (DataFrame, DataFrame) = {
     val batch = newDocs
       .select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
       .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-    val known = store.knownAmong(batch.select(col("h").as("band")))
+    val known = store.knownAmong(batch.select(col("h").as("band")),
+      excludeTag)
     val survivors = batch
       .join(known.select(col("band").as("h")), Seq("h"), "left_anti")
       .select(col("doc_id"), col("h"))
@@ -163,14 +168,17 @@ object Dedup {
   def incrementalMinhashWithStore(newDocs: DataFrame, store: BandStore,
       shingleLen: Int = 8, seeds: Seq[Long] = DefaultSeeds,
       rowsPerBand: Int = 2, idCol: String = "doc_id",
-      textCol: String = "text"): (DataFrame, DataFrame) = {
+      textCol: String = "text",
+      /** Exclude `batch=<tag>` from the landed lookup — a composed
+        * streaming replay's pre-batch-state restore. */
+      excludeTag: Option[String] = None): (DataFrame, DataFrame) = {
     val batchSigs = minhashSignatures(
       newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       shingleLen, seeds)
     val bBands = bandRows(batchSigs, rowsPerBand)
     val bandStats = bBands.groupBy("band")
       .agg(min(col("doc_id")).as("min_id"))
-    val known = store.knownAmong(bandStats.select("band"))
+    val known = store.knownAmong(bandStats.select("band"), excludeTag)
       .withColumn("known", lit(1))
     val stats2 = bandStats.join(known, Seq("band"), "left")
     val dropIds = bBands.join(stats2, Seq("band"))

@@ -635,6 +635,146 @@ object StreamOps {
       .drop("batch")
   }
 
+  /** CONTINUOUS CURATION end-to-end (round 19 — the full pipeline a
+    * production crawl runs, as ONE stream): per micro-batch,
+    *
+    *  1. QUALITY GATE + PII REDACTION (stateless one-pass kernels —
+    *     from here on `text` IS the redacted text, the prepPipelineV2
+    *     contract);
+    *  2. EXACT dedup against the landed content-hash [[graft.operators.BandStore]]
+    *     ([[graft.operators.Dedup.incrementalExactWithStore]]);
+    *  3. MINHASH near-dup dedup against the landed band store
+    *     ([[graft.operators.Dedup.incrementalMinhashWithStore]],
+    *     all-seen landing);
+    *  4. SEMANTIC dedup of the survivors' embeddings (static
+    *     `embeddings` side, `vec_id = doc_id`) against the landed
+    *     [[graft.operators.ClusterVecStore]] with FROZEN centroids
+    *     ([[graft.operators.Clustering.incrementalSemanticWithStore]]);
+    *  5. survivors land as `(doc_id, lang, n_tokens)` batch dirs; the
+    *     returned frame PACKS the landed curated table
+    *     ([[graft.operators.Corpus.packSequences]]) — packing is a
+    *     training-shard finalization view over curated state, not
+    *     per-batch work (a doc's bin depends on every earlier doc in
+    *     its shard, so packing mid-stream would make bins
+    *     batch-boundary-dependent).
+    *
+    * All three stores run INLINE maintenance (`maintainAtBatches` —
+    * the r19 streaming-lifecycle contract) and every per-batch commit
+    * is a batch-keyed atomic dir: survivors first, then the three
+    * store appends (hashes → bands → members).
+    *
+    * REPLAY correctness for the COMPOSED pipeline is the round-19
+    * `excludeTag` contract: each stage's landed lookup excludes the
+    * batch's OWN tag, so a replay whose earlier-stage appends already
+    * committed still recomputes every stage against the PRE-batch
+    * state — without it, a crash between the hash append and the band
+    * append would make the replayed exact stage drop the whole batch
+    * and the band store land an empty (wrong) band set, silently
+    * re-admitting near-dups forever after. With id-ordered batches the
+    * landed survivor set equals the one-shot batch composition
+    * (gate → redact → exact min-id → minhash → semantic), pinned by
+    * StreamingDedupSpec's differential and the `ext_stream_curate`
+    * oracle. Id order must hold for EVERY id a batch emits — including
+    * ids the `transform` plants: a fixture that plants `base + 10^6`
+    * ids in an early batch lands bands LARGER-id than later batches'
+    * natural docs, and the landed check (directionless by design —
+    * landed means arrived earlier) then drops a later doc the one-shot
+    * id-directional rule keeps. Plant in-range ids (e.g. `8·base + k`)
+    * when the composition differential matters. */
+  def curateToFiles(s: SparkSession, dir: String,
+      embeddings: DataFrame, layoutDir: String, stateDir: String,
+      outDir: String, checkpointDir: String,
+      dist2Threshold: Long = 1000L,
+      budgetTokens: Long = 2048L, shards: Int = 32,
+      transform: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None,
+      maintainAtBatches: Int = 0,
+      retainBatches: Option[Int] = None): DataFrame = {
+    import graft.operators.{BandStore, ClusterVecStore, Clustering, Corpus, Dedup, TextAnalysis}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val exact = BandStore.open(s, s"$stateDir/exact")
+    val bandSt = BandStore.open(s, s"$stateDir/bands")
+    val vecSt = ClusterVecStore.open(s, s"$stateDir/vecs")
+    // embeddings materialized once: the static side of every batch's
+    // semantic stage (corpus-embedding-sized; at 100 TB this is a
+    // parquet table, not a checkpoint — the fixture frame is tiny)
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val q = streamSource(s, dir, "documents", docSchema,
+        maxFilesPerTrigger
+          .map(n => Map("maxFilesPerTrigger" -> n.toString))
+          .getOrElse(Map.empty))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val tag = batchId.toString
+        val t = Some(tag)
+        val fullReplay = batchExists(outDir, tag) &&
+          exact.hasBatch(tag) && bandSt.hasBatch(tag) &&
+          vecSt.hasBatch(tag)
+        if (!fullReplay) {
+          val raw = transform(
+            batch.select(col("doc_id"), col("text"), col("lang")))
+          val red = raw
+            .filter(col("text").isNotNull &&
+              TextAnalysis.qualityPasses(col("text")))
+            .select(col("doc_id"), col("lang"),
+              TextAnalysis.redactedText(col("text")).as("text"))
+          val (s1, newHashes) =
+            Dedup.incrementalExactWithStore(red, exact, excludeTag = t)
+          val s1docs = red.join(s1.select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          val (s2sigs, newBands) = Dedup.incrementalMinhashWithStore(
+            s1docs, bandSt, excludeTag = t)
+          val s2docs = s1docs.join(s2sigs.select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          val emb2 = emb.join(
+            s2docs.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          val (s3, members) = Clustering.incrementalSemanticWithStore(
+            emb2, layoutDir, vecSt, dist2Threshold, excludeTag = t)
+          val out = s2docs.join(
+              s3.select(col("vec_id").as("doc_id")),
+              Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("lang"),
+              graft.functions.SplitCount(col("text"), bySpaceOnly = true)
+                .as("n_tokens"))
+          atomicBatchWrite(out, outDir, tag)
+          exact.append(newHashes, tag)
+          bandSt.append(newBands, tag)
+          vecSt.append(members, tag)
+        }
+        if (maintainAtBatches >= 2) {
+          exact.maintenanceTask(maintainAtBatches, retainBatches)()
+          bandSt.maintenanceTask(maintainAtBatches, retainBatches)()
+          vecSt.maintenanceTask(maintainAtBatches, retainBatches)()
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // explicit schema: an all-duplicate run leaves only data-less
+    // batch= dirs that would wedge inference (the BandStore precedent)
+    val curated = s.read
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("n_tokens", LongType),
+        StructField("batch", StringType))))
+      .parquet(outDir)
+      .drop("batch")
+    graft.operators.Corpus.packSequences(
+        curated, "doc_id", "n_tokens", budgetTokens, shards)
+      .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
+  }
+
   private def batchExists(baseDir: String, tag: String): Boolean =
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(baseDir, s"batch=$tag"))

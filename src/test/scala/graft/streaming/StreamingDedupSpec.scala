@@ -214,6 +214,144 @@ class StreamingDedupSpec extends SparkSuite {
     }
   }
 
+  test("curateToFiles: id-ordered micro-batches compose to the " +
+      "one-shot run, a partial-commit replay restores PRE-batch state " +
+      "via self-tag exclusion (stores land the original bands, not " +
+      "empties), and inline maintenance bounds all three stores") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    withTempDir { tmp =>
+      // ids SPREAD to 8·base so planted variants (8·base+1, 8·base+2)
+      // stay IN RANGE of their batch — the composition precondition is
+      // id order over EVERY emitted id, planted included (an early
+      // batch planting base+10^6 would land larger-than-later-batch
+      // ids, and the directionless landed check would drop later docs
+      // the one-shot id rule keeps — the curateToFiles doc's caveat)
+      val sdocs = docs.select((col("doc_id") * 8).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      val inDir = s"$tmp/in/documents.parquet"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      var mtime = 1700000000000L
+      for ((lo, hi, name) <- Seq((0L, 1360L, "b0"), (1360L, 2720L, "b1"),
+          (2720L, 8000000L, "b2"))) {
+        val stage = s"$tmp/stage_$name"
+        sdocs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .repartition(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = java.nio.file.Paths.get(s"$inDir/$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      graft.operators.Clustering.writeKmeansIvfLayout(
+        emb.select((col("vec_id") * 8).as("vec_id"), col("embedding")),
+        s"$tmp/layout")
+      val plantedEmb = emb
+        .select((col("vec_id") * 8).as("vec_id"), col("embedding"))
+        .unionAll(emb.filter(col("vec_id") % 40 === 0)
+          .select((col("vec_id") * 8 + 2).as("vec_id"),
+            col("embedding")))
+      val plant: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = d => d
+        .unionAll(d.filter(col("doc_id") % 400 === 0) // base % 50 == 0
+          .select((col("doc_id") + 1L).as("doc_id"),
+            col("text"), col("lang")))
+        .unionAll(d.filter(col("doc_id") % 320 === 0) // base % 40 == 0
+          .select((col("doc_id") + 2L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " ")))
+              .as("text"), col("lang")))
+      def run(id: String, mft: Option[Int],
+          maintain: Int): Set[(Long, Long, Long, Long)] =
+        StreamOps.curateToFiles(spark, s"$tmp/in", plantedEmb,
+            s"$tmp/layout", s"$tmp/state_$id", s"$tmp/out_$id",
+            s"$tmp/ck_$id", transform = plant,
+            maxFilesPerTrigger = mft, maintainAtBatches = maintain)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+      // A: 3 id-ordered micro-batches, no maintenance (replay target)
+      val multi = run("a", Some(1), 0)
+      assert(multi.nonEmpty)
+      val nBatches = java.nio.file.Files
+        .list(java.nio.file.Paths.get(s"$tmp/ck_a/offsets")).count()
+      assert(nBatches >= 3, s"expected >=3 micro-batches, got $nBatches")
+      // B: the whole corpus as ONE batch — the one-shot twin
+      assert(run("b", None, 0) == multi,
+        "micro-batched curation must equal the one-shot composition")
+      // C: inline maintenance keeps every store <= compactAtBatches+1
+      assert(run("c", Some(1), 2) == multi,
+        "maintained run must land the same survivors")
+      def dirCount(store: String): Int = {
+        val p = java.nio.file.Paths.get(s"$tmp/state_c/$store")
+        val s = java.nio.file.Files.list(p)
+        try s.filter(_.getFileName.toString.startsWith("batch="))
+          .count().toInt
+        finally s.close()
+      }
+      for (st <- Seq("exact", "bands", "vecs"))
+        assert(dirCount(st) <= 3, s"$st store: ${dirCount(st)} dirs")
+      // partial-commit replay on A: survivors + exact hashes committed,
+      // crash before the band/vector appends — the dangerous window
+      // where a lookup WITHOUT self-tag exclusion would see the batch's
+      // own hashes landed, drop everything, and land EMPTY band state
+      val bandsBefore = graft.operators.BandStore
+        .open(spark, s"$tmp/state_a/bands").read()
+        .select("band").collect().map(_.getString(0)).toSet
+      val vecsBefore = graft.operators.ClusterVecStore
+        .open(spark, s"$tmp/state_a/vecs").read()
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      def lastCommit(): java.nio.file.Path = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$tmp/ck_a/commits"))
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.forall(_.isDigit))
+          .maxBy(_.getFileName.toString.toLong)
+        finally s.close()
+      }
+      val lc = lastCommit()
+      val lastId = lc.getFileName.toString
+      java.nio.file.Files.delete(lc)
+      java.nio.file.Files.deleteIfExists(
+        lc.resolveSibling(s".${lc.getFileName}.crc"))
+      def deleteRecursively(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (!java.nio.file.Files.exists(p)) return
+        val s = java.nio.file.Files.walk(p)
+        try s.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally s.close()
+      }
+      deleteRecursively(java.nio.file.Paths.get(
+        s"$tmp/state_a/bands/batch=$lastId"))
+      deleteRecursively(java.nio.file.Paths.get(
+        s"$tmp/state_a/vecs/batch=$lastId"))
+      assert(run("a", Some(1), 0) == multi,
+        "partial replay changed the packed survivor set")
+      val bandsAfter = graft.operators.BandStore
+        .open(spark, s"$tmp/state_a/bands").read()
+        .select("band").collect().map(_.getString(0)).toSet
+      assert(bandsAfter == bandsBefore,
+        s"replayed band append must restore the ORIGINAL bands " +
+          s"(${bandsBefore.size} before, ${bandsAfter.size} after) — " +
+          "an empty re-append means the exact-stage lookup saw the " +
+          "batch's own hashes (self-tag exclusion broken)")
+      val vecsAfter = graft.operators.ClusterVecStore
+        .open(spark, s"$tmp/state_a/vecs").read()
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(vecsAfter == vecsBefore, "vector members must restore")
+      val outIds = spark.read.parquet(s"$tmp/out_a").drop("batch")
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(outIds.distinct.length == outIds.length,
+        "duplicate survivors after replay")
+    }
+  }
+
   test("incremental minhash stream: a REPLAYED micro-batch cannot " +
       "double-append survivors, bands, or signatures (batch-keyed " +
       "atomic commits), including a partial-commit crash replay") {
