@@ -721,19 +721,26 @@ object StreamOps {
         if (!fullReplay) {
           val raw = transform(
             batch.select(col("doc_id"), col("text"), col("lang")))
+          // each stage frame is MATERIALIZED once (eager batch-sized
+          // localCheckpoints — the incrementalSemanticWithStore members
+          // discipline): the composed body takes ~6 actions (store
+          // lookups, three appends, the survivor write), and without
+          // the checkpoints every one re-runs the gate + redaction
+          // kernels over the raw batch
           val red = raw
             .filter(col("text").isNotNull &&
               TextAnalysis.qualityPasses(col("text")))
             .select(col("doc_id"), col("lang"),
               TextAnalysis.redactedText(col("text")).as("text"))
+            .localCheckpoint(true)
           val (s1, newHashes) =
             Dedup.incrementalExactWithStore(red, exact, excludeTag = t)
           val s1docs = red.join(s1.select("doc_id"),
-            Seq("doc_id"), "left_semi")
+            Seq("doc_id"), "left_semi").localCheckpoint(true)
           val (s2sigs, newBands) = Dedup.incrementalMinhashWithStore(
             s1docs, bandSt, excludeTag = t)
           val s2docs = s1docs.join(s2sigs.select("doc_id"),
-            Seq("doc_id"), "left_semi")
+            Seq("doc_id"), "left_semi").localCheckpoint(true)
           val emb2 = emb.join(
             s2docs.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
