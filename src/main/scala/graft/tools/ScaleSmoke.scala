@@ -107,7 +107,14 @@ object ScaleSmoke {
     // BM25 single-query, token counting) — in the default slice so
     // every future campaign regression-gates the kernel family
     "ext_bm25", "ext_quality_gate", "ext_quality_score",
-    "ext_token_count", "ext_dedup_ngram_jaccard")
+    "ext_token_count", "ext_dedup_ngram_jaccard",
+    // round 19: the drift→retrained versioned-pointer probes (layout
+    // build is one-time ingest, cached per scaled dir like the other
+    // ANN layouts), the SQL fusion door, perceptual image dedup
+    // (banded pair join — hash table grows with the corpus, planted
+    // pairs constant), and the composed five-stage curation stream
+    "eng_ann_ivf_retrained", "eng_ann_recall_retrained",
+    "sql_retrieve_hybrid", "ext_dedup_images", "ext_stream_curate")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
