@@ -1340,6 +1340,32 @@ object SparkEntry {
         graft.operators.Multimodal.perceptualHashes(payloads))
     }),
 
+    // ---- INCREMENTAL perceptual dedup (round 19): the profile-dHash
+    //      rule against a LANDED ClusterVecStore (ck = Hamming band,
+    //      fx = [phash] — band membership makes a candidate, the
+    //      landed hash verifies it). Landed = the %3 slice; batch =
+    //      the rest + the tail-edit variants, which drop vs landed or
+    //      within batch by the same ≤3-bit rule -----------------------
+    "ext_dedup_images_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = graft.operators.Multimodal.textPayloads(s, dir)
+      val variants = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          encode(concat(
+            expr("substring(text, 1, length(text) - 8)"),
+            lit("zzzzzzzz")), "utf-8").as("payload"))
+      val landed = base.filter(col("doc_id") % 3 === 0)
+      val batch = base.filter(col("doc_id") % 3 =!= 0)
+        .unionAll(variants)
+      val store = graft.operators.ClusterVecStore.open(s,
+        graft.core.Smoltable.scratchDir("graft_imgstore_"))
+      val (_, init) = graft.operators.Multimodal
+        .incrementalImageDedupWithStore(landed, store)
+      store.append(init, "init")
+      graft.operators.Multimodal
+        .incrementalImageDedupWithStore(batch, store)._1
+    }),
+
     // ---- END-TO-END CONTINUOUS CURATION (round 19, the composed
     //      contract row): ONE stream running quality gate → PII
     //      redaction → exact dedup → minhash near-dup → semantic dedup
@@ -2891,6 +2917,41 @@ object SparkEntry {
         s"(CASE WHEN i + $j <= length(text) THEN CAST(ascii(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) ELSE 0 END) * ${pows(7 - j)}"
       }.mkString(" + ")
     }
+    // The perceptual profile-dHash chain (planted tail-edit variants →
+    // per-byte segment levels → 60 comparison bits), shared by the
+    // one-shot pair row and the incremental-store twin.
+    val imagePhashCtes =
+      """pd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 8) || 'zzzzzzzz'
+        |  FROM documents WHERE doc_id < 20
+        |), ch AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    unnest(generate_series(1, length(text))) AS i, text
+        |  FROM pd WHERE text IS NOT NULL AND length(text) > 0
+        |), cv AS (
+        |  SELECT doc_id, ((i - 1) * 61) // n AS s,
+        |    unicode(substr(text, CAST(i AS INTEGER), 1)) AS v
+        |  FROM ch
+        |), sa AS (
+        |  SELECT doc_id, s, CAST(sum(v) // count(*) AS BIGINT) AS a
+        |  FROM cv GROUP BY doc_id, s
+        |), spine AS (
+        |  SELECT p.doc_id, g.s, COALESCE(sa.a, 0) AS a
+        |  FROM (SELECT DISTINCT doc_id FROM pd) p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS s) g
+        |  LEFT JOIN sa ON sa.doc_id = p.doc_id AND sa.s = g.s
+        |), hv AS (
+        |  SELECT x.doc_id,
+        |    CAST(sum(CASE WHEN x.a < y.a
+        |      THEN (CAST(1 AS BIGINT) << CAST(x.s AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM spine x JOIN spine y
+        |    ON y.doc_id = x.doc_id AND y.s = x.s + 1
+        |  WHERE x.s < 60
+        |  GROUP BY x.doc_id
+        |)""".stripMargin
     // DuckDB's native ASOF LEFT JOIN as the oracle for BOTH as-of front
     // doors (ext_join_asof the DataFrame route, sql_join_asof the
     // SQL-text route). The right side is deduped to one row per
@@ -3504,37 +3565,7 @@ object SparkEntry {
       // (level[j] < level[j+1]) << j, then the 4x15 banded pair join
       // and the bit_count(xor) verify — the exact Spark pipeline.
       "ext_dedup_images" ->
-        """WITH pd AS (
-          |  SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 8) || 'zzzzzzzz'
-          |  FROM documents WHERE doc_id < 20
-          |), ch AS (
-          |  SELECT doc_id, length(text) AS n,
-          |    unnest(generate_series(1, length(text))) AS i, text
-          |  FROM pd WHERE text IS NOT NULL AND length(text) > 0
-          |), cv AS (
-          |  SELECT doc_id, ((i - 1) * 61) // n AS s,
-          |    unicode(substr(text, CAST(i AS INTEGER), 1)) AS v
-          |  FROM ch
-          |), sa AS (
-          |  SELECT doc_id, s, CAST(sum(v) // count(*) AS BIGINT) AS a
-          |  FROM cv GROUP BY doc_id, s
-          |), spine AS (
-          |  SELECT p.doc_id, g.s, COALESCE(sa.a, 0) AS a
-          |  FROM (SELECT DISTINCT doc_id FROM pd) p
-          |  CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS s) g
-          |  LEFT JOIN sa ON sa.doc_id = p.doc_id AND sa.s = g.s
-          |), hv AS (
-          |  SELECT x.doc_id,
-          |    CAST(sum(CASE WHEN x.a < y.a
-          |      THEN (CAST(1 AS BIGINT) << CAST(x.s AS INTEGER))
-          |      ELSE 0 END) AS BIGINT) AS phash
-          |  FROM spine x JOIN spine y
-          |    ON y.doc_id = x.doc_id AND y.s = x.s + 1
-          |  WHERE x.s < 60
-          |  GROUP BY x.doc_id
-          |), bv AS (
+        s"""WITH $imagePhashCtes, bv AS (
           |  SELECT doc_id, phash, b,
           |    (phash >> CAST(15 * b AS INTEGER)) & 32767 AS v
           |  FROM (SELECT doc_id, phash,
@@ -3547,6 +3578,32 @@ object SparkEntry {
           |)
           |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
           |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin,
+      // The incremental twin: same hash chain, landed = the %3 base
+      // slice, batch = the rest + variants; a batch doc drops when a
+      // LANDED hash is within 3 bits (directionless — landed means
+      // arrived earlier) or a smaller-id BATCH doc is. The banded
+      // candidate join is recall-exact to Hamming 3 (pigeonhole), so
+      // the oracle may verify pairwise directly.
+      "ext_dedup_images_incremental" ->
+        s"""WITH $imagePhashCtes, lhv AS (
+          |  SELECT doc_id, phash FROM hv
+          |  WHERE doc_id % 3 = 0 AND doc_id < 1000000
+          |), bhv AS (
+          |  SELECT doc_id, phash FROM hv
+          |  WHERE NOT (doc_id % 3 = 0 AND doc_id < 1000000)
+          |), dropl AS (
+          |  SELECT DISTINCT b.doc_id FROM bhv b JOIN lhv l
+          |    ON bit_count(xor(b.phash, l.phash)) <= 3
+          |), dropw AS (
+          |  SELECT DISTINCT y.doc_id FROM bhv x JOIN bhv y
+          |    ON x.doc_id < y.doc_id
+          |   AND bit_count(xor(x.phash, y.phash)) <= 3
+          |)
+          |SELECT b.doc_id, b.phash FROM bhv b
+          |LEFT JOIN (SELECT doc_id FROM dropl
+          |           UNION SELECT doc_id FROM dropw) d
+          |  ON d.doc_id = b.doc_id
+          |WHERE d.doc_id IS NULL""".stripMargin,
       "ext_dedup_ngram_jaccard" ->
         s"""WITH dt AS (
            |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

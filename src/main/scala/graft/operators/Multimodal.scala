@@ -475,6 +475,69 @@ object Multimodal {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** INCREMENTAL perceptual dedup — [[imageNearDupPairs]]'s rule in the
+    * continuous-ingest shape, against a LANDED [[ClusterVecStore]]
+    * (round 19): a new batch of binary payloads is near-dup-filtered
+    * (a) within itself and (b) against every image ever landed, without
+    * rescanning the corpus. The store reuses the per-cluster vector
+    * layout with `ck = "<band>_<value>"` (the 4×15 Hamming bands) and
+    * `fx = [phash]` — band equality alone only makes a CANDIDATE;
+    * the landed hash is needed for the `bit_count(xor)` verify, which
+    * is exactly the "membership key + payload" split the semantic
+    * store exists for.
+    *
+    * Drop rule: a batch doc drops when a landed hash in one of its
+    * bands is within `maxHamming`, or a smaller-id batch doc is. The
+    * landing contract is ALL-SEEN (Hamming distance is not
+    * transitive — the [[Dedup.incrementalMinhash]] argument verbatim),
+    * so id-ordered batches compose to the one-shot
+    * [[imageNearDupPairs]] drop set (OperatorsSpec differential).
+    *
+    * Returns `(survivors, newMembers)`: survivors as
+    * `(doc_id, phash)`, and the batch's full member set for the caller
+    * to land via `store.append(newMembers, tag)` AFTER committing
+    * survivors. `excludeTag` is the composed-streaming replay contract
+    * ([[BandStore.prunedLookup]], round 19).
+    *
+    * Scale shape: per batch, one decode pass (batch-sized,
+    * checkpointed once), a pruned store lookup over ≤ 4·batch distinct
+    * band keys (partition filters + pushed `In(ck)`, zero landed-side
+    * exchanges), and candidate joins bounded by true near-dups plus
+    * the 2^-15-rate random band collisions. */
+  def incrementalImageDedupWithStore(newDocs: DataFrame,
+      store: ClusterVecStore, maxHamming: Int = 3,
+      excludeTag: Option[String] = None): (DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding guarantees recall only to Hamming 3: $maxHamming")
+    val hashes = perceptualHashes(newDocs).localCheckpoint(true)
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(i =>
+        expr(s"shiftright(phash, ${15 * i}) & 32767")): _*)))
+      .toDF("doc_id", "phash", "b", "v")
+      .select(col("doc_id"), col("phash"),
+        concat_ws("_", col("b"), col("v")).as("ck"))
+    val landed = store.landedAmong(bands.select("ck"), excludeTag)
+    val dropVsLanded = bands
+      .join(landed.select(col("ck"), col("fx")), Seq("ck"))
+      .filter(bit_count(col("phash")
+        .bitwiseXOR(element_at(col("fx"), 1))) <= maxHamming)
+      .select(col("doc_id"))
+    val a = bands.select(col("doc_id").as("id1"),
+      col("phash").as("h1"), col("ck"))
+    val bb = bands.select(col("doc_id").as("id2"),
+      col("phash").as("h2"), col("ck"))
+    val dropWithin = a.join(bb, Seq("ck"))
+      .filter(col("id1") < col("id2"))
+      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
+      .select(col("id2").as("doc_id"))
+    val drops = dropVsLanded.unionAll(dropWithin).distinct()
+    val survivors = hashes.join(drops, Seq("doc_id"), "left_anti")
+    val newMembers = bands.select(col("ck"),
+      col("doc_id").as("vec_id"), array(col("phash")).as("fx"))
+      .dropDuplicates("ck", "vec_id")
+    (survivors, newMembers)
+  }
+
   /** Every-`every`-th-frame sampling over (doc_id, payload binary) video
     * rows — the one-row-in / many-rows-out batch shape of a frame
     * extractor. The DECODE IS A STUB (video codecs are not in this

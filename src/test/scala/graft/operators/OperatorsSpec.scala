@@ -957,6 +957,45 @@ class OperatorsSpec extends SparkSuite {
     assert(got == want, s"stub hash ${got.toBinaryString}")
   }
 
+  test("incrementalImageDedupWithStore: id-ordered batch splits " +
+      "compose to the one-shot near-dup drop rule (all-seen landing), " +
+      "and a landed batch fully drops on rerun") {
+    import graft.operators.{ClusterVecStore, Multimodal}
+    withTempDir { tmp =>
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val base = docs.select(col("doc_id"),
+        encode(col("text"), "utf-8").as("payload"))
+      val variants = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 1000L).as("doc_id"),
+          encode(concat(expr("substring(text, 1, length(text) - 8)"),
+            lit("zzzzzzzz")), "utf-8").as("payload"))
+      val all = base.unionAll(variants)
+      // one-shot: drop every pair's larger id
+      val hashes = Multimodal.perceptualHashes(all)
+      val dropIds = Multimodal.imageNearDupPairs(hashes)
+        .select("id2").collect().map(_.getLong(0)).toSet
+      val oneShot = hashes.collect().map(_.getLong(0)).toSet -- dropIds
+      assert(dropIds.nonEmpty, "fixture must contain near pairs")
+      // incremental: split at an id boundary, land all-seen members
+      val store = ClusterVecStore.open(spark, s"$tmp/imgs")
+      val b1 = all.filter(col("doc_id") < 250)
+      val b2 = all.filter(col("doc_id") >= 250)
+      val (s1, m1) = Multimodal.incrementalImageDedupWithStore(b1, store)
+      val ids1 = s1.collect().map(_.getLong(0)).toSet
+      assert(store.append(m1, "t0"))
+      val (s2, m2) = Multimodal.incrementalImageDedupWithStore(b2, store)
+      val ids2 = s2.collect().map(_.getLong(0)).toSet
+      assert(store.append(m2, "t1"))
+      assert(ids1 ++ ids2 == oneShot,
+        s"batched ${ids1.size}+${ids2.size} vs one-shot ${oneShot.size}")
+      // a fully-landed batch drops completely on rerun (hamming 0 to
+      // its own landed hashes)
+      val (s3, _) = Multimodal.incrementalImageDedupWithStore(b2, store)
+      assert(s3.count() == 0L, "landed batch must drop entirely")
+    }
+  }
+
   test("tfidfTopTerms: hand-computed scores, rare terms outrank common, " +
       "top-k window plans as WindowGroupLimit") {
     val d = Seq(
