@@ -1366,6 +1366,26 @@ object SparkEntry {
         .incrementalImageDedupWithStore(batch, store)._1
     }),
 
+    // ---- the STREAMING perceptual-dedup twin (round 19): the same
+    //      landed/batch split through the real foreachBatch loop —
+    //      survivors batch-keyed atomic, all-seen member landing,
+    //      self-tag-excluded lookups; the payload tail-edit is done on
+    //      BYTES (ASCII corpus ⇒ byte-identical to the batch row's
+    //      text-level edit), one oracle for both ----------------------
+    "ext_dedup_stream_images" -> ((s, dir) =>
+      graft.streaming.StreamOps.incrementalImageToFiles(s, dir,
+        graft.operators.Multimodal.textPayloads(s, dir)
+          .filter(col("doc_id") % 3 === 0),
+        graft.core.Smoltable.scratchDir("graft_imgst_store_"),
+        graft.core.Smoltable.scratchDir("graft_imgst_out_"),
+        graft.core.Smoltable.scratchDir("graft_imgst_ck_"),
+        transform = p => p.filter(col("doc_id") % 3 =!= 0)
+          .unionAll(p.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(
+                expr("substring(payload, 1, length(payload) - 8)"),
+                lit("zzzzzzzz").cast("binary")).as("payload"))))),
+
     // ---- END-TO-END CONTINUOUS CURATION (round 19, the composed
     //      contract row): ONE stream running quality gate → PII
     //      redaction → exact dedup → minhash near-dup → semantic dedup
@@ -4745,6 +4765,11 @@ object SparkEntry {
       ("sql_simhash" -> base("ext_dedup_simhash")) +
       // the SQL fusion door computes the identical relation to the
       // Column-API hybrid row (same kernels, same int64 RRF)
-      ("sql_retrieve_hybrid" -> base("ext_retrieve_hybrid"))
+      ("sql_retrieve_hybrid" -> base("ext_retrieve_hybrid")) +
+      // the streaming perceptual twin lands the batch-incremental
+      // row's survivor set (single-source micro-batches, all-seen
+      // landing) — same oracle
+      ("ext_dedup_stream_images" ->
+        base("ext_dedup_images_incremental"))
   }
 }

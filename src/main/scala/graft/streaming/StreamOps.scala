@@ -635,6 +635,77 @@ object StreamOps {
       .drop("batch")
   }
 
+  /** CONTINUOUS-CRAWL perceptual image dedup — the streaming twin of
+    * [[graft.operators.Multimodal.incrementalImageDedupWithStore]]
+    * (round 19; completes the modality square: exact, minhash,
+    * semantic, and perceptual each now run batch-incremental AND
+    * exactly-once streaming). Per micro-batch the document payloads
+    * are profile-dHashed and near-dup-filtered against the landed
+    * hash-carrying [[graft.operators.ClusterVecStore]]; survivors
+    * commit first (`batch=<id>` temp + ATOMIC_MOVE), the ALL-SEEN
+    * member set lands after — the [[incrementalMinhashToFiles]]
+    * replay contract verbatim, with the store lookup excluding the
+    * batch's own tag (the composed-replay primitive; here it also
+    * makes the single-store partial replay exact rather than
+    * merely effect-idempotent). The store is seeded once from
+    * `landedPayloads` as `batch=init` (skipped when landed — the
+    * restart path; retention-protected by the store default). */
+  def incrementalImageToFiles(s: SparkSession, dir: String,
+      landedPayloads: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String, maxHamming: Int = 3,
+      transform: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None,
+      maintainAtBatches: Int = 0,
+      retainBatches: Option[Int] = None): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val store = graft.operators.ClusterVecStore.open(s, storeDir)
+    if (!store.hasBatch("init")) {
+      val (_, init) = graft.operators.Multimodal
+        .incrementalImageDedupWithStore(landedPayloads, store, maxHamming)
+      store.append(init, "init")
+    }
+    val q = streamSource(s, dir, "documents", docSchema,
+        maxFilesPerTrigger
+          .map(n => Map("maxFilesPerTrigger" -> n.toString))
+          .getOrElse(Map.empty))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val tag = batchId.toString
+        val fullReplay = batchExists(outDir, tag) && store.hasBatch(tag)
+        if (!fullReplay) {
+          val payloads = transform(batch.select(col("doc_id"),
+            encode(col("text"), "utf-8").as("payload")))
+          val (survivors, members) = graft.operators.Multimodal
+            .incrementalImageDedupWithStore(payloads, store, maxHamming,
+              excludeTag = Some(tag))
+          atomicBatchWrite(survivors, outDir, tag)
+          store.append(members, tag)
+        }
+        if (maintainAtBatches >= 2)
+          store.maintenanceTask(maintainAtBatches, retainBatches)()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // explicit schema: an all-duplicate run leaves only data-less
+    // batch= dirs that would wedge inference (the BandStore precedent)
+    s.read
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("phash", LongType),
+        StructField("batch", StringType))))
+      .parquet(outDir)
+      .drop("batch")
+  }
+
   /** CONTINUOUS CURATION end-to-end (round 19 — the full pipeline a
     * production crawl runs, as ONE stream): per micro-batch,
     *

@@ -352,6 +352,72 @@ class StreamingDedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental IMAGE stream: id-ordered micro-batches land the " +
+      "batch operator's survivor set; a rerun on the same checkpoint " +
+      "replays to identical output and store state") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{ClusterVecStore, Multimodal}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    withTempDir { tmp =>
+      // spread ids (8·base) so planted +2 variants stay in batch range
+      val sdocs = docs.select((col("doc_id") * 8).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      val inDir = s"$tmp/in/documents.parquet"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      var mtime = 1700000000000L
+      for ((lo, hi, name) <- Seq((0L, 1360L, "b0"), (1360L, 2720L, "b1"),
+          (2720L, 8000000L, "b2"))) {
+        val stage = s"$tmp/stage_$name"
+        sdocs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .repartition(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = java.nio.file.Paths.get(s"$inDir/$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      // landed = every 24th id (base % 3 == 0); batch transform drops
+      // them from the stream and plants in-range tail-edit variants
+      val allPayloads = sdocs.select(col("doc_id"),
+        encode(col("text"), "utf-8").as("payload"))
+      val landed = allPayloads.filter(col("doc_id") % 24 === 0)
+      val plant: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = p => p
+        .filter(col("doc_id") % 24 =!= 0)
+        .unionAll(p.filter(col("doc_id") % 80 === 0)
+          .select((col("doc_id") + 2L).as("doc_id"),
+            concat(expr("substring(payload, 1, length(payload) - 8)"),
+              lit("zzzzzzzz").cast("binary")).as("payload")))
+      // one-shot twin: the batch operator on the identical planted set
+      val refStore = ClusterVecStore.open(spark, s"$tmp/refstore")
+      val (_, init) = Multimodal
+        .incrementalImageDedupWithStore(landed, refStore)
+      assert(refStore.append(init, "init"))
+      val oneShot = Multimodal.incrementalImageDedupWithStore(
+          plant(allPayloads), refStore)._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(oneShot.nonEmpty)
+      def run(): Set[(Long, Long)] =
+        StreamOps.incrementalImageToFiles(spark, s"$tmp/in", landed,
+            s"$tmp/store", s"$tmp/out", s"$tmp/ck",
+            transform = plant, maxFilesPerTrigger = Some(1))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(run() == oneShot,
+        "streamed survivors must equal the batch operator's")
+      val nBatches = java.nio.file.Files
+        .list(java.nio.file.Paths.get(s"$tmp/ck/offsets")).count()
+      assert(nBatches >= 3, s"expected >=3 micro-batches, got $nBatches")
+      val tags = ClusterVecStore.open(spark, s"$tmp/store").batchTags()
+      // idempotent rerun: same output, no new store batches
+      assert(run() == oneShot, "rerun changed the survivor set")
+      assert(ClusterVecStore.open(spark, s"$tmp/store").batchTags()
+        == tags, "rerun appended new store state")
+    }
+  }
+
   test("incremental minhash stream: a REPLAYED micro-batch cannot " +
       "double-append survivors, bands, or signatures (batch-keyed " +
       "atomic commits), including a partial-commit crash replay") {
