@@ -78,22 +78,29 @@ object IvfVersions {
   }
 
   /** Bootstrap `v=0` (full train + assign on `emb`) and commit the
-    * pointer. No-op when a pointer already exists (the restart path). */
+    * pointer. No-op when a pointer already exists (the restart path).
+    * Serialized per root ([[StoreState.withWrite]], like [[retrain]])
+    * so two concurrent initializers cannot interleave builds. */
   def init(emb: DataFrame, root: String, stride: Long = 100L,
-      iters: Int = 2): Unit = {
-    if (currentVersion(root).isDefined) return
-    Clustering.writeKmeansIvfLayout(emb, versionDir(root, 0L),
-      stride, iters)
-    writePointer(root, 0L)
+      iters: Int = 2): Unit = StoreState.withWrite(root) {
+    if (currentVersion(root).isEmpty) {
+      Clustering.writeKmeansIvfLayout(emb, versionDir(root, 0L),
+        stride, iters)
+      writePointer(root, 0L)
+    }
   }
 
   /** Retrain on `corpus` (fresh Lloyd centroids — this IS the
     * re-centroiding that [[Clustering.appendKmeansIvfLayout]]
     * deliberately never does) into `v=<current+1>`, cut the pointer
     * over atomically, and retire versions older than the one just
-    * replaced. Returns the new version number. */
+    * replaced. Returns the new version number. Serialized per root
+    * (in-process write lock, the [[StoreState]] discipline): two
+    * concurrent drift sweeps would otherwise both derive `v=prev+1`
+    * and race the same build directory. Probes never take the lock —
+    * they read the pointer and immutable version dirs. */
   def retrain(corpus: DataFrame, root: String, stride: Long = 100L,
-      iters: Int = 2): Long = {
+      iters: Int = 2): Long = StoreState.withWrite(root) {
     val prev = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"retrain before init: $root"))
     val next = prev + 1L
