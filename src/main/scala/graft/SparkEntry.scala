@@ -1469,6 +1469,47 @@ object SparkEntry {
         batch, layout, store, dist2Threshold = 1000L)._1
     }),
 
+    // ---- semantic dedup ACROSS A RETRAIN (round 19 — the missing
+    //      half of the drift→cutover story): the landed store's bucket
+    //      keys are a function of the centroids, so the cutover hook
+    //      RE-KEYS the landed members under the new layout
+    //      (Clustering.rekeyStore). Landed = the id-prefix half under
+    //      the stale v=0 layout; the second half's drift trips the
+    //      retrain on the full corpus; the batch then dedups against
+    //      the re-keyed store under v=1. The row is self-checking for
+    //      the re-key: without it the landed membership would be
+    //      invisible under the new keys and the survivor set would
+    //      hash-mismatch the oracle (which trains on the full corpus
+    //      and drops batch docs near ANY landed vector) ---------------
+    "ext_dedup_semantic_retrained" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val split = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) / 2L
+      val landed = e.filter(col("vec_id") < split)
+      val batch = e.filter(col("vec_id") >= split)
+      val root = graft.core.Smoltable.scratchDir("graft_semrt_root_")
+      val store = graft.operators.ClusterVecStore.open(s,
+        graft.core.Smoltable.scratchDir("graft_semrt_store_"))
+      graft.operators.IvfVersions.init(landed, root)
+      val (_, init) = graft.operators.Clustering
+        .incrementalSemanticWithStore(landed,
+          graft.operators.IvfVersions.currentDir(root), store, 1000L)
+      store.append(init, "init")
+      var cut = -1L
+      graft.operators.IvfVersions.driftRetrainTask(root,
+        recentBatch = () => batch, corpus = () => e,
+        meanD2Threshold = 0L,
+        onRetrain = v => {
+          cut = v
+          graft.operators.Clustering.rekeyStore(store,
+            graft.operators.IvfVersions.currentDir(root))
+          ()
+        })()
+      require(cut == 1L, s"drift must trip the retrain, got $cut")
+      graft.operators.Clustering.incrementalSemanticWithStore(batch,
+        graft.operators.IvfVersions.currentDir(root), store, 1000L)._1
+    }),
+
     // ---- SEMANTIC-MIXTURE rebalance (round 18): the cluster twin of
     //      ext_rebalance_langs — uniform training mix across semantic
     //      clusters, with assignments read STRAIGHT OFF the persisted
@@ -4581,6 +4622,43 @@ object SparkEntry {
       // planted corpus; with the landed set an id-PREFIX, "near any
       // landed vector" ≡ the one-shot smaller-id rule, so the batch's
       // survivors are the one-shot survivors at-or-above the boundary
+      // Semantic dedup across a retrain: after the cutover + re-key
+      // the state is EXACTLY "train on the full corpus, landed = the
+      // id-prefix half" — one-shot in SQL, no centroid history left.
+      // (The row self-checks the re-key: stale keys would hide the
+      // landed membership and hash-mismatch this oracle.)
+      "ext_dedup_semantic_retrained" -> {
+        val split = "(SELECT (max(vec_id) + 1) // 2 FROM embeddings)"
+        s"""${kmeansCtesTrainAssign("", "embeddings", "vec_id >= 0")},
+          |t2 AS (
+          |  SELECT vec_id, cid, rn FROM (
+          |    SELECT vec_id, cid,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |    FROM a2_d) WHERE rn <= 2
+          |), mem AS (
+          |  SELECT vec_id,
+          |    max(CASE WHEN rn = 1 THEN cid END) AS c1,
+          |    COALESCE(max(CASE WHEN rn = 2 THEN cid END),
+          |      max(CASE WHEN rn = 1 THEN cid END)) AS c2
+          |  FROM t2 GROUP BY vec_id
+          |), prs AS (
+          |  SELECT a.vec_id AS id1, b.vec_id AS id2
+          |  FROM mem a JOIN mem b
+          |    ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.vec_id < b.vec_id
+          |), pd2 AS (
+          |  SELECT id1, id2, CAST(sum((x1 - x2) * (x1 - x2)) AS BIGINT) AS d2
+          |  FROM (
+          |    SELECT p.id1, p.id2, unnest(va.fx) AS x1, unnest(vb.fx) AS x2
+          |    FROM prs p JOIN v va ON va.vec_id = p.id1
+          |                JOIN v vb ON vb.vec_id = p.id2
+          |  ) GROUP BY id1, id2
+          |), drops AS (
+          |  SELECT DISTINCT id2 AS vec_id FROM pd2 WHERE d2 <= 1000
+          |)
+          |SELECT m.vec_id, m.c1 AS cid
+          |FROM mem m LEFT JOIN drops d ON d.vec_id = m.vec_id
+          |WHERE d.vec_id IS NULL AND m.vec_id >= $split""".stripMargin
+      },
       "ext_dedup_semantic_incremental" -> {
         val plantedCte =
           """pe AS (

@@ -245,6 +245,43 @@ final class ClusterVecStore private (
     }
   }
 
+  /** Replace the ENTIRE landed member set with `members` in one
+    * crash-safe rewrite (round 19) — the [[compact]] discipline with a
+    * caller-provided frame: stage, commit `batch=rekeyed-<n>`, only
+    * then delete the old dirs. The one legitimate caller is a
+    * BUCKET-KEY migration ([[Clustering.rekeyStore]] after an
+    * [[IvfVersions]] retrain): `ck` is a function of the layout's
+    * centroids, so a centroid cutover strands every landed member
+    * under keys the post-cutover lookups will never probe — membership
+    * silently lost, near-dups re-admitted. Holds the store's write
+    * lock; a crash after the commit leaves tolerated duplicates, never
+    * a hole. Returns the number of dirs folded away. */
+  def replaceAll(members: DataFrame): Int = StoreState.withWrite(dir) {
+    val old = listBatchDirs()
+    val prev = old.map(_.getFileName.toString)
+      .collect { case ClusterVecStore.RekeyedTag(n) => n.toLong }
+    val tag = s"rekeyed-${if (prev.isEmpty) 0L else prev.max + 1L}"
+    require(!Files.exists(storePath.resolve(s"batch=$tag")),
+      s"rekey tag already landed: $tag")
+    val all = members.select(col("ck"), col("vec_id"), col("fx"))
+      .dropDuplicates("ck", "vec_id")
+      .withColumn("bp", bucketOf(col("ck")))
+      .repartition(col("bp"))
+      .sortWithinPartitions("ck")
+    Files.createDirectories(storePath)
+    val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
+    val stage = tmp.resolve("stage")
+    try {
+      all.write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
+      Files.move(stage, storePath.resolve(s"batch=$tag"),
+        StandardCopyOption.ATOMIC_MOVE)
+      StoreState.logCommit(dir, tag)
+    } finally ClusterVecStore.deleteRecursively(tmp)
+    old.foreach(ClusterVecStore.deleteRecursively)
+    StoreState.pruneLog(dir, liveTags())
+    old.size
+  }
+
   /** FIFO retention — drop the oldest batch dirs past the horizon
     * ([[BandStore.expireBatches]]'s contract, including the round-19
     * `batch=init` protection: the bootstrap seed holds the entire
@@ -286,6 +323,7 @@ final class ClusterVecStore private (
 object ClusterVecStore {
 
   private val CompactedTag = "batch=compacted-([0-9]+)".r
+  private val RekeyedTag = "batch=rekeyed-([0-9]+)".r
 
   /** Open (or lazily create at first append) the store at `dir`. */
   def open(spark: SparkSession, dir: String, nBuckets: Int = 64,

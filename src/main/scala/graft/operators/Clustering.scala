@@ -654,6 +654,33 @@ object Clustering {
     (survivors, newMembers)
   }
 
+  /** RE-KEY a landed [[ClusterVecStore]] under a (new) layout's
+    * centroids (round 19 — the missing half of the drift→retrain
+    * story): the store's bucket key `ck = "c1_c2"` is a FUNCTION OF
+    * THE CENTROIDS, so an [[IvfVersions]] cutover strands every landed
+    * member under keys post-cutover lookups never probe — the corpus
+    * membership would be silently invisible and every near-dup
+    * re-admitted. This reads the landed `(vec_id, fx)` set once,
+    * recomputes the top-2 assignment under `layoutDir`'s sidecar (the
+    * same [[graft.functions.NearestCentroids]] kernel every lookup
+    * uses), and commits the re-keyed member set as one crash-safe
+    * rewrite ([[ClusterVecStore.replaceAll]] — old keys live until the
+    * new set is committed). Call it from the retrain hook:
+    * {{{ onRetrain = _ => Clustering.rekeyStore(store, IvfVersions.currentDir(root)) }}}
+    * Cost: one store scan + one k·d-row broadcast assignment + one
+    * bucketed write — the same shape as a compaction pass, scheduled
+    * at retrain cadence (hours), not batch cadence. Returns the dirs
+    * folded away. */
+  def rekeyStore(store: ClusterVecStore, layoutDir: String): Int = {
+    val cents = readKmeansCentroids(layoutDir)
+    val landed = store.read()
+      .select(col("vec_id"), col("fx")).dropDuplicates("vec_id")
+    val rekeyed = semanticMembersFrozen(landed, cents)
+      .withColumn("ck", concat_ws("_", col("c1"), col("c2")))
+      .select(col("ck"), col("vec_id"), col("fx"))
+    store.replaceAll(rekeyed)
+  }
+
   /** ASSIGNMENT-DRIFT telemetry for a frozen-centroid layout (round
     * 18): per-cluster count / exact inertia / max squared distance of
     * a NEW batch assigned from the persisted sidecar — the signal that

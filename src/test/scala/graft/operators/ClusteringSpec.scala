@@ -466,4 +466,55 @@ class ClusteringSpec extends SparkSuite {
     assert(!plan.contains("Exchange"),
       s"assignment must not shuffle:\n$plan")
   }
+
+  test("rekeyStore: after a centroid cutover the re-keyed store " +
+      "equals one freshly built under the new layout — and WITHOUT " +
+      "the re-key, landed membership is invisible to new-layout " +
+      "lookups (planted dups re-admitted)") {
+    import org.apache.spark.sql.functions._
+    withTempDir { tmp =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val landed = emb.filter(col("vec_id") < 150)
+      // batch: fresh vectors + planted DUPLICATES of landed vecs —
+      // the docs the landed membership must keep dropping forever
+      val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 300)
+        .unionAll(landed.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000L).as("vec_id"),
+            col("embedding")))
+      // stale layout (v0: landed only, stride 30) vs the retrained one
+      // (v1: full corpus, stride 25 — different seed set, so bucket
+      // keys genuinely change)
+      Clustering.writeKmeansIvfLayout(landed, s"$tmp/v0", stride = 30L)
+      Clustering.writeKmeansIvfLayout(
+        landed.unionAll(batch), s"$tmp/v1", stride = 25L)
+      val store = graft.operators.ClusterVecStore.open(spark, s"$tmp/st")
+      val (_, init0) = Clustering.incrementalSemanticWithStore(
+        landed, s"$tmp/v0", store, 1000L)
+      assert(store.append(init0, "init"))
+      def plantedSurvivors(s3: org.apache.spark.sql.DataFrame): Long =
+        s3.filter(col("vec_id") >= 10000L).count()
+      // STALE keys + new layout: the planted duplicates of landed
+      // vectors survive — membership silently lost
+      val stale = Clustering.incrementalSemanticWithStore(
+        batch, s"$tmp/v1", store, 1000L)._1
+      assert(plantedSurvivors(stale) > 0,
+        "fixture must demonstrate the stale-key hazard")
+      // re-key, then compare against a store built fresh under v1
+      assert(Clustering.rekeyStore(store, s"$tmp/v1") >= 1)
+      val fresh = graft.operators.ClusterVecStore.open(spark, s"$tmp/fr")
+      val (_, init1) = Clustering.incrementalSemanticWithStore(
+        landed, s"$tmp/v1", fresh, 1000L)
+      assert(fresh.append(init1, "init"))
+      def surv(st: graft.operators.ClusterVecStore): Set[(Long, Long)] =
+        Clustering.incrementalSemanticWithStore(batch, s"$tmp/v1",
+            st, 1000L)._1
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rekeyed = surv(store)
+      assert(rekeyed == surv(fresh),
+        "re-keyed store must behave as if built under the new layout")
+      assert(rekeyed.forall(_._1 < 10000L),
+        "planted duplicates must drop against the re-keyed membership")
+    }
+  }
 }
