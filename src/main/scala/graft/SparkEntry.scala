@@ -223,6 +223,27 @@ object SparkEntry {
     seed
   }
 
+  /** The landed seed store for `ext_dedup_stream_images`, built ONCE
+    * per source fingerprint: the hash-carrying vector store's
+    * `batch=init` member set for the %3 landed payload slice — per-run
+    * scratch stores clone this instead of re-hashing the landed
+    * corpus ([[streamMinhashSeed]]'s pattern). */
+  private[graft] def streamImageSeed(s: SparkSession,
+      dir: String): String = {
+    val fp = sourceFingerprint(s"$dir/documents.parquet")
+    val seed = s"/tmp/graft_imgst_seed_${Integer.toHexString(dir.hashCode)}_" +
+      java.lang.Long.toHexString(fp)
+    val store = graft.operators.ClusterVecStore.open(s, seed)
+    if (!store.hasBatch("init")) {
+      val (_, init) = graft.operators.Multimodal
+        .incrementalImageDedupWithStore(
+          graft.operators.Multimodal.textPayloads(s, dir)
+            .filter(col("doc_id") % 3 === 0), store)
+      store.append(init, "init")
+    }
+    seed
+  }
+
   /** Recursive file-tree copy (seed cloning for per-run scratch
     * stores). No-op when the source is absent (the first-ever run races
     * nothing: the callee then seeds from data). */
@@ -1413,11 +1434,18 @@ object SparkEntry {
     //      self-tag-excluded lookups; the payload tail-edit is done on
     //      BYTES (ASCII corpus ⇒ byte-identical to the batch row's
     //      text-level edit), one oracle for both ----------------------
-    "ext_dedup_stream_images" -> ((s, dir) =>
+    "ext_dedup_stream_images" -> ((s, dir) => {
+      // per-run scratch store cloned from the fingerprint-cached seed
+      // (the callee's existence-gated batch=init append then skips
+      // without executing the landed hash pass)
+      val storeDir = graft.core.Smoltable.scratchDir("graft_imgst_store_")
+      copyDirInto(
+        java.nio.file.Paths.get(streamImageSeed(s, dir)),
+        java.nio.file.Paths.get(storeDir))
       graft.streaming.StreamOps.incrementalImageToFiles(s, dir,
         graft.operators.Multimodal.textPayloads(s, dir)
           .filter(col("doc_id") % 3 === 0),
-        graft.core.Smoltable.scratchDir("graft_imgst_store_"),
+        storeDir,
         graft.core.Smoltable.scratchDir("graft_imgst_out_"),
         graft.core.Smoltable.scratchDir("graft_imgst_ck_"),
         transform = p => p.filter(col("doc_id") % 3 =!= 0)
@@ -1425,7 +1453,8 @@ object SparkEntry {
             .select((col("doc_id") + 1000000L).as("doc_id"),
               concat(
                 expr("substring(payload, 1, length(payload) - 8)"),
-                lit("zzzzzzzz").cast("binary")).as("payload"))))),
+                lit("zzzzzzzz").cast("binary")).as("payload"))))
+    }),
 
     // ---- END-TO-END CONTINUOUS CURATION (round 19, the composed
     //      contract row): ONE stream running quality gate → PII
