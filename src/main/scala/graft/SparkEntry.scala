@@ -1169,6 +1169,41 @@ object SparkEntry {
         |FROM graft_docs WHERE text IS NOT NULL""".stripMargin)
     }),
 
+    // ---- perceptual dedup as SQL text (round 19): the profile-dHash
+    //      stub path through the codegen'd graft_phash kernel, then
+    //      banding + verify as plain SQL — identical relation to the
+    //      DataFrame row (all-stub on this text corpus), one oracle --
+    "sql_dedup_images" -> ((s, dir) => {
+      graft.sql.SqlSurface.registerPipeline(s,
+        s.read.parquet(s"$dir/documents.parquet"),
+        includeClusters = false)
+      s.sql("""WITH pd AS (
+        |  SELECT doc_id, encode(text, 'utf-8') AS payload
+        |  FROM graft_docs
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    encode(concat(substring(text, 1, length(text) - 8),
+        |      'zzzzzzzz'), 'utf-8')
+        |  FROM graft_docs WHERE doc_id < 20
+        |), hv AS (
+        |  SELECT doc_id, graft_phash(payload) AS phash FROM pd
+        |  WHERE payload IS NOT NULL
+        |), bv AS (
+        |  SELECT doc_id, phash, b,
+        |    shiftright(phash, CAST(15 * b AS INT)) & 32767 AS v
+        |  FROM (SELECT doc_id, phash, explode(sequence(0, 3)) AS b
+        |        FROM hv)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+        |    x.phash AS h1, y.phash AS h2
+        |  FROM bv x JOIN bv y
+        |    ON y.b = x.b AND y.v = x.v AND x.doc_id < y.doc_id
+        |)
+        |SELECT id1, id2,
+        |  CAST(bit_count(h1 ^ h2) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(h1 ^ h2) <= 3""".stripMargin)
+    }),
+
     // TF-IDF top terms as pure SQL text — the graft_term_counts kernel
     // door: narrow (doc, term, tf) rows from the map explode, exactly
     // the DataFrame operator's plan; same oracle as ext_tfidf
@@ -4900,6 +4935,9 @@ object SparkEntry {
       // row's survivor set (single-source micro-batches, all-seen
       // landing) — same oracle
       ("ext_dedup_stream_images" ->
-        base("ext_dedup_images_incremental"))
+        base("ext_dedup_images_incremental")) +
+      // the SQL-text perceptual door computes the identical relation
+      // through the registered graft_phash kernel
+      ("sql_dedup_images" -> base("ext_dedup_images"))
   }
 }

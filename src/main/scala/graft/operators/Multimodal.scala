@@ -350,8 +350,6 @@ object Multimodal {
     StructField("doc_id", LongType, nullable = false),
     StructField("phash", LongType, nullable = false)))
 
-  private val ProfileSegments = 61 // 60 adjacent comparisons = 60 bits
-
   /** 60-bit DIFFERENCE HASH over a 61-sample luminance profile — the
     * dHash idea (gradient signs survive re-encoding, brightness shifts,
     * small local edits) applied to a 1-D profile so ONE arithmetic
@@ -365,25 +363,9 @@ object Multimodal {
     * PRESERVES LENGTH perturbs only the segments it touches, so
     * near-identical payloads land within a few bits — which is what
     * makes the banded lookup below work. */
-  private[operators] def profileHash60(vals: Array[Int]): Long = {
-    val n = vals.length
-    val sums = new Array[Long](ProfileSegments)
-    val cnts = new Array[Long](ProfileSegments)
-    var k = 0
-    while (k < n) {
-      val s = (k.toLong * ProfileSegments / n).toInt
-      sums(s) += vals(k); cnts(s) += 1; k += 1
-    }
-    val avg = Array.tabulate(ProfileSegments)(j =>
-      if (cnts(j) == 0L) 0L else sums(j) / cnts(j))
-    var h = 0L
-    var j = 0
-    while (j < ProfileSegments - 1) {
-      if (avg(j) < avg(j + 1)) h |= 1L << j
-      j += 1
-    }
-    h
-  }
+  private[operators] def profileHash60(vals: Array[Int]): Long =
+    graft.functions.ProfileHash60.compute(vals) // one shared definition
+                                                // with the SQL kernel
 
   /** Full pixel decode to a row-major luminance sequence (integer
     * ITU-R 601 luma, `(299r+587g+114b)/1000`) for payloads a JRE

@@ -119,6 +119,16 @@ object GraftFunctions {
       case args => throw new IllegalArgumentException(
         s"graft_term_counts expects 1 argument, got ${args.length}")
     },
+    fn("graft_phash",
+      "_FUNC_(payload) - the 60-bit profile difference-hash of a " +
+        "binary payload (the perceptual-dedup stub path): 61 byte-" +
+        "segment levels, bit j = level[j] < level[j+1]. Real image " +
+        "decode stays with the Multimodal operator (imperative codec " +
+        "work); this kernel equals it for every unclaimable payload.") {
+      case Seq(payload) => graft.functions.ProfileHash60(payload)
+      case args => throw new IllegalArgumentException(
+        s"graft_phash expects 1 argument, got ${args.length}")
+    },
     fn("graft_split_count",
       "_FUNC_(text[, bySpaceOnly]) - size(split(text, ' ')) when " +
         "bySpaceOnly (default), size(split(text, '\\s+')) otherwise — " +

@@ -186,6 +186,24 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(plan.contains("*(1)"),
       s"expected a WholeStageCodegen stage around the kernel:\n$plan")
 
+    // the round-19 perceptual stub kernel: SQL door == the operator's
+    // mapPartitions stub path (text corpus ⇒ all-stub), and codegen'd
+    val phSql = spark.sql(
+      "SELECT doc_id, graft_phash(encode(text, 'utf-8')) AS h " +
+        "FROM mh_docs WHERE text IS NOT NULL")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val phApi = graft.operators.Multimodal.perceptualHashes(
+        docs.filter(col("text").isNotNull).select(col("doc_id"),
+          org.apache.spark.sql.functions.encode(col("text"), "utf-8")
+            .as("payload")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(phSql == phApi)
+    val phPlan = spark.sql(
+      "SELECT graft_phash(encode(text, 'utf-8')) FROM mh_docs")
+      .queryExecution.executedPlan.toString
+    assert(phPlan.contains("*(1)"),
+      s"graft_phash must stay inside WholeStageCodegen:\n$phPlan")
+
     // the round-17 one-pass text kernels: SQL door == Scala API door
     val qSql = spark.sql(
       "SELECT doc_id, graft_quality_signals(text).n_tokens AS n, " +
