@@ -268,28 +268,36 @@ final class BandStore private (
     * — when the tag is already landed (the idempotent-replay path).
     * Callers pass bands NOT already known (anti-join against
     * [[knownAmong]]'s result) to keep the store distinct; duplicates
-    * are tolerated by lookups either way. */
-  def append(bands: DataFrame, tag: String): Boolean = {
-    require(tag.nonEmpty && !tag.contains('/') && !tag.contains('='),
-      s"bad batch tag: $tag")
-    val target = storePath.resolve(s"batch=$tag")
-    if (Files.exists(target)) return false
-    Files.createDirectories(storePath)
-    val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
-    val stage = tmp.resolve("stage")
-    bands.select(col("band")).distinct()
-      .withColumn("bp", bucketOf(col("band")))
-      .repartition(col("bp"))
-      .sortWithinPartitions("band")
-      .write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
-    try {
-      Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
-      StoreState.logCommit(dir, tag)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally deleteRecursively(tmp)
-  }
+    * are tolerated by lookups either way.
+    *
+    * Holds the store's READ lock (round 20, matching
+    * [[ClusterVecStore.append]]): concurrent appends stay allowed, but
+    * an append can never interleave with a whole-store rewrite's
+    * list-commit-delete span. */
+  def append(bands: DataFrame, tag: String): Boolean =
+    StoreState.withRead(dir) {
+      require(tag.nonEmpty && !tag.contains('/') && !tag.contains('='),
+        s"bad batch tag: $tag")
+      val target = storePath.resolve(s"batch=$tag")
+      if (Files.exists(target)) false
+      else {
+        Files.createDirectories(storePath)
+        val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
+        val stage = tmp.resolve("stage")
+        bands.select(col("band")).distinct()
+          .withColumn("bp", bucketOf(col("band")))
+          .repartition(col("bp"))
+          .sortWithinPartitions("band")
+          .write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
+        try {
+          Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+          StoreState.logCommit(dir, tag)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally deleteRecursively(tmp)
+      }
+    }
 
   /** Rewrite the store as ONE band-sorted file per bucket under a fresh
     * `batch=<tag>` (old batch dirs removed) — the maintenance pass that

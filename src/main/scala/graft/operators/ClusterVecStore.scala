@@ -184,29 +184,39 @@ final class ClusterVecStore private (
     * (idempotent replay). The landing contract is ALL-SEEN (survivors
     * and dropped alike): semantic distance is not transitive, so a
     * survivors-only store re-admits chained near-duplicates — the
-    * [[Dedup.incrementalMinhash]] argument verbatim. */
-  def append(members: DataFrame, tag: String): Boolean = {
-    require(tag.nonEmpty && !tag.contains('/') && !tag.contains('='),
-      s"bad batch tag: $tag")
-    val target = storePath.resolve(s"batch=$tag")
-    if (Files.exists(target)) return false
-    Files.createDirectories(storePath)
-    val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
-    val stage = tmp.resolve("stage")
-    members.select(col("ck"), col("vec_id"), col("fx"))
-      .dropDuplicates("ck", "vec_id")
-      .withColumn("bp", bucketOf(col("ck")))
-      .repartition(col("bp"))
-      .sortWithinPartitions("ck")
-      .write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
-    try {
-      Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
-      StoreState.logCommit(dir, tag)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally ClusterVecStore.deleteRecursively(tmp)
-  }
+    * [[Dedup.incrementalMinhash]] argument verbatim.
+    *
+    * Holds the store's READ lock (round 20): concurrent appends remain
+    * allowed (distinct tags never conflict; same-tag replays resolve by
+    * exists-check + ATOMIC_MOVE), but an append can no longer
+    * interleave with [[replaceAll]]'s list-rewrite-delete span — the
+    * window where a landing dir was deleted while its rows were absent
+    * from the replacement set (silent membership loss). */
+  def append(members: DataFrame, tag: String): Boolean =
+    StoreState.withRead(dir) {
+      require(tag.nonEmpty && !tag.contains('/') && !tag.contains('='),
+        s"bad batch tag: $tag")
+      val target = storePath.resolve(s"batch=$tag")
+      if (Files.exists(target)) false
+      else {
+        Files.createDirectories(storePath)
+        val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
+        val stage = tmp.resolve("stage")
+        members.select(col("ck"), col("vec_id"), col("fx"))
+          .dropDuplicates("ck", "vec_id")
+          .withColumn("bp", bucketOf(col("ck")))
+          .repartition(col("bp"))
+          .sortWithinPartitions("ck")
+          .write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
+        try {
+          Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+          StoreState.logCommit(dir, tag)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally ClusterVecStore.deleteRecursively(tmp)
+      }
+    }
 
   /** Crash-safe compaction: fold all batch dirs into ONE ck-sorted file
     * per bucket — replacement committed BEFORE old dirs are deleted
@@ -255,8 +265,28 @@ final class ClusterVecStore private (
     * under keys the post-cutover lookups will never probe — membership
     * silently lost, near-dups re-admitted. Holds the store's write
     * lock; a crash after the commit leaves tolerated duplicates, never
-    * a hole. Returns the number of dirs folded away. */
-  def replaceAll(members: DataFrame): Int = StoreState.withWrite(dir) {
+    * a hole. Returns the number of dirs folded away.
+    *
+    * CAUTION: a `members` frame PLANNED before this call pins its file
+    * list at plan time — an append landing between that plan and this
+    * write lock would have its dir deleted while its rows are absent
+    * from the replacement (silent membership loss). Derive the frame
+    * from the landed state UNDER the lock via [[replaceAllWith]]; this
+    * raw overload is for caller-owned frames that do not read the
+    * store. */
+  def replaceAll(members: DataFrame): Int =
+    StoreState.withWrite(dir) { replaceAllLocked(members) }
+
+  /** [[replaceAll]] where the replacement is a FUNCTION OF THE LANDED
+    * STATE (the re-key case, [[Clustering.rekeyStore]]): `rekey`
+    * receives the store's full landed frame read UNDER the write lock,
+    * so the file list it plans is exactly the dir set the commit then
+    * deletes — no append can land between the two (appends hold the
+    * read lock). */
+  def replaceAllWith(rekey: DataFrame => DataFrame): Int =
+    StoreState.withWrite(dir) { replaceAllLocked(rekey(read())) }
+
+  private def replaceAllLocked(members: DataFrame): Int = {
     val old = listBatchDirs()
     val prev = old.map(_.getFileName.toString)
       .collect { case ClusterVecStore.RekeyedTag(n) => n.toLong }

@@ -670,15 +670,25 @@ object Clustering {
     * Cost: one store scan + one k·d-row broadcast assignment + one
     * bucketed write — the same shape as a compaction pass, scheduled
     * at retrain cadence (hours), not batch cadence. Returns the dirs
-    * folded away. */
+    * folded away.
+    *
+    * The landed frame is derived UNDER the store's write lock
+    * ([[ClusterVecStore.replaceAllWith]], round 20): planning it
+    * outside would pin the dir list before the lock, and an append
+    * landing in that window (the advertised deployment — the retrain
+    * task fires from the background workers while the pipeline appends
+    * per batch) would have its dir deleted while its rows are absent
+    * from the re-keyed set. Appends hold the read lock, so the
+    * list-rekey-commit-delete span sees a frozen member set. */
   def rekeyStore(store: ClusterVecStore, layoutDir: String): Int = {
     val cents = readKmeansCentroids(layoutDir)
-    val landed = store.read()
-      .select(col("vec_id"), col("fx")).dropDuplicates("vec_id")
-    val rekeyed = semanticMembersFrozen(landed, cents)
-      .withColumn("ck", concat_ws("_", col("c1"), col("c2")))
-      .select(col("ck"), col("vec_id"), col("fx"))
-    store.replaceAll(rekeyed)
+    store.replaceAllWith { landedAll =>
+      val landed = landedAll
+        .select(col("vec_id"), col("fx")).dropDuplicates("vec_id")
+      semanticMembersFrozen(landed, cents)
+        .withColumn("ck", concat_ws("_", col("c1"), col("c2")))
+        .select(col("ck"), col("vec_id"), col("fx"))
+    }
   }
 
   /** ASSIGNMENT-DRIFT telemetry for a frozen-centroid layout (round

@@ -49,6 +49,19 @@ private[graft] object StoreState {
   private val locks = new ConcurrentHashMap[String, ReentrantReadWriteLock]()
   private val logMutexes = new ConcurrentHashMap[String, Object]()
 
+  /** Cached view of a `_commitlog`: the tag set, the max sequence, and
+    * the file size the cache was built against. [[logCommit]] appends
+    * O(1) through this instead of re-reading the whole log per commit
+    * (O(n²) across the appends between maintenance sweeps — the r19
+    * fix-it); the size check invalidates it against any out-of-band
+    * edit (a restore, a second process) at one stat per commit. All
+    * access under the dir's log mutex. */
+  private final class LogCache(
+      val tags: scala.collection.mutable.Set[String],
+      var maxSeq: Long,
+      var fileSize: Long)
+  private val logCaches = new ConcurrentHashMap[String, LogCache]()
+
   private def canonical(dir: String): String =
     Paths.get(dir).toAbsolutePath.normalize.toString
 
@@ -68,10 +81,76 @@ private[graft] object StoreState {
 
   /** Run `f` holding the store's WRITE lock: maintenance mutations
     * (compaction, retention) — excludes lookups and other maintenance.
-    * Reentrant, so a locked public entry point may call another. */
+    * Reentrant, so a locked public entry point may call another.
+    *
+    * Also verifies the CROSS-PROCESS owner lease (round 20): the RW
+    * lock is JVM-scoped, so a second pipeline process maintaining the
+    * same store dir raced silently — `ignoreMissingFiles` hid both the
+    * error and the membership loss. Every write-locked mutation now
+    * touches an `_owner` file carrying this JVM's token; a mutation
+    * finding a DIFFERENT live token fails fast with a clean error
+    * (the manifest writer-lock pattern,
+    * [[Similarity]]`.withManifestWriterLock`), and a crashed owner's
+    * stale lease (older than the grace window) is reclaimed so the
+    * store never wedges. Best-effort single-writer enforcement, not a
+    * distributed lock: cross-process LOOKUPS remain unguarded
+    * (read-only, tolerated by `ignoreMissingFiles`) — the contract is
+    * one maintaining process per store, now fail-fast instead of
+    * trust-based. */
   def withWrite[A](dir: String)(f: => A): A = {
     val l = lockFor(dir).writeLock(); l.lock()
-    try f finally l.unlock()
+    try { acquireOwnerLease(dir); f } finally l.unlock()
+  }
+
+  // ---- cross-process owner lease ----
+
+  private[graft] val OwnerFileName = "_owner"
+
+  /** One token per JVM: every store handle in this process shares it,
+    * so same-process concurrency stays governed by the RW lock alone. */
+  private[graft] val jvmToken: String =
+    java.util.UUID.randomUUID().toString
+
+  /** Lease liveness window. A crashed owner's lease older than this is
+    * reclaimed; a LIVE foreign lease (younger) fails the mutation.
+    * Owner mtime refreshes on every write-locked mutation, so any
+    * maintenance cadence under the window keeps the lease alive. */
+  private def leaseMs: Long =
+    sys.props.get("graft.store.lease.ms").map(_.toLong)
+      .getOrElse(15L * 60L * 1000L)
+
+  private def ownerPath(dir: String): Path =
+    Paths.get(dir).resolve(OwnerFileName)
+
+  private def acquireOwnerLease(dir: String): Unit = {
+    val p = ownerPath(dir)
+    val now = System.currentTimeMillis()
+    val holder =
+      if (!Files.exists(p)) None
+      else try {
+        val tok = new String(Files.readAllBytes(p),
+          StandardCharsets.UTF_8).trim
+        val age = now - Files.getLastModifiedTime(p).toMillis
+        Some((tok, age))
+      } catch { // holder freed/rewrote it mid-read: treat as absent,
+        case _: java.io.IOException => None // the write below re-checks
+      }
+    holder match {
+      case Some((tok, age)) if tok == jvmToken =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(now))
+      case Some((tok, age)) if age <= leaseMs =>
+        throw new IllegalStateException(
+          s"store owner lease held by another process: $p (token " +
+            s"$tok, age $age ms <= lease $leaseMs ms); the store " +
+            "contract is one maintaining process per directory")
+      case _ => // absent or stale: (re)claim with our token
+        Files.createDirectories(Paths.get(dir))
+        val tmp = Files.createTempFile(Paths.get(dir), "._owner", ".tmp")
+        Files.write(tmp, s"$jvmToken\n".getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   // ---- commit log ----
@@ -91,19 +170,46 @@ private[graft] object StoreState {
     }
   }
 
+  private def logSize(dir: String): Long = {
+    val p = logPath(dir)
+    if (Files.exists(p)) Files.size(p) else -1L
+  }
+
+  /** The dir's log cache, rebuilt from disk when absent or when the
+    * file size no longer matches (out-of-band edit). Caller holds the
+    * log mutex. */
+  private def cacheFor(dir: String): LogCache = {
+    val key = canonical(dir)
+    val cached = logCaches.get(key)
+    val size = logSize(dir)
+    if (cached != null && cached.fileSize == size) cached
+    else {
+      val entries = readLog(dir)
+      val fresh = new LogCache(
+        scala.collection.mutable.Set(entries.map(_._2): _*),
+        (0L +: entries.map(_._1)).max, size)
+      logCaches.put(key, fresh)
+      fresh
+    }
+  }
+
   /** Record `tag` as the next commit in the store's log — idempotent
     * (an already-logged tag is not re-appended). Call right AFTER the
     * batch dir's ATOMIC_MOVE; a crash between the two leaves an
-    * unlogged dir, which [[orderKey]] treats as newest. */
+    * unlogged dir, which [[orderKey]] treats as newest. O(1) per
+    * commit through the size-validated [[LogCache]]. */
   def logCommit(dir: String, tag: String): Unit =
     logMutex(dir).synchronized {
-      val entries = readLog(dir)
-      if (!entries.exists(_._2 == tag)) {
-        val next = (0L +: entries.map(_._1)).max + 1L
+      val cache = cacheFor(dir)
+      if (!cache.tags(tag)) {
+        val next = cache.maxSeq + 1L
         Files.createDirectories(Paths.get(dir))
-        Files.write(logPath(dir),
-          s"$next $tag\n".getBytes(StandardCharsets.UTF_8),
+        val line = s"$next $tag\n".getBytes(StandardCharsets.UTF_8)
+        Files.write(logPath(dir), line,
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        cache.tags += tag
+        cache.maxSeq = next
+        cache.fileSize = logSize(dir)
       }
       ()
     }
@@ -128,6 +234,7 @@ private[graft] object StoreState {
             .getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, logPath(dir), StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.ATOMIC_MOVE)
+        logCaches.remove(canonical(dir))
       }
       ()
     }

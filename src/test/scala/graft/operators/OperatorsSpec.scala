@@ -904,6 +904,90 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("cross-process owner lease: a LIVE foreign lease fails " +
+      "maintenance fast with a clean error, a stale (crashed) one is " +
+      "reclaimed, and membership survives the whole episode") {
+    withTempDir { tmp =>
+      val store = BandStore.open(spark, s"$tmp/own")
+      assert(store.append(Seq("a", "b").toDF("band"), "t0"))
+      assert(store.append(Seq("c").toDF("band"), "t1"))
+      assert(store.compact() == 2) // first mutation claims the lease
+      val owner = java.nio.file.Paths.get(s"$tmp/own/_owner")
+      assert(java.nio.file.Files.exists(owner), "lease file missing")
+      // simulate a second LIVE process: foreign token, fresh mtime
+      java.nio.file.Files.write(owner,
+        "11111111-2222-3333-4444-555555555555\n".getBytes("UTF-8"))
+      // appends stay unguarded (read-lock side) — only maintenance
+      // enforces the single-maintainer contract
+      assert(store.append(Seq("d").toDF("band"), "t2"))
+      val err = intercept[IllegalStateException] { store.compact() }
+      assert(err.getMessage.contains("owner lease"),
+        s"wrong error: ${err.getMessage}")
+      // a crashed owner's stale lease (older than the window) is
+      // reclaimed instead of wedging the store forever
+      java.nio.file.Files.setLastModifiedTime(owner,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 16L * 60L * 1000L))
+      assert(store.compact() == 2) // compacted-0 + t2 fold
+      // the reclaimed lease carries OUR token: repeat mutations pass
+      store.maintenanceTask(compactAtBatches = 2)()
+      val got = store.read().select("band").collect()
+        .map(_.getString(0)).toSet
+      assert(got == Set("a", "b", "c", "d"), s"membership lost: $got")
+    }
+  }
+
+  test("replaceAllWith: appends racing a whole-store re-key are never " +
+      "lost — every append that returned true is in the final member " +
+      "set (the rekey reads the landed frame UNDER the write lock)") {
+    withTempDir { tmp =>
+      val store = ClusterVecStore.open(spark, s"$tmp/rk")
+      def members(ids: Seq[Long]) =
+        ids.map(i => (s"ck_${i % 7}", i, Seq(i, i + 1L)))
+          .toDF("ck", "vec_id", "fx")
+      assert(store.append(members(0L until 50L), "init"))
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val landedIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val appender = new Thread(() => {
+        var i = 0
+        while (!stop.get) {
+          try {
+            val id = 1000L + i
+            if (store.append(members(Seq(id)), s"a$i")) landedIds.add(id)
+          } catch {
+            case e: Throwable => errors.add(s"append: ${e.getMessage}")
+          }
+          i += 1
+        }
+      })
+      appender.start()
+      try {
+        for (_ <- 0 until 4) {
+          // re-key under a different bucket function each round — the
+          // r20 contract: the landed frame is read UNDER the write
+          // lock, so no append's dir can be deleted while its rows are
+          // absent from the replacement
+          store.replaceAllWith { landed =>
+            landed.select(
+              concat(lit("k"), col("vec_id") % 5).as("ck"),
+              col("vec_id"), col("fx"))
+          }
+        }
+      } finally { stop.set(true); appender.join(30000) }
+      assert(errors.isEmpty, s"racing append errors: $errors")
+      val got = store.read().select("vec_id").distinct().collect()
+        .map(_.getLong(0)).toSet
+      (0L until 50L).foreach(i => assert(got.contains(i),
+        s"seed member $i lost across the re-keys"))
+      import scala.jdk.CollectionConverters._
+      val landed = landedIds.asScala.toSeq
+      assert(landed.nonEmpty, "racing appender never landed a batch")
+      landed.foreach(id => assert(got.contains(id),
+        s"racing append $id returned true but its membership is gone"))
+    }
+  }
+
   test("perceptual image dedup: REAL PNG decode — a lightly edited " +
       "image lands within Hamming 3 of its original, an unrelated one " +
       "far away; the stub path matches a hand-computed profile hash") {
