@@ -541,6 +541,80 @@ object SparkEntry {
     (s"$path/root", s"$path/store")
   }
 
+  /** Build (once per corpus fingerprint) the PRISTINE pre-cutover state
+    * for `ext_dedup_stream_semantic_retrained` — the STREAMING twin of
+    * [[semanticRetrainState]], cached BEFORE the cutover so every run
+    * replays the drift→retrain→re-key against a LIVE stream: a
+    * versioned root with `v=0` trained on the landed id-prefix, a
+    * member store seeded under it as `batch=init`, and a TWO-FILE
+    * id-ordered stream input (batch 0 = `[split, b1lo)`, batch 1 =
+    * `[b1lo, ∞)` plus planted d2=0 copies of every 50th natural id at
+    * `+10,000,000` — largest ids, so the plants stay in the LAST
+    * batch's range and the one-shot id rule composes). Per-run scratch
+    * dirs CLONE the root and store (the run mutates both); the input
+    * dir is streamed in place. Returns (root, store, stream dir). */
+  private def semanticStreamRetrainState(s: SparkSession,
+      dir: String): (String, String, String) = {
+    val path = kmeansIvfLayoutPath(dir).replace("/graft_kivf_v",
+      "/graft_ssrt_v")
+    buildLayoutOnce(path) { tmp =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val split = n / 2L
+      val b1lo = 3L * (n / 4L)
+      val inDir = s"$tmp/in/embeddings.parquet"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(inDir))
+      val plants = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding"))
+      // strictly increasing explicit mtimes pin the batch order (the
+      // FileStreamSource ordering discipline from the streaming specs)
+      var mtime = 1700000000000L
+      for ((df, name) <- Seq(
+          (e.filter(col("vec_id") >= split && col("vec_id") < b1lo),
+            "b0"),
+          (e.filter(col("vec_id") >= b1lo).unionAll(plants), "b1"))) {
+        val stage = s"$tmp/stage_$name"
+        df.repartition(1).write.parquet(stage)
+        val part = {
+          val l = java.nio.file.Files.list(
+            java.nio.file.Paths.get(stage))
+          try l.filter(p => p.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally l.close()
+        }
+        val dest = java.nio.file.Paths.get(s"$inDir/$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+        import scala.jdk.CollectionConverters._
+        val w = java.nio.file.Files.walk(java.nio.file.Paths.get(stage))
+        val all = try w.iterator().asScala.toSeq finally w.close()
+        all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val root = s"$tmp/root"
+      graft.operators.IvfVersions.init(
+        e.filter(col("vec_id") < split), root)
+      val store = graft.operators.ClusterVecStore.open(s, s"$tmp/store")
+      val (_, init) = graft.operators.Clustering
+        .incrementalSemanticWithStore(e.filter(col("vec_id") < split),
+          graft.operators.IvfVersions.currentDir(root), store, 1000L)
+      store.append(init, "init")
+      // the pristine cache must carry no owner lease: a per-run clone
+      // would otherwise present a foreign LIVE token to the run's
+      // retrain and fail it fast (the round-20 lease contract)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, graft.operators.StoreState
+          .OwnerFileName))
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(tmp, "_SUCCESS"))
+    }
+    (s"$path/root", s"$path/store", s"$path/in")
+  }
+
   /** Cache location of the VERSIONED drift→retrain layout root
     * (`eng_ann_ivf_retrained`): same fingerprint inputs, distinct
     * prefix. */
@@ -1657,6 +1731,53 @@ object SparkEntry {
         })
     }),
 
+    // ---- STREAMING semantic dedup ACROSS A LIVE RETRAIN (round 20 —
+    //      the r19 top ask closed): the stream starts on a VERSIONED
+    //      v=0 root trained on the landed half; after batch 0 commits,
+    //      the drift task retrains on the full corpus, cuts the
+    //      pointer to v=1, and RE-KEYS the landed member store —
+    //      batch 1 (the drifted half + planted d2=0 copies of every
+    //      50th id) then probes the new layout against the re-keyed
+    //      store, no stream restart. Self-checking both ways: without
+    //      the per-batch pointer resolve batch 1 would assign under
+    //      stale v=0 centroids, and without the re-key the landed
+    //      membership would be invisible under v=1 keys — either way
+    //      the survivor set hash-mismatches the oracle (batch 0 under
+    //      the prefix-trained kmeans, batch 1 under the full-corpus
+    //      kmeans, two suffixed CTE chains) ---------------------------
+    "ext_dedup_stream_semantic_retrained" -> ((s, dir) => {
+      val (rootCache, storeCache, inDir) =
+        semanticStreamRetrainState(s, dir)
+      // per-run clones: the run mutates both (retrain to v=1, re-key)
+      val root = graft.core.Smoltable.scratchDir("graft_ssrt_root_")
+      val storeDir = graft.core.Smoltable.scratchDir("graft_ssrt_store_")
+      copyDirInto(java.nio.file.Paths.get(rootCache),
+        java.nio.file.Paths.get(root))
+      copyDirInto(java.nio.file.Paths.get(storeCache),
+        java.nio.file.Paths.get(storeDir))
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val n = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val split = n / 2L
+      val b1lo = 3L * (n / 4L)
+      val task = graft.operators.IvfVersions.driftRetrainTask(root,
+        recentBatch = () => e.filter(col("vec_id") >= b1lo),
+        corpus = () => e, meanD2Threshold = 0L,
+        onRetrain = _ => {
+          graft.operators.Clustering.rekeyStore(
+            graft.operators.ClusterVecStore.open(s, storeDir),
+            graft.operators.IvfVersions.currentDir(root))
+          ()
+        })
+      graft.streaming.StreamOps.incrementalSemanticToFiles(s, inDir,
+        root, e.filter(col("vec_id") < split), storeDir,
+        graft.core.Smoltable.scratchDir("graft_ssrt_out_"),
+        graft.core.Smoltable.scratchDir("graft_ssrt_ck_"),
+        dist2Threshold = 1000L,
+        maxFilesPerTrigger = Some(1),
+        afterBatch = id => if (id == 0L) task())
+    }),
+
     // ---- stratified sampling: exact per-language quota (one window
     // shuffle) vs the shuffle-free hash-threshold scale path ----------
     "ext_stratified_sample" -> ((s, dir) =>
@@ -2756,60 +2877,71 @@ object SparkEntry {
     * `ext_dedup_semantic_incremental` (train = landed id-prefix). */
   private def kmeansCtesTrainAssign(extraCtes: String, source: String,
       trainPred: String): String =
-    s"""WITH $extraCtes v AS (
+    s"WITH $extraCtes ${kmeansCteList("", source, trainPred)}"
+
+  /** The split train/assign kmeans CTE chain as a bare (WITH-less) CTE
+    * list, every CTE name suffixed with `sfx` — so TWO independent
+    * kmeans instances (e.g. the pre- and post-retrain layouts of
+    * `ext_dedup_stream_semantic_retrained`) can coexist in one oracle
+    * query. `sfx = ""` reproduces [[kmeansCtesTrainAssign]]'s chain
+    * verbatim (train over `vt` = `trainPred` rows, final assignment
+    * `a2_d<sfx>` over ALL of `source`). */
+  private def kmeansCteList(sfx: String, source: String,
+      trainPred: String): String =
+    s"""v$sfx AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS fx
       |  FROM $source
-      |), vt AS (
-      |  SELECT vec_id, fx FROM v WHERE $trainPred
-      |), c0 AS (
-      |  SELECT vec_id AS cid, fx AS cfx FROM vt
+      |), vt$sfx AS (
+      |  SELECT vec_id, fx FROM v$sfx WHERE $trainPred
+      |), c0$sfx AS (
+      |  SELECT vec_id AS cid, fx AS cfx FROM vt$sfx
       |  WHERE vec_id % (SELECT greatest(100, (count(*) + 1023) // 1024)
-      |                  FROM vt) = 0
-      |), a0_d AS (
+      |                  FROM vt$sfx) = 0
+      |), a0_d$sfx AS (
       |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
       |  FROM (SELECT t.vec_id, c.cid, unnest(t.fx) AS vf, unnest(c.cfx) AS cf
-      |        FROM vt t CROSS JOIN c0 c) z
+      |        FROM vt$sfx t CROSS JOIN c0$sfx c) z
       |  GROUP BY vec_id, cid
-      |), a0 AS (
+      |), a0$sfx AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-      |    FROM a0_d) WHERE rn = 1
-      |), c1_u AS (
+      |    FROM a0_d$sfx) WHERE rn = 1
+      |), c1_u$sfx AS (
       |  SELECT cid, list(nv ORDER BY i) AS cfx FROM (
       |    SELECT a.cid, t.i,
       |      CAST(floor(CAST(CAST(sum(tv.fx[t.i]) AS BIGINT) AS DOUBLE)
       |        / count(*)) AS BIGINT) AS nv
-      |    FROM a0 a JOIN vt tv ON tv.vec_id = a.vec_id, range(1, 65) t(i)
+      |    FROM a0$sfx a JOIN vt$sfx tv ON tv.vec_id = a.vec_id, range(1, 65) t(i)
       |    GROUP BY a.cid, t.i) GROUP BY cid
-      |), c1 AS (
+      |), c1$sfx AS (
       |  SELECT c.cid, COALESCE(u.cfx, c.cfx) AS cfx
-      |  FROM c0 c LEFT JOIN c1_u u ON u.cid = c.cid
-      |), a1_d AS (
+      |  FROM c0$sfx c LEFT JOIN c1_u$sfx u ON u.cid = c.cid
+      |), a1_d$sfx AS (
       |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
       |  FROM (SELECT t.vec_id, c.cid, unnest(t.fx) AS vf, unnest(c.cfx) AS cf
-      |        FROM vt t CROSS JOIN c1 c) z
+      |        FROM vt$sfx t CROSS JOIN c1$sfx c) z
       |  GROUP BY vec_id, cid
-      |), a1 AS (
+      |), a1$sfx AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-      |    FROM a1_d) WHERE rn = 1
-      |), c2_u AS (
+      |    FROM a1_d$sfx) WHERE rn = 1
+      |), c2_u$sfx AS (
       |  SELECT cid, list(nv ORDER BY i) AS cfx FROM (
       |    SELECT a.cid, t.i,
       |      CAST(floor(CAST(CAST(sum(tv.fx[t.i]) AS BIGINT) AS DOUBLE)
       |        / count(*)) AS BIGINT) AS nv
-      |    FROM a1 a JOIN vt tv ON tv.vec_id = a.vec_id, range(1, 65) t(i)
+      |    FROM a1$sfx a JOIN vt$sfx tv ON tv.vec_id = a.vec_id, range(1, 65) t(i)
       |    GROUP BY a.cid, t.i) GROUP BY cid
-      |), c2 AS (
+      |), c2$sfx AS (
       |  SELECT c.cid, COALESCE(u.cfx, c.cfx) AS cfx
-      |  FROM c1 c LEFT JOIN c2_u u ON u.cid = c.cid
-      |), a2_d AS (
+      |  FROM c1$sfx c LEFT JOIN c2_u$sfx u ON u.cid = c.cid
+      |), a2_d$sfx AS (
       |  SELECT vec_id, cid, CAST(sum((vf - cf) * (vf - cf)) AS BIGINT) AS d
       |  FROM (SELECT v.vec_id, c.cid, unnest(v.fx) AS vf, unnest(c.cfx) AS cf
-      |        FROM v CROSS JOIN c2 c) z
+      |        FROM v$sfx v CROSS JOIN c2$sfx c) z
       |  GROUP BY vec_id, cid
       |)""".stripMargin
 
@@ -4745,6 +4877,62 @@ object SparkEntry {
           |SELECT m.vec_id, m.c1 AS cid
           |FROM mem m LEFT JOIN drops d ON d.vec_id = m.vec_id
           |WHERE d.vec_id IS NULL AND m.vec_id >= $split""".stripMargin
+      },
+      // STREAMING semantic dedup across a LIVE retrain: batch 0
+      // ([split, b1lo)) dedups under the PREFIX-trained kmeans (the
+      // v=0 layout), then the cutover retrains on the full natural
+      // corpus and re-keys the store, and batch 1 ([b1lo, ∞) plus the
+      // +10M planted copies) dedups under the FULL-corpus kmeans — two
+      // independent suffixed CTE chains, one-shot smaller-id drop rule
+      // per batch range (the landed set is always an id-prefix of the
+      // batch, so "near any landed vector" ≡ the directional rule).
+      "ext_dedup_stream_semantic_retrained" -> {
+        val split = "(SELECT (max(vec_id) + 1) // 2 FROM embeddings)"
+        val b1lo =
+          "(SELECT 3 * ((max(vec_id) + 1) // 4) FROM embeddings)"
+        def memChain(sfx: String) =
+          s"""t2$sfx AS (
+            |  SELECT vec_id, cid, rn FROM (
+            |    SELECT vec_id, cid,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            |    FROM a2_d$sfx) WHERE rn <= 2
+            |), mem$sfx AS (
+            |  SELECT vec_id,
+            |    max(CASE WHEN rn = 1 THEN cid END) AS c1,
+            |    COALESCE(max(CASE WHEN rn = 2 THEN cid END),
+            |      max(CASE WHEN rn = 1 THEN cid END)) AS c2
+            |  FROM t2$sfx GROUP BY vec_id
+            |), prs$sfx AS (
+            |  SELECT a.vec_id AS id1, b.vec_id AS id2
+            |  FROM mem$sfx a JOIN mem$sfx b
+            |    ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.vec_id < b.vec_id
+            |), pd2$sfx AS (
+            |  SELECT id1, id2, CAST(sum((x1 - x2) * (x1 - x2)) AS BIGINT) AS d2
+            |  FROM (
+            |    SELECT p.id1, p.id2, unnest(va.fx) AS x1, unnest(vb.fx) AS x2
+            |    FROM prs$sfx p JOIN v$sfx va ON va.vec_id = p.id1
+            |                JOIN v$sfx vb ON vb.vec_id = p.id2
+            |  ) GROUP BY id1, id2
+            |), drops$sfx AS (
+            |  SELECT DISTINCT id2 AS vec_id FROM pd2$sfx WHERE d2 <= 1000
+            |)""".stripMargin
+        s"""WITH pe AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL SELECT vec_id + 10000000, embedding
+          |  FROM embeddings WHERE vec_id % 50 = 0
+          |),
+          |${kmeansCteList("a", "pe", s"vec_id < $split")},
+          |${kmeansCteList("b", "pe", "vec_id < 10000000")},
+          |${memChain("a")},
+          |${memChain("b")}
+          |SELECT m.vec_id, m.c1 AS cid
+          |FROM mema m LEFT JOIN dropsa d ON d.vec_id = m.vec_id
+          |WHERE d.vec_id IS NULL
+          |  AND m.vec_id >= $split AND m.vec_id < $b1lo
+          |UNION ALL
+          |SELECT m.vec_id, m.c1 AS cid
+          |FROM memb m LEFT JOIN dropsb d ON d.vec_id = m.vec_id
+          |WHERE d.vec_id IS NULL AND m.vec_id >= $b1lo""".stripMargin
       },
       "ext_dedup_semantic_incremental" -> {
         val plantedCte =

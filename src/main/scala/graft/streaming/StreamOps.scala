@@ -578,26 +578,41 @@ object StreamOps {
     * `maintainAtBatches` / `retainBatches`: inline per-batch store
     * maintenance, the [[incrementalMinhashToFiles]] contract verbatim
     * (the `batch=init` seed is retention-protected by the store
-    * default, so a tight horizon never drops the landed corpus). */
+    * default, so a tight horizon never drops the landed corpus).
+    *
+    * `layoutDir` may be a VERSIONED [[graft.operators.IvfVersions]]
+    * root (round 20 — [[resolveLayout]]): the pointer is re-read per
+    * micro-batch UNDER the store's read lock, so a drift→retrain
+    * cutover (whose `onRetrain` hook re-keys this store, write-locked)
+    * lands atomically between batches of the LIVE stream — the next
+    * batch probes the new layout against the re-keyed store, no
+    * restart, no half-cutover. `afterBatch(batchId)` runs after every
+    * batch's commits, outside the store locks — the deterministic hook
+    * for an inline drift→retrain sweep (production registers
+    * [[graft.operators.IvfVersions.driftRetrainTask]] with the
+    * background workers instead; both serialize against batch bodies
+    * through the store's RW lock). */
   def incrementalSemanticToFiles(s: SparkSession, dir: String,
       layoutDir: String, landedEmb: DataFrame, storeDir: String,
       outDir: String, checkpointDir: String, dist2Threshold: Long,
       transform: DataFrame => DataFrame = identity,
       maxFilesPerTrigger: Option[Int] = None,
       maintainAtBatches: Int = 0,
-      retainBatches: Option[Int] = None): DataFrame = {
+      retainBatches: Option[Int] = None,
+      afterBatch: Long => Unit = _ => ()): DataFrame = {
     val embSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType)),
       StructField("label", org.apache.spark.sql.types.IntegerType)))
     val store = graft.operators.ClusterVecStore.open(s, storeDir)
-    if (!store.hasBatch("init")) {
-      val (_, initMembers) = graft.operators.Clustering
-        .incrementalSemanticWithStore(landedEmb, layoutDir, store,
-          dist2Threshold)
-      store.append(initMembers, "init")
-    }
+    if (!store.hasBatch("init"))
+      graft.operators.StoreState.withRead(storeDir) {
+        val (_, initMembers) = graft.operators.Clustering
+          .incrementalSemanticWithStore(landedEmb,
+            resolveLayout(layoutDir), store, dist2Threshold)
+        store.append(initMembers, "init")
+      }
     val q = streamSource(s, dir, "embeddings", embSchema,
         maxFilesPerTrigger
           .map(n => Map("maxFilesPerTrigger" -> n.toString))
@@ -608,17 +623,22 @@ object StreamOps {
           org.apache.spark.sql.Row], batchId: Long) =>
         val tag = batchId.toString
         val fullReplay = batchExists(outDir, tag) && store.hasBatch(tag)
-        if (!fullReplay) {
-          val emb = transform(
-            batch.select(col("vec_id"), col("embedding")))
-          val (survivors, members) = graft.operators.Clustering
-            .incrementalSemanticWithStore(emb, layoutDir, store,
-              dist2Threshold)
-          atomicBatchWrite(survivors, outDir, tag)
-          store.append(members, tag)
-        }
+        if (!fullReplay)
+          // read lock across resolve → assign → append: a concurrent
+          // retrain's re-key (write lock) lands before or after the
+          // whole batch, never between key derivation and landing
+          graft.operators.StoreState.withRead(storeDir) {
+            val emb = transform(
+              batch.select(col("vec_id"), col("embedding")))
+            val (survivors, members) = graft.operators.Clustering
+              .incrementalSemanticWithStore(emb, resolveLayout(layoutDir),
+                store, dist2Threshold)
+            atomicBatchWrite(survivors, outDir, tag)
+            store.append(members, tag)
+          }
         if (maintainAtBatches >= 2)
           store.maintenanceTask(maintainAtBatches, retainBatches)()
+        afterBatch(batchId)
         ()
       }
       .start()
@@ -751,7 +771,27 @@ object StreamOps {
     * natural docs, and the landed check (directionless by design —
     * landed means arrived earlier) then drops a later doc the one-shot
     * id-directional rule keeps. Plant in-range ids (e.g. `8·base + k`)
-    * when the composition differential matters. */
+    * when the composition differential matters.
+    *
+    * `layoutDir` may be a VERSIONED [[graft.operators.IvfVersions]]
+    * root ([[resolveLayout]], round 20): the semantic stage re-reads
+    * the pointer per micro-batch under the vector store's read lock,
+    * so a drift→retrain→re-key cutover lands atomically between
+    * batches of the LIVE stream — no restart, no half-cutover.
+    * `afterBatch(batchId)` runs after the batch's commits outside the
+    * store locks — the deterministic hook for an inline drift sweep
+    * (production registers
+    * [[graft.operators.IvfVersions.driftRetrainTask]] with the
+    * background workers; both serialize through the store's RW lock).
+    *
+    * `embeddings` is materialized ONCE at stream start — but only when
+    * it is NOT a pure file-backed projection ([[isPureFileFrame]],
+    * round 20): a parquet-backed corpus-embedding table re-plans as a
+    * PRUNED scan per batch (the per-batch left-semi join pushes the
+    * batch's ids toward the scan), while checkpointing it would
+    * materialize the whole table at stream start — at 100 TB a
+    * corpus-sized foot-gun. Computed fixture frames (unions, plants)
+    * still checkpoint so their plan does not re-run per batch action. */
   def curateToFiles(s: SparkSession, dir: String,
       embeddings: DataFrame, layoutDir: String, stateDir: String,
       outDir: String, checkpointDir: String,
@@ -760,7 +800,8 @@ object StreamOps {
       transform: DataFrame => DataFrame = identity,
       maxFilesPerTrigger: Option[Int] = None,
       maintainAtBatches: Int = 0,
-      retainBatches: Option[Int] = None): DataFrame = {
+      retainBatches: Option[Int] = None,
+      afterBatch: Long => Unit = _ => ()): DataFrame = {
     import graft.operators.{BandStore, ClusterVecStore, Clustering, Corpus, Dedup, TextAnalysis}
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -771,11 +812,12 @@ object StreamOps {
     val exact = BandStore.open(s, s"$stateDir/exact")
     val bandSt = BandStore.open(s, s"$stateDir/bands")
     val vecSt = ClusterVecStore.open(s, s"$stateDir/vecs")
-    // embeddings materialized once: the static side of every batch's
-    // semantic stage (corpus-embedding-sized; at 100 TB this is a
-    // parquet table, not a checkpoint — the fixture frame is tiny)
-    val emb = embeddings.select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
+    val embProj = embeddings.select(col("vec_id"), col("embedding"))
+    // fixture/computed frames materialize once; file-backed tables
+    // stay lazy and re-plan as a pruned per-batch scan (doc above)
+    val emb =
+      if (isPureFileFrame(embeddings)) embProj
+      else embProj.localCheckpoint(true)
     val q = streamSource(s, dir, "documents", docSchema,
         maxFilesPerTrigger
           .map(n => Map("maxFilesPerTrigger" -> n.toString))
@@ -815,24 +857,32 @@ object StreamOps {
           val emb2 = emb.join(
             s2docs.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
-          val (s3, members) = Clustering.incrementalSemanticWithStore(
-            emb2, layoutDir, vecSt, dist2Threshold, excludeTag = t)
-          val out = s2docs.join(
-              s3.select(col("vec_id").as("doc_id")),
-              Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), col("lang"),
-              graft.functions.SplitCount(col("text"), bySpaceOnly = true)
-                .as("n_tokens"))
-          atomicBatchWrite(out, outDir, tag)
-          exact.append(newHashes, tag)
-          bandSt.append(newBands, tag)
-          vecSt.append(members, tag)
+          // read lock across resolve → assign → appends: a concurrent
+          // retrain's re-key (write lock) lands before or after the
+          // whole semantic stage, never between key derivation and
+          // member landing (resolveLayout doc)
+          graft.operators.StoreState.withRead(vecSt.dir) {
+            val (s3, members) = Clustering.incrementalSemanticWithStore(
+              emb2, resolveLayout(layoutDir), vecSt, dist2Threshold,
+              excludeTag = t)
+            val out = s2docs.join(
+                s3.select(col("vec_id").as("doc_id")),
+                Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("lang"),
+                graft.functions.SplitCount(col("text"), bySpaceOnly = true)
+                  .as("n_tokens"))
+            atomicBatchWrite(out, outDir, tag)
+            exact.append(newHashes, tag)
+            bandSt.append(newBands, tag)
+            vecSt.append(members, tag)
+          }
         }
         if (maintainAtBatches >= 2) {
           exact.maintenanceTask(maintainAtBatches, retainBatches)()
           bandSt.maintenanceTask(maintainAtBatches, retainBatches)()
           vecSt.maintenanceTask(maintainAtBatches, retainBatches)()
         }
+        afterBatch(batchId)
         ()
       }
       .start()
@@ -856,6 +906,51 @@ object StreamOps {
   private def batchExists(baseDir: String, tag: String): Boolean =
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(baseDir, s"batch=$tag"))
+
+  /** Resolve a semantic stage's layout PER MICRO-BATCH (round 20 — the
+    * r19 top ask): `layoutDir` may be either a plain frozen-centroid
+    * layout directory (the static deployment, resolved to itself) or a
+    * VERSIONED [[graft.operators.IvfVersions]] root — self-describing
+    * by its `CURRENT` pointer file, which a plain layout never
+    * contains. With a root, every micro-batch re-reads the pointer, so
+    * a drift→retrain cutover committed between batches is picked up by
+    * the very next batch with no stream restart; the resolved `v=N`
+    * dir is immutable and retained one generation past replacement, so
+    * a batch that resolved just before a cutover keeps its files.
+    *
+    * Callers resolve UNDER the member store's read lock and use the
+    * resolved dir for the whole batch (assignment keys + member
+    * append): the retrain hook's store re-key
+    * ([[graft.operators.Clustering.rekeyStore]]) takes the write lock,
+    * so a batch sees old-layout+old-keys XOR new-layout+re-keyed-store
+    * — never a half-cutover (stale keys probing a re-keyed store, or
+    * fresh keys appended under the old layout and stranded). */
+  private[graft] def resolveLayout(layoutDir: String): String =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(layoutDir,
+        graft.operators.IvfVersions.CurrentName)))
+      graft.operators.IvfVersions.currentDir(layoutDir)
+    else layoutDir
+
+  /** True when `df` is a plain narrow chain (project/filter/alias)
+    * over file-source scans — a frame that is CHEAPER to re-plan per
+    * use (pruned scan, pushed filters) than to materialize. Joins,
+    * unions, aggregates, or non-file leaves (computed fixtures, local
+    * relations) make it false: those plans are worth one
+    * `localCheckpoint` so they do not re-run per downstream action.
+    * Conservative on purpose — misclassifying computed-as-file costs
+    * recompute, misclassifying file-as-computed would materialize a
+    * corpus-sized table. */
+  private[graft] def isPureFileFrame(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def pure(p: LogicalPlan): Boolean = p match {
+      case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
+      case _: Project | _: Filter | _: SubqueryAlias =>
+        p.children.forall(pure)
+      case _ => false
+    }
+    pure(df.queryExecution.analyzed)
+  }
 
   /** Commit `df` as the atomic directory `baseDir/batch=<tag>`: write
     * to a hidden temp dir, ATOMIC_MOVE into place, skip (returning

@@ -352,6 +352,57 @@ class StreamingDedupSpec extends SparkSuite {
     }
   }
 
+  test("curateToFiles embeddings checkpoint is GATED: a parquet-backed " +
+      "projection stays lazy (pruned per-batch scan, no stream-start " +
+      "materialization), a computed frame still checkpoints, and both " +
+      "paths land identical survivors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the classifier: pure scan → project/filter chains re-plan per
+    // batch; anything computed (union, local data) materializes once
+    assert(StreamOps.isPureFileFrame(
+      emb.select(col("vec_id"), col("embedding"))))
+    assert(StreamOps.isPureFileFrame(
+      emb.filter(col("vec_id") > 10).select(col("vec_id"))))
+    assert(!StreamOps.isPureFileFrame(
+      emb.unionAll(emb.limit(0))), "a union is not a pure file frame")
+    assert(!StreamOps.isPureFileFrame(
+      Seq((1L, Seq(0.1f))).toDF("vec_id", "embedding")),
+      "a local relation is not a pure file frame")
+    assert(!StreamOps.isPureFileFrame(
+      emb.groupBy("vec_id").agg(first(col("embedding")))),
+      "an aggregate is not a pure file frame")
+    withTempDir { tmp =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/in"))
+      val sdocs = docs.filter(col("doc_id") < 200)
+      sdocs.repartition(1).write
+        .parquet(s"$tmp/in/documents.parquet")
+      graft.operators.Clustering.writeKmeansIvfLayout(
+        emb.select(col("vec_id"), col("embedding")), s"$tmp/layout",
+        stride = 20L)
+      def run(id: String, embFrame: org.apache.spark.sql.DataFrame) =
+        StreamOps.curateToFiles(spark, s"$tmp/in", embFrame,
+            s"$tmp/layout", s"$tmp/state_$id", s"$tmp/out_$id",
+            s"$tmp/ck_$id")
+          .collect().map(_.toSeq).toSet
+      // file-backed (lazy, per-batch pruned scan) vs computed twin
+      // (checkpointed) — same rows, so the survivor sets must match
+      val lazyPath = run("lazy",
+        emb.select(col("vec_id"), col("embedding")))
+      val ckptPath = run("ckpt",
+        emb.select(col("vec_id"), col("embedding"))
+          .unionAll(emb.select(col("vec_id"), col("embedding")).limit(0)))
+      assert(lazyPath == ckptPath,
+        "gated-checkpoint paths landed different survivors")
+      assert(lazyPath.nonEmpty)
+    }
+  }
+
   test("incremental IMAGE stream: id-ordered micro-batches land the " +
       "batch operator's survivor set; a rerun on the same checkpoint " +
       "replays to identical output and store state") {
@@ -609,6 +660,222 @@ class StreamingDedupSpec extends SparkSuite {
         .map(_.getLong(0))
       assert(out.distinct.length == out.length,
         "duplicate survivor vec_ids after replays")
+    }
+  }
+
+  test("incremental SEMANTIC stream rides a VERSIONED layout: a drift " +
+      "retrain + store re-key between micro-batches cuts over " +
+      "atomically — later batches probe the new layout against the " +
+      "re-keyed store, no landed membership is lost, and the stream " +
+      "equals the batch composition with the same cutover point") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Clustering, ClusterVecStore, IvfVersions}
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    withTempDir { tmp =>
+      // 3 id-ordered batch files, deterministic source order
+      val inDir = s"$tmp/in/embeddings.parquet"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      var mtime = 1700000000000L
+      for ((lo, hi, name) <- Seq((0L, 170L, "b0"), (170L, 340L, "b1"),
+          (340L, 1000000L, "b2"))) {
+        val stage = s"$tmp/stage_$name"
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .repartition(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = java.nio.file.Paths.get(s"$inDir/$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val landed = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      // VERSIONED root: v=0 trained on the landed prefix only — the
+      // serving layout gone stale once the stream's ids arrive
+      val root = s"$tmp/root"
+      IvfVersions.init(landed, root, stride = 20L)
+      // planted exact copies stay equivalent to their base (same
+      // vectors), so the large planted ids cannot diverge the
+      // composition — the existing semantic-stream spec's argument
+      def plant(df: org.apache.spark.sql.DataFrame) = {
+        val p = df.unionAll(df.filter(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")))
+        p.filter(col("vec_id") >= 100)
+      }
+      val storeDir = s"$tmp/store"
+      var cuts = List.empty[Long]
+      val task = IvfVersions.driftRetrainTask(root,
+        recentBatch = () => emb.filter(col("vec_id") >= 170)
+          .select(col("vec_id"), col("embedding")),
+        corpus = () => corpus, meanD2Threshold = 0L, stride = 20L,
+        onRetrain = v => {
+          cuts = v :: cuts
+          Clustering.rekeyStore(
+            ClusterVecStore.open(spark, storeDir),
+            IvfVersions.currentDir(root))
+        })
+      // the drift sweep fires after batch 0's commits: batches 1-2
+      // must probe v=1 against the re-keyed store
+      val got = StreamOps.incrementalSemanticToFiles(spark, s"$tmp/in",
+          root, landed, storeDir, s"$tmp/out", s"$tmp/ck",
+          dist2Threshold = 1000L, transform = plant,
+          maxFilesPerTrigger = Some(1),
+          afterBatch = id => if (id == 0) task())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cuts == List(1L), s"exactly one cutover expected: $cuts")
+      assert(IvfVersions.currentVersion(root).contains(1L))
+      // one-generation grace: the replaced v=0 survives for in-flight
+      // probes
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$root/v=0")), "v=0 retired too early")
+      val nBatches = java.nio.file.Files
+        .list(java.nio.file.Paths.get(s"$tmp/ck/offsets")).count()
+      assert(nBatches >= 3, s"expected >=3 micro-batches, got $nBatches")
+      // batch-composed twin with the SAME cutover point: batch 0 under
+      // a v0-equivalent layout, retrain on the full corpus, re-key,
+      // batches 1-2 under the v1-equivalent layout
+      val v0 = s"$tmp/v0twin"
+      Clustering.writeKmeansIvfLayout(landed, v0, stride = 20L)
+      val twin = ClusterVecStore.open(spark, s"$tmp/twinstore")
+      val (_, init) = Clustering.incrementalSemanticWithStore(
+        landed, v0, twin, 1000L)
+      assert(twin.append(init, "init"))
+      def slice(lo: Long, hi: Long) = plant(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select(col("vec_id"), col("embedding")))
+      val (s0, m0) = Clustering.incrementalSemanticWithStore(
+        slice(0L, 170L), v0, twin, 1000L)
+      val surv0 = s0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(twin.append(m0, "0"))
+      val v1 = s"$tmp/v1twin"
+      Clustering.writeKmeansIvfLayout(corpus, v1, stride = 20L)
+      Clustering.rekeyStore(twin, v1)
+      val (s1, m1) = Clustering.incrementalSemanticWithStore(
+        slice(170L, 340L), v1, twin, 1000L)
+      val surv1 = s1.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(twin.append(m1, "1"))
+      val (s2, m2) = Clustering.incrementalSemanticWithStore(
+        slice(340L, 1000000L), v1, twin, 1000L)
+      val surv2 = s2.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(twin.append(m2, "2"))
+      val expected = (surv0 ++ surv1 ++ surv2).toSet
+      assert(got == expected,
+        s"streamed ${got.size} vs composed ${expected.size}; diff " +
+          s"${(got -- expected).take(3)} / ${(expected -- got).take(3)}")
+      // landed membership survived the cutover: the stream store's
+      // member ids equal the twin's (all-seen, re-keyed, nothing lost)
+      val streamIds = ClusterVecStore.open(spark, storeDir).read()
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      val twinIds = twin.read()
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(streamIds == twinIds,
+        s"store membership diverged across the cutover: " +
+          s"${(streamIds -- twinIds).take(3)} / " +
+          s"${(twinIds -- streamIds).take(3)}")
+      // and the re-keyed buckets match the new layout: every stream
+      // store ck equals the twin store's ck for the same vec_id
+      val streamCks = ClusterVecStore.open(spark, storeDir).read()
+        .select("vec_id", "ck").distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val twinCks = twin.read()
+        .select("vec_id", "ck").distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamCks == twinCks, "bucket keys diverged after re-key")
+    }
+  }
+
+  test("CONCURRENT drift retrains against a live semantic stream " +
+      "(the Workers deployment shape): no batch ever sees half a " +
+      "layout, no landed membership is lost, survivors stay " +
+      "duplicate-free, and the final store is a re-key fixpoint of " +
+      "the final layout") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Clustering, ClusterVecStore, IvfVersions}
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    withTempDir { tmp =>
+      val inDir = s"$tmp/in/embeddings.parquet"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      var mtime = 1700000000000L
+      for ((lo, hi, name) <- Seq((0L, 170L, "b0"), (170L, 340L, "b1"),
+          (340L, 1000000L, "b2"))) {
+        val stage = s"$tmp/stage_$name"
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .repartition(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = java.nio.file.Paths.get(s"$inDir/$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val landed = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      val root = s"$tmp/root"
+      IvfVersions.init(landed, root, stride = 20L)
+      val storeDir = s"$tmp/store"
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val cuts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val task = IvfVersions.driftRetrainTask(root,
+        recentBatch = () => emb.filter(col("vec_id") >= 170)
+          .select(col("vec_id"), col("embedding")),
+        corpus = () => emb.select(col("vec_id"), col("embedding")),
+        meanD2Threshold = 0L, stride = 20L,
+        onRetrain = _ => {
+          cuts.incrementAndGet()
+          Clustering.rekeyStore(
+            ClusterVecStore.open(spark, storeDir),
+            IvfVersions.currentDir(root))
+        })
+      // ONE background sweeper (the contract: one drift task per
+      // root), firing up to 3 sweeps while the stream runs — each
+      // sweep retrains (threshold 0, drift always present) and
+      // re-keys, racing the batch bodies through the store's RW lock
+      val sweeper = new Thread(() => {
+        try { for (_ <- 0 until 3) task() }
+        catch { case e: Throwable => errors.add(s"sweep: ${e.getMessage}") }
+      })
+      def plant(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("vec_id") >= 100)
+      sweeper.start()
+      val got = try StreamOps.incrementalSemanticToFiles(spark,
+          s"$tmp/in", root, landed, storeDir, s"$tmp/out", s"$tmp/ck",
+          dist2Threshold = 1000L, transform = plant,
+          maxFilesPerTrigger = Some(1))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally sweeper.join(120000)
+      assert(errors.isEmpty, s"sweeper errors: $errors")
+      assert(cuts.get == 3, s"expected 3 cutovers, got ${cuts.get}")
+      assert(IvfVersions.currentVersion(root).contains(3L))
+      // no batch was lost or doubled: survivors are duplicate-free and
+      // the store holds every id the stream saw (all-seen landing)
+      val ids = got.map(_._1)
+      assert(ids.size == got.size, "duplicate survivor vec_ids")
+      val store = ClusterVecStore.open(spark, storeDir)
+      val memberIds = store.read().select("vec_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val expectedIds = emb.filter(col("vec_id") >= 100)
+        .select("vec_id").collect().map(_.getLong(0)).toSet ++
+        landed.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(memberIds == expectedIds,
+        s"landed membership lost across concurrent cutovers: missing " +
+          s"${(expectedIds -- memberIds).take(5)}")
+      // re-key fixpoint: every member is already keyed under the FINAL
+      // layout — a batch that had seen half a cutover (old keys landed
+      // after the re-key) would leave stragglers this re-key would move
+      val before = store.read().select("vec_id", "ck").distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      Clustering.rekeyStore(store, IvfVersions.currentDir(root))
+      val after = store.read().select("vec_id", "ck").distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(before == after,
+        s"store was not a re-key fixpoint of the final layout: " +
+          s"${(before -- after).take(5)} moved")
     }
   }
 
