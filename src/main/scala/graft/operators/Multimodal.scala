@@ -437,24 +437,52 @@ object Multimodal {
     * collisions, not corpus². Landed-store composable: the hashes are
     * single-long rows, so an incremental pipeline lands them in a
     * [[BandStore]]-shaped table keyed by band value exactly like the
-    * minhash bands. */
+    * minhash bands.
+    *
+    * HAMMING-0 CLIQUE COLLAPSE (round 20): real crawls are
+    * exact-duplicate-HEAVY, and the naive banded self-join emits every
+    * pair inside a clique of m identical hashes 4× over (once per
+    * band) before the distinct — 4·m² shuffled candidate rows per
+    * clique. The banding now runs over DISTINCT hashes (one
+    * min-doc_id representative each); identical-hash pairs are emitted
+    * directly from the clique membership (they are Hamming 0 by
+    * definition, no banding needed), and cross-hash candidate work
+    * tracks distinct hashes, not documents. The emitted pair set is
+    * unchanged. */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding guarantees recall only to Hamming 3: $maxHamming")
-    val bands = hashes.select(col("doc_id"), col("phash"),
+    val cliques = hashes.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("rep"))
+    val bands = cliques.select(col("rep"), col("phash"),
       posexplode(array((0 until 4).map(i =>
         expr(s"shiftright(phash, ${15 * i}) & 32767")): _*)))
-      .toDF("doc_id", "phash", "b", "v")
-    bands.as("x").join(bands.as("y"),
+      .toDF("rep", "phash", "b", "v")
+    val repPairs = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
-        col("x.phash").as("h1"), col("y.phash").as("h2"))
+          col("x.rep") < col("y.rep"))
+      .select(col("x.phash").as("h1"), col("y.phash").as("h2"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming"))
+    // cross-clique expansion: every member pair across the two hashes
+    // (the ordered-id convention via least/greatest — reps only fixed
+    // WHICH hash pairs qualify, member ids order freely across them)
+    val cross = repPairs
+      .join(hashes.select(col("phash").as("h1"),
+        col("doc_id").as("d1")), Seq("h1"))
+      .join(hashes.select(col("phash").as("h2"),
+        col("doc_id").as("d2")), Seq("h2"))
+      .select(least(col("d1"), col("d2")).as("id1"),
+        greatest(col("d1"), col("d2")).as("id2"), col("hamming"))
+    // within-clique pairs: identical hashes, Hamming 0 by definition
+    val within = hashes.select(col("phash"), col("doc_id").as("id1"))
+      .join(hashes.select(col("phash"), col("doc_id").as("id2")),
+        Seq("phash"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0L).as("hamming"))
+    cross.unionAll(within)
   }
 
   /** INCREMENTAL perceptual dedup — [[imageNearDupPairs]]'s rule in the
@@ -482,40 +510,67 @@ object Multimodal {
     * ([[BandStore.prunedLookup]], round 19).
     *
     * Scale shape: per batch, one decode pass (batch-sized,
-    * checkpointed once), a pruned store lookup over ≤ 4·batch distinct
-    * band keys (partition filters + pushed `In(ck)`, zero landed-side
-    * exchanges), and candidate joins bounded by true near-dups plus
-    * the 2^-15-rate random band collisions. */
+    * checkpointed once), a pruned store lookup over ≤ 4·(distinct
+    * batch hashes) band keys (partition filters + pushed `In(ck)`,
+    * zero landed-side exchanges), and candidate joins bounded by
+    * DISTINCT hashes — the HAMMING-0 CLIQUE COLLAPSE (round 20,
+    * mirroring [[imageNearDupPairs]]): exact-duplicate-heavy batches
+    * (the real-crawl shape) previously paid m² candidates per clique
+    * of m identical hashes. The rep-level directional rule composes
+    * exactly: rep = min doc_id per hash, so "a smaller-id batch doc
+    * within Hamming range exists" ⟺ "a band-sharing clique with a
+    * smaller rep exists" (any smaller member implies its rep is
+    * smaller still), and every non-rep member drops against its own
+    * rep at Hamming 0. Drop set unchanged. */
   def incrementalImageDedupWithStore(newDocs: DataFrame,
       store: ClusterVecStore, maxHamming: Int = 3,
       excludeTag: Option[String] = None): (DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding guarantees recall only to Hamming 3: $maxHamming")
     val hashes = perceptualHashes(newDocs).localCheckpoint(true)
-    val bands = hashes.select(col("doc_id"), col("phash"),
+    // one min-id representative per distinct hash; materialized once
+    // (feeds the band frame, the non-rep expansion, and the member
+    // landing — lazy, each branch re-runs the groupBy)
+    val cliques = hashes.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("rep")).localCheckpoint(true)
+    val bands = cliques.select(col("rep"), col("phash"),
       posexplode(array((0 until 4).map(i =>
         expr(s"shiftright(phash, ${15 * i}) & 32767")): _*)))
-      .toDF("doc_id", "phash", "b", "v")
-      .select(col("doc_id"), col("phash"),
+      .toDF("rep", "phash", "b", "v")
+      .select(col("rep"), col("phash"),
         concat_ws("_", col("b"), col("v")).as("ck"))
     val landed = store.landedAmong(bands.select("ck"), excludeTag)
-    val dropVsLanded = bands
+    // landed rule is purely hash-level: a hit drops the whole clique
+    val dropRepVsLanded = bands
       .join(landed.select(col("ck"), col("fx")), Seq("ck"))
       .filter(bit_count(col("phash")
         .bitwiseXOR(element_at(col("fx"), 1))) <= maxHamming)
-      .select(col("doc_id"))
-    val a = bands.select(col("doc_id").as("id1"),
+      .select(col("rep"))
+    val a = bands.select(col("rep").as("r1"),
       col("phash").as("h1"), col("ck"))
-    val bb = bands.select(col("doc_id").as("id2"),
+    val bb = bands.select(col("rep").as("r2"),
       col("phash").as("h2"), col("ck"))
-    val dropWithin = a.join(bb, Seq("ck"))
-      .filter(col("id1") < col("id2"))
+    val dropRepWithin = a.join(bb, Seq("ck"))
+      .filter(col("r1") < col("r2"))
       .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
-      .select(col("id2").as("doc_id"))
-    val drops = dropVsLanded.unionAll(dropWithin).distinct()
+      .select(col("r2").as("rep"))
+    val dropReps = dropRepVsLanded.unionAll(dropRepWithin).distinct()
+    // expansion: every non-rep member drops (its rep is a smaller id
+    // at Hamming 0); a rep drops per the rep-level rules above. A
+    // landed hit drops the rep here and its members via the non-rep
+    // branch — the union is the exact member-level drop set.
+    val nonReps = hashes.join(cliques, Seq("phash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"))
+    val drops = nonReps
+      .unionAll(dropReps.select(col("rep").as("doc_id"))).distinct()
     val survivors = hashes.join(drops, Seq("doc_id"), "left_anti")
-    val newMembers = bands.select(col("ck"),
-      col("doc_id").as("vec_id"), array(col("phash")).as("fx"))
+    // the landing stays ALL-SEEN and per-member (audit + replay need
+    // every vec_id): members inherit their clique's 4 band keys
+    val newMembers = hashes
+      .join(bands.select(col("phash"), col("ck")), Seq("phash"))
+      .select(col("ck"), col("doc_id").as("vec_id"),
+        array(col("phash")).as("fx"))
       .dropDuplicates("ck", "vec_id")
     (survivors, newMembers)
   }
