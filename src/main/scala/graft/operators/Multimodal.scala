@@ -367,10 +367,12 @@ object Multimodal {
     graft.functions.ProfileHash60.compute(vals) // one shared definition
                                                 // with the SQL kernel
 
-  /** Full pixel decode to a row-major luminance sequence (integer
-    * ITU-R 601 luma, `(299r+587g+114b)/1000`) for payloads a JRE
-    * reader claims; None otherwise — the [[resizeReal]] gating. */
-  private def decodeLuma(payload: Array[Byte]): Option[Array[Int]] = {
+  /** Full pixel decode to a row-major luminance sequence with its
+    * dimensions (integer ITU-R 601 luma, `(299r+587g+114b)/1000`) for
+    * payloads a JRE reader claims; None otherwise — the [[resizeReal]]
+    * gating. */
+  private def decodeLuma(
+      payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (!looksLikeImage(payload)) return None
     try {
       val img = javax.imageio.ImageIO.read(
@@ -393,19 +395,67 @@ object Multimodal {
           }
           y += 1
         }
-        Some(out)
+        Some((w, h, out))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Classic 2-D difference hash over a 6×11 average-pooled luminance
+    * grid (round 20 — the crop/rescale-robust path for REAL images):
+    * 6 rows × 10 row-wise gradient signs = 60 bits, keeping
+    * [[profileHash60]]'s positive-int64 / 4×15-band convention, so
+    * every downstream consumer (Hamming banding, store keys, the SQL
+    * `bit_count` verify) is untouched. Pooling cells are PROPORTIONAL
+    * (`y*6 div h` / `x*11 div w` boundaries), so a rescale of the same
+    * image averages near-identical cell regions and lands within a few
+    * bits — where the 1-D profile hash shifts every segment the moment
+    * the payload LENGTH changes. Cells an under-sized image leaves
+    * empty level at 0, the profile-segment convention. */
+  private[operators] def gridDHash60(w: Int, h: Int,
+      luma: Array[Int]): Long = {
+    val rows = 6
+    val cols = 11
+    val sums = Array.ofDim[Long](rows, cols)
+    val cnts = Array.ofDim[Long](rows, cols)
+    var y = 0
+    while (y < h) {
+      val r = (y * rows) / h
+      var x = 0
+      while (x < w) {
+        val c = (x * cols) / w
+        sums(r)(c) += luma(y * w + x)
+        cnts(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var j = 0
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        val a = if (cnts(r)(c) == 0) 0L else sums(r)(c) / cnts(r)(c)
+        val b =
+          if (cnts(r)(c + 1) == 0) 0L else sums(r)(c + 1) / cnts(r)(c + 1)
+        if (a < b) bits |= 1L << j
+        j += 1
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
   /** Perceptual 60-bit hashes over (doc_id, payload binary) rows
     * (round 19 — the multimodal × dedup intersection): REAL images
-    * hash their decoded luminance sequence, unclaimable payloads hash
-    * their unsigned byte values (the deterministic stub convention —
-    * for a text corpus the profile is the character stream, so the
-    * oracle recomputes every bit in SQL and a planted in-place edit is
-    * genuinely "near" in Hamming space). Same `mapPartitions`
-    * production shape as the other decoders. */
+    * hash their decoded 2-D luminance grid ([[gridDHash60]] —
+    * crop/rescale-robust, round 20), unclaimable payloads hash their
+    * unsigned byte values as a 1-D profile (the deterministic stub
+    * convention — for a text corpus the profile is the character
+    * stream, so the oracle recomputes every bit in SQL and a planted
+    * in-place edit is genuinely "near" in Hamming space). Same
+    * `mapPartitions` production shape as the other decoders. */
   def perceptualHashes(binaryDocs: DataFrame): DataFrame = {
     implicit val enc = RowEncoder.encoderFor(phashSchema)
     binaryDocs.select(col("doc_id").cast("long"), col("payload"))
@@ -414,9 +464,12 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val vals = decodeLuma(payload)
-            .getOrElse(payload.map(b => (b & 0xff): Int))
-          Row(id, profileHash60(vals))
+          val hash = decodeLuma(payload) match {
+            case Some((w, h, luma)) => gridDHash60(w, h, luma)
+            case None =>
+              profileHash60(payload.map(b => (b & 0xff): Int))
+          }
+          Row(id, hash)
         }
       }
   }

@@ -989,8 +989,9 @@ class OperatorsSpec extends SparkSuite {
   }
 
   test("perceptual image dedup: REAL PNG decode — a lightly edited " +
-      "image lands within Hamming 3 of its original, an unrelated one " +
-      "far away; the stub path matches a hand-computed profile hash") {
+      "image lands within Hamming 3 of its original, a RESCALED one " +
+      "does too (2-D grid dHash), an unrelated one lands far away; " +
+      "the stub path matches a hand-computed profile hash") {
     import graft.operators.Multimodal
     // deterministic gradient image + a near-identical variant (one
     // corner block brightened) + a structurally different image
@@ -1009,7 +1010,28 @@ class OperatorsSpec extends SparkSuite {
     val nearDup = png((x, y) =>
       if (x >= 60 && y >= 60) 255 else x * 3 + y) // 16-pixel corner edit
     val different = png((x, y) => 255 - (x * 3 + y))
-    val rows = Seq((1L, base), (2L, nearDup), (3L, different))
+    // RESCALE of the base image (96×96 bilinear redraw + re-encode):
+    // the payload LENGTH changes, so a 1-D length-keyed profile would
+    // shift every segment — the 2-D proportional grid must not care
+    val rescaled = {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(base))
+      val dst = new java.awt.image.BufferedImage(96, 96,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = dst.createGraphics()
+      g2.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(src, 0, 0, 96, 96, null)
+      g2.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+    assert(rescaled.length != base.length,
+      "the rescale must change the payload length")
+    val rows =
+      Seq((1L, base), (2L, nearDup), (3L, different), (4L, rescaled))
     val payloads = spark.createDataFrame(
       java.util.Arrays.asList(
         rows.map(r => org.apache.spark.sql.Row(r._1, r._2)): _*),
@@ -1025,10 +1047,17 @@ class OperatorsSpec extends SparkSuite {
       s"near-identical images must land close: ${ham(h(1L), h(2L))}")
     assert(ham(h(1L), h(3L)) > 3,
       s"a structurally different image must not: ${ham(h(1L), h(3L))}")
-    // the banded pair join surfaces exactly the near pair
+    assert(ham(h(1L), h(4L)) <= 3,
+      s"a rescaled image must land close: ${ham(h(1L), h(4L))}")
+    assert(ham(h(3L), h(4L)) > 3,
+      s"rescale must not collapse distinct images: ${ham(h(3L), h(4L))}")
+    // the banded pair join surfaces exactly the near pairs
     val pairs = Multimodal.imageNearDupPairs(hashes).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 2L)), s"pairs: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)),
+      s"pairs: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the different image must pair with nothing: $pairs")
     // stub differential: profile hash of raw bytes, hand-computed on a
     // sequence engineered per segment (61 segs over 122 values: seg j
     // = values {2j, 2j+1})
