@@ -1547,6 +1547,13 @@ object SparkEntry {
       // per-run scratch store cloned from the fingerprint-cached seed
       // (the callee's existence-gated batch=init append then skips
       // without executing the landed hash pass)
+      // SINGLE-MICRO-BATCH ASSUMPTION (pinned): the +1000000 planted
+      // ids are out of range for any id-ordered batch split — this row
+      // passes no maxFilesPerTrigger, so the whole table is ONE batch
+      // and the id-order precondition is vacuous. Adding a
+      // maxFilesPerTrigger here would silently break the streamed ≡
+      // one-shot oracle equivalence; the multi-batch case is covered
+      // by StreamingDedupSpec with in-range 8·base+k plants.
       val storeDir = graft.core.Smoltable.scratchDir("graft_imgst_store_")
       copyDirInto(
         java.nio.file.Paths.get(streamImageSeed(s, dir)),
@@ -1576,6 +1583,13 @@ object SparkEntry {
     //      semantic stage. The oracle recomputes the whole composition
     //      one-shot — id-ordered batches ≡ batch pipeline ------------
     "ext_stream_curate" -> ((s, dir) => {
+      // SINGLE-MICRO-BATCH ASSUMPTION (pinned): the +1000000/+2000000
+      // planted ids are out of range for any id-ordered batch split —
+      // exactly the hazard curateToFiles' scaladoc warns breaks the
+      // streamed ≡ one-shot equivalence. The row passes no
+      // maxFilesPerTrigger, so the whole table is ONE batch and the
+      // precondition is vacuous; do not add one without re-planting
+      // in-range ids (StreamingDedupSpec's 8·base+k discipline).
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val plantedEmb = emb.select(col("vec_id"), col("embedding"))
         .unionAll(emb.filter(col("vec_id") % 40 === 0)
@@ -3204,7 +3218,8 @@ object SparkEntry {
       """pd AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, substr(text, 1, length(text) - 8) || 'zzzzzzzz'
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, greatest(length(text) - 8, 0)) || 'zzzzzzzz'
         |  FROM documents WHERE doc_id < 20
         |), ch AS (
         |  SELECT doc_id, length(text) AS n,
@@ -3218,8 +3233,12 @@ object SparkEntry {
         |  SELECT doc_id, s, CAST(sum(v) // count(*) AS BIGINT) AS a
         |  FROM cv GROUP BY doc_id, s
         |), spine AS (
+        |  -- text IS NOT NULL: the Spark side's perceptualHashes drops
+        |  -- NULL payloads, so a NULL-text doc must get NO phash row
+        |  -- here either (latent on the generated corpus, which has
+        |  -- none — the oracle now matches the pipeline on any corpus)
         |  SELECT p.doc_id, g.s, COALESCE(sa.a, 0) AS a
-        |  FROM (SELECT DISTINCT doc_id FROM pd) p
+        |  FROM (SELECT DISTINCT doc_id FROM pd WHERE text IS NOT NULL) p
         |  CROSS JOIN (SELECT unnest(generate_series(0, 60)) AS s) g
         |  LEFT JOIN sa ON sa.doc_id = p.doc_id AND sa.s = g.s
         |), hv AS (
