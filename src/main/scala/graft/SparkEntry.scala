@@ -1611,6 +1611,77 @@ object SparkEntry {
         maintainAtBatches = 4)
     }),
 
+    // ---- DRAINED-STREAM end-state AUDIT (round 20 — the "restore
+    //      from disk alone" proof): run the full curation stream on a
+    //      VERSIONED layout with inline maintenance, force a retrain +
+    //      store re-key after the batch, then emit NOTHING recomputed —
+    //      four state sets read straight off the committed dirs
+    //      (curated survivors, exact hashes, minhash bands, vector
+    //      member ids). The oracle recomputes the batch composition's
+    //      end state; equality proves all state a continuing pipeline
+    //      needs lives in the committed dirs and survives
+    //      cutover + re-key + compaction. ----------------------------
+    "ext_stream_curate_audit" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val plantedEmb = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(emb.filter(col("vec_id") % 40 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            col("embedding")))
+      // versioned scratch root whose v=0 IS the cached static layout
+      // (file copy + pointer) — the run retrains it to v=1
+      val root = graft.core.Smoltable.scratchDir("graft_caud_root_")
+      copyDirInto(
+        java.nio.file.Paths.get(kmeansIvfLayoutDir(s, dir)),
+        java.nio.file.Paths.get(s"$root/v=0"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root,
+          graft.operators.IvfVersions.CurrentName),
+        "v=0\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val stateDir = graft.core.Smoltable.scratchDir("graft_caud_state_")
+      val outDir = graft.core.Smoltable.scratchDir("graft_caud_out_")
+      val task = graft.operators.IvfVersions.driftRetrainTask(root,
+        recentBatch = () => plantedEmb, corpus = () => plantedEmb,
+        meanD2Threshold = 0L,
+        onRetrain = _ => {
+          graft.operators.Clustering.rekeyStore(
+            graft.operators.ClusterVecStore.open(s, s"$stateDir/vecs"),
+            graft.operators.IvfVersions.currentDir(root))
+          ()
+        })
+      graft.streaming.StreamOps.curateToFiles(s, dir,
+        plantedEmb, root, stateDir, outDir,
+        graft.core.Smoltable.scratchDir("graft_caud_ck_"),
+        transform = docs => docs
+          .unionAll(docs.filter(col("doc_id") % 50 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text"), col("lang")))
+          .unionAll(docs.filter(col("doc_id") % 40 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat_ws(" ", reverse(split(col("text"), " ")))
+                .as("text"), col("lang"))),
+        maintainAtBatches = 2,
+        afterBatch = id => if (id == 0L) task())
+      // ---- the audit: everything below reads ONLY committed dirs ----
+      import org.apache.spark.sql.types.{LongType => LT, StringType => ST, StructField => SF, StructType => STy}
+      val curated = s.read
+        .schema(STy(Seq(SF("doc_id", LT), SF("lang", ST),
+          SF("n_tokens", LT), SF("batch", ST))))
+        .parquet(outDir)
+        .select(lit("curated").as("kind"),
+          col("doc_id").cast("string").as("k")).distinct()
+      val hashes = graft.operators.BandStore
+        .open(s, s"$stateDir/exact").read()
+        .select(lit("hash").as("kind"), col("band").as("k")).distinct()
+      val bands = graft.operators.BandStore
+        .open(s, s"$stateDir/bands").read()
+        .select(lit("band").as("kind"), col("band").as("k")).distinct()
+      val members = graft.operators.ClusterVecStore
+        .open(s, s"$stateDir/vecs").read()
+        .select(lit("member").as("kind"),
+          col("vec_id").cast("string").as("k")).distinct()
+      curated.unionAll(hashes).unionAll(bands).unionAll(members)
+    }),
+
     // ---- LINE-level dedup (C4/RefinedWeb boilerplate removal) --------
     // multi-line docs built from 8-token chunks + two planted footer
     // lines (in ~1/3 and ~1/4 of docs); lines in >20 distinct docs are
@@ -2893,6 +2964,111 @@ object SparkEntry {
       trainPred: String): String =
     s"WITH $extraCtes ${kmeansCteList("", source, trainPred)}"
 
+  /** The streaming-curation composition recomputed one-shot in SQL,
+    * through the semantic-survivor CTE `s3` (plus the intermediate
+    * state sets `red` / `mbands` / `mem`): planted input → quality
+    * gate + redaction → exact min-id keep → minhash drop on the
+    * redacted text → frozen-centroid semantic drop. Shared by
+    * `ext_stream_curate` (which appends the cumsum packing) and
+    * `ext_stream_curate_audit` (which projects the landed state
+    * sets). `minhashH0Sql` is the caller's generated window-hash
+    * expression. */
+  private def curateOracleSql(minhashH0Sql: String): String = {
+    val curateCtes =
+      s"""pd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id + 2000000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 40 = 0
+        |), qsig AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_sym,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN (${graft.operators.TextAnalysis.DefaultStopwords
+               .map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stop
+        |  FROM pd WHERE text IS NOT NULL
+        |), red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+        |      '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS text
+        |  FROM qsig
+        |  WHERE n_tokens >= 10 AND n_tokens <= 100000
+        |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) >= 2.0
+        |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) <= 12.0
+        |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) <= 0.25
+        |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) >= 0.3
+        |    AND n_stop >= 1
+        |), s1 AS (
+        |  SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(text)
+        |), r1 AS (
+        |  SELECT r.doc_id, r.text FROM red r JOIN s1 ON s1.doc_id = r.doc_id
+        |), mpos AS (
+        |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM r1
+        |), mhashed AS (
+        |  SELECT doc_id, ($minhashH0Sql) % 2147483647 AS h0 FROM mpos
+        |), msig AS (
+        |  SELECT doc_id,
+        |    min(xor(h0, 0)) AS m1,
+        |    min(xor(h0, 25214903917)) AS m2,
+        |    min(xor(h0, 173961102589770)) AS m3,
+        |    min(xor(h0, 2685821657736338717)) AS m4
+        |  FROM mhashed GROUP BY doc_id
+        |), mbands AS (
+        |  SELECT doc_id, concat('0_', CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM msig
+        |  UNION ALL SELECT doc_id, concat('1_', CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM msig
+        |), mdrop AS (
+        |  SELECT DISTINCT a.doc_id FROM mbands a JOIN mbands c
+        |    ON a.band = c.band AND c.doc_id < a.doc_id
+        |), s2 AS (
+        |  SELECT r.doc_id, r.text FROM r1 r
+        |  LEFT JOIN mdrop d ON d.doc_id = r.doc_id
+        |  WHERE d.doc_id IS NULL
+        |), pe AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 2000000, embedding
+        |  FROM embeddings WHERE vec_id % 40 = 0
+        |),""".stripMargin
+    s"""${kmeansCtesTrainAssign(curateCtes, "pe", "vec_id < 1000000")},
+      |t2 AS (
+      |  SELECT vec_id, cid, rn FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM a2_d) WHERE rn <= 2
+      |), mem AS (
+      |  SELECT t.vec_id,
+      |    max(CASE WHEN rn = 1 THEN cid END) AS c1,
+      |    COALESCE(max(CASE WHEN rn = 2 THEN cid END),
+      |      max(CASE WHEN rn = 1 THEN cid END)) AS c2
+      |  FROM t2 t JOIN s2 ON s2.doc_id = t.vec_id
+      |  GROUP BY t.vec_id
+      |), prs AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM mem a JOIN mem b
+      |    ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.vec_id < b.vec_id
+      |), spd2 AS (
+      |  SELECT id1, id2, CAST(sum((x1 - x2) * (x1 - x2)) AS BIGINT) AS d2
+      |  FROM (
+      |    SELECT p.id1, p.id2, unnest(va.fx) AS x1, unnest(vb.fx) AS x2
+      |    FROM prs p JOIN v va ON va.vec_id = p.id1
+      |                JOIN v vb ON vb.vec_id = p.id2
+      |  ) GROUP BY id1, id2
+      |), sdrops AS (
+      |  SELECT DISTINCT id2 AS vec_id FROM spd2 WHERE d2 <= 1000
+      |), s3 AS (
+      |  SELECT s2.doc_id, s2.text FROM s2
+      |  JOIN mem m ON m.vec_id = s2.doc_id
+      |  LEFT JOIN sdrops d ON d.vec_id = s2.doc_id
+      |  WHERE d.vec_id IS NULL
+      |)""".stripMargin
+  }
+
   /** The split train/assign kmeans CTE chain as a bare (WITH-less) CTE
     * list, every CTE name suffixed with `sfx` — so TWO independent
     * kmeans instances (e.g. the pre- and post-retrain layouts of
@@ -3573,100 +3749,9 @@ object SparkEntry {
       // ext_pack_sequences cumsum binning over survivors. Id-ordered
       // micro-batches with all-seen store landing make the streamed
       // relation equal this one-shot form.
-      "ext_stream_curate" -> {
-        val curateCtes =
-          s"""pd AS (
-            |  SELECT doc_id, text FROM documents
-            |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
-            |  UNION ALL SELECT doc_id + 2000000,
-            |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
-            |  FROM documents WHERE doc_id % 40 = 0
-            |), qsig AS (
-            |  SELECT doc_id, text,
-            |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
-            |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_chars,
-            |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_sym,
-            |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_distinct,
-            |    CAST(len(list_filter(string_split(text, ' '),
-            |      x -> x IN (${graft.operators.TextAnalysis.DefaultStopwords
-                   .map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stop
-            |  FROM pd WHERE text IS NOT NULL
-            |), red AS (
-            |  SELECT doc_id,
-            |    regexp_replace(
-            |      regexp_replace(
-            |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
-            |        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
-            |      '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS text
-            |  FROM qsig
-            |  WHERE n_tokens >= 10 AND n_tokens <= 100000
-            |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) >= 2.0
-            |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) <= 12.0
-            |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) <= 0.25
-            |    AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) >= 0.3
-            |    AND n_stop >= 1
-            |), s1 AS (
-            |  SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(text)
-            |), r1 AS (
-            |  SELECT r.doc_id, r.text FROM red r JOIN s1 ON s1.doc_id = r.doc_id
-            |), mpos AS (
-            |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM r1
-            |), mhashed AS (
-            |  SELECT doc_id, ($minhashH0Sql) % 2147483647 AS h0 FROM mpos
-            |), msig AS (
-            |  SELECT doc_id,
-            |    min(xor(h0, 0)) AS m1,
-            |    min(xor(h0, 25214903917)) AS m2,
-            |    min(xor(h0, 173961102589770)) AS m3,
-            |    min(xor(h0, 2685821657736338717)) AS m4
-            |  FROM mhashed GROUP BY doc_id
-            |), mbands AS (
-            |  SELECT doc_id, concat('0_', CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR)) AS band FROM msig
-            |  UNION ALL SELECT doc_id, concat('1_', CAST(m3 AS VARCHAR), '_', CAST(m4 AS VARCHAR)) FROM msig
-            |), mdrop AS (
-            |  SELECT DISTINCT a.doc_id FROM mbands a JOIN mbands c
-            |    ON a.band = c.band AND c.doc_id < a.doc_id
-            |), s2 AS (
-            |  SELECT r.doc_id, r.text FROM r1 r
-            |  LEFT JOIN mdrop d ON d.doc_id = r.doc_id
-            |  WHERE d.doc_id IS NULL
-            |), pe AS (
-            |  SELECT vec_id, embedding FROM embeddings
-            |  UNION ALL SELECT vec_id + 2000000, embedding
-            |  FROM embeddings WHERE vec_id % 40 = 0
-            |),""".stripMargin
-        s"""${kmeansCtesTrainAssign(curateCtes, "pe", "vec_id < 1000000")},
-          |t2 AS (
-          |  SELECT vec_id, cid, rn FROM (
-          |    SELECT vec_id, cid,
-          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          |    FROM a2_d) WHERE rn <= 2
-          |), mem AS (
-          |  SELECT t.vec_id,
-          |    max(CASE WHEN rn = 1 THEN cid END) AS c1,
-          |    COALESCE(max(CASE WHEN rn = 2 THEN cid END),
-          |      max(CASE WHEN rn = 1 THEN cid END)) AS c2
-          |  FROM t2 t JOIN s2 ON s2.doc_id = t.vec_id
-          |  GROUP BY t.vec_id
-          |), prs AS (
-          |  SELECT a.vec_id AS id1, b.vec_id AS id2
-          |  FROM mem a JOIN mem b
-          |    ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.vec_id < b.vec_id
-          |), spd2 AS (
-          |  SELECT id1, id2, CAST(sum((x1 - x2) * (x1 - x2)) AS BIGINT) AS d2
-          |  FROM (
-          |    SELECT p.id1, p.id2, unnest(va.fx) AS x1, unnest(vb.fx) AS x2
-          |    FROM prs p JOIN v va ON va.vec_id = p.id1
-          |                JOIN v vb ON vb.vec_id = p.id2
-          |  ) GROUP BY id1, id2
-          |), sdrops AS (
-          |  SELECT DISTINCT id2 AS vec_id FROM spd2 WHERE d2 <= 1000
-          |), s3 AS (
-          |  SELECT s2.doc_id, s2.text FROM s2
-          |  JOIN mem m ON m.vec_id = s2.doc_id
-          |  LEFT JOIN sdrops d ON d.vec_id = s2.doc_id
-          |  WHERE d.vec_id IS NULL
-          |), packt AS (
+      "ext_stream_curate" -> (curateOracleSql(minhashH0Sql) + "," +
+        """
+          |packt AS (
           |  SELECT doc_id,
           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
           |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS shard
@@ -3677,8 +3762,24 @@ object SparkEntry {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
           |  FROM packt
           |)
-          |SELECT doc_id, shard, CAST(tokens_before // 2048 AS BIGINT) AS bin, n_tokens FROM pc""".stripMargin
-      },
+          |SELECT doc_id, shard, CAST(tokens_before // 2048 AS BIGINT) AS bin, n_tokens FROM pc""".stripMargin),
+
+      // DRAINED-STREAM end-state AUDIT (round 20 — the "restore from
+      // disk alone" proof): the Spark side runs the curation stream
+      // with a VERSIONED layout, a post-batch forced retrain + store
+      // re-key, and inline maintenance — then emits NOTHING recomputed:
+      // four sets read straight off the committed dirs (curated
+      // survivors, exact-store hashes, band-store bands, vector-store
+      // member ids). The oracle recomputes the batch composition's
+      // end state; equality proves every byte of state a continuing
+      // pipeline needs lives in the committed dirs and survives
+      // cutover + re-key + compaction.
+      "ext_stream_curate_audit" -> (curateOracleSql(minhashH0Sql) +
+        """
+          |SELECT 'curated' AS kind, CAST(doc_id AS VARCHAR) AS k FROM s3
+          |UNION ALL SELECT DISTINCT 'hash', md5(text) FROM red
+          |UNION ALL SELECT DISTINCT 'band', band FROM mbands
+          |UNION ALL SELECT DISTINCT 'member', CAST(vec_id AS VARCHAR) FROM mem""".stripMargin),
 
       // the streaming twin lands the identical survivor set (multi-batch
       // ≡ one-shot under the all-seen landing contract) — same oracle
