@@ -114,7 +114,13 @@ object ScaleSmoke {
     // (banded pair join — hash table grows with the corpus, planted
     // pairs constant), and the composed five-stage curation stream
     "eng_ann_ivf_retrained", "eng_ann_recall_retrained",
-    "sql_retrieve_hybrid", "ext_dedup_images", "ext_stream_curate")
+    "sql_retrieve_hybrid", "ext_dedup_images", "ext_stream_curate",
+    // round 20: the live-stream retrain cutover (per-run retrain +
+    // re-key + 2-batch stream — the retrain is a full kmeans build,
+    // linear in the corpus by design) and the drained-stream disk
+    // audit (curation stream + retrain + maintenance, then pure
+    // landed-state reads)
+    "ext_dedup_stream_semantic_retrained", "ext_stream_curate_audit")
 
   private val AnnNames = Seq(
     "ext_ann_bruteforce", "ext_ann_bucketed", "eng_ann_bucketed",
