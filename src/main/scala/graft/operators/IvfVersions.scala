@@ -116,9 +116,21 @@ object IvfVersions {
 
   /** Append new vectors to the CURRENT version (frozen-sidecar
     * assignment, atomic manifest extension — the r18 append path,
-    * now through the pointer). */
+    * now through the pointer).
+    *
+    * Serialized against [[retrain]] per root (round 20): an unlocked
+    * append that resolved the pointer just before a cutover would land
+    * its manifest extension in the version being RETIRED — the new
+    * version was trained on a corpus snapshot that may predate these
+    * vectors, so they would be probe-invisible until the next retrain.
+    * Under the root's write lock the append always extends the version
+    * that is CURRENT at commit time, and a subsequent retrain's
+    * `corpus()` (the source-of-truth table) carries the vectors
+    * forward. Probes never take the lock. */
   def append(emb: DataFrame, root: String): Unit =
-    Clustering.appendKmeansIvfLayout(emb, currentDir(root))
+    StoreState.withWrite(root) {
+      Clustering.appendKmeansIvfLayout(emb, currentDir(root))
+    }
 
   /** Probe through the pointer: resolve ONCE, then run the pruned
     * layout probe against that immutable snapshot — old XOR new

@@ -278,6 +278,49 @@ class WorkersSpec extends SparkSuite {
     }
   }
 
+  test("IvfVersions.append extends the CURRENT version (serialized " +
+      "against retrain by the root lock) and appended vectors stay " +
+      "probe-able across a cutover") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfVersions
+    withTempDir { dir =>
+      val emb = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val base = emb.filter(col("vec_id") < 150)
+      // appended slice carries an EXACT copy of vector 3 at id 100003:
+      // its probe must return the copy at distance 0, which pins
+      // "appended and probe-visible" deterministically
+      val extra = emb.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+        .unionAll(emb.filter(col("vec_id") === 3)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")))
+      val root = s"$dir/ivf"
+      IvfVersions.init(base, root, stride = 30L)
+      IvfVersions.append(extra, root)
+      val q3 = emb.filter(col("vec_id") === 3)
+      def neighbors(): Set[Long] =
+        IvfVersions.probe(root, q3).collect().map(_.getLong(1)).toSet
+      assert(neighbors().contains(100003L),
+        "appended exact copy must be probe-visible in the CURRENT version")
+      // cutover: retrain on the full source-of-truth corpus (which
+      // carries the appended vectors forward) — still probe-able
+      IvfVersions.retrain(base.unionAll(extra), root, stride = 30L)
+      assert(IvfVersions.currentVersion(root).contains(1L))
+      assert(neighbors().contains(100003L),
+        "appended vectors must survive the retrain cutover")
+      // and a post-cutover append extends v=1, not the retired v=0
+      val extra2 = emb.filter(col("vec_id") === 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      IvfVersions.append(extra2, root)
+      val q5 = emb.filter(col("vec_id") === 5)
+      val n5 = IvfVersions.probe(root, q5).collect()
+        .map(_.getLong(1)).toSet
+      assert(n5.contains(100005L),
+        "a post-cutover append must land in the new CURRENT version")
+    }
+  }
+
   test("start/stop schedule without throwing") {
     withTempDir { dir =>
       val w = new Workers(spark, new Catalog(dir.toString))
