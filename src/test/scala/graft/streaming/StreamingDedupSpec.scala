@@ -879,6 +879,107 @@ class StreamingDedupSpec extends SparkSuite {
     }
   }
 
+  test("partial-commit replay ACROSS a cutover: a batch that crashed " +
+      "between its survivor commit and its member append, with a " +
+      "retrain + re-key landing while the stream was down, replays to " +
+      "the ORIGINAL survivors and a complete, new-layout-keyed store") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Clustering, ClusterVecStore, IvfVersions}
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    withTempDir { tmp =>
+      val inDir = s"$tmp/in/embeddings.parquet"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      var mtime = 1700000000000L
+      for ((lo, hi, name) <- Seq((0L, 170L, "b0"), (170L, 340L, "b1"),
+          (340L, 1000000L, "b2"))) {
+        val stage = s"$tmp/stage_$name"
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .repartition(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = java.nio.file.Paths.get(s"$inDir/$name.parquet")
+        java.nio.file.Files.move(part, dest)
+        mtime += 10000
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val landed = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val root = s"$tmp/root"
+      IvfVersions.init(landed, root, stride = 20L)
+      def plant(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("vec_id") >= 100)
+      val storeDir = s"$tmp/store"
+      def run(): Set[(Long, Long)] =
+        StreamOps.incrementalSemanticToFiles(spark, s"$tmp/in", root,
+            landed, storeDir, s"$tmp/out", s"$tmp/ck",
+            dist2Threshold = 1000L, transform = plant,
+            maxFilesPerTrigger = Some(1))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = run() // all three batches land under v=0
+      val store = ClusterVecStore.open(spark, storeDir)
+      val memberIdsBefore = store.read().select("vec_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      // simulate the crash window: last batch's survivors committed,
+      // member append missing (commit marker + member dir deleted)
+      def lastCommit(): java.nio.file.Path = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$tmp/ck/commits"))
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.forall(_.isDigit))
+          .maxBy(_.getFileName.toString.toLong)
+        finally s.close()
+      }
+      val lc = lastCommit()
+      val lastId = lc.getFileName.toString
+      java.nio.file.Files.delete(lc)
+      java.nio.file.Files.deleteIfExists(
+        lc.resolveSibling(s".${lc.getFileName}.crc"))
+      def deleteRecursively(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (!java.nio.file.Files.exists(p)) return
+        val s = java.nio.file.Files.walk(p)
+        try s.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally s.close()
+      }
+      deleteRecursively(java.nio.file.Paths.get(
+        s"$storeDir/batch=$lastId"))
+      // while the stream is DOWN, the maintenance loop retrains on the
+      // source-of-truth corpus and re-keys the landed store — exactly
+      // what a background drift sweep does between stream incarnations
+      IvfVersions.retrain(corpus, root, stride = 20L)
+      Clustering.rekeyStore(store, IvfVersions.currentDir(root))
+      assert(IvfVersions.currentVersion(root).contains(1L))
+      // replay: the committed survivors stand (v=0-derived, skipped by
+      // the existence gate); the member append recomputes under the
+      // NEW layout — the membership SET is layout-independent
+      // (all-seen), and its keys match the re-keyed store
+      assert(run() == got,
+        "replay across the cutover changed the survivor set")
+      val memberIdsAfter = store.read().select("vec_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(memberIdsAfter == memberIdsBefore,
+        "replayed member landing lost or invented membership")
+      // the whole store — pre-crash batches re-keyed, the replayed
+      // batch landed fresh — is a re-key fixpoint of the final layout
+      val before = store.read().select("vec_id", "ck").distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      Clustering.rekeyStore(store, IvfVersions.currentDir(root))
+      val after = store.read().select("vec_id", "ck").distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(before == after,
+        "store not a re-key fixpoint after the cross-cutover replay")
+      val out = spark.read.parquet(s"$tmp/out").drop("batch").collect()
+        .map(_.getLong(0))
+      assert(out.distinct.length == out.length,
+        "duplicate survivors after the cross-cutover replay")
+    }
+  }
+
   test("file-sink dedup survives kill + resume on one checkpoint: " +
       "no duplicate, no lost keys (exactly-once landing)") {
     import org.apache.spark.sql.types._
