@@ -284,10 +284,18 @@ final class BandStore private (
         Files.createDirectories(storePath)
         val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
         val stage = tmp.resolve("stage")
+        // write parallelism = bucket count (r21): an explicit partition
+        // count pins the shuffle against AQE coalescing, which at small
+        // batch sizes folded the write into ONE task that opened all
+        // nBuckets parquet writers sequentially (~1 s per append of
+        // pure writer overhead); the local sort leads with bp so the
+        // dynamic-partition writer's required ordering is already
+        // satisfied — no inserted (non-stable) sort that could scramble
+        // the documented within-file band order
         bands.select(col("band")).distinct()
           .withColumn("bp", bucketOf(col("band")))
-          .repartition(col("bp"))
-          .sortWithinPartitions("band")
+          .repartition(nBuckets, col("bp"))
+          .sortWithinPartitions("bp", "band")
           .write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
         try {
           Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
@@ -327,8 +335,8 @@ final class BandStore private (
           s"compaction tag already landed: $tag")
         val all = read().select(col("band")).distinct()
           .withColumn("bp", bucketOf(col("band")))
-          .repartition(col("bp"))
-          .sortWithinPartitions("band")
+          .repartition(nBuckets, col("bp"))
+          .sortWithinPartitions("bp", "band")
         val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
         val stage = tmp.resolve("stage")
         try {

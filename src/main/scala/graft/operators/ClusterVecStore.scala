@@ -202,11 +202,15 @@ final class ClusterVecStore private (
         Files.createDirectories(storePath)
         val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
         val stage = tmp.resolve("stage")
+        // write parallelism = bucket count + bp-led local sort (r21):
+        // see BandStore.append — pins the shuffle against AQE's
+        // 1-task coalescing and satisfies the dynamic-partition
+        // writer's ordering without an inserted non-stable sort
         members.select(col("ck"), col("vec_id"), col("fx"))
           .dropDuplicates("ck", "vec_id")
           .withColumn("bp", bucketOf(col("ck")))
-          .repartition(col("bp"))
-          .sortWithinPartitions("ck")
+          .repartition(nBuckets, col("bp"))
+          .sortWithinPartitions("bp", "ck")
           .write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
         try {
           Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
@@ -239,8 +243,8 @@ final class ClusterVecStore private (
       val all = read().select(col("ck"), col("vec_id"), col("fx"))
         .dropDuplicates("ck", "vec_id")
         .withColumn("bp", bucketOf(col("ck")))
-        .repartition(col("bp"))
-        .sortWithinPartitions("ck")
+        .repartition(nBuckets, col("bp"))
+        .sortWithinPartitions("bp", "ck")
       val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
       val stage = tmp.resolve("stage")
       try {
@@ -296,8 +300,8 @@ final class ClusterVecStore private (
     val all = members.select(col("ck"), col("vec_id"), col("fx"))
       .dropDuplicates("ck", "vec_id")
       .withColumn("bp", bucketOf(col("ck")))
-      .repartition(col("bp"))
-      .sortWithinPartitions("ck")
+      .repartition(nBuckets, col("bp"))
+      .sortWithinPartitions("bp", "ck")
     Files.createDirectories(storePath)
     val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
     val stage = tmp.resolve("stage")

@@ -840,20 +840,30 @@ object StreamOps {
           // lookups, three appends, the survivor write), and without
           // the checkpoints every one re-runs the gate + redaction
           // kernels over the raw batch
-          val red = raw
-            .filter(col("text").isNotNull &&
-              TextAnalysis.qualityPasses(col("text")))
-            .select(col("doc_id"), col("lang"),
-              TextAnalysis.redactedText(col("text")).as("text"))
-            .localCheckpoint(true)
-          val (s1, newHashes) =
+          val red = labeled(s, s"curate[$tag]: gate+redact") {
+            raw
+              .filter(col("text").isNotNull &&
+                TextAnalysis.qualityPasses(col("text")))
+              .select(col("doc_id"), col("lang"),
+                TextAnalysis.redactedText(col("text")).as("text"))
+              .localCheckpoint(true)
+          }
+          val (s1, newHashes) = labeled(s, s"curate[$tag]: exact lookup") {
             Dedup.incrementalExactWithStore(red, exact, excludeTag = t)
-          val s1docs = red.join(s1.select("doc_id"),
-            Seq("doc_id"), "left_semi").localCheckpoint(true)
-          val (s2sigs, newBands) = Dedup.incrementalMinhashWithStore(
-            s1docs, bandSt, excludeTag = t)
-          val s2docs = s1docs.join(s2sigs.select("doc_id"),
-            Seq("doc_id"), "left_semi").localCheckpoint(true)
+          }
+          val s1docs = labeled(s, s"curate[$tag]: exact survivors") {
+            red.join(s1.select("doc_id"),
+              Seq("doc_id"), "left_semi").localCheckpoint(true)
+          }
+          val (s2sigs, newBands) =
+            labeled(s, s"curate[$tag]: minhash lookup") {
+              Dedup.incrementalMinhashWithStore(
+                s1docs, bandSt, excludeTag = t)
+            }
+          val s2docs = labeled(s, s"curate[$tag]: minhash survivors") {
+            s1docs.join(s2sigs.select("doc_id"),
+              Seq("doc_id"), "left_semi").localCheckpoint(true)
+          }
           val emb2 = emb.join(
             s2docs.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
@@ -862,22 +872,33 @@ object StreamOps {
           // whole semantic stage, never between key derivation and
           // member landing (resolveLayout doc)
           graft.operators.StoreState.withRead(vecSt.dir) {
-            val (s3, members) = Clustering.incrementalSemanticWithStore(
-              emb2, resolveLayout(layoutDir), vecSt, dist2Threshold,
-              excludeTag = t)
+            val (s3, members) =
+              labeled(s, s"curate[$tag]: semantic lookup") {
+                Clustering.incrementalSemanticWithStore(
+                  emb2, resolveLayout(layoutDir), vecSt, dist2Threshold,
+                  excludeTag = t)
+              }
             val out = s2docs.join(
                 s3.select(col("vec_id").as("doc_id")),
                 Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("lang"),
                 graft.functions.SplitCount(col("text"), bySpaceOnly = true)
                   .as("n_tokens"))
-            atomicBatchWrite(out, outDir, tag)
-            exact.append(newHashes, tag)
-            bandSt.append(newBands, tag)
-            vecSt.append(members, tag)
+            labeled(s, s"curate[$tag]: commit survivors") {
+              atomicBatchWrite(out, outDir, tag)
+            }
+            labeled(s, s"curate[$tag]: append hashes") {
+              exact.append(newHashes, tag)
+            }
+            labeled(s, s"curate[$tag]: append bands") {
+              bandSt.append(newBands, tag)
+            }
+            labeled(s, s"curate[$tag]: append members") {
+              vecSt.append(members, tag)
+            }
           }
         }
-        if (maintainAtBatches >= 2) {
+        if (maintainAtBatches >= 2) labeled(s, s"curate[$tag]: maintenance") {
           exact.maintenanceTask(maintainAtBatches, retainBatches)()
           bandSt.maintenanceTask(maintainAtBatches, retainBatches)()
           vecSt.maintenanceTask(maintainAtBatches, retainBatches)()
@@ -906,6 +927,17 @@ object StreamOps {
   private def batchExists(baseDir: String, tag: String): Boolean =
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(baseDir, s"batch=$tag"))
+
+  /** Run `f` with a thread-local Spark job description (guide §1.5 "label
+    * your jobs"): every job an operator phase triggers shows the phase
+    * name in the UI / listener tooling instead of an anonymous callsite.
+    * Purely observational — restores the previous description after. */
+  private def labeled[T](s: SparkSession, desc: String)(f: => T): T = {
+    val sc = s.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
 
   /** Resolve a semantic stage's layout PER MICRO-BATCH (round 20 — the
     * r19 top ask): `layoutDir` may be either a plain frozen-centroid
