@@ -102,7 +102,7 @@ final class BandStore private (
     * per-batch path (`band`, plus the `batch`/`bp` partition cols).
     * Schema is explicit, not inferred: a legitimately-empty append
     * leaves a data-less `batch=` dir that would wedge inference. */
-  def read(): DataFrame = readOn(spark)
+  def read(): DataFrame = readOn(lookupSession)
 
   /** [[read]] against an explicit session — the tier-1 lookup reads on
     * a session CLONE carrying the raised In-pushdown threshold, so the
@@ -148,6 +148,16 @@ final class BandStore private (
       val cur = c.conf.getOption(key).map(_.toInt).getOrElse(10)
       val want = math.min(pushdownBandLimit, BandStore.SafeInPushdownCap)
       if (cur < want) c.conf.set(key, want.toString)
+      // driver-side listing up to the store's own path-count class
+      // (r21): a store read passes batches × nBuckets directories, and
+      // the default 32-path threshold turned EVERY read into a ~100 ms
+      // distributed listing job of tiny local dirs; the store's live
+      // dir count is maintenance-bounded, so driver listing is right
+      // until the count is genuinely object-store-large
+      val lkey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+      val lcur = c.conf.getOption(lkey).map(_.toInt).getOrElse(32)
+      if (lcur < BandStore.ListingThreshold)
+        c.conf.set(lkey, BandStore.ListingThreshold.toString)
     } // non-classic session: no clone available — skip the raise
     // (lookups stay correct; the pushed In degrades to a range filter)
     c
@@ -235,12 +245,12 @@ final class BandStore private (
     } else if (n <= broadcastBandLimit) {
       val bps = b.select(col("bp")).distinct()
         .collect().map(_.getLong(0)).toSeq // bounded by nBuckets
-      readOn(spark, excludeBatch)
+      readOn(lookupSession, excludeBatch)
         .filter(col("bp").isin(bps: _*))
         .join(broadcast(b.select(col("band"))), Seq("band"), "left_semi")
         .select(col("band")).distinct()
     } else {
-      readOn(spark, excludeBatch)
+      readOn(lookupSession, excludeBatch)
         .join(b.select("band"), Seq("band"), "left_semi")
         .select(col("band")).distinct()
     }
@@ -430,6 +440,17 @@ object BandStore {
     * but past this cap parquet-mr degrades it to a (useless) min/max
     * range rather than a stack hazard. */
   val SafeInPushdownCap: Int = 1024
+
+  /** Path-count threshold below which store reads list directories on
+    * the DRIVER instead of launching a distributed listing job (the
+    * session clone raises `parallelPartitionDiscovery.threshold` to
+    * this). A store read passes live-batches × nBuckets directory
+    * paths — maintenance-bounded, typically well under this — and the
+    * default threshold (32) turned every read into a ~100 ms listing
+    * JOB over tiny directories. Past this count (a store left
+    * unmaintained, or object-store-large bucket counts) the
+    * distributed listing still kicks in. */
+  val ListingThreshold: Int = 4096
 
   private val CompactedTag = "batch=compacted-([0-9]+)".r
 

@@ -78,7 +78,7 @@ final class ClusterVecStore private (
     * [[compact]]/[[expireBatches]] write — [[StoreState]], round 19);
     * per-read `ignoreMissingFiles` is only best-effort tolerance for
     * OUT-of-process deletes, outside the single-writer contract. */
-  def read(): DataFrame = readOn(spark)
+  def read(): DataFrame = readOn(lookupSession)
 
   private def readOn(s: SparkSession,
       excludeBatch: Option[String] = None): DataFrame =
@@ -101,6 +101,12 @@ final class ClusterVecStore private (
       val cur = c.conf.getOption(key).map(_.toInt).getOrElse(10)
       val want = math.min(pushdownKeyLimit, BandStore.SafeInPushdownCap)
       if (cur < want) c.conf.set(key, want.toString)
+      // driver-side listing up to the store's own path-count class
+      // (r21; see BandStore.lookupSession)
+      val lkey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+      val lcur = c.conf.getOption(lkey).map(_.toInt).getOrElse(32)
+      if (lcur < BandStore.ListingThreshold)
+        c.conf.set(lkey, BandStore.ListingThreshold.toString)
     }
     c
   }
@@ -154,12 +160,12 @@ final class ClusterVecStore private (
     } else if (n <= broadcastKeyLimit) {
       val bps = k.select(col("bp")).distinct()
         .collect().map(_.getLong(0)).toSeq // bounded by nBuckets
-      readOn(spark, excludeBatch)
+      readOn(lookupSession, excludeBatch)
         .filter(col("bp").isin(bps: _*))
         .join(broadcast(k.select(col("ck"))), Seq("ck"), "left_semi")
         .select(col("ck"), col("vec_id"), col("fx"))
     } else {
-      readOn(spark, excludeBatch)
+      readOn(lookupSession, excludeBatch)
         .join(k.select("ck"), Seq("ck"), "left_semi")
         .select(col("ck"), col("vec_id"), col("fx"))
     }

@@ -553,8 +553,7 @@ object Corpus {
     * `(doc_id, lang, chunk_idx, start_tok, end_tok)`. */
   def prepPipelineV2(docs: DataFrame, chunkTokens: Int = 512,
       overlap: Int = 64): DataFrame = {
-    val gated = docs
-      .filter(TextAnalysis.qualityPasses(col("text")))
+    val gated = TextAnalysis.gateByQuality(docs)
       .select(col("doc_id"), col("lang"),
         TextAnalysis.redactedText(col("text")).as("text"))
     prepPipeline(gated, chunkTokens, overlap)
@@ -584,7 +583,7 @@ object Corpus {
     // design (it is a cache key contract, same as the ANN layouts).
     if (!new java.io.File(stagingDir, "_SUCCESS").exists()) {
       val tmp = stagingDir + ".tmp-" + java.util.UUID.randomUUID()
-      docs.filter(TextAnalysis.qualityPasses(col("text")))
+      TextAnalysis.gateByQuality(docs)
         .select(col("doc_id"), col("lang"),
           TextAnalysis.redactedText(col("text")).as("text"))
         .write.mode("overwrite").parquet(tmp)

@@ -502,11 +502,26 @@ object Multimodal {
     * definition, no banding needed), and cross-hash candidate work
     * tracks distinct hashes, not documents. The emitted pair set is
     * unchanged. */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageNearDupPairs(rawHashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding guarantees recall only to Hamming 3: $maxHamming")
+    // public-API hardening (r20 ADVICE): a hashes frame carrying
+    // duplicate doc_id rows would duplicate emitted pairs through both
+    // the within-clique self-join and the cross-clique expansion;
+    // one doc-count-sized dedup at entry restores the one-row-per-doc
+    // contract the emission math assumes. MATERIALIZED once (the
+    // incrementalImageDedupWithStore discipline): the frame feeds five
+    // plan branches (cliques, both cross expansions, both within
+    // sides), and lazy it would re-run the upstream hash computation —
+    // typically a payload decode — per branch.
+    val hashes = rawHashes.dropDuplicates("doc_id").localCheckpoint(true)
+    // one aggregation yields both the representative (banding) and the
+    // clique size (the within-join's hot-key split); materialized —
+    // distinct-hash-count sized, feeds the band frame twice and both
+    // size filters
     val cliques = hashes.groupBy(col("phash"))
-      .agg(min(col("doc_id")).as("rep"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("_m"))
+      .localCheckpoint(true)
     val bands = cliques.select(col("rep"), col("phash"),
       posexplode(array((0 until 4).map(i =>
         expr(s"shiftright(phash, ${15 * i}) & 32767")): _*)))
@@ -529,14 +544,52 @@ object Multimodal {
         col("doc_id").as("d2")), Seq("h2"))
       .select(least(col("d1"), col("d2")).as("id1"),
         greatest(col("d1"), col("d2")).as("id2"), col("hamming"))
-    // within-clique pairs: identical hashes, Hamming 0 by definition
-    val within = hashes.select(col("phash"), col("doc_id").as("id1"))
-      .join(hashes.select(col("phash"), col("doc_id").as("id2")),
+    // within-clique pairs: identical hashes, Hamming 0 by definition.
+    // HOT-KEY SPLIT (r21 — the r20 VERDICT's skew item): the plain
+    // phash self-join put a crawl-scale clique of m identical images —
+    // m²/2 output pairs — in ONE join key/task. Small cliques (the
+    // overwhelmingly common case) keep the plain join; cliques past
+    // [[WithinCliqueSaltThreshold]] go through a SALTED join — the left
+    // side carries a deterministic per-doc salt, the right side
+    // replicates across all [[WithinCliqueSalt]] values, and the join
+    // key becomes (phash, salt): each pair still matches exactly once
+    // (at the left doc's own salt), but a mega-clique's emission
+    // spreads over WithinCliqueSalt tasks. Output is inherently
+    // quadratic (a pairs API must emit them); the single-task hot key
+    // is not.
+    val smallKeys = cliques.filter(col("_m") <= WithinCliqueSaltThreshold)
+      .select("phash")
+    val bigKeys = cliques.filter(col("_m") > WithinCliqueSaltThreshold)
+      .select("phash")
+    val small = hashes.join(smallKeys, Seq("phash"), "left_semi")
+    val withinSmall = small.select(col("phash"), col("doc_id").as("id1"))
+      .join(small.select(col("phash"), col("doc_id").as("id2")),
         Seq("phash"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), lit(0L).as("hamming"))
-    cross.unionAll(within)
+    val big = hashes.join(bigKeys, Seq("phash"), "left_semi")
+    val salts = WithinCliqueSalt
+    val left = big.select(col("phash"), col("doc_id").as("id1"))
+      .withColumn("_s", pmod(xxhash64(col("id1")), lit(salts.toLong)))
+    val right = big.select(col("phash"), col("doc_id").as("id2"),
+      explode(sequence(lit(0L), lit(salts.toLong - 1))).as("_s"))
+    val withinBig = left.join(right, Seq("phash", "_s"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0L).as("hamming"))
+    cross.unionAll(withinSmall).unionAll(withinBig)
   }
+
+  /** Clique size above which [[imageNearDupPairs]]' within-clique
+    * self-join salts (≤ threshold ⇒ ≤ ~0.5M pairs in one task — fine on
+    * any executor; above ⇒ the single-key emission would dominate the
+    * stage wall-clock). */
+  private val WithinCliqueSaltThreshold: Long = 1024L
+
+  /** Salt width for the hot-clique branch: a clique of m identical
+    * hashes spreads its m²/2 emitted pairs over this many join keys
+    * instead of one. Only hot-clique members replicate (16 bytes/doc
+    * of hash rows — cheap even times this factor). */
+  private val WithinCliqueSalt: Int = 64
 
   /** INCREMENTAL perceptual dedup — [[imageNearDupPairs]]'s rule in the
     * continuous-ingest shape, against a LANDED [[ClusterVecStore]]

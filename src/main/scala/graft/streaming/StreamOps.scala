@@ -110,28 +110,20 @@ object StreamOps {
     * between engines.
     */
   private def windowAggDrain(s: SparkSession, dir: String,
-      duration: String, slide: Option[String]): DataFrame = {
-    val tableName = s"stream_window_${System.nanoTime()}"
-    val win = slide match {
-      case Some(sl) => window(col("event_ts"), duration, sl)
-      case None     => window(col("event_ts"), duration)
+      duration: String, slide: Option[String]): DataFrame =
+    drainMemorySink(s, "stream_window", "complete") {
+      val win = slide match {
+        case Some(sl) => window(col("event_ts"), duration, sl)
+        case None     => window(col("event_ts"), duration)
+      }
+      eventsStream(s, dir)
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(win, col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("cast(round(value * 1000000) as bigint)")).as("value_sum"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("value_sum"))
     }
-    val agg = eventsStream(s, dir)
-      .withWatermark("event_ts", "1 hour")
-      .groupBy(win, col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(expr("cast(round(value * 1000000) as bigint)")).as("value_sum"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("value_sum"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(tableName)
-  }
 
   /** Daily distinct-user ESTIMATES through a real streaming query: the
     * deterministic KMV sketch ([[graft.operators.Corpus.kmvDistinct]])
@@ -144,25 +136,17 @@ object StreamOps {
     * the DuckDB oracle recomputes the streamed estimates exactly
     * (`ext_stream_kmv`).
     */
-  def dailyKmvDistinctUsers(s: SparkSession, dir: String): DataFrame = {
-    val tableName = s"stream_kmv_${System.nanoTime()}"
-    val agg = eventsStream(s, dir)
-      .withWatermark("event_ts", "1 hour")
-      .groupBy(window(col("event_ts"), "1 day"))
-      .agg(graft.operators.Corpus.kmvDistinct(col("user_id"))
-          .as("est_users"),
-        count(lit(1)).as("n_events"))
-      .select(unix_micros(col("window.start")).as("window_start_us"),
-        col("est_users"), col("n_events"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(tableName)
-  }
+  def dailyKmvDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    drainMemorySink(s, "stream_kmv", "complete") {
+      eventsStream(s, dir)
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(window(col("event_ts"), "1 day"))
+        .agg(graft.operators.Corpus.kmvDistinct(col("user_id"))
+            .as("est_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("est_users"), col("n_events"))
+    }
 
   /** [[dailyKmvDistinctUsers]] in its scale shape: append mode (only
     * watermark-finalized windows emit), parquet file sink, RocksDB
@@ -240,17 +224,8 @@ object StreamOps {
     * (`KeyValueGroupedDataset.flatMapGroupsWithState`) a continuous
     * training-data ingest pipeline uses for online dedup.
     */
-  def streamingDedup(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val tableName = s"stream_dedup_${System.nanoTime()}"
-    val q = dedupStream(s, dir).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(tableName)
-  }
+  def streamingDedup(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    drainMemorySink(s, "stream_dedup", "append")(dedupStream(s, dir))
 
   /** Horizon-BOUNDED streaming dedup — the bounded-state answer to
     * [[streamingDedup]]'s forever-growing seen-hash state: built on
@@ -268,17 +243,9 @@ object StreamOps {
     * `StreamingDedupSpec`'s multi-batch test).
     */
   def streamingDedupBounded(s: SparkSession, dir: String,
-      horizon: String = "1 hour"): DataFrame = {
-    val tableName = s"stream_dedup_b_${System.nanoTime()}"
-    val q = boundedDedupStream(s, dir, horizon).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(tableName)
-  }
+      horizon: String = "1 hour"): DataFrame =
+    drainMemorySink(s, "stream_dedup_b", "append")(
+      boundedDedupStream(s, dir, horizon))
 
   /** [[streamingDedupBounded]] into a parquet FILE sink on the RocksDB
     * state store — the scale shape (see [[streamingDedupToFiles]]). */
@@ -340,29 +307,20 @@ object StreamOps {
     * relation is exactly the batch relation (the oracle pins it).
     * Memory-sink harness like the other `ext_stream_*` contract rows.
     */
-  def streamingQualityPrep(s: SparkSession, dir: String): DataFrame = {
-    val tableName = s"stream_quality_${System.nanoTime()}"
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val out = streamSource(s, dir, "documents", docSchema)
-      .filter(col("text").isNotNull &&
-        graft.operators.TextAnalysis.qualityPasses(col("text")))
-      .select(col("doc_id"), col("lang"),
-        length(graft.operators.TextAnalysis.redactedText(col("text")))
-          .cast("long").as("n_chars_redacted"))
-    val q = out.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(tableName)
-  }
+  def streamingQualityPrep(s: SparkSession, dir: String): DataFrame =
+    drainMemorySink(s, "stream_quality", "append") {
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.operators.TextAnalysis.gateByQuality(
+          streamSource(s, dir, "documents", docSchema))
+        .select(col("doc_id"), col("lang"),
+          length(graft.operators.TextAnalysis.redactedText(col("text")))
+            .cast("long").as("n_chars_redacted"))
+    }
 
   /** The COMPLETE streaming prep front: quality gate → PII redaction →
     * stateful exact dedup on the REDACTED content hash, one stream —
@@ -373,45 +331,36 @@ object StreamOps {
     * text — the prepPipelineV2 contract). Emits `(h, keep_id)`; with
     * the one-file harness source the single micro-batch makes keep_id
     * the global min per hash, same caveat as [[streamingDedup]]. */
-  def streamingPrepFront(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import s.implicits._
-    val tableName = s"stream_prep_${System.nanoTime()}"
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val gated = streamSource(s, dir, "documents", docSchema)
-      .filter(col("text").isNotNull &&
-        graft.operators.TextAnalysis.qualityPasses(col("text")))
-      .select(col("doc_id"),
-        org.apache.spark.sql.functions.md5(
-          graft.operators.TextAnalysis.redactedText(col("text")))
-          .as("h"))
-      .as[(Long, String)]
-      .groupByKey(_._2)
-      .flatMapGroupsWithState[Boolean, (String, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (hash: String, rows: Iterator[(Long, String)],
-            state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            Iterator.single((hash, rows.map(_._1).min))
-          }
-      }
-      .toDF("h", "keep_id")
-    val q = gated.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(tableName)
-  }
+  def streamingPrepFront(s: SparkSession, dir: String): DataFrame =
+    drainMemorySink(s, "stream_prep", "append") {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.operators.TextAnalysis.gateByQuality(
+          streamSource(s, dir, "documents", docSchema))
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.md5(
+            graft.operators.TextAnalysis.redactedText(col("text")))
+            .as("h"))
+        .as[(Long, String)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState[Boolean, (String, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (hash: String, rows: Iterator[(Long, String)],
+              state: GroupState[Boolean]) =>
+            if (state.exists) Iterator.empty
+            else {
+              state.update(true)
+              Iterator.single((hash, rows.map(_._1).min))
+            }
+        }
+        .toDF("h", "keep_id")
+    }
 
   private[streaming] def dedupStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -841,9 +790,7 @@ object StreamOps {
           // the checkpoints every one re-runs the gate + redaction
           // kernels over the raw batch
           val red = labeled(s, s"curate[$tag]: gate+redact") {
-            raw
-              .filter(col("text").isNotNull &&
-                TextAnalysis.qualityPasses(col("text")))
+            TextAnalysis.gateByQuality(raw)
               .select(col("doc_id"), col("lang"),
                 TextAnalysis.redactedText(col("text")).as("text"))
               .localCheckpoint(true)
@@ -1059,17 +1006,9 @@ object StreamOps {
     * shape; [[streamingSessionizeToFiles]] is the scale shape.
     */
   def streamingSessionize(s: SparkSession, dir: String,
-      gapNs: Long = 30L * 60 * 1000000000L): DataFrame = {
-    val tableName = s"stream_sess_${System.nanoTime()}"
-    val q = sessionStream(s, dir, gapNs).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(tableName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(tableName)
-  }
+      gapNs: Long = 30L * 60 * 1000000000L): DataFrame =
+    drainMemorySink(s, "stream_sess", "append")(
+      sessionStream(s, dir, gapNs))
 
   /** Scale variant of [[streamingSessionize]]: the same stateful stream
     * into a parquet FILE sink — the 100 TB shape (the memory sink above
@@ -1378,24 +1317,33 @@ object StreamOps {
   def attributionJoinOuter(s: SparkSession, dir: String): DataFrame =
     drainJoin(s, attributionJoinStream(s, dir, "left_outer"))
 
-  /** Memory-sink drain for the join harnesses. A stream-stream join
-    * keeps FOUR state stores per shuffle partition (keyToNumValues +
-    * keyWithIndexToValue, per side), and the default HDFS-backed
-    * provider pays a per-store per-batch file commit — at 32 partitions
-    * that is 128 synchronous commits of test-sized state, which
-    * dominates the drain. The state partition count is captured from
+  /** Memory-sink drain for the oracle harnesses. A stateful streaming
+    * operator keeps one state store per shuffle partition (a
+    * stream-stream join keeps FOUR: keyToNumValues + keyWithIndexToValue,
+    * per side), and the default HDFS-backed provider pays a per-store
+    * per-batch file commit — at 32 partitions that is 32-128 synchronous
+    * commits of test-sized state per micro-batch, which dominates the
+    * drain. The state partition count is captured from
     * `spark.sql.shuffle.partitions` at query START (per checkpoint), so
     * the harness pins a small count for its fresh throwaway checkpoint
     * and restores the session conf after; the file-sink scale twins
-    * keep the session's production partitioning. */
-  private def drainJoin(s: SparkSession, mkJoined: => DataFrame): DataFrame = {
+    * keep the session's production partitioning. (r21: generalized from
+    * the join harnesses to every memory-sink oracle drain — the window/
+    * KMV/dedup/session harnesses paid the same 32-store commit tax.)
+    *
+    * Result-identical by construction: every stateful operator here is
+    * key-deterministic (per-key folds, per-window aggregates), so the
+    * emitted relation does not depend on how keys spread over state
+    * partitions. */
+  private def drainMemorySink(s: SparkSession, namePrefix: String,
+      outputMode: String)(mkStream: => DataFrame): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, "4")
     try {
-      val tableName = s"stream_join_${System.nanoTime()}"
-      val q = mkJoined.writeStream
-        .outputMode("append")
+      val tableName = s"${namePrefix}_${System.nanoTime()}"
+      val q = mkStream.writeStream
+        .outputMode(outputMode)
         .format("memory")
         .queryName(tableName)
         .start()
@@ -1404,6 +1352,9 @@ object StreamOps {
       s.table(tableName)
     } finally s.conf.set(key, prev)
   }
+
+  private def drainJoin(s: SparkSession, mkJoined: => DataFrame): DataFrame =
+    drainMemorySink(s, "stream_join", "append")(mkJoined)
 
   /** [[attributionJoinStream]] in its scale shape: append-mode parquet
     * file sink on the RocksDB state store — join state (both buffered
