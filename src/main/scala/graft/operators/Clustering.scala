@@ -287,7 +287,14 @@ object Clustering {
       .select(col("vec_id"), quantize(col("embedding")).as("fx"))
       .select(col("vec_id"), col("fx"),
         nearest(col("fx"), cents).getField("cid").as("cid"))
-    frame.write.mode("overwrite").partitionBy("cid").parquet(dir)
+    // writer parallelism = list count (r21, the store-append fix's
+    // shape): an un-pinned dynamic-partition write from a few source
+    // partitions makes each task open every cid= writer sequentially
+    // (and insert a per-task sort); the pinned repartition + cid-led
+    // local sort writes lists in parallel, one file per list per task
+    frame.repartition(cents.size, col("cid"))
+      .sortWithinPartitions("cid", "vec_id")
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
     Similarity.writeLayoutManifest(dir,
       org.apache.spark.sql.types.StructType(
         frame.schema.fields.filterNot(_.name == "cid")))

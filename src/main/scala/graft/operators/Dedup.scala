@@ -87,9 +87,13 @@ object Dedup {
         * ([[BandStore.prunedLookup]]'s round-19 contract). */
       excludeTag: Option[String] = None)
       : (DataFrame, DataFrame) = {
+    // batch hashes MATERIALIZED once (r21, the minhash twin's
+    // discipline): feeds the lookup (count + collect) and the survivor
+    // anti-join — lazy, each action re-ran the md5 pass + aggregate
     val batch = newDocs
       .select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
       .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint(true)
     val known = store.knownAmong(batch.select(col("h").as("band")),
       excludeTag)
     val survivors = batch
@@ -172,9 +176,28 @@ object Dedup {
       /** Exclude `batch=<tag>` from the landed lookup — a composed
         * streaming replay's pre-batch-state restore. */
       excludeTag: Option[String] = None): (DataFrame, DataFrame) = {
+    // signatures MATERIALIZED once (r21 — the incrementalSemanticWithStore
+    // members discipline applied to the minhash twin): the frame feeds
+    // the band aggregate (whose lookup runs a count + a collect), the
+    // drop join, and the survivor anti-join — lazy, each action re-ran
+    // the signature kernel over the batch text
     val batchSigs = minhashSignatures(
       newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
-      shingleLen, seeds)
+      shingleLen, seeds).localCheckpoint(true)
+    incrementalMinhashFromSigs(batchSigs, store, rowsPerBand, excludeTag)
+  }
+
+  /** [[incrementalMinhashWithStore]] starting from an already-
+    * MATERIALIZED signature frame `(doc_id, m1..mk)` (r21): callers that
+    * also LAND the batch's all-seen signature table (the streaming twin,
+    * [[graft.streaming.StreamOps.incrementalMinhashToFiles]]) compute
+    * the signature kernel once and share the frame between the dedup
+    * and the landing — previously the landing re-ran the kernel over
+    * the batch text. `batchSigs` must be materialized (checkpointed /
+    * landed) or the lookup-then-append ordering contract is lost. */
+  def incrementalMinhashFromSigs(batchSigs: DataFrame, store: BandStore,
+      rowsPerBand: Int = 2,
+      excludeTag: Option[String] = None): (DataFrame, DataFrame) = {
     val bBands = bandRows(batchSigs, rowsPerBand)
     val bandStats = bBands.groupBy("band")
       .agg(min(col("doc_id")).as("min_id"))

@@ -50,16 +50,18 @@ private[graft] object StoreState {
   private val logMutexes = new ConcurrentHashMap[String, Object]()
 
   /** Cached view of a `_commitlog`: the tag set, the max sequence, and
-    * the file size the cache was built against. [[logCommit]] appends
-    * O(1) through this instead of re-reading the whole log per commit
-    * (O(n²) across the appends between maintenance sweeps — the r19
-    * fix-it); the size check invalidates it against any out-of-band
-    * edit (a restore, a second process) at one stat per commit. All
-    * access under the dir's log mutex. */
+    * the file (size, mtime) the cache was built against. [[logCommit]]
+    * appends O(1) through this instead of re-reading the whole log per
+    * commit (O(n²) across the appends between maintenance sweeps — the
+    * r19 fix-it); the (size, mtime) check invalidates it against any
+    * out-of-band edit (a restore, a manual edit, a second process) at
+    * one stat per commit — size alone missed a same-byte-count rewrite
+    * (r20 ADVICE). All access under the dir's log mutex. */
   private final class LogCache(
       val tags: scala.collection.mutable.Set[String],
       var maxSeq: Long,
-      var fileSize: Long)
+      var fileSize: Long,
+      var fileMtime: Long)
   private val logCaches = new ConcurrentHashMap[String, LogCache]()
 
   private def canonical(dir: String): String =
@@ -150,6 +152,17 @@ private[graft] object StoreState {
         Files.write(tmp, s"$jvmToken\n".getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.ATOMIC_MOVE)
+        // last-writer-wins detection (r20 ADVICE): two processes can
+        // both observe the stale lease and both claim; re-reading after
+        // the move makes the loser fail fast instead of proceeding into
+        // a two-maintainer race
+        val won = try {
+          new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+            .trim == jvmToken
+        } catch { case _: java.io.IOException => false }
+        if (!won) throw new IllegalStateException(
+          s"store owner lease lost to a concurrent claimant: $p; the " +
+            "store contract is one maintaining process per directory")
     }
   }
 
@@ -170,24 +183,27 @@ private[graft] object StoreState {
     }
   }
 
-  private def logSize(dir: String): Long = {
+  private def logStat(dir: String): (Long, Long) = {
     val p = logPath(dir)
-    if (Files.exists(p)) Files.size(p) else -1L
+    if (Files.exists(p))
+      (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    else (-1L, -1L)
   }
 
   /** The dir's log cache, rebuilt from disk when absent or when the
-    * file size no longer matches (out-of-band edit). Caller holds the
-    * log mutex. */
+    * file (size, mtime) no longer matches (out-of-band edit). Caller
+    * holds the log mutex. */
   private def cacheFor(dir: String): LogCache = {
     val key = canonical(dir)
     val cached = logCaches.get(key)
-    val size = logSize(dir)
-    if (cached != null && cached.fileSize == size) cached
+    val (size, mtime) = logStat(dir)
+    if (cached != null && cached.fileSize == size &&
+        cached.fileMtime == mtime) cached
     else {
       val entries = readLog(dir)
       val fresh = new LogCache(
         scala.collection.mutable.Set(entries.map(_._2): _*),
-        (0L +: entries.map(_._1)).max, size)
+        (0L +: entries.map(_._1)).max, size, mtime)
       logCaches.put(key, fresh)
       fresh
     }
@@ -209,7 +225,9 @@ private[graft] object StoreState {
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         cache.tags += tag
         cache.maxSeq = next
-        cache.fileSize = logSize(dir)
+        val (size, mtime) = logStat(dir)
+        cache.fileSize = size
+        cache.fileMtime = mtime
       }
       ()
     }

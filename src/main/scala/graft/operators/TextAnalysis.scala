@@ -509,39 +509,19 @@ object TextAnalysis {
       s.stopwordHits >= minStopwordHits
   }
 
-  /** Gate `docs` by [[qualityPasses]]' five rules with ONE kernel
-    * evaluation per row (r21): the signal struct is PROJECTED once and
-    * the rules filter on its fields. A plain
-    * `filter(qualityPasses(text))` inlines the kernel into every rule
-    * reference, and filter codegen only partially collapses them
-    * (measured ~1.4× slower at sf0.1); the optimizer deliberately does
-    * not push a filter through a projection when the substitution
-    * would duplicate a non-trivial expression, so the projected form
-    * keeps the single evaluation. Null-text rows drop (the gate's
-    * text-not-null precondition). Schema: `docs`' columns unchanged. */
+  /** Gate `docs` by [[qualityPasses]]' five rules, dropping null-text
+    * rows (the gate's text-not-null precondition). Plan-equivalent to
+    * `filter(text.isNotNull && qualityPasses(text))` — an r21
+    * measurement note for anyone tempted to "hoist the kernel into a
+    * projection": the optimizer pushes the filter back through any
+    * signal-struct projection and re-inlines the kernel references, so
+    * the executed plan (and, measured at sf0.1, the runtime — codegen
+    * subexpression elimination collapses the references) is identical
+    * either way. One shared definition so call sites cannot drift. */
   def gateByQuality(docs: DataFrame, textCol: String = "text",
-      minTokens: Long = 10L, maxTokens: Long = 100000L,
-      minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
-      maxSymbolRatio: Double = 0.25, minDistinctRatio: Double = 0.3,
-      minStopwordHits: Long = 1L,
-      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
-    val cols = docs.columns.toSeq
-    val nTok = col("_gate_sig.n_tokens")
-    def ratio(f: String): Column =
-      when(nTok === 0L, lit(0.0))
-        .otherwise(col(s"_gate_sig.$f").cast("double") /
-          nTok.cast("double"))
-    docs.filter(col(textCol).isNotNull)
-      .withColumn("_gate_sig",
-        graft.functions.QualitySignalsExpr(col(textCol), stopwords))
-      .filter(nTok >= minTokens && nTok <= maxTokens &&
-        ratio("n_chars") >= minMeanTokLen &&
-        ratio("n_chars") <= maxMeanTokLen &&
-        ratio("n_sym") <= maxSymbolRatio &&
-        ratio("n_distinct") >= minDistinctRatio &&
-        col("_gate_sig.n_stop") >= minStopwordHits)
-      .select(cols.map(col): _*)
-  }
+      stopwords: Seq[String] = DefaultStopwords): DataFrame =
+    docs.filter(col(textCol).isNotNull &&
+      qualityPasses(col(textCol), stopwords = stopwords))
 
   def qualityGate(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",

@@ -474,12 +474,15 @@ object StreamOps {
           store.hasBatch(tag) && batchExists(sigDir, tag)
         if (!fullReplay) {
           val docs = transform(batch.select(col("doc_id"), col("text")))
+          // ONE signature-kernel pass per batch (r21): the dedup and
+          // the all-seen signature landing share the materialized frame
+          val sigs = graft.operators.Dedup.minhashSignatures(docs,
+            8, graft.operators.Dedup.DefaultSeeds).localCheckpoint(true)
           val (survivors, newBands) = graft.operators.Dedup
-            .incrementalMinhashWithStore(docs, store)
+            .incrementalMinhashFromSigs(sigs, store)
           atomicBatchWrite(survivors, outDir, tag)
           store.append(newBands, tag)
-          atomicBatchWrite(graft.operators.Dedup.minhashSignatures(docs,
-            8, graft.operators.Dedup.DefaultSeeds), sigDir, tag)
+          atomicBatchWrite(sigs, sigDir, tag)
         }
         if (maintainAtBatches >= 2)
           store.maintenanceTask(maintainAtBatches, retainBatches)()
