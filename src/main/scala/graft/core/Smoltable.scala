@@ -766,6 +766,24 @@ final class Smoltable private (
       // the current manifest). Serialized construction + execution means
       // no lost updates between concurrent mutations.
       val arranged = numPartitions match {
+        // n == 1 ("one ~targetBytes file per partition dir"): range
+        // partitioning into one partition is a no-op, but
+        // repartitionByRange(1, ...) still pays a boundary-SAMPLING
+        // pass that executes the whole survivors plan (scan + LWW
+        // window) a SECOND time, and its single output task then
+        // writes every lg/bucket dir serially (r21, measured: compact
+        // 2.6 s vs 0.8 s for one read+LWW pass at the test table
+        // size). Cross-dir global order is irrelevant — the write
+        // splits by the partition dirs anyway — so hash-repartition by
+        // the partition columns (spread over enough partitions that
+        // distinct (lg, bucket) values rarely collide) and sort
+        // locally: ONE pass, writers parallel across dirs, still one
+        // sorted file per dir.
+        case Some(1) =>
+          val pcols = partitionCols(m).map(col)
+          val dirs = (1 + m.localityGroups.size) * math.max(1, m.buckets)
+          survivors().repartition(4 * dirs, pcols: _*)
+            .sortWithinPartitions(sortCols: _*)
         case Some(n) => survivors().repartitionByRange(n, sortCols: _*)
           .sortWithinPartitions(sortCols: _*)
         case None => survivors().sortWithinPartitions(sortCols: _*)
