@@ -343,6 +343,18 @@ class MaintenanceSpec extends SparkSuite {
       // scans still work over the compacted layout
       val scan = t.scan(ScanInput(ScanMode.Prefix("row0")))
       assert(scan.rows.size == 8)
+
+      // r21: the rewrite's files are genuinely row-key-sorted WITHIN
+      // each file (the min/max row-group-skipping property) — the
+      // parts==1 hash-by-dir write must keep the local sort
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      val perFile = t.allCells
+        .select(input_file_name().as("_f"), col("row_key"))
+        .collect().groupBy(_.getString(0))
+        .map { case (f, rs) => f -> rs.map(_.getString(1)).toSeq }
+      perFile.foreach { case (f, keys) =>
+        assert(keys == keys.sorted, s"file $f not row-key-sorted")
+      }
     }
   }
 }
