@@ -228,9 +228,14 @@ final class BandStore private (
         StructType(Seq(StructField("band", StringType))))
     val b = batchBands.select(col("band")).distinct()
       .withColumn("bp", bucketOf(col("band")))
-    val n = b.count()
-    if (n <= pushdownBandLimit) {
-      val rows = b.collect()
+    // ONE action decides the tier AND fetches tier-1's values (r21;
+    // was a count + a separate collect — two jobs per lookup on the
+    // hot path): collect up to limit+1 rows; fewer than that means the
+    // exact tier-1 row set is already in hand, more means tier 2/3,
+    // where only the bucket set is needed (bounded by nBuckets)
+    val probe = b.limit(pushdownBandLimit + 1).collect()
+    if (probe.length <= pushdownBandLimit) {
+      val rows = probe
       val bps = rows.map(_.getLong(1)).distinct.toSeq
       val bands = rows.map(_.getString(0)).toSeq
       // read on the session CLONE whose In-pushdown threshold is raised
@@ -242,7 +247,7 @@ final class BandStore private (
         .filter(col("bp").isin(bps: _*))
         .filter(col("band").isInCollection(bands))
         .select(col("band")).distinct()
-    } else if (n <= broadcastBandLimit) {
+    } else if (b.count() <= broadcastBandLimit) {
       val bps = b.select(col("bp")).distinct()
         .collect().map(_.getLong(0)).toSeq // bounded by nBuckets
       readOn(lookupSession, excludeBatch)

@@ -148,16 +148,18 @@ final class ClusterVecStore private (
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
     val k = batchKeys.select(col("ck")).distinct()
       .withColumn("bp", bucketOf(col("ck")))
-    val n = k.count()
-    if (n <= pushdownKeyLimit) {
-      val rows = k.collect()
+    // ONE action decides the tier AND fetches tier-1's values (r21 —
+    // see BandStore.prunedLookup)
+    val probe = k.limit(pushdownKeyLimit + 1).collect()
+    if (probe.length <= pushdownKeyLimit) {
+      val rows = probe
       val bps = rows.map(_.getLong(1)).distinct.toSeq
       val cks = rows.map(_.getString(0)).toSeq
       readOn(lookupSession, excludeBatch)
         .filter(col("bp").isin(bps: _*))
         .filter(col("ck").isInCollection(cks))
         .select(col("ck"), col("vec_id"), col("fx"))
-    } else if (n <= broadcastKeyLimit) {
+    } else if (k.count() <= broadcastKeyLimit) {
       val bps = k.select(col("bp")).distinct()
         .collect().map(_.getLong(0)).toSeq // bounded by nBuckets
       readOn(lookupSession, excludeBatch)
