@@ -537,12 +537,11 @@ object SparkEntry {
       graft.operators.IvfVersions.driftRetrainTask(root,
         recentBatch = () => batch, corpus = () => e,
         meanD2Threshold = 0L,
-        onRetrain = v => {
-          cut = v
-          graft.operators.Clustering.rekeyStore(store,
-            graft.operators.IvfVersions.currentDir(root))
-          ()
-        })()
+        onRetrain = v => cut = v,
+        // pointer publish + re-key as ONE store-write-locked unit
+        // (r21 — the r20 ADVICE cutover race)
+        cutover = graft.operators.Clustering
+          .rekeyStoreOnCutover(store, root))()
       require(cut == 1L, s"drift must trip the retrain, got $cut")
       java.nio.file.Files.createFile(
         java.nio.file.Paths.get(tmp, "_SUCCESS"))
@@ -1654,12 +1653,11 @@ object SparkEntry {
       val task = graft.operators.IvfVersions.driftRetrainTask(root,
         recentBatch = () => plantedEmb, corpus = () => plantedEmb,
         meanD2Threshold = 0L,
-        onRetrain = _ => {
-          graft.operators.Clustering.rekeyStore(
-            graft.operators.ClusterVecStore.open(s, s"$stateDir/vecs"),
-            graft.operators.IvfVersions.currentDir(root))
-          ()
-        })
+        // pointer publish + re-key as ONE store-write-locked unit
+        // (r21 — the r20 ADVICE cutover race)
+        cutover = graft.operators.Clustering.rekeyStoreOnCutover(
+          graft.operators.ClusterVecStore.open(s, s"$stateDir/vecs"),
+          root))
       graft.streaming.StreamOps.curateToFiles(s, dir,
         plantedEmb, root, stateDir, outDir,
         graft.core.Smoltable.scratchDir("graft_caud_ck_"),
@@ -1860,12 +1858,11 @@ object SparkEntry {
       val task = graft.operators.IvfVersions.driftRetrainTask(root,
         recentBatch = () => e.filter(col("vec_id") >= b1lo),
         corpus = () => e, meanD2Threshold = 0L,
-        onRetrain = _ => {
-          graft.operators.Clustering.rekeyStore(
-            graft.operators.ClusterVecStore.open(s, storeDir),
-            graft.operators.IvfVersions.currentDir(root))
-          ()
-        })
+        // pointer publish + re-key as ONE store-write-locked unit
+        // (r21 — the r20 ADVICE cutover race): a concurrent batch can
+        // never resolve the new layout against the old-keyed store
+        cutover = graft.operators.Clustering.rekeyStoreOnCutover(
+          graft.operators.ClusterVecStore.open(s, storeDir), root))
       graft.streaming.StreamOps.incrementalSemanticToFiles(s, inDir,
         root, e.filter(col("vec_id") < split), storeDir,
         graft.core.Smoltable.scratchDir("graft_ssrt_out_"),

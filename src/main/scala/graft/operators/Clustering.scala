@@ -698,6 +698,23 @@ object Clustering {
     }
   }
 
+  /** The ATOMIC pointer-publish + re-key cutover for a store whose
+    * bucket keys derive from a versioned layout's centroids (round 21 —
+    * the r20 ADVICE race): pass as `cutover` to
+    * [[IvfVersions.retrain]]/[[IvfVersions.driftRetrainTask]]. The
+    * pointer swap and the [[rekeyStore]] rewrite run in ONE span of the
+    * store's WRITE lock, so a micro-batch holding the store's read lock
+    * across resolve→assign→append can never observe the new pointer
+    * against the old keys (or vice versa). The store's write lock is
+    * reentrant for the rewrite inside. */
+  def rekeyStoreOnCutover(store: ClusterVecStore,
+      root: String): (Long, () => Unit) => Unit =
+    (_, swap) => StoreState.withWrite(store.dir) {
+      swap()
+      rekeyStore(store, IvfVersions.currentDir(root))
+      ()
+    }
+
   /** ASSIGNMENT-DRIFT telemetry for a frozen-centroid layout (round
     * 18): per-cluster count / exact inertia / max squared distance of
     * a NEW batch assigned from the persisted sidecar — the signal that

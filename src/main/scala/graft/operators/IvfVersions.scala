@@ -98,21 +98,44 @@ object IvfVersions {
     * (in-process write lock, the [[StoreState]] discipline): two
     * concurrent drift sweeps would otherwise both derive `v=prev+1`
     * and race the same build directory. Probes never take the lock —
-    * they read the pointer and immutable version dirs. */
+    * they read the pointer and immutable version dirs.
+    *
+    * `cutover` (round 21 — the r20 ADVICE race): publishing the pointer
+    * and migrating pointer-DEPENDENT state (a member store whose bucket
+    * keys are a function of the centroids —
+    * [[Clustering.rekeyStore]]) are one logical cutover, but the
+    * default publish and a re-key run in SEPARATE critical sections: a
+    * micro-batch acquiring the store's READ lock between them resolves
+    * the NEW layout against the still-OLD-keyed store — landed
+    * membership silently probe-invisible for that batch. Callers with
+    * dependent state pass a `cutover(next, swap)` that wraps
+    * `swap()` + the migration in ONE span of the dependent store's
+    * WRITE lock (see [[Clustering.rekeyStoreOnCutover]]); batches hold
+    * the store's read lock across resolve→assign→append, so they see
+    * old-pointer+old-keys XOR new-pointer+re-keyed — never the half
+    * state. The callback runs under the ROOT write lock (lock order is
+    * always root → store; batches take only the store lock, so no
+    * cycle) and MUST invoke `swap` exactly once — verified after it
+    * returns. */
   def retrain(corpus: DataFrame, root: String, stride: Long = 100L,
-      iters: Int = 2): Long = StoreState.withWrite(root) {
-    val prev = currentVersion(root).getOrElse(
-      throw new IllegalStateException(s"retrain before init: $root"))
-    val next = prev + 1L
-    Clustering.writeKmeansIvfLayout(corpus, versionDir(root, next),
-      stride, iters)
-    writePointer(root, next)
-    // one-generation grace: keep v=prev for in-flight probes, delete
-    // everything older (and any stale build debris below prev)
-    listVersions(root).filter(_ < prev)
-      .foreach(v => deleteTree(Paths.get(versionDir(root, v))))
-    next
-  }
+      iters: Int = 2,
+      cutover: (Long, () => Unit) => Unit = (_, swap) => swap()): Long =
+    StoreState.withWrite(root) {
+      val prev = currentVersion(root).getOrElse(
+        throw new IllegalStateException(s"retrain before init: $root"))
+      val next = prev + 1L
+      Clustering.writeKmeansIvfLayout(corpus, versionDir(root, next),
+        stride, iters)
+      cutover(next, () => writePointer(root, next))
+      require(currentVersion(root).contains(next),
+        s"cutover callback did not publish v=$next under $root — it " +
+          "must invoke the supplied swap exactly once")
+      // one-generation grace: keep v=prev for in-flight probes, delete
+      // everything older (and any stale build debris below prev)
+      listVersions(root).filter(_ < prev)
+        .foreach(v => deleteTree(Paths.get(versionDir(root, v))))
+      next
+    }
 
   /** Append new vectors to the CURRENT version (frozen-sidecar
     * assignment, atomic manifest extension — the r18 append path,
@@ -164,12 +187,16 @@ object IvfVersions {
   def driftRetrainTask(root: String, recentBatch: () => DataFrame,
       corpus: () => DataFrame, meanD2Threshold: Long,
       stride: Long = 100L, iters: Int = 2,
-      onRetrain: Long => Unit = _ => ()): () => Unit = {
+      onRetrain: Long => Unit = _ => (),
+      /** Atomic pointer-publish + dependent-state migration — see
+        * [[retrain]]. Default: plain publish (no dependent state). */
+      cutover: (Long, () => Unit) => Unit = (_, swap) => swap())
+      : () => Unit = {
     require(meanD2Threshold >= 0, s"threshold: $meanD2Threshold")
     () => {
       meanDrift(recentBatch(), root).foreach { case (inertia, n) =>
         if (inertia > meanD2Threshold * n)
-          onRetrain(retrain(corpus(), root, stride, iters))
+          onRetrain(retrain(corpus(), root, stride, iters, cutover))
       }
       ()
     }

@@ -79,6 +79,61 @@ class StoreLayoutSpec extends SparkSuite {
     }
   }
 
+  test("rekeyStoreOnCutover: pointer publish and re-key are ONE unit " +
+      "w.r.t. store readers (a reader released mid-cutover blocks and " +
+      "then sees new pointer + re-keyed store, never the half state)") {
+    withTempDir { tmp =>
+      import org.apache.spark.sql.functions.col
+      val e = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val root = s"$tmp/root"
+      IvfVersions.init(e.filter(col("vec_id") < 250), root)
+      val store = ClusterVecStore.open(spark, s"$tmp/store")
+      val (_, init) = Clustering.incrementalSemanticWithStore(
+        e.filter(col("vec_id") < 250),
+        IvfVersions.currentDir(root), store, 1000L)
+      store.append(init, "init")
+      def rekeyedDirExists: Boolean = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(store.dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.exists(
+            _.getFileName.toString.startsWith("batch=rekeyed"))
+        } finally s.close()
+      }
+      // release the reader EXACTLY between the pointer swap and the
+      // re-key; without the single write-locked span it would observe
+      // (v=1, old keys) — the silent half-cutover the r20 ADVICE flagged
+      val swapped = new java.util.concurrent.CountDownLatch(1)
+      val observed =
+        new java.util.concurrent.atomic.AtomicReference[(Long, Boolean)]
+      val reader = new Thread(() => {
+        swapped.await()
+        StoreState.withRead(store.dir) {
+          observed.set((IvfVersions.currentVersion(root).get,
+            rekeyedDirExists))
+        }
+      })
+      reader.start()
+      IvfVersions.retrain(e, root, cutover = (_, swap) =>
+        StoreState.withWrite(store.dir) {
+          swap()
+          swapped.countDown()
+          Thread.sleep(400) // hold the half-state window open
+          Clustering.rekeyStore(store, IvfVersions.currentDir(root))
+          ()
+        })
+      reader.join(30000)
+      assert(!reader.isAlive, "reader never completed")
+      val (v, rekeyed) = observed.get
+      assert(v == 1L, s"reader resolved v=$v, expected the new pointer")
+      assert(rekeyed,
+        "reader observed the new pointer against the OLD-keyed store — " +
+          "the cutover was not atomic w.r.t. store readers")
+    }
+  }
+
   test("imageNearDupPairs: a clique past the salt threshold emits " +
       "exactly the plain-path pair set (count + spot membership)") {
     import spark.implicits._
