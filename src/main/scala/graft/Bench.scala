@@ -117,8 +117,25 @@ object Bench {
     val bootId = readFirstLine("/proc/sys/kernel/random/boot_id")
     val uptimeSec = readFirstLine("/proc/uptime").split(" ").headOption
       .flatMap(_.toDoubleOption).getOrElse(-1.0)
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson,"boot_id":"${esc(bootId)}","uptime_sec":$uptimeSec%.0f}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson,"boot_id":"${esc(bootId)}","uptime_sec":$uptimeSec%.0f}"""
+    // The bare println below is the original driver contract and stays
+    // LAST on stdout, unchanged. Every recorded round's BENCH_*.json has
+    // `parsed: null` (the line competes with sbt noise and the recorder's
+    // 2000-char tail truncation clips its head), so ALSO (additions only):
+    //  - write the identical JSON to deterministic files a consumer can
+    //    read without parsing stdout at all;
+    //  - print a sentinel-prefixed copy first, so a grep for a stable
+    //    token recovers the full line from any log capture.
+    def writeQuietly(path: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(path, "UTF-8")
+        try w.println(line) finally w.close()
+      } catch { case _: Throwable => () }
+    writeQuietly("/tmp/graft_bench_last.json")
+    writeQuietly("bench_out.json")
+    println(s"BENCH_JSON $line")
+    println(line)
     spark.stop()
   }
 }

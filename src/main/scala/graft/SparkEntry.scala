@@ -38,28 +38,63 @@ object SparkEntry {
 
   /** 5 cells per order; mirrors ORDER_CELLS_SQL exactly.
     *
-    * ONE scan + an inline generator (r21; was a 5-way `unionAll`, i.e.
-    * five scans of the same parquet per query — every `op*` row paid
-    * 5× the scan/task overhead for the identical cell multiset). The
-    * generator is codegen-friendly and the emitted rows are
-    * field-for-field the old union's, so the oracle relation is
-    * unchanged. */
-  private def orderCells(s: SparkSession, dir: String): DataFrame = {
+    * ONE scan + a generator (r21; was a 5-way `unionAll`, i.e. five scans
+    * of the same parquet per query — every `op*` row paid 5× the
+    * scan/task overhead for the identical cell multiset). The generator
+    * is codegen-friendly and the emitted rows are field-for-field the old
+    * union's, so the oracle relation is unchanged.
+    *
+    * r22: `explode(array(struct…))` + per-field extraction instead of
+    * `inline` — `GeneratorNestedColumnAliasing` prunes unused struct
+    * fields through `explode` (it cannot through `inline`), so a
+    * count-shaped consumer that never touches `vs`/`vd` narrows the scan
+    * back to `ReadSchema: struct<o_orderkey:bigint>` (the r21 inline form
+    * read all six order columns for every consumer — op10/op18 regressed). */
+  private def orderCells(s: SparkSession, dir: String): DataFrame =
+    orderCellsEntries(s, dir, (_, _) => true)
+
+  /** [[orderCells]] restricted to the (family, qualifier) entries a query
+    * with a LITERAL family/qualifier predicate can keep — the predicate
+    * pushed BEFORE the generator, which Catalyst cannot do through
+    * `explode` on its own. Callers keep the original post-generator
+    * `.filter` too (it constant-folds on the literal entry columns), so
+    * the emitted relation provably equals `orderCells(...).filter(...)`.
+    *
+    * Shape: the exploded struct carries ONLY the entry tag (index +
+    * family/qualifier literals — a foldable constant array, no source
+    * columns inside the generator), and `vs`/`vd` are tag-dispatched
+    * CASE projections ABOVE the Generate. Catalyst cannot prune
+    * expressions inside a generator argument (r21's `inline` form read
+    * all six order columns for every consumer), but it prunes ordinary
+    * Project columns fine — a count-shaped consumer that never touches
+    * `vs`/`vd` now scans `struct<o_orderkey:bigint>` alone. */
+  private def orderCellsEntries(s: SparkSession, dir: String,
+      keep: (String, String) => Boolean): DataFrame = {
     val o = orders(s, dir)
-    def entry(fam: String, qual: String, vs: Column, vd: Column) =
-      struct(lit(fam).as("family"), lit(qual).as("qualifier"),
-        vs.cast("string").as("vs"), vd.cast("double").as("vd"))
-    o.select(
-        rk10(col("o_orderkey")).as("row_key"),
-        inline(array(
-          entry("o", "status", col("o_orderstatus"), lit(null)),
-          entry("o", "priority", col("o_orderpriority"), lit(null)),
-          entry("o", "custkey", col("o_custkey").cast("string"), lit(null)),
-          entry("m", "total", lit(null), col("o_totalprice")),
-          entry("m", "date",
-            date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(null)))))
-      .select(col("row_key"), col("family"), col("qualifier"),
-        lit(0L).as("ts"), col("vs"), col("vd"))
+    val entries = Seq[(String, String, Column, Column)](
+      ("o", "status", col("o_orderstatus"), lit(null)),
+      ("o", "priority", col("o_orderpriority"), lit(null)),
+      ("o", "custkey", col("o_custkey").cast("string"), lit(null)),
+      ("m", "total", lit(null), col("o_totalprice")),
+      ("m", "date",
+        date_format(col("o_orderdate"), "yyyy-MM-dd"), lit(null)))
+      .filter { case (f, q, _, _) => keep(f, q) }
+    val tags = entries.zipWithIndex.map { case ((f, q, _, _), i) =>
+      struct(lit(i).as("i"), lit(f).as("family"), lit(q).as("qualifier"))
+    }
+    def dispatch(pick: ((String, String, Column, Column)) => Column,
+        tpe: String): Column =
+      entries.zipWithIndex.foldLeft(lit(null).cast(tpe)) {
+        case (acc, (e, i)) =>
+          when(col("c.i") === i, pick(e).cast(tpe)).otherwise(acc)
+      }
+    o.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), explode(array(tags: _*)).as("c"))
+      .select(rk10(col("o_orderkey")).as("row_key"),
+        col("c.family").as("family"), col("c.qualifier").as("qualifier"),
+        lit(0L).as("ts"), dispatch(_._3, "string").as("vs"),
+        dispatch(_._4, "double").as("vd"))
   }
 
   private val OrderCellsSql =
@@ -755,8 +790,12 @@ object SparkEntry {
         .orderBy(CellOps.keyOrder: _*)),
 
     // ---- #10 chunked/columnar read: projection-only scan -------------
+    // literal (family, qualifier) predicate → entry-pruned view: the
+    // generator emits ONLY the matching entry, so the scan reads
+    // o_orderkey + o_orderstatus instead of all six columns (r22; the
+    // filter below is kept and constant-folds on the literal entry).
     "op10_projection_scan" -> ((s, dir) =>
-      orderCells(s, dir)
+      orderCellsEntries(s, dir, (f, q) => f == "o" && q == "status")
         .filter(col("family") === "o" && col("qualifier") === "status")
         .select(col("row_key"), col("vs"))),
 
