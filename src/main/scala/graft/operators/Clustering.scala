@@ -270,7 +270,12 @@ object Clustering {
     fxDf.cache()
     try {
       val cents = train(fxDf, stride, iters, maxCentroids)
-      writeKmeansIvfLayoutFrozen(emb, dir, cents)
+      // r22: assign/write from the SAME cached fx frame the trainer
+      // just used — routing through the emb-shaped entry point here
+      // re-read the source and re-ran the quantize kernel over the
+      // whole corpus for a frame the cache already holds (one full
+      // uncached pass per layout build/retrain, §5 reuse)
+      writeKmeansIvfLayoutFrozenFx(fxDf, dir, cents)
     } finally fxDf.unpersist(blocking = false)
   }
 
@@ -282,9 +287,17 @@ object Clustering {
     * (same centroids in, same assignment kernel, same layout —
     * ClusteringSpec pins it). */
   private[graft] def writeKmeansIvfLayoutFrozen(emb: DataFrame,
+      dir: String, cents: Seq[(Long, Array[Long])]): Unit =
+    writeKmeansIvfLayoutFrozenFx(emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("fx")),
+      dir, cents)
+
+  /** [[writeKmeansIvfLayoutFrozen]] over an ALREADY-QUANTIZED
+    * `(vec_id, fx)` frame — the trainer hands its cached fx frame
+    * straight to the layout write (r22). */
+  private def writeKmeansIvfLayoutFrozenFx(fxDf: DataFrame,
       dir: String, cents: Seq[(Long, Array[Long])]): Unit = {
-    val frame = emb.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), quantize(col("embedding")).as("fx"))
+    val frame = fxDf
       .select(col("vec_id"), col("fx"),
         nearest(col("fx"), cents).getField("cid").as("cid"))
     // writer parallelism = list count (r21, the store-append fix's
