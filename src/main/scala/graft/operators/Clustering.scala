@@ -644,12 +644,17 @@ object Clustering {
       .localCheckpoint(true)
     val landed = store.landedAmong(m.select("ck"), excludeTag) // materialized
     // one cap rule over the UNION bucket size (landed + batch): an
-    // over-cap bucket generates no candidates from either join
-    val okBuckets = m.groupBy("ck").agg(count(lit(1)).as("_bn"))
-      .join(landed.groupBy("ck").agg(count(lit(1)).as("_ln")),
-        Seq("ck"), "left")
-      .filter(col("_bn") + coalesce(col("_ln"), lit(0L))
-        <= maxBucketSize)
+    // over-cap bucket generates no candidates from either join.
+    // ONE aggregate over the concatenated key streams (r22, §2.4) —
+    // the two per-side counts + outer join it replaces cost two
+    // exchanges and a join stage per consuming action for the same
+    // per-ck total (landed is already restricted to the batch's cks,
+    // so union count ≡ batch count + landed count, with absent landed
+    // contributing the old coalesce(0)).
+    val okBuckets = m.select(col("ck"))
+      .unionAll(landed.select(col("ck")))
+      .groupBy("ck").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucketSize)
       .select("ck")
     val mOk = m.join(okBuckets, Seq("ck"), "left_semi")
     val dropVsLanded = mOk.select(col("ck"), col("vec_id"), col("fx"))

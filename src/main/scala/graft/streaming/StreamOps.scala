@@ -837,22 +837,42 @@ object StreamOps {
             labeled(s, s"curate[$tag]: commit survivors") {
               atomicBatchWrite(out, outDir, tag)
             }
-            labeled(s, s"curate[$tag]: append hashes") {
-              exact.append(newHashes, tag)
-            }
-            labeled(s, s"curate[$tag]: append bands") {
-              bandSt.append(newBands, tag)
-            }
-            labeled(s, s"curate[$tag]: append members") {
-              vecSt.append(members, tag)
+            // the three appends are INDEPENDENT jobs on three store dirs
+            // (order among them never mattered — replay requires all
+            // three, any committed subset after a crash is tolerated
+            // exactly as under the old sequential order), so overlap
+            // them (guide §2.6): wall cost = the slowest append, not
+            // the sum. The members append stays on THIS thread — it
+            // must run under the batch's already-held vecSt read lock
+            // (a helper thread re-acquiring it could deadlock behind a
+            // queued writer); the other two stores' locks are not held
+            // here, so their appends take them fresh on pool threads.
+            overlapped(s,
+              Seq(s"curate[$tag]: append hashes" ->
+                  (() => { exact.append(newHashes, tag); () }),
+                s"curate[$tag]: append bands" ->
+                  (() => { bandSt.append(newBands, tag); () }))) {
+              labeled(s, s"curate[$tag]: append members") {
+                vecSt.append(members, tag)
+              }
             }
           }
         }
-        if (maintainAtBatches >= 2) labeled(s, s"curate[$tag]: maintenance") {
-          exact.maintenanceTask(maintainAtBatches, retainBatches)()
-          bandSt.maintenanceTask(maintainAtBatches, retainBatches)()
-          vecSt.maintenanceTask(maintainAtBatches, retainBatches)()
-        }
+        // three independent store dirs, no lock held at this point —
+        // overlap the sweeps the same way (each takes only its own
+        // store's write lock on its own thread)
+        if (maintainAtBatches >= 2)
+          overlapped(s,
+            Seq(s"curate[$tag]: maintenance hashes" ->
+                (() => exact.maintenanceTask(
+                  maintainAtBatches, retainBatches)()),
+              s"curate[$tag]: maintenance bands" ->
+                (() => bandSt.maintenanceTask(
+                  maintainAtBatches, retainBatches)()))) {
+            labeled(s, s"curate[$tag]: maintenance members") {
+              vecSt.maintenanceTask(maintainAtBatches, retainBatches)()
+            }
+          }
         afterBatch(batchId)
         ()
       }
@@ -877,6 +897,46 @@ object StreamOps {
   private def batchExists(baseDir: String, tag: String): Boolean =
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(baseDir, s"batch=$tag"))
+
+  /** Run the `side` thunks on helper threads while `main` runs on the
+    * calling thread, then join (guide §2.6 "overlap independent jobs"):
+    * Spark schedules concurrent actions fine, and a tail of small
+    * store-commit jobs otherwise serializes on the driver. Each side
+    * task labels its own jobs (job descriptions are thread-local).
+    * CALLER CONTRACT: side tasks must not need a lock the calling
+    * thread already holds — a helper thread re-acquiring a read lock
+    * can queue behind a waiting writer and deadlock; keep such work in
+    * `main`. The first failure (either side) propagates after all
+    * complete. */
+  private def overlapped[T](s: SparkSession,
+      side: Seq[(String, () => Unit)])(main: => T): T = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, side.size))
+    try {
+      val futs = side.map { case (desc, f) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = labeled(s, desc)(f())
+        })
+      }
+      // always join the side tasks — even when main fails — so no
+      // store write is still in flight when the batch unwinds
+      var mainErr: Throwable = null
+      val r = try Some(main) catch {
+        case e: Throwable => mainErr = e; None
+      }
+      var sideErr: Throwable = null
+      futs.foreach { fu =>
+        try fu.get() catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (sideErr == null) sideErr = e.getCause
+          case e: Throwable => if (sideErr == null) sideErr = e
+        }
+      }
+      if (mainErr != null) throw mainErr
+      if (sideErr != null) throw sideErr
+      r.get
+    } finally pool.shutdown()
+  }
 
   /** Run `f` with a thread-local Spark job description (guide §1.5 "label
     * your jobs"): every job an operator phase triggers shows the phase
