@@ -307,9 +307,16 @@ final class BandStore private (
         // dynamic-partition writer's required ordering is already
         // satisfied — no inserted (non-stable) sort that could scramble
         // the documented within-file band order
-        bands.select(col("band")).distinct()
+        // dedup AFTER the bucket shuffle (r22, §2.4): bp = f(band), so
+        // bp-partitioned data co-locates every copy of a band and the
+        // (bp, band) dedup needs no exchange of its own — the old
+        // distinct-then-repartition shape paid a second full exchange
+        // (by band, then by bp) for the same unique set, and always
+        // shuffles at least as many bytes (dups + uniques vs dups)
+        bands.select(col("band"))
           .withColumn("bp", bucketOf(col("band")))
           .repartition(nBuckets, col("bp"))
+          .dropDuplicates("bp", "band")
           .sortWithinPartitions("bp", "band")
           .write.mode("overwrite").partitionBy("bp").parquet(stage.toString)
         try {
@@ -348,9 +355,11 @@ final class BandStore private (
       else {
         require(!Files.exists(storePath.resolve(s"batch=$tag")),
           s"compaction tag already landed: $tag")
-        val all = read().select(col("band")).distinct()
+        // same one-exchange dedup shape as append (bp = f(band))
+        val all = read().select(col("band"))
           .withColumn("bp", bucketOf(col("band")))
           .repartition(nBuckets, col("bp"))
+          .dropDuplicates("bp", "band")
           .sortWithinPartitions("bp", "band")
         val tmp = Files.createTempDirectory(storePath, s".tmp_$tag-")
         val stage = tmp.resolve("stage")

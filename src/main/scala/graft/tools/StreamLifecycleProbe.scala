@@ -17,10 +17,26 @@ object StreamLifecycleProbe {
         "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Seq(4, 8, 16, 4, 8, 16).zipWithIndex.foreach { case (parts, i) =>
+    // r22: also A/B the state-store provider for the throwaway
+    // memory-sink drains (VERDICT item 8) — "rocksdb" entries run the
+    // identical join on RocksDBStateStoreProvider
+    val grid: Seq[(Int, String)] =
+      if (args.contains("providers"))
+        Seq((4, "hdfs"), (4, "rocksdb"), (4, "hdfs"), (4, "rocksdb"),
+          (4, "hdfs"), (4, "rocksdb"))
+      else if (args.contains("lowparts"))
+        Seq(1, 2, 4, 1, 2, 4, 1, 2, 4).map((_, "hdfs"))
+      else Seq(4, 8, 16, 4, 8, 16).map((_, "hdfs"))
+    grid.zipWithIndex.foreach { case ((parts, provider), i) =>
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
       spark.conf.set(key, parts.toString)
+      val pKey = "spark.sql.streaming.stateStore.providerClass"
+      val pPrev = spark.conf.getOption(pKey)
+      if (provider == "rocksdb")
+        spark.conf.set(pKey,
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
       val t0 = System.nanoTime()
       val ev = {
         import graft.sources.EventsSource
@@ -51,7 +67,11 @@ object StreamLifecycleProbe {
       q.stop()
       val t3 = System.nanoTime()
       spark.conf.set(key, prev)
-      println(f"run $i parts=$parts: start=${(t1 - t0) / 1e9}%.3f drain=${(t2 - t1) / 1e9}%.3f stop=${(t3 - t2) / 1e9}%.3f")
+      pPrev match {
+        case Some(v) => spark.conf.set(pKey, v)
+        case None    => spark.conf.unset(pKey)
+      }
+      println(f"run $i parts=$parts provider=$provider: start=${(t1 - t0) / 1e9}%.3f drain=${(t2 - t1) / 1e9}%.3f stop=${(t3 - t2) / 1e9}%.3f")
       q.recentProgress.foreach { p =>
         println(s"  batch ${p.batchId}: rows=${p.numInputRows} " +
           s"durations=${p.durationMs}")
