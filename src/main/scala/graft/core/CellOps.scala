@@ -151,17 +151,34 @@ object CellOps {
     var df = cells.filter(modePredicate(in.mode))
     in.filter.foreach(f => df = df.filter(filterPredicate(f)))
 
+    val needRowRank = in.sample.exists(_ < 1.0f) || in.rowOffset.exists(_ > 0)
+    val needColRank = in.columnCellLimit.isDefined || in.rowCellLimit.isDefined
+    // ONE explicit row_key exchange when BOTH limit windows will run
+    // (r22, §2.4 — the engine-verb shape, where every omitted limit
+    // defaults to 65535 so both are always set): left implicit, the
+    // (row_key, family, qualifier) version-limit window and the row_key
+    // cell-limit window plan one exchange EACH over the full cell width
+    // (the wider hash does not satisfy the narrower clustering, and vice
+    // versa); row_key hash-clustering satisfies both. Deliberately NOT
+    // applied to single-window or rank-only scans: there the natural
+    // plan already has at most one cell-width exchange, and the rank
+    // frames re-derive through column-pruned (row_key-only) scans that
+    // are cheaper than sharing a full-width shuffle.
+    if (in.columnCellLimit.isDefined && in.rowCellLimit.isDefined)
+      df = df.repartition(col("row_key"))
+
     // 3. sampling + offset: global rank over distinct row keys, joined back
     //    (the rank frame is orders of magnitude smaller than the cells; the
     //    join strategy is left to AQE — broadcast when it fits, shuffle
     //    otherwise). With `perCellDiffusion` the rank is replaced by the
     //    reference's sequential per-cell acceptance simulation.
-    val needRowRank = in.sample.exists(_ < 1.0f) || in.rowOffset.exists(_ > 0)
     if (needRowRank && in.perCellDiffusion) {
       val visitW = Window.partitionBy("row_key")
         .orderBy(col("family").asc, col("qualifier").asc, col("ts").desc)
-      df = df.withColumn("_visit_pos", row_number().over(visitW).cast("long"))
-      val acc = perCellAcceptance(df, in)
+      val parted = df
+      df = parted
+        .withColumn("_visit_pos", row_number().over(visitW).cast("long"))
+      val acc = perCellAcceptance(parted, in)
       df = df.join(acc, Seq("row_key"))
       // qual_rows = the reference's rows_scanned_count: per-row tick totals
       // from the acceptance fold, summed once per row (at its first cell).
@@ -203,7 +220,6 @@ object CellOps {
     // 4. per-column version limit (newest first).
     val colW = Window.partitionBy("row_key", "family", "qualifier")
       .orderBy(col("ts").desc)
-    val needColRank = in.columnCellLimit.isDefined || in.rowCellLimit.isDefined
     if (needColRank) {
       df = df.withColumn("_col_rank", row_number().over(colW))
       in.columnCellLimit.foreach { k =>
