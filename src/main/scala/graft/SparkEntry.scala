@@ -1717,18 +1717,22 @@ object SparkEntry {
           SF("n_tokens", LT), SF("batch", ST))))
         .parquet(outDir)
         .select(lit("curated").as("kind"),
-          col("doc_id").cast("string").as("k")).distinct()
+          col("doc_id").cast("string").as("k"))
       val hashes = graft.operators.BandStore
         .open(s, s"$stateDir/exact").read()
-        .select(lit("hash").as("kind"), col("band").as("k")).distinct()
+        .select(lit("hash").as("kind"), col("band").as("k"))
       val bands = graft.operators.BandStore
         .open(s, s"$stateDir/bands").read()
-        .select(lit("band").as("kind"), col("band").as("k")).distinct()
+        .select(lit("band").as("kind"), col("band").as("k"))
       val members = graft.operators.ClusterVecStore
         .open(s, s"$stateDir/vecs").read()
         .select(lit("member").as("kind"),
-          col("vec_id").cast("string").as("k")).distinct()
+          col("vec_id").cast("string").as("k"))
+      // ONE distinct over the union (r22, §2.4): `kind` disjoins the
+      // four sources, so union-then-distinct ≡ union of per-branch
+      // distincts — same relation, one exchange instead of four
       curated.unionAll(hashes).unionAll(bands).unionAll(members)
+        .distinct()
     }),
 
     // ---- LINE-level dedup (C4/RefinedWeb boilerplate removal) --------
