@@ -153,11 +153,9 @@ final class BandStore private (
       // the default 32-path threshold turned EVERY read into a ~100 ms
       // distributed listing job of tiny local dirs; the store's live
       // dir count is maintenance-bounded, so driver listing is right
-      // until the count is genuinely object-store-large
-      val lkey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-      val lcur = c.conf.getOption(lkey).map(_.toInt).getOrElse(32)
-      if (lcur < BandStore.ListingThreshold)
-        c.conf.set(lkey, BandStore.ListingThreshold.toString)
+      // until the count is genuinely object-store-large. Default-only
+      // + property-overridable since r22 (r21 ADVICE).
+      BandStore.raiseListingThreshold(c)
     } // non-classic session: no clone available — skip the raise
     // (lookups stay correct; the pushed In degrades to a range filter)
     c
@@ -465,6 +463,23 @@ object BandStore {
     * unmaintained, or object-store-large bucket counts) the
     * distributed listing still kicks in. */
   val ListingThreshold: Int = 4096
+
+  /** Raise the lookup-session clone's driver-listing threshold — ONLY
+    * when the session still carries Spark's default (32): a deployment
+    * that deliberately lowered (or otherwise pinned) the threshold, e.g.
+    * to bound driver-side listing on a slow object store, keeps its
+    * setting (r21 ADVICE — the r21 version raised unconditionally).
+    * Overridable via `-Dgraft.store.listing.threshold=<n>` (the
+    * `graft.store.lease.ms` pattern). */
+  private[operators] def raiseListingThreshold(
+      c: org.apache.spark.sql.SparkSession): Unit = {
+    val lkey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val sparkDefault = 32
+    val lcur = c.conf.getOption(lkey).map(_.toInt).getOrElse(sparkDefault)
+    val want = Integer.getInteger("graft.store.listing.threshold",
+      ListingThreshold).intValue
+    if (lcur == sparkDefault && want > lcur) c.conf.set(lkey, want.toString)
+  }
 
   private val CompactedTag = "batch=compacted-([0-9]+)".r
 

@@ -102,11 +102,9 @@ final class ClusterVecStore private (
       val want = math.min(pushdownKeyLimit, BandStore.SafeInPushdownCap)
       if (cur < want) c.conf.set(key, want.toString)
       // driver-side listing up to the store's own path-count class
-      // (r21; see BandStore.lookupSession)
-      val lkey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-      val lcur = c.conf.getOption(lkey).map(_.toInt).getOrElse(32)
-      if (lcur < BandStore.ListingThreshold)
-        c.conf.set(lkey, BandStore.ListingThreshold.toString)
+      // (r21; see BandStore.lookupSession — default-only +
+      // property-overridable since r22, r21 ADVICE)
+      BandStore.raiseListingThreshold(c)
     }
     c
   }

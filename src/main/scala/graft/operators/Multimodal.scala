@@ -509,12 +509,19 @@ object Multimodal {
     // duplicate doc_id rows would duplicate emitted pairs through both
     // the within-clique self-join and the cross-clique expansion;
     // one doc-count-sized dedup at entry restores the one-row-per-doc
-    // contract the emission math assumes. MATERIALIZED once (the
-    // incrementalImageDedupWithStore discipline): the frame feeds five
-    // plan branches (cliques, both cross expansions, both within
-    // sides), and lazy it would re-run the upstream hash computation —
-    // typically a payload decode — per branch.
-    val hashes = rawHashes.dropDuplicates("doc_id").localCheckpoint(true)
+    // contract the emission math assumes. DETERMINISTIC survivor since
+    // r22 (r21 ADVICE): `dropDuplicates("doc_id")` kept a
+    // partition-order-dependent arbitrary row when a caller passed the
+    // same doc_id with CONFLICTING phashes, so the emitted pair set
+    // could vary run to run; min(phash) resolves the violation the same
+    // way every run (and is the identity on contract-respecting
+    // inputs). MATERIALIZED once (the incrementalImageDedupWithStore
+    // discipline): the frame feeds five plan branches (cliques, both
+    // cross expansions, both within sides), and lazy it would re-run
+    // the upstream hash computation — typically a payload decode — per
+    // branch.
+    val hashes = rawHashes.groupBy(col("doc_id"))
+      .agg(min(col("phash")).as("phash")).localCheckpoint(true)
     // one aggregation yields both the representative (banding) and the
     // clique size (the within-join's hot-key split); materialized —
     // distinct-hash-count sized, feeds the band frame twice and both

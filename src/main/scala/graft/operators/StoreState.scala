@@ -50,18 +50,23 @@ private[graft] object StoreState {
   private val logMutexes = new ConcurrentHashMap[String, Object]()
 
   /** Cached view of a `_commitlog`: the tag set, the max sequence, and
-    * the file (size, mtime) the cache was built against. [[logCommit]]
-    * appends O(1) through this instead of re-reading the whole log per
-    * commit (O(n²) across the appends between maintenance sweeps — the
-    * r19 fix-it); the (size, mtime) check invalidates it against any
-    * out-of-band edit (a restore, a manual edit, a second process) at
-    * one stat per commit — size alone missed a same-byte-count rewrite
-    * (r20 ADVICE). All access under the dir's log mutex. */
+    * the file (size, mtime, fileKey) the cache was built against.
+    * [[logCommit]] appends O(1) through this instead of re-reading the
+    * whole log per commit (O(n²) across the appends between maintenance
+    * sweeps — the r19 fix-it); the stat check invalidates it against
+    * any out-of-band edit (a restore, a manual edit, a second process)
+    * at one stat per commit — size alone missed a same-byte-count
+    * rewrite (r20 ADVICE), and (size, mtime) still missed one landing
+    * within a single mtime tick (r21 ADVICE), so the validity tuple now
+    * also carries the filesystem fileKey (inode identity), which every
+    * atomic-replace rewrite changes regardless of timestamp
+    * granularity. All access under the dir's log mutex. */
   private final class LogCache(
       val tags: scala.collection.mutable.Set[String],
       var maxSeq: Long,
       var fileSize: Long,
-      var fileMtime: Long)
+      var fileMtime: Long,
+      var fileKey: String)
   private val logCaches = new ConcurrentHashMap[String, LogCache]()
 
   private def canonical(dir: String): String =
@@ -155,7 +160,19 @@ private[graft] object StoreState {
         // last-writer-wins detection (r20 ADVICE): two processes can
         // both observe the stale lease and both claim; re-reading after
         // the move makes the loser fail fast instead of proceeding into
-        // a two-maintainer race
+        // a two-maintainer race.
+        // BEST-EFFORT, not airtight (r21 ADVICE): with the interleaving
+        // A-move, A-read(sees A), B-move, B-read(sees B), BOTH claimants
+        // pass their own read-back — the check only catches the loser
+        // whose read lands after the winner's move. Closing it fully
+        // needs an OS-level lock held for the process lifetime
+        // (FileChannel.tryLock), which trades the current
+        // crash-recovers-by-lease-expiry behavior for lock-liveness
+        // semantics; the stores' single-maintainer deployment contract
+        // makes the narrowed window an accepted residual risk, and both
+        // claimants surviving degrades to the pre-r20 documented state
+        // (duplicate maintenance work, never data loss — every commit
+        // is an ATOMIC_MOVE into a fresh tag).
         val won = try {
           new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
             .trim == jvmToken
@@ -183,27 +200,33 @@ private[graft] object StoreState {
     }
   }
 
-  private def logStat(dir: String): (Long, Long) = {
+  private def logStat(dir: String): (Long, Long, String) = {
     val p = logPath(dir)
-    if (Files.exists(p))
-      (Files.size(p), Files.getLastModifiedTime(p).toMillis)
-    else (-1L, -1L)
+    if (Files.exists(p)) {
+      // fileKey may be null on filesystems without stable file identity
+      // — degrade to the (size, mtime) check there
+      val fk = try Option(Files.readAttributes(p,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+          .map(_.toString).getOrElse("")
+        catch { case _: java.io.IOException => "" }
+      (Files.size(p), Files.getLastModifiedTime(p).toMillis, fk)
+    } else (-1L, -1L, "")
   }
 
   /** The dir's log cache, rebuilt from disk when absent or when the
-    * file (size, mtime) no longer matches (out-of-band edit). Caller
-    * holds the log mutex. */
+    * file (size, mtime, fileKey) no longer matches (out-of-band edit).
+    * Caller holds the log mutex. */
   private def cacheFor(dir: String): LogCache = {
     val key = canonical(dir)
     val cached = logCaches.get(key)
-    val (size, mtime) = logStat(dir)
+    val (size, mtime, fk) = logStat(dir)
     if (cached != null && cached.fileSize == size &&
-        cached.fileMtime == mtime) cached
+        cached.fileMtime == mtime && cached.fileKey == fk) cached
     else {
       val entries = readLog(dir)
       val fresh = new LogCache(
         scala.collection.mutable.Set(entries.map(_._2): _*),
-        (0L +: entries.map(_._1)).max, size, mtime)
+        (0L +: entries.map(_._1)).max, size, mtime, fk)
       logCaches.put(key, fresh)
       fresh
     }
@@ -225,9 +248,10 @@ private[graft] object StoreState {
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         cache.tags += tag
         cache.maxSeq = next
-        val (size, mtime) = logStat(dir)
+        val (size, mtime, fk) = logStat(dir)
         cache.fileSize = size
         cache.fileMtime = mtime
+        cache.fileKey = fk
       }
       ()
     }
